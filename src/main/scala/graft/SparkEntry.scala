@@ -1,13 +1,486 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.schema.DestinationSchemas
+import graft.transform.{PiiHashing, Transforms}
+import graft.functions.{TextAnalysis, VectorOps}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2,
+  * plus the training-data-pipeline operators (dedup / similarity / text).
+  *
+  * Column names are aliased identically in the Spark plan and the oracle SQL
+  * (the driver's compare sorts columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Core relational queries (engine capability + bench headliners)
+  // ------------------------------------------------------------------
+
+  /** TPC-H-Q1-shaped aggregation: map-side-combinable, one shuffle. */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H-Q3-shaped join + top-k: broadcast dims, single agg shuffle,
+    * rank stabilized by rounding + key tiebreak.
+    */
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def qPartAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+
+  /** events.ts arrives as an ns-epoch long (TIMESTAMP(NANOS) parquet read
+    * with nanosAsLong); all ts logic truncates to µs — DuckDB's native
+    * timestamp resolution — for EXACT integer parity with the oracle.
+    */
+  private def tsUs: Column = expr("ts div 1000")
+
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("event_id"), col("user_id"), col("rn"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum —
+    * the standard two-window composition, one shuffle on user_id.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_idx")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming-shaped tumbling-window rollup (same plan Structured Streaming
+    * produces for a 1h window + event_type groupBy).
+    */
+  private def qHourlyRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  private def qTopUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+
+  // ------------------------------------------------------------------
+  // Megalista data-plane operators (SURVEY §2.2–2.3) on testdata analogs
+  // ------------------------------------------------------------------
+
+  /** Transactional dedup, single-key (UUID shape): anti join against the
+    * already-uploaded key set (broadcast).
+    */
+  private def qAntiJoinKey(s: SparkSession, dir: String): DataFrame = {
+    val uploaded = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    Transforms.antiJoinUploaded(t(s, dir, "lineitem"), uploaded, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"))
+  }
+
+  /** Transactional dedup, composite-key ((gclid,time) shape). */
+  private def qAntiJoin2Key(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val uploaded = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    Transforms.antiJoinUploaded(li, uploaded, Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Schema-regex column pruning (reference get_cols_names) through a real
+    * destination schema; Catalyst pushes the projection to the scan.
+    */
+  private def qPruneUserId(s: SparkSession, dir: String): DataFrame = {
+    val mapped = t(s, dir, "customer")
+      .select(col("c_name").as("user_id"), col("c_acctbal").as("not_in_schema"))
+    DestinationSchemas.prune(mapped, DestinationType.AdsCustomerMatchUserIdUpload)
+  }
+
+  /** PII hashing, Ads shape: gmail-dot normalization + SHA-256, pure column
+    * expressions (reference mappers/ads_user_list_pii_hashing_mapper.py).
+    */
+  private def qPiiHashAds(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "customer").select(
+      col("c_custkey").as("crm_id"),
+      concat(regexp_replace(lower(col("c_name")), "#", "."), lit("@gmail.com")).as("email"),
+      col("c_custkey").cast("string").as("phone"))
+    PiiHashing.adsShape(users)
+      .select(col("crm_id"), col("hashed_email"), col("hashed_phone_number"))
+  }
+
+  /** CM customVariables fold (reference data_schemas.py:401-413): group-
+    * concat of per-uuid JSON fragments, deterministic via sort.
+    */
+  private def qCmCustvarsFold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id").cast("string").as("uuid"),
+        concat(lit("{ \"type\": \""), col("event_type"),
+          lit("\", \"value\": \""), get_json_object(col("props"), "$.k"),
+          lit("\"}")).as("cv"))
+      .groupBy(col("uuid"))
+      .agg(concat(lit("["), array_join(array_sort(collect_list(col("cv"))), ", "),
+        lit("]")).as("customVariables"))
+
+  /** 15-day retention window applied to the uploaded log at read
+    * (reference file_data_source.py:140-147), anchored at max(ts).
+    */
+  private def qRetentionFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", tsUs)
+    val maxTs = ev.agg(max(col("ts_us")).as("max_ts_us"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts_us") >= col("max_ts_us") - lit(15L * 86400L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  /** JSON column parse + declared-type cast (reference BQ JSON read +
+    * update_data_types_not_string).
+    */
+  private def qJsonExtractCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+
+  /** Batching arithmetic (reference _BatchElements): ceil(n/size) with the
+    * empty-input→1 quirk, per execution group.
+    */
+  private def qBatchCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_batches", floor((col("n_rows") - 1) / 5) + 1)
+
+  /** Final consolidation: union-all + global dedup (reference last_step). */
+  private def qConsolidate(s: SparkSession, dir: String): DataFrame =
+    Transforms.consolidate(Seq(
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")),
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))))
+
+  /** Digits-only id normalization (reference utils.py:18-23). */
+  private def qDigitsFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), Transforms.digitsOnly(col("c_name")).as("digits"))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: dedup / text / similarity
+  // ------------------------------------------------------------------
+
+  private def dExactDupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateGroups(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("canonical_id"), col("dup_count"))
+
+  private def dExactDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
+  private def dNgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("g3"))
+    val a = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id_a"), col("g3").as("g_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("g3").as("g_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(Dedup.jaccard(col("g_a"), col("g_b")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private def dMinhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+
+  private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
+
+  private def eCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def eNeardupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 0)
+
+  private def eAnnSrpTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.srpTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10, numPlanes = 12, dim = 64, probeRadius = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def tTokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  private def tQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+
+  private def tLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  private def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q_part_agg" -> (qPartAgg _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_sessionize" -> (qSessionize _),
+    "q_hourly_rollup" -> (qHourlyRollup _),
+    "q_top_users" -> (qTopUsers _),
+    "q_anti_join_key" -> (qAntiJoinKey _),
+    "q_anti_join_2key" -> (qAntiJoin2Key _),
+    "q_prune_user_id" -> (qPruneUserId _),
+    "q_pii_hash_ads" -> (qPiiHashAds _),
+    "q_cm_custvars_fold" -> (qCmCustvarsFold _),
+    "q_retention_filter" -> (qRetentionFilter _),
+    "q_json_extract_cast" -> (qJsonExtractCast _),
+    "q_batch_count" -> (qBatchCount _),
+    "q_consolidate" -> (qConsolidate _),
+    "q_digits_filter" -> (qDigitsFilter _),
+    "d_exact_dup_groups" -> (dExactDupGroups _),
+    "d_exact_dedup_keep" -> (dExactDedupKeep _),
+    "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
+    "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "e_cosine_topk" -> (eCosineTopK _),
+    "e_neardup_pairs" -> (eNeardupPairs _),
+    "e_ann_srp_topk" -> (eAnnSrpTopK _),
+    "t_token_stats" -> (tTokenStats _),
+    "t_quality" -> (tQuality _),
+    "t_langid" -> (tLangId _),
+    "t_fingerprint" -> (tFingerprint _)
+  )
+
+  private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val langProfilesSql = TextAnalysis.languageProfiles.map { case (lang, markers) =>
+    val ms = markers.map(m => s"'$m'").mkString(", ")
+    s"{'score': len(list_filter(toks, x -> x IN ($ms))), 'lang': '$lang'}"
+  }.mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_top_orders" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < DATE '1998-01-01'
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_part_agg" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 2) AS avg_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q_window_rank" ->
+      """SELECT event_id, user_id, rn FROM (
+           SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn <= 3""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         m AS (
+           SELECT user_id,
+             CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+           FROM g)
+         SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM m GROUP BY user_id""",
+    "q_hourly_rollup" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q_top_users" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY user_id
+         ORDER BY n_events DESC, user_id LIMIT 20""",
+    "q_anti_join_key" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         round(l_quantity, 2) AS l_quantity
+         FROM lineitem li
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_orderkey = li.l_orderkey AND o.o_orderstatus = 'F')""",
+    "q_anti_join_2key" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem li
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem u
+           WHERE u.l_returnflag = 'R'
+             AND u.l_orderkey = li.l_orderkey AND u.l_linenumber = li.l_linenumber)
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_prune_user_id" ->
+      "SELECT c_name AS user_id FROM customer",
+    "q_pii_hash_ads" ->
+      """SELECT c_custkey AS crm_id,
+         sha256(replace(replace(lower(c_name), '#', '.'), '.', '') || '@gmail.com') AS hashed_email,
+         sha256(CAST(c_custkey AS VARCHAR)) AS hashed_phone_number
+         FROM customer""",
+    "q_cm_custvars_fold" ->
+      """SELECT uuid, '[' || string_agg(cv, ', ' ORDER BY cv) || ']' AS customVariables
+         FROM (SELECT CAST(user_id AS VARCHAR) AS uuid,
+                 '{ "type": "' || event_type || '", "value": "' ||
+                 json_extract_string(props, '$.k') || '"}' AS cv
+               FROM events)
+         GROUP BY uuid""",
+    "q_retention_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)
+               - 15::BIGINT * 86400 * 1000000""",
+    "q_json_extract_cast" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events""",
+    "q_batch_count" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+         ((count(*) - 1) // 5) + 1 AS n_batches
+         FROM lineitem GROUP BY l_orderkey""",
+    "q_consolidate" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey AS nationkey FROM supplier)""",
+    "q_digits_filter" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+         FROM customer""",
+    "d_exact_dup_groups" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM documents GROUP BY text HAVING count(*) > 1""",
+    "d_exact_dedup_keep" ->
+      """SELECT source, count(*) AS n_kept FROM (
+           SELECT * FROM documents
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         GROUP BY source""",
+    "d_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))) END AS g3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.g3, b.g3))::DOUBLE /
+                   len(list_distinct(a.g3 || b.g3)), 6) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id < 100)
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2""",
+    "e_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+             (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+              sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+           FROM q, c WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "e_neardup_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+         WHERE round(cos, 6) >= 0.45""",
+    "t_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+         round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY lang""",
+    "t_quality" ->
+      s"""SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         round((length(text) - length(regexp_replace(text,
+           '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           x -> x IN ($stopwordsSql)))::DOUBLE /
+           len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+         FROM documents""",
+    "t_langid" ->
+      s"""SELECT doc_id, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents)""",
+    "t_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce([0::BIGINT] || list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents"""
+  )
 }

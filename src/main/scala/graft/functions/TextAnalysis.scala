@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure column expressions (codegen'd, no UDFs): at 100 TB these run
+  * inside whole-stage codegen directly over the parquet scan with full
+  * column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as separate
+    * tokens (a regex approximation of byte-pair tokenizers for budget
+    * estimation — NOT a real BPE).
+    */
+  def bpeishTokenCount(text: Column): Column = {
+    val pieces = regexp_extract_all(
+      text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    size(pieces)
+  }
+
+  /** Ratio of punctuation chars (fixed class, cross-engine-stable). */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", "")
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length score × (1 - punct ratio)
+    * × stopword-presence score. Heuristic quality gate for corpus filtering.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punct = lit(1.0) - punctRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * punct * (lit(0.5) + stop * 0.5), 6)
+  }
+
+  /** Simple n-gram/stopword language-ID heuristic: score each candidate
+    * language by its marker-token hit count; argmax with deterministic
+    * lexicographic tiebreak. Runs as one expression tree per row.
+    */
+  val languageProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "du", "que", "est"),
+    "pt" -> Seq("o", "a", "os", "de", "que", "e", "do", "da", "em", "um"))
+
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = languageProfiles.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max orders by (score, lang) — ties resolve to the later language
+    // code, deterministically.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters:
+    * acc = (acc * 31 + ascii(ch)) mod 1e9+7. Deterministic, expression-only.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column operators (`Array[Float]` columns).
+  *
+  * Pure expression trees over `zip_with`/`aggregate` — codegen'd, no UDFs.
+  * All math is done in double after casting, sequentially over the array, so
+  * results are bit-deterministic regardless of partitioning.
+  */
+object VectorOps {
+
+  private def d(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-random-projection bits for LSH bucketing: bit p = sign(v · plane_p).
+    * Planes are deterministic driver-side literals (seeded), broadcast into
+    * the expression — the corpus side never shuffles for signature
+    * computation.
+    */
+  def srpSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = typedLit(plane)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed → same planes on
+    * every run and every executor).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+}

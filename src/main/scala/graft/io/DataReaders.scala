@@ -1,0 +1,77 @@
+package graft.io
+
+import graft.model.{DestinationType, TransactionalType}
+import graft.schema.DestinationSchemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+
+/** Data-plane readers (SURVEY §2.2).
+  *
+  * The reference reads sources row-by-row into Python lists
+  * (`/root/reference/megalista_dataflow/data_sources/big_query/
+  * big_query_data_source.py:67-71`); here every source is a DataFrame scan
+  * with column pruning pushed to the format reader (parquet `ReadSchema` /
+  * csv `usecols` equivalent), which is what survives a 100 TB scale-up.
+  */
+object DataReaders {
+
+  /** Parquet scan + schema-regex pruning (reference
+    * `data_sources/file/file_data_source.py:182-200`). The `.select` makes
+    * Catalyst prune the scan to the matched columns only.
+    */
+  def readParquet(spark: SparkSession, path: String, dt: DestinationType): DataFrame =
+    DestinationSchemas.prune(spark.read.parquet(path), dt)
+
+  /** CSV scan with ALL-STRING schema (mirrors the reference's
+    * `dtype='string'` pandas read, `file_data_source.py:202-219`), pruned and
+    * then cast per schema. Empty strings read as nulls, matching the NaN→None
+    * normalization at `file_data_source.py:62,85`.
+    */
+  def readCsv(spark: SparkSession, path: String, dt: DestinationType): DataFrame = {
+    val header = spark.read.option("header", "true").csv(path)
+    val allString = StructType(header.schema.fieldNames.map(StructField(_, StringType)))
+    val df = spark.read.option("header", "true").schema(allString).csv(path)
+    DestinationSchemas.castNonString(DestinationSchemas.prune(df, dt), dt)
+  }
+}
+
+/** `_uploaded` control table on parquet (reference keeps it in BigQuery with
+  * 15-day partition expiration, `big_query_data_source.py:118-148`, or as a
+  * sibling `<base>_uploaded.<ext>` file, `file_data_source.py:94-154`).
+  *
+  * Semantics preserved:
+  *  - read-missing-as-empty (`file_provider.py` can_skip_read)
+  *  - 15-day retention applied at read (`file_data_source.py:140-147`)
+  *  - append-only writeback of (key columns, now) for successful rows
+  *  - ORDER_ID_TIME writes ALL key columns (the reference drops `time` on
+  *    writeback, `file_data_source.py:109` — a documented reference bug we
+  *    do not reproduce).
+  */
+final case class UploadedLog(spark: SparkSession, path: String, tt: TransactionalType) {
+
+  private def schema: StructType =
+    StructType(StructField("timestamp", TimestampType) +:
+      tt.keyColumns.map(StructField(_, StringType)))
+
+  def read(): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val raw =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(schema).parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.transform.Transforms.retentionFilter(raw)
+  }
+
+  /** Append successfully-uploaded keys with the current timestamp. */
+  def append(successful: DataFrame): Unit = {
+    if (tt.keyColumns.nonEmpty) {
+      successful
+        .select(tt.keyColumns.map(c => col(c).cast(StringType).as(c)): _*)
+        .withColumn("timestamp", current_timestamp())
+        .select("timestamp", tt.keyColumns: _*)
+        .write.mode("append").parquet(path)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact; broadcast the (small) query set against the
+  *    corpus — one narrow pass over the corpus, a single top-k shuffle keyed
+  *    by query id. Baseline + verifier.
+  *  - [[srpTopK]]: sign-random-projection LSH with multi-probe: corpus is
+  *    bucketed once (narrow), queries probe their bucket and near buckets
+  *    (Hamming ≤ probeRadius on the signature), candidates ranked exactly.
+  *    At 100 TB the corpus-side work is one signature projection + a
+  *    bucket-keyed shuffle; no cross join.
+  */
+object Similarity {
+
+  /** Exact top-k: queries × corpus cosine, rank per query.
+    * The query side is expected to be small and is broadcast.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** SRP-LSH top-k with multi-probe.
+    *
+    * @param probeRadius candidates are corpus rows whose signature is within
+    *                    this Hamming distance of the query signature.
+    */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, numPlanes: Int = 12, dim: Int = 64,
+      probeRadius: Int = 2): DataFrame = {
+    val planes = VectorOps.hyperplanes(numPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_sig", VectorOps.srpSignature(col("q_vec"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_sig", VectorOps.srpSignature(col("c_vec"), planes))
+    // Small query set: broadcast and range over signature distance. The
+    // corpus side computes its signature once (narrow) and the join filters
+    // to Hamming ≤ probeRadius before any exact cosine work.
+    val candidates = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") &&
+        bit_count(col("q_sig").bitwiseXOR(col("c_sig"))) <= probeRadius)
+      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style coarse quantization: assign every corpus vector to its
+    * nearest of `centroids` (driver-side literal list, e.g. sampled + kmeans
+    * offline); queries search only their `nprobe` nearest centroid cells.
+    * The cell assignment is a narrow projection; the search is a cell-keyed
+    * join — the 100 TB-scale layout for dense retrieval.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
+      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+        struct((VectorOps.cosine(vec, typedLit(ctr)) * -1).as("negCos"),
+          lit(i).as("cell"))
+      }
+      // sort ascending by negCos = descending by cosine; take n cells
+      slice(array_sort(array(scored: _*)), 1, n).getField("cell")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", element_at(nearestCells(col("c_vec"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(nearestCells(col("q_vec"), nprobe)))
+    val candidates = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.transform
+
+import graft.model.TransactionalType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational fragments of the engine (SURVEY §2.3).
+  *
+  * Everything here is a declarative DataFrame transform: Catalyst handles
+  * predicate pushdown / column pruning, and the control-table side of the
+  * anti join is broadcast (it is bounded by 15 days of uploads — always the
+  * small side at scale).
+  */
+object Transforms {
+
+  /** Transactional dedup: drop rows already present in the `_uploaded`
+    * control table, keyed by the transactional key columns.
+    *
+    * Reference: generated BigQuery SQL `LEFT JOIN ... USING(key) WHERE
+    * uploaded.key IS NULL` (`/root/reference/megalista_dataflow/data_sources/
+    * big_query/big_query_data_source.py:87-104`) and the pandas outer-merge
+    * anti join for files (`data_sources/file/file_data_source.py:71-92`).
+    *
+    * Scale: the control table is 15 days of upload keys — broadcast it so the
+    * 100 TB source side never shuffles.
+    */
+  def antiJoinUploaded(source: DataFrame, uploaded: DataFrame, keys: Seq[String]): DataFrame = {
+    val right = uploaded.select(keys.map(col): _*)
+    source.join(broadcast(right), keys, "left_anti")
+  }
+
+  def antiJoinUploaded(source: DataFrame, uploaded: DataFrame, tt: TransactionalType): DataFrame =
+    if (tt.keyColumns.isEmpty) source
+    else antiJoinUploaded(source, uploaded, tt.keyColumns)
+
+  /** 15-day retention filter applied when reading the `_uploaded` control
+    * table (reference `file_data_source.py:140-147`; BigQuery side uses
+    * 15-day partition expiration, `big_query_data_source.py:125`).
+    */
+  def retentionFilter(uploaded: DataFrame, tsCol: String = "timestamp",
+      days: Int = 15): DataFrame =
+    uploaded.filter(col(tsCol) >= (current_timestamp() - expr(s"INTERVAL $days DAYS")))
+
+  /** Batch count for a row-count `n` and batch size `size`, preserving the
+    * reference's semantics: the loop yields the in-progress batch after the
+    * input is exhausted, so 11 rows / size 2 → 6 batches (sizes 2,2,2,2,2,1)
+    * and an EMPTY input still yields exactly one empty batch
+    * (`sources/batches_from_executions.py:118-131`, asserted by
+    * `batches_from_executions_test.py:65-75`).
+    */
+  def batchCount(n: Long, size: Int): Long =
+    if (n == 0) 1L else (n - 1) / size + 1
+
+  /** Group rows of one partition into fixed-size batches: ceil(n/size)
+    * batches for n > 0, one empty batch for empty input (reference loop
+    * above). The 1-based per-execution iteration index is assigned by the
+    * sink driver (SURVEY §7.4 item 1: first-batch flags are only honored on
+    * the driver-coordinated first batch).
+    */
+  def grouped[T](rows: Iterator[T], size: Int): Iterator[Seq[T]] = {
+    val g = rows.grouped(size).map(_.toSeq)
+    if (g.hasNext) g else Iterator(Seq.empty[T])
+  }
+
+  /** Digits-only normalization (reference `utils/utils.py:18-23`). */
+  def digitsOnly(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+
+  /** Union-all + dedup consolidation of branch outputs (reference
+    * `steps/last_step.py:26-56`: Flatten + CombineGlobally dedup).
+    */
+  def consolidate(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _).distinct()
+}
