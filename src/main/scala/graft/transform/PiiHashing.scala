@@ -47,7 +47,7 @@ object PiiHashing {
     val isGmail = element_at(parts, 2).rlike("^(gmail|googlemail)\\.com$")
     val fixedLocal = regexp_replace(element_at(parts, 1), "\\.", "")
     val rejoined = concat_ws("@",
-      concat(array(fixedLocal), slice(parts, 2, Int.MaxValue)))
+      concat(array(fixedLocal), slice(parts, lit(2), size(parts))))
     when(size(parts) < 2, email) // malformed: assumed pre-hashed, unchanged
       .otherwise(when(isGmail, rejoined).otherwise(lowered))
   }

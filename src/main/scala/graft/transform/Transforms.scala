@@ -25,8 +25,14 @@ object Transforms {
     * 100 TB source side never shuffles.
     */
   def antiJoinUploaded(source: DataFrame, uploaded: DataFrame, keys: Seq[String]): DataFrame = {
-    val right = uploaded.select(keys.map(col): _*)
-    source.join(broadcast(right), keys, "left_anti")
+    // Rename the control-table keys to fresh attributes before joining:
+    // `uploaded` is often derived from the SAME scan as `source` (tests,
+    // file-backed logs), and a same-lineage using-join can silently resolve
+    // a key condition to the left side (trivially true) — renaming forces
+    // unambiguous resolution.
+    val right = uploaded.select(keys.map(k => col(k).as(s"__uploaded_$k")): _*)
+    val cond = keys.map(k => col(k) === col(s"__uploaded_$k")).reduce(_ && _)
+    source.join(broadcast(right), cond, "left_anti")
   }
 
   def antiJoinUploaded(source: DataFrame, uploaded: DataFrame, tt: TransactionalType): DataFrame =

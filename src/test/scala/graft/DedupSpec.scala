@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "spark engine shuffles partitions across the cluster and writes parquet"
+  private val nearDup = base.replace("lazy", "sleepy") // one-word perturbation
+  private val unrelated = "completely different content about database " +
+    "optimizers join strategies and cost models for distributed queries"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base), (4L, "short text"))
+    .toDF("doc_id", "text")
+
+  test("exact duplicate groups find the planted exact pair") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("canonical_id") == 0L)
+    assert(groups(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("exact dedup keeps min-id row per text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 4L))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(col("a"), col("b")),
+      Dedup.jaccard(col("a"), col("c"))).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near-dup
+    assert(pairs.contains((0L, 3L))) // exact dup
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash candidate pairs verify against exact jaccard") {
+    // every reported jaccard equals the exact shingle jaccard
+    val reported = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.1)
+    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sh"))
+    val exact = shingled.as("a").join(shingled.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("exact_j"))
+    val joined = reported.join(exact, Seq("id_a", "id_b"))
+    assert(joined.filter(col("jaccard") =!= col("exact_j")).count() == 0)
+  }
+
+  test("simhash: identical texts collide, near-dups are close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 10)
+  }
+
+  test("simhash pair blocking finds identical docs at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+  }
+
+  test("embedding near-dup: planted duplicate vector found, brute == lsh on it") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, numPlanes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((0L, 1L)))
+    val lsh = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, numPlanes = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // LSH never reports false positives
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine/dot/norm basic identities") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("x", "y", "x2")
+    val r = df.select(
+      VectorOps.cosine(col("x"), col("y")),
+      VectorOps.cosine(col("x"), col("x2")),
+      VectorOps.dot(col("x"), col("x2")),
+      VectorOps.l2Distance(col("x"), col("y"))).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 2.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the true nearest neighbors") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding", k = 5)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sorted.reverse)) // descending
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("SRP top-k recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.srpTopK(q, emb, "vec_id", "embedding", k = 5,
+      numPlanes = 12, dim = 64, probeRadius = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"SRP recall too low: $recall") // approximate, wide probe
+  }
+
+  test("IVF top-k finds planted cluster neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.ivfTopK(vecs.filter(col("vec_id") === 0L), vecs,
+      "vec_id", "embedding", centroids, k = 2, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // same-cell neighbors only
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.transform.Transforms
+import org.apache.spark.sql.functions._
+
+class TransformsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batch count: reference _BatchElements semantics") {
+    // 11 rows / size 2 → 6 batches (batches_from_executions_test.py:65-75)
+    assert(Transforms.batchCount(11, 2) == 6)
+    assert(Transforms.batchCount(10, 2) == 5)
+    assert(Transforms.batchCount(1, 2) == 1)
+    assert(Transforms.batchCount(0, 2) == 1) // empty input still yields one batch
+    assert(Transforms.batchCount(5000, 5000) == 1)
+    assert(Transforms.batchCount(5001, 5000) == 2)
+  }
+
+  test("grouped iterator matches batchCount") {
+    for (n <- Seq(0, 1, 2, 10, 11); size <- Seq(1, 2, 5)) {
+      val batches = Transforms.grouped((1 to n).iterator, size).toSeq
+      assert(batches.length == Transforms.batchCount(n, size),
+        s"n=$n size=$size got ${batches.length}")
+      assert(batches.flatten == (1 to n))
+      if (n > 0) assert(batches.forall(_.nonEmpty))
+    }
+  }
+
+  test("anti join drops exactly the uploaded keys") {
+    val source = Seq(("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z"), ("a", 2, "w"))
+      .toDF("gclid", "time", "payload")
+    val uploaded = Seq(("a", 1), ("c", 3)).toDF("gclid", "time")
+    val out = Transforms.antiJoinUploaded(source, uploaded, Seq("gclid", "time"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("b", 2), ("a", 2)))
+  }
+
+  test("anti join result is a subset of the source") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val up = li.filter($"l_returnflag" === "R").select("l_orderkey", "l_linenumber")
+    val out = Transforms.antiJoinUploaded(li, up, Seq("l_orderkey", "l_linenumber"))
+    assert(out.count() == li.count() - up.count())
+  }
+
+  test("digitsOnly mirrors reference utils filter") {
+    val out = Seq("+55 (11) 99999-9999", "abc", "123")
+      .toDF("v").select(Transforms.digitsOnly($"v")).as[String].collect()
+    assert(out.toSeq == Seq("5511999999999", "", "123"))
+  }
+
+  test("consolidate = union-all + global distinct") {
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k")
+    assert(Transforms.consolidate(Seq(a, b)).as[Int].collect().toSet == Set(1, 2, 3, 4))
+  }
+}
