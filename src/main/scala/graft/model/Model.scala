@@ -96,6 +96,7 @@ final case class AccountConfig(
     appId: String = "") {
   def normalized: AccountConfig = copy(
     googleAdsAccountId = AccountConfig.digitsOnly(googleAdsAccountId),
+    googleAnalyticsAccountId = AccountConfig.digitsOnly(googleAnalyticsAccountId),
     campaignManagerProfileId = AccountConfig.digitsOnly(campaignManagerProfileId))
 }
 object AccountConfig {

@@ -191,10 +191,13 @@ object DestinationSchemas {
     if (!df.columns.contains("customVariables.type")) df
     else {
       import org.apache.spark.sql.expressions.Window
+      // array_sort makes the fold order-deterministic across partitionings
+      // (the reference preserves pandas row order, which is itself an
+      // artifact of input file order — documented divergence).
       val folded = df
         .withColumn("customVariables",
-          collect_list(struct(tpe.as("type"), value.as("value")))
-            .over(Window.partitionBy(col("uuid"))))
+          array_sort(collect_list(struct(tpe.as("type"), value.as("value")))
+            .over(Window.partitionBy(col("uuid")))))
         .drop("customVariables.type", "customVariables.value")
       folded.dropDuplicates(folded.columns.filterNot(_ == "customVariables"))
     }

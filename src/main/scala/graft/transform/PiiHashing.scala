@@ -34,9 +34,14 @@ object PiiHashing {
       if (flag == null || flag.isEmpty) true else flag.toLowerCase != "false"
     }
 
+  /** Python-strip: removes ALL leading/trailing whitespace (tabs, newlines,
+    * unicode spaces), not just ASCII space as Spark `trim` does.
+    */
+  def pyStrip(c: Column): Column = regexp_replace(c, "(?U)^\\s+|(?U)\\s+$", "")
+
   /** sha256 of strip().lower() — or passthrough when hashing is disabled. */
   def hashField(c: Column, shouldHash: Boolean = true): Column =
-    if (shouldHash) sha2(lower(trim(c)), 256) else c
+    if (shouldHash) sha2(lower(pyStrip(c)), 256) else c
 
   /** Gmail-rule email normalization as an expression tree (no UDF).
     * `split` with limit -1 keeps all parts, matching Python's `str.split("@")`.

@@ -35,11 +35,17 @@ class TransformsSpec extends SparkTestBase {
     assert(out == Set(("b", 2), ("a", 2)))
   }
 
-  test("anti join result is a subset of the source") {
+  test("anti join keeps exactly the rows whose key is absent from uploaded") {
+    // (l_orderkey, l_linenumber) is NOT unique in the generated data, so the
+    // expectation is computed key-set-wise, not by row-count subtraction.
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
     val up = li.filter($"l_returnflag" === "R").select("l_orderkey", "l_linenumber")
     val out = Transforms.antiJoinUploaded(li, up, Seq("l_orderkey", "l_linenumber"))
-    assert(out.count() == li.count() - up.count())
+    val upKeys = up.collect().map(r => (r.get(0), r.get(1))).toSet
+    val expected = li.select("l_orderkey", "l_linenumber").collect()
+      .count(r => !upKeys.contains((r.get(0), r.get(1))))
+    assert(out.count() == expected)
+    assert(out.columns.toSeq == li.columns.toSeq)
   }
 
   test("digitsOnly mirrors reference utils filter") {
