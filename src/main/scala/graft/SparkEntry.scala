@@ -219,17 +219,13 @@ object SparkEntry {
     Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
 
-  private def dNgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("g3"))
-    val a = docs.filter(col("doc_id") < 100)
-      .select(col("doc_id").as("id_a"), col("g3").as("g_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("g3").as("g_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(Dedup.jaccard(col("g_a"), col("g_b")), 6))
-      .filter(col("jaccard") >= 0.2)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+  /** Inverted-index-blocked word-3-gram Jaccard pairs — exact for any
+    * threshold > 0 (a pair with jaccard ≥ t shares ≥1 shingle), so the
+    * all-pairs DuckDB oracle matches the blocked plan's output exactly.
+    */
+  private def dNgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.2)
 
   private def dMinhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -245,14 +241,35 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** SRP-LSH bucketed near-dup pairs (24 tables × 4 bits). The oracle
+    * replicates the exact algorithm (identical ±1 planes + identical FP fold
+    * order), so this is a full hash-match check of the scalable path, not a
+    * rows-only smoke test. The planted pairs sit at cosine ≈ 0.45-0.55,
+    * where SRP collision probability is ~0.65/bit — 24×4 holds measured
+    * recall 1.0 on sf0.001/sf0.01; production near-dup thresholds (≥ 0.9)
+    * would use fewer tables × more bits for a much sharper prune.
+    */
   private def eNeardupPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.45, numPlanes = 0)
+      threshold = 0.45, numTables = 24, bitsPerTable = 4, dim = 64)
 
   private def eAnnSrpTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.srpTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10, numPlanes = 12, dim = 64, probeRadius = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** IVF-style cell-partitioned ANN: coarse cells from 8 deterministic ±1
+    * centroids (cosine ignores centroid norm), corpus assigned narrow,
+    * queries probe 2 cells. The 100 TB layout: cell-keyed equi-join, no
+    * cross join.
+    */
+  private def eIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", centroids = VectorOps.rademacherPlanes(8, 64),
+      k = 10, nprobe = 2)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -308,6 +325,7 @@ object SparkEntry {
     "e_cosine_topk" -> (eCosineTopK _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
+    "e_ivf_topk" -> (eIvfTopK _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
@@ -315,6 +333,54 @@ object SparkEntry {
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  // ---- DuckDB fragments replicating the cross-engine hash/LSH primitives.
+  // Every constant below mirrors the Scala side exactly (Dedup / VectorOps);
+  // all arithmetic is 64-bit integer or order-identical double folds, so the
+  // oracle recomputes signatures bit-for-bit.
+
+  /** Polynomial rolling hash over characters, init 0 (prepended). */
+  private def sqlPh(v: String, base: Long, mod: Long): String =
+    s"list_reduce([0::BIGINT] || list_transform(string_split($v, ''), ch -> ascii(ch)::BIGINT), " +
+      s"(hacc, hx) -> (hacc * $base + hx) % $mod)"
+
+  /** 60-bit token hash: two stacked 30-bit poly hashes (Dedup.tokenHash60). */
+  private def sqlTokenHash60(v: String): String =
+    s"(${sqlPh(v, 31L, 1000000007L)} * 1073741824 + ${sqlPh(v, 131L, 998244353L)})"
+
+  /** The Rademacher plane family flattened to a ±1.0 literal list (exact
+    * doubles — trivially identical across engines). Referenced in oracles as
+    * a 1-row CTE `sgt(sg)` so the literal appears once per query.
+    */
+  private def sqlSigns(numPlanes: Int, dim: Int): String =
+    VectorOps.rademacherPlanes(numPlanes, dim).flatten
+      .map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** Dot of vector expr `v` (1-indexed DOUBLE[]) with Rademacher plane `p`
+    * over `dim` entries of the `sg` flat sign list; fold order matches
+    * VectorOps.srpSignatureU.
+    */
+  private def sqlPlaneDot(v: String, p: String, dim: Int): String =
+    s"list_reduce([0.0] || list_transform(range(0, $dim), dd -> " +
+      s"$v[dd + 1] * sg[($p) * $dim + dd + 1]), (dacc, dx) -> dacc + dx)"
+
+  /** SRP bucket of `bits` planes starting at plane offset `off`. */
+  private def sqlSrpBucket(v: String, off: String, bits: Int, dim: Int): String =
+    s"list_sum(list_transform(range(0, $bits), bb -> CASE WHEN " +
+      s"${sqlPlaneDot(v, s"($off) + bb", dim)} >= 0 THEN 1::BIGINT << bb ELSE 0 END))::BIGINT"
+
+  /** Order-exact cosine between two DOUBLE[] exprs (VectorOps.cosineU). */
+  private def sqlCos(a: String, b: String): String = {
+    def dotRf(x: String, y: String) =
+      s"list_reduce([0.0] || list_transform(list_zip($x, $y), zz -> zz[1] * zz[2]), (cacc, cx) -> cacc + cx)"
+    s"(${dotRf(a, b)} / (sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)})))"
+  }
+
+  /** MinHash affine coefficients as SQL list literals. */
+  private def sqlMinhashAB(numHashes: Int): (String, String) = {
+    val cs = Dedup.minhashCoeffs(numHashes)
+    (cs.map(_._1).mkString("[", ", ", "]"), cs.map(_._2).mkString("[", ", ", "]"))
+  }
 
   private val langProfilesSql = TextAnalysis.languageProfiles.map { case (lang, markers) =>
     val ms = markers.map(m => s"'$m'").mkString(", ")
@@ -423,20 +489,65 @@ object SparkEntry {
            SELECT * FROM documents
            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
          GROUP BY source""",
-    "d_ngram_jaccard_pairs" ->
-      """WITH sh AS (
+    "d_ngram_jaccard_pairs" -> {
+      s"""WITH sh AS (
            SELECT doc_id,
-             CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                         i -> array_to_string(toks[i:i+2], ' '))) END AS g3
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         i -> ${sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)})) END AS g3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                  FROM documents)),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.g3, b.g3))::DOUBLE /
-                   len(list_distinct(a.g3 || b.g3)), 6) AS jaccard
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id < 100)
-         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2""",
+             CASE WHEN len(list_distinct(a.g3 || b.g3)) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.g3, b.g3))::DOUBLE /
+                       len(list_distinct(a.g3 || b.g3)) END AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.2"""
+    },
+    "d_minhash_lsh_pairs" -> {
+      val (a, b) = sqlMinhashAB(32)
+      s"""WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN length(lower(text)) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
+                         i -> lower(text)[i:i+4])) END AS g
+           FROM documents),
+         ph AS (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
+                FROM sh),
+         sig AS (SELECT doc_id, phs,
+             list_transform(range(0, 32), k -> coalesce(
+               list_min(list_transform(phs, p -> (($a)[k + 1] * p + ($b)[k + 1]) % 1000000007)),
+               1000000007)) AS sig
+           FROM ph),
+         cand AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+           WHERE len(list_filter(range(0, 8), bd ->
+             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         j AS (SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+                  ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
+           FROM cand)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5"""
+    },
+    "d_simhash_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           FROM documents),
+         h AS (SELECT doc_id, list_transform(tk, t -> ${sqlTokenHash60("t")}) AS hs FROM toks),
+         sig AS (SELECT doc_id,
+             list_sum(list_transform(range(0, 60), j -> CASE WHEN
+               coalesce(list_sum(list_transform(hs, hh ->
+                 CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+               THEN 1::BIGINT << j ELSE 0 END))::BIGINT AS s
+           FROM h)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.s, b.s))::BIGINT AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3""",
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
@@ -451,14 +562,48 @@ object SparkEntry {
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
     "e_neardup_pairs" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
-         WHERE round(cos, 6) >= 0.45""",
+      s"""WITH sgt AS (SELECT ${sqlSigns(96, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bk AS (SELECT vec_id, v,
+             list_transform(range(0, 24), tt -> ${sqlSrpBucket("v", "tt * 4", 4, 64)}) AS buckets
+           FROM e CROSS JOIN sgt),
+         cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+           FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+           WHERE len(list_filter(range(0, 24), tt -> a.buckets[tt + 1] = b.buckets[tt + 1])) > 0),
+         s AS (SELECT id_a, id_b, ${sqlCos("va", "vb")} AS cos FROM cand)
+         SELECT id_a, id_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.45""",
+    "e_ann_srp_topk" ->
+      s"""WITH sgt AS (SELECT ${sqlSigns(12, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS (SELECT vec_id, v, ${sqlSrpBucket("v", "0", 12, 64)} AS sig
+                 FROM e CROSS JOIN sgt),
+         cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${sqlCos("q.v", "c.v")} AS cos
+           FROM sig q JOIN sig c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+             AND bit_count(xor(q.sig, c.sig)) <= 4)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10""",
+    "e_ivf_topk" -> {
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM e CROSS JOIN sgt),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell FROM cells),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cells WHERE vec_id < 5),
+         cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
+           FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
+    },
     "t_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,

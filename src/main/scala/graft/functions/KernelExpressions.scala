@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftExpressionBridge
+
+/** Custom Catalyst expressions for the hot scalar kernels.
+  *
+  * Why custom expressions (brief §custom-operators tier (b)): the built-in
+  * formulations of these kernels are either thousand-term unrolled trees
+  * (janino 64 KB limit → repeated failed compiles + interpreted fallback) or
+  * higher-order-function folds (never codegen'd). Each expression here
+  * generates a single static call into [[Kernels]] — compact generated code
+  * that stays inside whole-stage codegen, with the loop JIT-compiled.
+  *
+  * Results are bit-identical to the expression formulations (see the
+  * cross-engine contract note in [[Kernels]]), so the DuckDB oracles are
+  * unaffected.
+  */
+object KernelExpressions {
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Cosine similarity of two numeric array columns (float or double). */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloatArr(left), isFloatArr(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Kernels.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Per-table SRP bucket keys (t*2^bits | bucket) over a ±1 plane matrix. */
+  case class SrpBucketKeys(child: Expression, planes: Seq[Double],
+      numTables: Int, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val planesArr = planes.toArray
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.srpBucketKeys(v.asInstanceOf[ArrayData], planesArr, numTables,
+        bits, isFloatArr(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planesArr, "double[]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.Kernels.srpBucketKeys($v, $ref, $numTables, $bits, ${isFloatArr(child)})")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over char n-gram shingles of lower(text). */
+  case class MinhashSig(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val (coeffA, coeffB) = {
+      val cs = graft.operators.Dedup.minhashCoeffs(numHashes)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    }
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.minhashSignature(t.asInstanceOf[UTF8String], n, coeffA, coeffB)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ra = ctx.addReferenceObj("coeffA", coeffA, "long[]")
+      val rb = ctx.addReferenceObj("coeffB", coeffB, "long[]")
+      defineCodeGen(ctx, ev, t =>
+        s"graft.functions.Kernels.minhashSignature($t, $n, $ra, $rb)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct poly-hashed char n-gram shingles of lower(text). */
+  case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.charShingleHashes(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.charShingleHashes($t, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct poly-hashed word n-gram shingles of trim(text). */
+  case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.wordShingleHashes(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.wordShingleHashes($t, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 60-bit SimHash of lower(text) over whitespace tokens. */
+  case class Simhash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.simhash60(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.simhash60($t)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ----------------------------------------------------- Column wrappers
+
+  private def e(c: Column): Expression = GraftExpressionBridge.expression(c)
+  private def c(x: Expression): Column = GraftExpressionBridge.column(x)
+
+  def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
+
+  def srpBucketKeys(v: Column, planes: Seq[Seq[Double]], numTables: Int,
+      bits: Int): Column =
+    c(SrpBucketKeys(e(v), planes.flatten, numTables, bits))
+
+  def minhashSig(text: Column, n: Int, numHashes: Int): Column =
+    c(MinhashSig(e(text), n, numHashes))
+
+  def simhash60(text: Column): Column = c(Simhash60(e(text)))
+
+  def charShingleHashes(text: Column, n: Int): Column = c(CharShingleHashes(e(text), n))
+
+  def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
+}

@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels behind the custom Catalyst expressions
+  * ([[KernelExpressions]]). Each is a tight JIT-compilable loop invoked once
+  * per row from generated code — replacing thousand-term unrolled expression
+  * trees (which blow janino's 64 KB method limit and fall back to
+  * interpreted eval) and interpreted higher-order-function folds.
+  *
+  * CROSS-ENGINE CONTRACT: every kernel reproduces, bit for bit, the result
+  * of the pure-expression formulation that the DuckDB oracles replicate:
+  *  - integer hashing is 64-bit arithmetic with all intermediates < 2^63;
+  *  - double folds run in ascending element order with a 0.0 init (equal to
+  *    a first-element-init fold, which DuckDB's list_reduce uses);
+  *  - text semantics match Spark built-ins: lower = UTF8String.toLowerCase,
+  *    tokens = trim + java-regex split on \s+, characters = code points.
+  */
+object Kernels {
+
+  // ------------------------------------------------------------- vectors
+
+  private def getD(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity; 0.0 when either norm is zero. Fold order matches
+    * VectorOps.cosine / the oracle's list_reduce.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = getD(a, i, aFloat); val y = getD(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val sna = math.sqrt(na); val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+  }
+
+  /** Per-table SRP bucket keys: element t = t * 2^bits + bucket_t, where
+    * bucket_t bit b = [dot(v, plane_{t*bits+b}) >= 0]. `planes` is the flat
+    * (numTables*bits) × dim ±1 matrix. One pass per plane, ascending-d fold.
+    */
+  def srpBucketKeys(v: ArrayData, planes: Array[Double], numTables: Int,
+      bits: Int, vFloat: Boolean): ArrayData = {
+    val dim = planes.length / (numTables * bits)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val p = t * bits + b
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += getD(v, d, vFloat) * planes(p * dim + d); d += 1 }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = (t.toLong << bits) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------- hashing
+
+  /** Polynomial rolling hash of a code-point range: fold of
+    * acc = (acc*base + cp) mod m, init 0. Matches Dedup.polyHash /
+    * ascii()-based oracle SQL (ascii = code point of the char).
+    */
+  private def polyHashRange(cps: Array[Int], from: Int, until: Int,
+      base: Long, mod: Long): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) { acc = (acc * base + cps(i)) % mod; i += 1 }
+    acc
+  }
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    out
+  }
+
+  val MinhashP = 1000000007L
+  private val Base1 = 31L
+  private val Mod1 = 1000000007L
+  private val Base2 = 131L
+  private val Mod2 = 998244353L
+
+  /** MinHash signature over char `n`-gram shingles of lower(text): element k
+    * = min over windows of (a_k * ph(window) + b_k) mod P, sentinel P for
+    * texts shorter than n. Duplicate windows cannot change a min, so no
+    * distinct step is needed to match the distinct-shingle formulation.
+    */
+  def minhashSignature(text: UTF8String, n: Int, coeffA: Array[Long],
+      coeffB: Array[Long]): ArrayData = {
+    val numHashes = coeffA.length
+    val sig = Array.fill(numHashes)(MinhashP)
+    val cps = codePoints(text.toLowerCase.toString)
+    val windows = cps.length - (n - 1)
+    var w = 0
+    while (w < windows) {
+      val ph = polyHashRange(cps, w, w + n, Base1, Mod1)
+      var k = 0
+      while (k < numHashes) {
+        val h = (coeffA(k) * ph + coeffB(k)) % MinhashP
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Sort + dedup in place; returns the distinct prefix length. */
+  private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, w)
+  }
+
+  /** Distinct poly-hashes of the char n-gram shingles of lower(text) —
+    * the long-typed replacement for string shingle arrays: identical set
+    * semantics (same shingle → same hash; the 2^-30 collision term merges
+    * a pair of shingles identically in every engine), ~10× smaller on the
+    * shuffle and ~10× cheaper to intersect.
+    */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val cps = codePoints(text.toLowerCase.toString)
+    val windows = math.max(cps.length - (n - 1), 0)
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) { hs(w) = polyHashRange(cps, w, w + n, Base1, Mod1); w += 1 }
+    new GenericArrayData(sortedDistinct(hs, windows))
+  }
+
+  /** Distinct poly-hashes of word n-gram shingles (tokens of trim(text),
+    * NOT lowered — mirrors Dedup.wordShingles; shingle string = tokens
+    * joined with a single space before hashing).
+    */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = sparkTrim(text.toString)
+    if (trimmed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val toks = trimmed.split("\\s+")
+    val windows = math.max(toks.length - (n - 1), 0)
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val sb = new java.lang.StringBuilder(toks(w))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(w + j)); j += 1 }
+      val cps = codePoints(sb.toString)
+      hs(w) = polyHashRange(cps, 0, cps.length, Base1, Mod1)
+      w += 1
+    }
+    new GenericArrayData(sortedDistinct(hs, windows))
+  }
+
+  /** 60-bit SimHash over whitespace tokens of lower(text): token hash =
+    * ph1*2^30 + ph2 (Dedup.tokenHash60); bit j of the signature set when
+    * the ±1 count over tokens at bit j is positive.
+    */
+  /** Spark's trim() strips only ASCII space (0x20), unlike Java's
+    * String.trim (≤ 0x20) — replicated exactly for oracle parity.
+    */
+  private def sparkTrim(s: String): String = {
+    var from = 0; var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    s.substring(from, until)
+  }
+
+  def simhash60(text: UTF8String): Long = {
+    val trimmed = sparkTrim(text.toLowerCase.toString)
+    if (trimmed.isEmpty) return 0L
+    val counts = new Array[Int](60)
+    val toks = trimmed.split("\\s+")
+    var ti = 0
+    while (ti < toks.length) {
+      val cps = codePoints(toks(ti))
+      val h = polyHashRange(cps, 0, cps.length, Base1, Mod1) * (1L << 30) +
+        polyHashRange(cps, 0, cps.length, Base2, Mod2)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      ti += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}

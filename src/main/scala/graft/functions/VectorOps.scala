@@ -49,4 +49,24 @@ object VectorOps {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** ±1 entry of the Rademacher plane family: two xor-shift-multiply rounds
+    * (murmur-finalizer style) over the flat index, all intermediates inside
+    * a positive 63-bit range. A single multiplicative round is a Weyl
+    * rotation in the low bits — measurably correlated planes (LSH recall
+    * stuck below target on real data); two rounds restore the independent-
+    * plane recall of true random Rademacher projections (Achlioptas '03:
+    * same locality guarantees as Gaussian planes for SRP).
+    */
+  def rademacherSign(i: Long): Double = {
+    val h0 = (i * 2654435761L) % 4294967296L
+    val h1 = h0 ^ (h0 >> 16)
+    val h2 = ((h1 % 2147483648L) * 2246822507L) % 4294967296L
+    val h3 = h2 ^ (h2 >> 13)
+    if ((h3 & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Deterministic ±1 hyperplanes; plane p entry d uses flat index p*dim+d. */
+  def rademacherPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(p => Seq.tabulate(dim)(dd => rademacherSign(p.toLong * dim + dd)))
 }

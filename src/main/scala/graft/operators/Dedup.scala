@@ -8,25 +8,40 @@ import graft.functions.VectorOps
 /** Deduplication operators for training-data pipelines.
   *
   * Scale design: every near-dup variant is (1) a narrow per-row signature
-  * stage, (2) a shuffle keyed on a SMALL bucketing key (band hash / simhash
-  * chunk / SRP bucket), (3) verification only WITHIN buckets. No full cross
-  * join ever happens; the only quadratic work is per-bucket, bounded by
-  * bucket size. This is the standard MinHash-LSH layout (Broder '97) mapped
-  * onto groupBy-join.
+  * stage, (2) a shuffle keyed on a SMALL key (content digest / band hash /
+  * simhash chunk / SRP bucket) carrying ONLY ids — never the document text,
+  * shingle arrays, or vectors, (3) candidate (id_a, id_b) pairs joined back
+  * to the payload once for exact verification ("fetch-on-verify"). No full
+  * cross join ever happens; the only quadratic work is per-bucket, bounded
+  * by bucket size / df cap. This is the standard MinHash-LSH layout
+  * (Broder '97) mapped onto groupBy-join.
   */
 object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact duplicate groups by a column (hash groupBy). */
+  /** Content digest used as the dedup shuffle key: at 100 TB the raw text
+    * must never be the groupBy key (the shuffle key would BE the corpus).
+    * sha2-256 collisions are negligible at any realistic corpus size.
+    */
+  def contentDigest(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Exact duplicate groups by a column. The aggregation runs entirely on
+    * (digest, id) — the content column is pruned from the shuffle.
+    */
   def exactDuplicateGroups(df: DataFrame, byCol: String, idCol: String): DataFrame =
-    df.groupBy(col(byCol))
+    df.select(contentDigest(col(byCol)).as("__digest"), col(idCol))
+      .groupBy(col("__digest"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .select("canonical_id", "dup_count")
 
-  /** Keep one row (min id) per exact key — map-side-combinable aggregation. */
+  /** Keep one row (min id) per exact key. Rows carry their payload through
+    * one shuffle (unavoidable: the output is the surviving rows), but the
+    * partition/sort key is the fixed-width digest, not the text.
+    */
   def exactDedup(df: DataFrame, byCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(contentDigest(col(byCol))).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -61,28 +76,99 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)))
 
+  /** Exact-verification stage shared by the candidate generators: join the
+    * (id_a, id_b) candidates back to the shingle table (once per side) and
+    * keep pairs whose exact Jaccard clears the threshold. Output is always
+    * a SUBSET of the exact pair set — candidate generation can only lose
+    * recall, never add false positives.
+    */
+  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------- inverted-index block
+
+  /** N-gram Jaccard near-dup pairs via inverted-index blocking: doc pairs
+    * are candidates iff they share at least one shingle — EXACT for any
+    * threshold > 0 (jaccard ≥ t > 0 implies a nonempty intersection), so
+    * this replaces the quadratic all-pairs join with Σ_shingle df² work.
+    *
+    * @param maxShingleDf shingles present in more than this many docs are
+    *        dropped from the index (boilerplate n-grams generate df² pairs
+    *        and discriminate nothing). Recall only drops for pairs whose
+    *        EVERY shared shingle is boilerplate — at sane thresholds such
+    *        pairs do not exist (a j ≥ t pair shares many rare shingles).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
+    // Shingles travel as distinct poly-hash longs (kernel expression): the
+    // inverted index shuffles (hash, id) pairs — never text — and the
+    // verification set ops run over primitive longs.
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
+    // One shuffle: shingle -> bounded id list; pair generation is narrow.
+    val candidates = shingled
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature: element k = min over shingles of xxhash64(k, s).
-    * One narrow projection; `numHashes` codegen'd min-reductions per row.
+  /** MinHash universe prime and per-permutation affine coefficients. The
+    * permutation family is h_k(s) = (a_k * ph(s) + b_k) mod P over the
+    * 30-bit polynomial shingle hash ph — pure 64-bit integer arithmetic
+    * (a_k < P < 2^30, ph < P, so a_k*ph < 2^60), reproducible in any engine
+    * including the DuckDB oracle. Coefficients come from the Knuth
+    * multiplicative mix of k, so both sides derive them from the formula.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { k =>
-      coalesce(array_min(transform(shingles, s => xxhash64(lit(k), s))),
-        lit(Long.MaxValue))
-    }: _*)
+  val MinhashP = 1000000007L
 
-  /** LSH band key for band `b` covering rows [b*r, (b+1)*r) of the
-    * signature: hash of the band slice.
+  private def mix32(i: Long): Long = (i * 2654435761L) % 4294967296L
+
+  /** (a_k, b_k) for permutation k; a_k in [1, P-1], b_k in [0, P-1]. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    Seq.tabulate(numHashes)(k => ((mix32(2L * k + 1) % (MinhashP - 1)) + 1, mix32(2L * k + 2) % MinhashP))
+
+  /** 30-bit cross-engine shingle hash (see [[polyHash]]). */
+  def shingleHash(s: Column): Column = polyHash(s, Base1, Mod1)
+
+  /** MinHash signature from pre-hashed shingles: element k = min over
+    * shingle hashes of (a_k*ph + b_k) mod P; empty set → P (sentinel larger
+    * than any hash). One element-wise min-fold: the shingle hash is computed
+    * once per shingle (lambda-variable reuse), each of the `numHashes`
+    * permutations adds two integer ops per shingle.
     */
-  private def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
-    xxhash64(lit(band), to_json(struct(slice(sig, band * rowsPerBand + 1, rowsPerBand))))
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 32): Column = {
+    val perShingle = transform(shingleHashes, p =>
+      array(minhashCoeffs(numHashes).map { case (a, b) =>
+        pmod(lit(a) * p + lit(b), lit(MinhashP))
+      }: _*))
+    aggregate(perShingle, typedLit(Seq.fill(numHashes)(MinhashP)),
+      (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y)))
+  }
 
   /** MinHash+LSH near-duplicate pairs.
     *
-    * Plan shape: signatures (narrow) → explode bands (×numBands) → shuffle on
-    * (band, bandKey) → per-bucket self-join → distinct candidate pairs →
-    * verify exact Jaccard on shingles ≥ threshold.
+    * Plan shape: signatures (narrow) → explode bands carrying ONLY
+    * (id, band, bandSlice) — shuffle volume is numBands × ~40 bytes per doc,
+    * not numBands × shingle bytes — → per-bucket self-join → distinct
+    * candidate (id_a, id_b) → join shingles back once per side → exact
+    * Jaccard ≥ threshold. The band join key is the raw signature slice (an
+    * array of `rowsPerBand` longs), not a hash of it: exact semantics, no
+    * collision term, and Spark hashes array keys for the exchange anyway.
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
@@ -90,94 +176,142 @@ object Dedup {
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", charShingles(col("text"), shingleSize))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-
-    val banded = withSig.select(col("id"), col("shingles"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))): _*))
-        .as("bk"))
-
-    val a = banded.select(col("bk").as("bk"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("bk").as("bk2"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+    val banded = df
+      .select(col(idCol).as("id"),
+        graft.functions.KernelExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
+          .as("bk"))
+    val a = banded.select(col("bk").as("bk"), col("id").as("id_a"))
+    val b = banded.select(col("bk").as("bk2"), col("id").as("id_b"))
     val candidates = a.join(b, a("bk") === b("bk2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-
-    candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, shingled, threshold)
   }
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word tokens: bit j of the result is set when the
-    * sum over tokens of ±1 (per bit j of xxhash64(token)) is positive.
-    * One aggregate over the token array carrying a 64-long count buffer; the
-    * `finish` lambda folds the buffer to the signature exactly once.
+  /** Bit width of the simhash signature. 60 = two stacked 30-bit polynomial
+    * hashes — chosen so the token hash is reproducible in any engine with
+    * 64-bit integer arithmetic (the DuckDB oracle recomputes it exactly).
+    */
+  val SimhashBits = 60
+  private val Base1 = 31L
+  private val Mod1 = 1000000007L
+  private val Base2 = 131L
+  private val Mod2 = 998244353L
+
+  /** Polynomial rolling hash acc = (acc * base + codepoint) mod `mod` —
+    * pure integer expression, bit-identical across engines.
+    */
+  def polyHash(s: Column, base: Long, mod: Long): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, ch) => pmod(acc * base + ascii(ch), lit(mod)))
+
+  /** 60-bit cross-engine token hash: two independent 30-bit poly hashes
+    * stacked as h1 * 2^30 + h2 (max ≈ 2^60, safely inside a signed 64-bit).
+    */
+  def tokenHash60(t: Column): Column =
+    polyHash(t, Base1, Mod1) * lit(1L << 30) + polyHash(t, Base2, Mod2)
+
+  /** 60-bit SimHash over word tokens: bit j of the result is set when the
+    * sum over tokens of ±1 (per bit j of tokenHash60(token)) is positive.
+    * The token array is hashed once (narrow transform), then one aggregate
+    * carries a 60-long count buffer; `finish` folds it to the signature.
     */
   def simhash(text: Column): Column = {
     val toks = graft.functions.TextAnalysis.tokens(lower(text))
-    def bitsOf(t: Column): Column = {
-      val h = xxhash64(t)
-      array((0 until 64).map { j =>
+    val hashes = transform(toks, t => tokenHash60(t))
+    def bitsOf(h: Column): Column =
+      array((0 until SimhashBits).map { j =>
         when(shiftright(h, j).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
       }: _*)
-    }
     aggregate(
-      toks,
-      typedLit(Seq.fill(64)(0L)),
-      (acc, t) => zip_with(acc, bitsOf(t), (a, bit) => a + bit),
-      counts => (0 until 64).map { j =>
+      hashes,
+      typedLit(Seq.fill(SimhashBits)(0L)),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, bit) => a + bit),
+      counts => (0 until SimhashBits).map { j =>
         when(element_at(counts, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
+  /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
-    * hamming distance ≤ 3 shares at least one of 4 chunks — pigeonhole), then
-    * verify hamming ≤ maxDistance. Shuffle key = (chunkIdx, chunkValue).
+  /** SimHash near-dup pairs: block on 15-bit chunks (any pair within
+    * hamming distance ≤ 3 shares at least one of 4 chunks — pigeonhole, so
+    * recall is EXACTLY 1.0 by construction), then verify hamming ≤
+    * maxDistance. Shuffle carries (id, chunkIdx, chunkValue, sig) — the sig
+    * rides along (16 bytes) so verification needs no second join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    require(maxDistance <= 3, "pigeonhole blocking over 4 chunks is exact only for distance <= 3")
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.simhash60(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("idx"),
-          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("value"))): _*)).as("chunk"))
+          shiftright(col("sig"), i * 15).bitwiseAND(0x7FFFL).as("value"))): _*)).as("chunk"))
     val a = chunked.select(col("chunk").as("c"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk").as("c2"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, a("c") === b("c2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select("id_a", "id_b", "hamming")
   }
 
   // ---------------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-duplicate pairs via SRP-LSH bucketing: rows
-    * sharing an LSH bucket are compared exactly; cosine ≥ threshold kept.
-    * For corpora where recall must be exact, call with numPlanes = 0 to get
-    * the (quadratic) brute-force path — only sane for small/blocked inputs.
+  /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH: each of
+    * `numTables` hash tables buckets rows on `bitsPerTable` sign-random-
+    * projection bits; rows sharing a (table, bucket) cell become candidates;
+    * candidates are verified with exact cosine ≥ threshold.
+    *
+    * Output ⊆ exact pairs always. Recall = 1 - Π_t (1 - p^b) with
+    * p = 1 - θ/π; more tables buy recall, more bits cut candidate volume —
+    * the standard OR-of-ANDs trade (tune per corpus/threshold).
+    *
+    * Plan shape: signatures narrow; the table/bucket explode shuffles ONLY
+    * (id, table, bucket); vectors are fetched once per verified candidate.
+    *
+    * numTables <= 0 selects the all-pairs brute-force path (verifier /
+    * oracle baseline only — quadratic).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, numTables: Int = 8, bitsPerTable: Int = 8,
+      dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val keyed =
-      if (numPlanes <= 0) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket",
-        VectorOps.srpSignature(col("vec"), VectorOps.hyperplanes(numPlanes, dim)))
-    val a = keyed.select(col("bucket").as("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = keyed.select(col("bucket").as("bucket2"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, a("bucket") === b("bucket2") && col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("vec_a"), col("vec_b")))
+    val candidates =
+      if (numTables <= 0) {
+        val a = base.select(col("id").as("id_a"))
+        val b = base.select(col("id").as("id_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      } else {
+        val planes = VectorOps.rademacherPlanes(numTables * bitsPerTable, dim)
+        // One kernel call emits all per-table keys (t*2^bits | bucket):
+        // a flat LONG join key — hash-joinable, 8 bytes on the shuffle.
+        val keyed = base.select(col("id"),
+          explode(graft.functions.KernelExpressions.srpBucketKeys(
+            col("vec"), planes, numTables, bitsPerTable)).as("tb"))
+        val a = keyed.select(col("tb").as("tb"), col("id").as("id_a"))
+        val b = keyed.select(col("tb").as("tb2"), col("id").as("id_b"))
+        a.join(b, a("tb") === b("tb2") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+      }
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine",
+        graft.functions.KernelExpressions.vecCosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

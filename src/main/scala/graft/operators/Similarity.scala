@@ -19,6 +19,8 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  import graft.functions.KernelExpressions.vecCosine
+
   /** Exact top-k: queries × corpus cosine, rank per query.
     * The query side is expected to be small and is broadcast.
     */
@@ -28,7 +30,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -45,18 +47,20 @@ object Similarity {
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, numPlanes: Int = 12, dim: Int = 64,
       probeRadius: Int = 2): DataFrame = {
-    val planes = VectorOps.hyperplanes(numPlanes, dim)
+    val planes = VectorOps.rademacherPlanes(numPlanes, dim)
+    def sig(v: org.apache.spark.sql.Column) = element_at(
+      graft.functions.KernelExpressions.srpBucketKeys(v, planes, 1, numPlanes), 1)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_sig", VectorOps.srpSignature(col("q_vec"), planes))
+      .withColumn("q_sig", sig(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_sig", VectorOps.srpSignature(col("c_vec"), planes))
+      .withColumn("c_sig", sig(col("c_vec")))
     // Small query set: broadcast and range over signature distance. The
     // corpus side computes its signature once (narrow) and the join filters
     // to Hamming ≤ probeRadius before any exact cosine work.
     val candidates = c.join(broadcast(q),
       col("query_id") =!= col("neighbor_id") &&
         bit_count(col("q_sig").bitwiseXOR(col("c_sig"))) <= probeRadius)
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w))
@@ -76,7 +80,7 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
       val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-        struct((VectorOps.cosine(vec, typedLit(ctr)) * -1).as("negCos"),
+        struct((vecCosine(vec, typedLit(ctr)) * -1).as("negCos"),
           lit(i).as("cell"))
       }
       // sort ascending by negCos = descending by cosine; take n cells
@@ -88,7 +92,7 @@ object Similarity {
       .withColumn("cell", explode(nearestCells(col("q_vec"), nprobe)))
     val candidates = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w))

@@ -52,7 +52,8 @@ class DedupSpec extends SparkTestBase {
   test("minhash candidate pairs verify against exact jaccard") {
     // every reported jaccard equals the exact shingle jaccard
     val reported = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.1)
-    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sh"))
+    val shingled = docs.select(col("doc_id"),
+      graft.functions.KernelExpressions.charShingleHashes(col("text"), 5).as("sh"))
     val exact = shingled.as("a").join(shingled.as("b"),
       col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -65,8 +66,25 @@ class DedupSpec extends SparkTestBase {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(0L) == sigs(3L))
-    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 6)
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << Dedup.SimhashBits)))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 8)
     assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 10)
+  }
+
+  test("ngram jaccard blocking matches the all-pairs result") {
+    val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // brute-force reference over hashed word shingles
+    val sh = docs.select(col("doc_id"),
+      graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3).as("g"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.jaccard(col("a.g"), col("b.g")), 6).as("j"))
+      .filter(col("j") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+    assert(blocked.nonEmpty) // planted near-dups found
   }
 
   test("simhash pair blocking finds identical docs at distance 0") {
@@ -83,12 +101,27 @@ class DedupSpec extends SparkTestBase {
       (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val brute = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.95, numPlanes = 0)
+      threshold = 0.95, numTables = 0, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(brute == Set((0L, 1L)))
     val lsh = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.95, numPlanes = 4, dim = 4)
+      threshold = 0.95, numTables = 4, bitsPerTable = 2, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute)) // LSH never reports false positives
+    assert(lsh == brute) // 4 tables × 2 bits: near-identical vectors collide
+  }
+
+  test("embedding near-dup SRP recall >= 0.9 vs exact on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numTables = 0, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numTables = 24, bitsPerTable = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SRP near-dup recall too low: $recall")
   }
 }
