@@ -1,0 +1,52 @@
+package graft
+
+import graft.config.PrimaryConfigSource
+import graft.pipeline.{Pipeline, PipelineOptions}
+import graft.sink.FileTransport
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point (reference `main.py:53-121`): load config → run the
+  * pipeline → print the consolidation summary → exit 1 if ANY branch
+  * recorded an error (errors never abort other branches).
+  *
+  * Args: --config <json path> --output <transport dir> [--bq-dir <dir>]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val configPath = opts.getOrElse("--config",
+      sys.error("--config <path to configuration json> is required"))
+    val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
+    val bqDir = opts.get("--bq-dir")
+
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+
+    val executions = PrimaryConfigSource.select(None, Some(configPath), None).executions()
+    println(s"[graft] loaded ${executions.size} executions from $configPath")
+
+    val pipelineOpts = PipelineOptions(
+      transport = FileTransport(outputDir),
+      bqPathFor = (dataset, table) =>
+        bqDir.map(d => s"$d/$dataset/$table.parquet")
+          .getOrElse(s"/data/$dataset/$table.parquet"))
+
+    val report = Pipeline.run(spark, executions, pipelineOpts)
+
+    // PrintResultsDoFn summary (steps/last_step.py:59-129)
+    report.results.foreach { r =>
+      println(s"[graft] ${r.destinationType} ${r.executionKey}: " +
+        s"${r.succeeded}/${r.attempted} uploaded" +
+        r.error.map(e => s" ERROR: $e").getOrElse(""))
+    }
+    println(s"[graft] ${report.distinctExecutions} distinct executions, " +
+      s"${report.totalUploaded} rows uploaded, exit ${report.exitCode}")
+    spark.stop()
+    if (report.exitCode != 0) sys.exit(report.exitCode)
+  }
+}

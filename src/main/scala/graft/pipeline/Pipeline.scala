@@ -1,0 +1,257 @@
+package graft.pipeline
+
+import graft.error.{ErrorHandler, ErrorNotifier, LogNotifier}
+import graft.io.{DataReaders, UploadedLog}
+import graft.model._
+import graft.schema.DestinationSchemas
+import graft.sink._
+import graft.transform.Transforms
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.ListMap
+
+/** End-to-end pipeline orchestration (SURVEY §3.1 /
+  * `/root/reference/megalista_dataflow/main.py:53-121`,
+  * `steps/processing_steps.py:640-673`, `steps/last_step.py:26-129`):
+  * config → executions → per-branch plan → sink → writeback → consolidation
+  * → exit code.
+  *
+  * Spark lifecycle (§3.1 "Spark lifecycle equivalent"): the driver loops
+  * branches × source-groups, builds ONE DataFrame plan per (source, branch)
+  * — read → validate → prune → cast → fold → anti-join — reused by every
+  * execution of that group (read-once-per-source, upload-once-per-execution,
+  * `batches_from_executions.py:169`); the sink upload runs distributed via
+  * `mapPartitions` emitting a per-row outcome Dataset that drives both the
+  * success-filtered transactional writeback and the error report. No rows
+  * are ever materialized on the driver.
+  */
+final case class PipelineOptions(
+    transport: Transport,
+    notifier: ErrorNotifier = new LogNotifier,
+    /** BigQuery-source offline analog: (dataset, table) → parquet path. */
+    bqPathFor: (String, String) => String = (d, t) => s"/data/$d/$t.parquet",
+    /** `_uploaded` control-table location for a data path (reference:
+      * sibling `<base>_uploaded` table/file, `file_data_source.py:149-154`).
+      */
+    uploadedLogPathFor: String => String = p =>
+      p.replaceAll("\\.parquet$", "") + "_uploaded.parquet",
+    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+
+final case class ExecutionResult(
+    executionKey: String,
+    destinationType: String,
+    attempted: Long,
+    succeeded: Long,
+    error: Option[String])
+
+final case class PipelineReport(results: Seq[ExecutionResult], distinctExecutions: Int) {
+  def hasErrors: Boolean = results.exists(_.error.nonEmpty)
+  def exitCode: Int = if (hasErrors) 1 else 0
+  def totalUploaded: Long = results.map(_.succeeded).sum
+}
+
+/** Per-row sink outcome: feeds writeback (success-only keys) + report. */
+final case class RowOutcome(
+    executionKey: String,
+    keys: Map[String, String],
+    success: Boolean,
+    error: Option[String])
+
+object Pipeline {
+
+  /** Resolve a source to (format, path). FILE metadata is positional
+    * [file_type, path] (`models/execution.py:163-213`); BQ [dataset, table]
+    * resolves through the offline path mapping.
+    */
+  private def sourcePath(opts: PipelineOptions, src: SourceSpec): (String, String) =
+    src.sourceType match {
+      case SourceType.File     => (src.metadata.head, src.metadata(1))
+      case SourceType.BigQuery => ("parquet", opts.bqPathFor(src.metadata.head, src.metadata(1)))
+    }
+
+  def run(spark: SparkSession, executions: Seq[Execution], opts: PipelineOptions): PipelineReport = {
+    val results = Seq.newBuilder[ExecutionResult]
+
+    // 18+1 independent branches; an error in one never aborts the others
+    // (error/error_handling.py semantics; exit code handled by caller).
+    Branches.all.foreach { branch =>
+      val handler = new ErrorHandler(branch.destinationType, opts.notifier)
+      results ++= runBranch(spark, executions, branch, handler, opts)
+      handler.notifyErrors()
+    }
+
+    // Consolidation (steps/last_step.py:26-56): flatten + dedup executions.
+    val distinct = executions.map(_.key).distinct.size
+    PipelineReport(results.result(), distinct)
+  }
+
+  private def runBranch(spark: SparkSession, executions: Seq[Execution],
+      branch: BranchSpec, handler: ErrorHandler, opts: PipelineOptions): Seq[ExecutionResult] = {
+    val branchResults = Seq.newBuilder[ExecutionResult]
+    val dt = branch.destinationType
+
+    // Branch filter + group by source (load_executions_step.py:20-31,
+    // batches_from_executions.py:161-167).
+    val groups = executions.groupBy(_.source.name)
+      .filter(_._2.exists(_.destination.destinationType == dt))
+
+    groups.toSeq.sortBy(_._1).foreach { case (_, groupExecutions) =>
+      val branchExecutions = groupExecutions.filter(_.destination.destinationType == dt)
+      val (format, path) = sourcePath(opts, branchExecutions.head.source)
+
+      // Read ONCE per (source, branch); schema ops are plan-time.
+      val readAttempt = scala.util.Try {
+        val raw = format match {
+          case "csv" => DataReaders.readCsv(spark, path, dt)
+          case _     => DataReaders.readParquet(spark, path, dt)
+        }
+        val cols = raw.columns.toSeq
+        if (!DestinationSchemas.validateDataColumns(cols, dt))
+          throw new IllegalArgumentException(DestinationSchemas.errorMessage(cols, dt))
+        val shaped = DestinationSchemas.processByDestinationType(
+          DestinationSchemas.castNonString(raw, dt), dt)
+        if (branch.readTransactional != TransactionalType.NotTransactional) {
+          val log = UploadedLog(spark, opts.uploadedLogPathFor(path), branch.readTransactional)
+          Transforms.antiJoinUploaded(shaped, log.read(), branch.readTransactional)
+        } else shaped
+      }
+
+      readAttempt match {
+        case scala.util.Failure(e) =>
+          branchExecutions.foreach { ex =>
+            handler.addError(ex, s"Error uploading data: ${e.getMessage}")
+            branchResults += ExecutionResult(ex.key, dt.name, 0L, 0L, Some(e.getMessage))
+          }
+        case scala.util.Success(df) =>
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val outcomesPerExec = branchExecutions.map { ex =>
+              val hashed = branch.hasher.fold(df)(h => h(df, ex.destination.metadata))
+              ex -> uploadStage(spark, hashed, ex, branch, opts)
+            }
+            outcomesPerExec.foreach { case (ex, outcomes) =>
+              val agg = outcomes.groupBy("executionKey").agg(
+                count(lit(1)).as("attempted"),
+                sum(when(col("success"), 1L).otherwise(0L)).as("succeeded"),
+                first(col("error"), ignoreNulls = true).as("firstError"))
+                .collect()
+              val (attempted, succeeded, err) = agg.headOption
+                .map(r => (r.getAs[Long]("attempted"), r.getAs[Long]("succeeded"),
+                  Option(r.getAs[String]("firstError"))))
+                .getOrElse((0L, 0L, None))
+              err.foreach(m => handler.addError(ex, m))
+              branchResults += ExecutionResult(ex.key, dt.name, attempted, succeeded, err)
+            }
+            // Transactional writeback: group successful rows of the whole
+            // source, append keys once (transactional_events_results_writer
+            // .py:29-78; ALL key cols — reference ORDER_ID_TIME bug fixed).
+            branch.writebackTransactional.foreach { tt =>
+              val successful = outcomesPerExec.map(_._2.filter(col("success"))).reduce(_ union _)
+              if (tt.keyColumns.nonEmpty) {
+                val keyed = successful.select(
+                  tt.keyColumns.map(k => col("keys")(k).as(k)): _*)
+                UploadedLog(spark, opts.uploadedLogPathFor(path), tt).append(keyed)
+              }
+            }
+            outcomesPerExec.foreach(_._2.unpersist())
+          } finally df.unpersist()
+      }
+    }
+    branchResults.result()
+  }
+
+  /** The sink stage: distributed batching + upload, returning the per-row
+    * outcome Dataset (persisted — the send side effects must run exactly
+    * once across the downstream aggregation and writeback actions; at
+    * cluster scale this would be a durable checkpoint, and the `_uploaded`
+    * anti-join makes uploads at-least-once idempotent regardless).
+    *
+    * Batch `iteration` is GLOBAL per execution and 1-based (drives REPLACE
+    * remove_all / DV create-vs-edit): partition batch offsets are
+    * precomputed from per-partition row counts — deterministic, no
+    * cross-partition coordination at upload time (SURVEY §7.4 item 1).
+    */
+  private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame, execution: Execution,
+      branch: BranchSpec, opts: PipelineOptions): DataFrame = {
+    import spark.implicits._
+    val schema = df.schema
+    val batchSize = branch.batchSize
+    val keyCols = branch.writebackTransactional.map(_.keyColumns).getOrElse(Seq.empty)
+
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().toMap
+    val sortedPids = counts.keys.toSeq.sorted
+    val batchOffsets: Map[Int, Long] = sortedPids.zip(
+      sortedPids.map(p => (counts(p) + batchSize - 1) / batchSize)
+        .scanLeft(0L)(_ + _)).toMap
+
+    val transport = opts.transport
+    val renderer = branch.renderer(opts.nowMicros())
+    val rateLimit = branch.rateLimitPerSec
+    val execKey = execution.key
+
+    val outcomes = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offset = batchOffsets.getOrElse(pid, 0L)
+      it.grouped(batchSize).zipWithIndex.flatMap { case (rows, localIdx) =>
+        val iteration = offset + localIdx + 1
+        val start = System.nanoTime()
+        val maps = rows.map(r => rowToMap(r, schema))
+        val keyMaps = maps.map(m => keyCols.map(k => k -> m.get(k).map(v =>
+          if (v == null) "" else v.toString).getOrElse("")).toMap)
+        val out =
+          try {
+            val requests = renderer.render(execution, maps, iteration)
+            val failures = Array.fill(rows.size)(Option.empty[String])
+            requests.foreach { req =>
+              val res = Transport.sendWithRetry(transport, execution, req)
+              res.error match {
+                case Some(msg) => req.rowIdx.foreach(i => failures(i) = Some(msg))
+                case None => res.rejected.foreach { pos =>
+                  req.rowIdx.lift(pos).foreach(i => failures(i) = Some("partial failure"))
+                }
+              }
+            }
+            rows.indices.map(i => RowOutcome(execKey, keyMaps(i),
+              failures(i).isEmpty, failures(i)))
+          } catch {
+            // safe_process (uploaders/utils.py:69-88): the batch fails, the
+            // branch continues.
+            case e: Exception =>
+              val msg = s"Error uploading data: ${e.getMessage}"
+              rows.indices.map(i => RowOutcome(execKey, keyMaps(i), success = false, Some(msg)))
+          }
+        // AppsFlyer-style pacing: a batch may not finish faster than
+        // rows/limit seconds (appsflyer_s2s_uploader_async.py:135-139).
+        rateLimit.foreach { limit =>
+          val minNanos = rows.size.toLong * 1000000000L / limit
+          val elapsed = System.nanoTime() - start
+          if (elapsed < minNanos)
+            Thread.sleep((minNanos - elapsed) / 1000000L)
+        }
+        out
+      }
+    }
+    val ds = spark.createDataset(outcomes).toDF()
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
+    ds.count() // materialize side effects exactly once
+    ds
+  }
+
+  /** Row → ordered field map (the reference's row dict), nested structs and
+    * struct arrays included (address_info, customVariables).
+    */
+  private[pipeline] def rowToMap(row: Row, schema: org.apache.spark.sql.types.StructType): Map[String, Any] = {
+    def convert(v: Any): Any = v match {
+      case r: Row => ListMap(r.schema.fieldNames.zip(r.toSeq.map(convert)): _*)
+      case s: scala.collection.Seq[_] => s.toSeq.map(convert)
+      case other => other
+    }
+    ListMap(schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> convert(row.get(i))
+    }: _*)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sink
+
+import graft.model.Execution
+
+/** Sink layer (SURVEY §2.4): per-destination PAYLOAD RENDERERS — the
+  * reference's observable behavior (its tests assert exact request bodies) —
+  * plus a pluggable [[Transport]].
+  *
+  * Execution model (Spark-first): the upload stage is the only action on a
+  * branch plan. Rows reach the sink via `mapPartitions`; each partition
+  * groups rows into `batchSize` batches, renders requests, sends them, and
+  * emits per-row outcomes — the outcome Dataset drives both transactional
+  * writeback (success-only keys) and the error report, with no driver-side
+  * row materialization.
+  */
+
+/** One rendered API request. `rowIdx` names the batch-row indices this
+  * request carries (per-row requests carry one; job-style requests carry
+  * all), so transport outcomes map back to rows for success-filtered
+  * writeback (reference returns a Batch of successfully-uploaded rows, e.g.
+  * `google_ads_offline_conversions_uploader.py:154-161`).
+  */
+final case class RenderedRequest(
+    kind: String,            // e.g. "upload_click_conversions", "create_job"
+    url: String,             // endpoint or service descriptor
+    body: String,            // rendered JSON / encoded payload
+    rowIdx: Seq[Int])
+
+/** Result of sending one request: `rejected` holds positions WITHIN
+  * `rowIdx` that the endpoint refused (partial failure); a transport-level
+  * `error` fails every carried row.
+  */
+final case class TransportResult(
+    rejected: Set[Int] = Set.empty,
+    error: Option[String] = None)
+
+trait Transport extends Serializable {
+  def send(execution: Execution, req: RenderedRequest): TransportResult
+}
+
+object Transport {
+  val MaxRetries = 3
+
+  /** Reference `safe_call_api` (`uploaders/utils.py:91-104`): up to 3
+    * attempts; the terminal failure is surfaced as a TransportResult error
+    * (the reference swallows it silently — we keep the row-failure visible
+    * so exit-code semantics hold).
+    */
+  def sendWithRetry(t: Transport, execution: Execution, req: RenderedRequest): TransportResult = {
+    var attempt = 1
+    var last: TransportResult = TransportResult()
+    while (attempt <= MaxRetries) {
+      try {
+        return t.send(execution, req)
+      } catch {
+        case e: Exception =>
+          last = TransportResult(error = Some(s"Error uploading data: ${e.getMessage}"))
+          attempt += 1
+      }
+    }
+    last
+  }
+}
+
+/** Offline transport: accepts everything and appends each request as one
+  * JSON line under `dir/<executionKey>/` — executor-safe (unique file per
+  * partition task), assertable by tests and inspectable by operators.
+  */
+final case class FileTransport(dir: String) extends Transport {
+  override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+    val safeKey = execution.key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val d = java.nio.file.Paths.get(dir, safeKey)
+    java.nio.file.Files.createDirectories(d)
+    val line = Json.obj(
+      "kind" -> JStr(req.kind),
+      "url" -> JStr(req.url),
+      "body" -> JStr(req.body)).render + "\n"
+    val f = d.resolve(s"part-${java.util.UUID.randomUUID()}.jsonl")
+    java.nio.file.Files.write(f, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    TransportResult()
+  }
+}
+
+/** Test transport failing requests per predicate; records sends in a static
+  * buffer (single-JVM local mode — tests only).
+  */
+object RecordingTransport {
+  final case class Sent(executionKey: String, req: RenderedRequest)
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[Sent]()
+  @volatile var failWhen: (Execution, RenderedRequest) => Option[String] = (_, _) => None
+  def reset(): Unit = { sent.clear(); failWhen = (_, _) => None }
+}
+
+final case class RecordingTransport() extends Transport {
+  override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+    RecordingTransport.sent.add(RecordingTransport.Sent(execution.key, req))
+    RecordingTransport.failWhen(execution, req) match {
+      case Some(msg) => TransportResult(error = Some(msg))
+      case None      => TransportResult()
+    }
+  }
+}
+
+/** Renders the exact request payloads of one destination branch.
+  *
+  * `render` sees the batch rows as ordered field maps (insertion order =
+  * pruned schema order, like the reference's row dicts) plus the 1-based
+  * global batch iteration (drives REPLACE `remove_all` on iteration 1,
+  * `customer_match/abstract_uploader.py:244-249`).
+  */
+trait PayloadRenderer extends Serializable {
+  def render(execution: Execution, rows: Seq[Map[String, Any]], iteration: Long): Seq[RenderedRequest]
+
+  /** Key of the row used for success filtering in log/report output. */
+  def describe: String = getClass.getSimpleName
+}

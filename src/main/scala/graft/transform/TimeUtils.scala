@@ -1,0 +1,62 @@
+package graft.transform
+
+import java.time.{Instant, LocalDateTime, ZoneId, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Date/time scalars used by the sink payload renderers.
+  *
+  * Mirrors `/root/reference/megalista_dataflow/uploaders/utils.py:50-66`:
+  *  - input timestamps travel as strings `%Y-%m-%dT%H:%M:%S.%f`;
+  *  - `format_date` interprets the naive time as America/Sao_Paulo wall time
+  *    and renders `YYYY-MM-DD HH:MM:SS±HH:MM` with that zone's offset;
+  *  - `get_timestamp_micros` is `floor(ts * 10e5)` — note Python `10e5`
+  *    equals 1e6, so this IS epoch micros (no magnitude quirk; the naive
+  *    datetime is resolved against the runtime's clock zone, which the
+  *    deployment runs as UTC — replicated here as UTC).
+  */
+object TimeUtils {
+
+  val SaoPaulo: ZoneId = ZoneId.of("America/Sao_Paulo")
+
+  /** Python `%f` accepts 1-6 fraction digits interpreted as a fraction of a
+    * second (right-padded) — exactly Java's `appendFraction` semantics.
+    */
+  private val InFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter()
+  private val OutFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  def parse(s: String): LocalDateTime = LocalDateTime.parse(s, InFmt)
+
+  /** `uploaders/utils.py:50-58`: localize to São Paulo, render with the
+    * zone offset split as ±HH:MM.
+    */
+  def formatDate(s: String): String = formatDate(parse(s))
+
+  def formatDate(dt: LocalDateTime): String = {
+    val zoned = dt.atZone(SaoPaulo)
+    val off = zoned.getOffset.getId match { // "-03:00" / "Z"
+      case "Z" => "+00:00"
+      case o   => o
+    }
+    s"${OutFmt.format(dt)}$off"
+  }
+
+  /** `uploaders/utils.py:60-66`: epoch micros of the (UTC-resolved) naive
+    * timestamp.
+    */
+  def timestampMicros(s: String): Long = timestampMicros(parse(s))
+
+  def timestampMicros(dt: LocalDateTime): Long = {
+    val i = dt.toInstant(ZoneOffset.UTC)
+    Math.floorDiv(i.getEpochSecond * 1000000L + i.getNano / 1000L, 1L)
+  }
+
+  def nowMicros(clock: () => Instant): Long = {
+    val i = clock()
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+}
