@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.model._
 import graft.schema.DestinationSchemas
 import graft.transform.{PiiHashing, Transforms}
-import graft.functions.{TextAnalysis, VectorOps}
+import graft.functions.{Multimodal, TextAnalysis, VectorOps}
 import graft.operators.{Dedup, Similarity}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2,
@@ -273,6 +273,77 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  // ------------------------------------------------------------------
+  // Multimodal columns: binary payloads with typed metadata
+  // ------------------------------------------------------------------
+
+  /** Synthetic media payloads derived from the documents table (the test
+    * corpus has no binary column): doc_id picks the container, the header
+    * encodes REAL dimensions (n_chars × doc_id mod 100) in the documented
+    * byte layout, the document text is the body. The operators then
+    * re-derive everything from the BYTES alone.
+    */
+  private def mediaPayloads(s: SparkSession, dir: String): DataFrame = {
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def le16(c: Column) = unhex(concat(
+      substring(lpad(hex(c.bitwiseAND(0xFFFF)), 4, "0"), 3, 2),
+      substring(lpad(hex(c.bitwiseAND(0xFFFF)), 4, "0"), 1, 2)))
+    t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"),
+      when(col("doc_id") % 3 === 0,
+        // PNG: signature + IHDR length/tag + width/height (big-endian)
+        concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32(col("n_chars")), be32(col("doc_id") % 100), encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          // GIF89a: signature + logical screen w/h (little-endian uint16)
+          concat(unhex(lit("474946383961")),
+            le16(col("n_chars")), le16(col("doc_id") % 100), encode(col("text"), "UTF-8")))
+        .otherwise(
+          // RIFF/WAVE audio container
+          concat(unhex(lit("52494646")), be32(length(encode(col("text"), "UTF-8")) + 36),
+            unhex(lit("57415645")), encode(col("text"), "UTF-8")))
+        .as("payload"))
+  }
+
+  /** Modality sniffing from magic bytes + byte-size stats per modality. */
+  private def mModalityStats(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .select(Multimodal.sniffModality(col("payload")).as("modality"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"), round(avg(col("byte_len")), 4).as("avg_bytes"))
+
+  /** Image dimensions parsed from container headers (PNG big-endian IHDR,
+    * GIF little-endian screen descriptor) — the oracle states the encoded
+    * ground truth independently, so the byte parsing is fully checked.
+    */
+  private def mImageDims(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .withColumn("dims", Multimodal.imageDims(col("payload")))
+      .filter(col("dims").isNotNull)
+      .select(col("doc_id"), col("dims.width").as("width"), col("dims.height").as("height"))
+
+  /** Content fingerprint + deterministic stub embedding (the decoder seam):
+    * both are engine-reproducible byte folds the oracle replays over the
+    * same constructed payloads.
+    */
+  private def mMediaFingerprint(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .select(col("doc_id"),
+        Multimodal.mediaFingerprint(col("payload")).as("fp"),
+        round(element_at(Multimodal.fakeEmbedding(col("payload"), 4), 1), 6).as("embed_0"))
+
+  /** Frame-sampling plumbing: 16-byte windows every 64 bytes, exploded with
+    * frame indices — the shape a video decoder plugs into.
+    */
+  private def mFrameSample(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameWindows(col("payload"), 16, 64)).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -378,6 +449,10 @@ object SparkEntry {
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
+    "m_modality_stats" -> (mModalityStats _),
+    "m_image_dims" -> (mImageDims _),
+    "m_media_fingerprint" -> (mMediaFingerprint _),
+    "m_frame_sample" -> (mFrameSample _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
@@ -680,6 +755,61 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
+    },
+    "m_modality_stats" ->
+      """SELECT modality, count(*) AS n, round(avg(byte_len), 4) AS avg_bytes FROM (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                  ELSE 'audio/wav' END AS modality,
+                  CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 12 END
+                       + octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents)
+         GROUP BY modality""",
+    "m_image_dims" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS width,
+                CAST(doc_id % 100 AS BIGINT) AS height
+         FROM documents WHERE doc_id % 3 IN (0, 1)""",
+    "m_media_fingerprint" -> {
+      // the oracle rebuilds the payload's HEX rendering as a string and
+      // replays the same fingerprint fold + stub-embedding affine
+      val payloadHex =
+        """(CASE doc_id % 3
+            WHEN 0 THEN '89504E470D0A1A0A0000000D49484452' || lpad(to_hex(n_chars), 8, '0')
+                 || lpad(to_hex(doc_id % 100), 8, '0') || hex(encode(text))
+            WHEN 1 THEN '474946383961'
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 1, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 1, 2)
+                 || hex(encode(text))
+            ELSE '52494646' || lpad(to_hex(octet_length(encode(text)) + 36), 8, '0')
+                 || '57415645' || hex(encode(text))
+            END)"""
+      s"""WITH p AS (SELECT doc_id, $payloadHex AS ph FROM documents),
+         f AS (SELECT doc_id,
+             list_reduce([0::BIGINT] || list_transform(string_split(ph, ''), ch -> ascii(ch)::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM p)
+         SELECT doc_id, fp,
+           round(((fp * (2654435761 % 1000000007) + 1) % 1000000007)::DOUBLE / 1000000007.0, 6) AS embed_0
+         FROM f"""
+    },
+    "m_frame_sample" -> {
+      val payloadHex =
+        """(CASE doc_id % 3
+            WHEN 0 THEN '89504E470D0A1A0A0000000D49484452' || lpad(to_hex(n_chars), 8, '0')
+                 || lpad(to_hex(doc_id % 100), 8, '0') || hex(encode(text))
+            WHEN 1 THEN '474946383961'
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 1, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 1, 2)
+                 || hex(encode(text))
+            ELSE '52494646' || lpad(to_hex(octet_length(encode(text)) + 36), 8, '0')
+                 || '57415645' || hex(encode(text))
+            END)"""
+      s"""WITH p AS (SELECT doc_id, $payloadHex AS ph FROM documents WHERE doc_id < 50)
+         SELECT doc_id, fi AS frame_idx, substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
+         FROM p, unnest(range(0, ((length(ph) // 2 - 1) // 64) + 1)) AS u(fi)"""
     },
     "t_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multimodal column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * Scale design: every operator is a narrow, codegen'd expression over the
+  * binary payload — no UDFs, no driver round trips, no image libraries.
+  * What a real decoder stack would add (pixel decode, resampling, model
+  * inference) hangs off two clearly-marked seams:
+  *   - [[frameWindows]]: the frame/chunk extraction plumbing (schema,
+  *     batching, explode shape) is real; the bytes-per-frame decode is the
+  *     seam a codec plugs into;
+  *   - [[fakeEmbedding]]: DETERMINISTIC STUB for a learned encoder — a
+  *     poly-hash projection standing in for model output so the
+  *     partitioning/similarity plumbing is testable end-to-end.
+  *
+  * Header METADATA extraction, by contrast, is real: modality sniffing and
+  * PNG/GIF dimensions are pure byte arithmetic over documented container
+  * layouts (PNG IHDR: bytes 17-24 big-endian; GIF logical screen: bytes
+  * 7-10 little-endian).
+  */
+object Multimodal {
+
+  /** Magic-byte modality sniffing (JPEG / PNG / GIF / RIFF-WAVE / MP4 ftyp /
+    * ID3-MP3); 'application/octet-stream' otherwise.
+    */
+  def sniffModality(bin: Column): Column = {
+    def hx(pos: Int, len: Int) = hex(substring(bin, pos, len))
+    when(hx(1, 3) === "FFD8FF", "image/jpeg")
+      .when(hx(1, 8) === "89504E470D0A1A0A", "image/png")
+      .when(hx(1, 3) === "474946", "image/gif")
+      .when(hx(1, 4) === "52494646" && hx(9, 4) === "57415645", "audio/wav")
+      .when(hx(1, 3) === "494433" || hx(1, 2) === "FFFB", "audio/mpeg")
+      .when(hx(5, 4) === "66747970", "video/mp4")
+      .otherwise(lit("application/octet-stream"))
+  }
+
+  /** Big-endian uint from `len` bytes at 1-based `pos`. */
+  private def beUint(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian uint16 at 1-based `pos` (GIF screen descriptor). */
+  private def leUint16(bin: Column, pos: Int): Column =
+    conv(concat(hex(substring(bin, pos + 1, 1)), hex(substring(bin, pos, 1))), 16, 10).cast("long")
+
+  /** PNG IHDR width/height (spec: 8-byte signature, 4-byte length,
+    * "IHDR", then width/height as big-endian uint32 at offsets 16/20).
+    */
+  def pngWidth(bin: Column): Column = beUint(bin, 17, 4)
+  def pngHeight(bin: Column): Column = beUint(bin, 21, 4)
+
+  /** GIF logical screen width/height (little-endian uint16 at offset 6). */
+  def gifWidth(bin: Column): Column = leUint16(bin, 7)
+  def gifHeight(bin: Column): Column = leUint16(bin, 9)
+
+  /** Dimensions dispatched by sniffed modality; null for non-images. */
+  def imageDims(bin: Column): Column = {
+    val m = sniffModality(bin)
+    when(m === "image/png", struct(pngWidth(bin).as("width"), pngHeight(bin).as("height")))
+      .when(m === "image/gif", struct(gifWidth(bin).as("width"), gifHeight(bin).as("height")))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
+
+  /** Content fingerprint: poly-hash over the payload's hex rendering —
+    * engine-reproducible (DuckDB mirrors via to_hex + the same fold).
+    */
+  def mediaFingerprint(bin: Column): Column =
+    TextAnalysis.fingerprint(hex(bin))
+
+  /** Fixed-size byte windows every `stride` bytes — the frame-sampling
+    * plumbing (a video decoder would map each window to a decoded frame;
+    * the explode/batch shape is what matters at 100 TB: one narrow pass,
+    * no shuffle).
+    */
+  def frameWindows(bin: Column, frameSize: Int, stride: Int): Column = {
+    val nFrames = floor((length(bin) - 1) / stride) + 1
+    transform(sequence(lit(0L), nFrames - 1),
+      i => bin.substr((i * stride + 1).cast("int"), lit(frameSize)))
+  }
+
+  /** DETERMINISTIC STUB for a learned media encoder: element k of the
+    * `dim`-sized output is an affine poly-hash of the payload scaled to
+    * [0, 1). Replace with a real model server / ONNX runtime in
+    * production; every downstream operator (ANN, dedup, clustering)
+    * consumes only the (array<double>, dim) contract.
+    */
+  def fakeEmbedding(bin: Column, dim: Int): Column = {
+    val P = 1000000007L
+    val h = mediaFingerprint(bin)
+    array((0 until dim).map { k =>
+      pmod(h * lit(2654435761L % P) + lit(k * 40503L + 1L), lit(P)).cast("double") / lit(P.toDouble)
+    }: _*)
+  }
+}

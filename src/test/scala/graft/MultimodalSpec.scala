@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // minimal real container headers
+  private val pngHex = "89504E470D0A1A0A0000000D49484452" +
+    "00000140" + "000000F0" // width 320, height 240
+  private val gifHex = "474946383961" + "4001" + "F000" // width 320, height 240 (LE)
+  private val wavHex = "52494646" + "24000000" + "57415645"
+  private val jpgHex = "FFD8FFE000104A464946"
+
+  private lazy val media = Seq(
+    ("png", pngHex), ("gif", gifHex), ("wav", wavHex), ("jpg", jpgHex),
+    ("junk", "0011223344556677"))
+    .toDF("name", "hx").select(col("name"), unhex(col("hx")).as("bin"))
+
+  test("modality sniffing from magic bytes") {
+    val out = media.select(col("name"), Multimodal.sniffModality(col("bin")).as("m"))
+      .as[(String, String)].collect().toMap
+    assert(out("png") == "image/png")
+    assert(out("gif") == "image/gif")
+    assert(out("wav") == "audio/wav")
+    assert(out("jpg") == "image/jpeg")
+    assert(out("junk") == "application/octet-stream")
+  }
+
+  test("image dimensions parsed from PNG (BE) and GIF (LE) headers") {
+    val rows = media.select(col("name"), Multimodal.imageDims(col("bin")).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("name"), col("d.width"), col("d.height"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set(("png", 320L, 240L), ("gif", 320L, 240L)))
+  }
+
+  test("frame windows: count and content of byte windows") {
+    val payload = ("AB" * 100) // 100 bytes
+    val df = Seq(payload).toDF("hx").select(unhex(col("hx")).as("bin"))
+    val frames = df.select(posexplode(Multimodal.frameWindows(col("bin"), 16, 64)))
+      .select(col("pos"), hex(col("col")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(frames.length == 2) // ceil((100-1)/64)+... = floor(99/64)+1 = 2
+    assert(frames(0)._2 == "AB" * 16)
+    assert(frames(1)._2 == "AB" * 16) // bytes 65..80 of 100
+  }
+
+  test("fake embedding is deterministic, dim-sized, in [0,1)") {
+    val df = Seq("CAFEBABE").toDF("hx").select(unhex(col("hx")).as("bin"))
+    val e1 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()
+    val e2 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()
+    assert(e1 == e2)
+    assert(e1.size == 8)
+    assert(e1.forall(v => v >= 0.0 && v < 1.0))
+    assert(e1.distinct.size > 1) // not constant across dimensions
+  }
+}
