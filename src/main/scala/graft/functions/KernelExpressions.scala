@@ -77,6 +77,18 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Merge-scan intersection count of two sorted long arrays. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Distinct poly-hashed char n-gram shingles of lower(text). */
   case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -124,6 +136,9 @@ object KernelExpressions {
   def simhash60(text: Column): Column = c(Simhash60(e(text)))
 
   def charShingleHashes(text: Column, n: Int): Column = c(CharShingleHashes(e(text), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedIntersectCount(e(a), e(b)))
 
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
 }

@@ -171,6 +171,22 @@ object Kernels {
     new GenericArrayData(sortedDistinct(hs, windows))
   }
 
+  /** Intersection size of two SORTED distinct long arrays (the shape
+    * char/wordShingleHashes emit): one merge scan, no allocation — the
+    * per-candidate-pair verification kernel.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 60-bit SimHash over whitespace tokens of lower(text): token hash =
     * ph1*2^30 + ph2 (Dedup.tokenHash60); bit j of the signature set when
     * the ±1 count over tokens at bit j is positive.

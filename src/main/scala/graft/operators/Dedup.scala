@@ -77,17 +77,23 @@ object Dedup {
         size(array_union(a, b)))
 
   /** Exact-verification stage shared by the candidate generators: join the
-    * (id_a, id_b) candidates back to the shingle table (once per side) and
-    * keep pairs whose exact Jaccard clears the threshold. Output is always
-    * a SUBSET of the exact pair set — candidate generation can only lose
-    * recall, never add false positives.
+    * (id_a, id_b) candidates back to the (sorted, distinct) shingle-hash
+    * table once per side and keep pairs whose exact Jaccard clears the
+    * threshold. The intersection is a merge-scan kernel (no per-pair hash
+    * sets); |A∪B| = |A|+|B|-|A∩B|. Output is always a SUBSET of the exact
+    * pair set — candidate generation can only lose recall, never add false
+    * positives.
     */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter",
+        graft.functions.KernelExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(0.0)).otherwise(col("inter").cast("double") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -108,12 +114,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
     // Shingles travel as distinct poly-hash longs (kernel expression): the
-    // inverted index shuffles (hash, id) pairs — never text — and the
-    // verification set ops run over primitive longs.
+    // inverted index shuffles (hash, id) pairs — never text.
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
-    // One shuffle: shingle -> bounded id list; pair generation is narrow.
-    val candidates = shingled
+    // The index yields each (a, b) pair ONCE PER SHARED SHINGLE, so a
+    // count aggregation IS the exact intersection size — no second join
+    // against the shingle arrays and no per-pair set ops. Jaccard follows
+    // from |A∩B| and the two set sizes (broadcast: one row per doc).
+    val sizes = shingled.select(col("id"), size(col("shingles")).as("sz"))
+    val inter = shingled
       .select(col("id"), explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle"))
       .agg(collect_list(col("id")).as("ids"))
@@ -121,8 +130,15 @@ object Dedup {
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, shingled, threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // -------------------------------------------------------------- minhash
@@ -258,14 +274,16 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("idx"),
           shiftright(col("sig"), i * 15).bitwiseAND(0x7FFFL).as("value"))): _*)).as("chunk"))
+    // Hamming is part of the JOIN condition: random chunk collisions are
+    // filtered before the distinct (deduping the small verified set, not
+    // the large candidate multiset).
     val a = chunked.select(col("chunk").as("c"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk").as("c2"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, a("c") === b("c2") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+    a.join(b, a("c") === b("c2") && col("id_a") < col("id_b") &&
+        hamming(col("sig_a"), col("sig_b")) <= maxDistance)
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
-      .filter(col("hamming") <= maxDistance)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------- embedding near-dup
