@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: the streaming duals of the batch
+  * event-table queries (q_hourly_rollup, q_sessionize), built the
+  * Spark-first way — `readStream` → event-time watermark → windowed agg /
+  * `flatMapGroupsWithState` → `writeStream`.
+  *
+  * The reference engine is bounded-batch only (SURVEY §2: "streaming /
+  * watermarks — none"), so this module is part of the beyond-the-reference
+  * surface: the same pipeline shapes running continuously.
+  *
+  * Scale notes: the windowed rollup is a streaming state-store aggregation
+  * partitioned by (window, event_type) — partial aggregation happens
+  * map-side per micro-batch; the sessionizer keys state by user_id, and the
+  * watermark bounds state size (sessions close and are evicted once the
+  * watermark passes lastTs + gap).
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long,
+      totalValue: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window rollup with a watermark: count + value sum per
+    * (1-hour window, event_type). Append mode emits a window once the
+    * watermark passes its end.
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization (30-minute inactivity) as custom keyed state:
+    * the streaming dual of the batch lag+running-sum composition. Sessions
+    * are emitted (append) when the event-time timeout fires — i.e. the
+    * watermark passed lastTs + gap — which simultaneously evicts the state.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val closed = Seq.newBuilder[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        closed += Session(userId, new java.sql.Timestamp(s.sessionStart),
+          new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+        state.remove()
+      } else {
+        // fold this micro-batch's events into the session, closing on gaps
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                nEvents = s.nEvents + 1,
+                totalValue = s.totalValue + e.value))
+            case Some(s) =>
+              closed += Session(userId, new java.sql.Timestamp(s.sessionStart),
+                new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Source wiring: a parquet directory tailed as a stream (schema from the
+    * existing files — the standard pattern for landing-zone ingestion).
+    */
+  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Sink wiring: append the rollup/sessions to a parquet directory with a
+    * checkpoint — exactly-once via the checkpoint + file-sink log.
+    */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+}

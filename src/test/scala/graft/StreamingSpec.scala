@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+
+  test("watermarked hourly rollup emits closed windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming.hourlyRollup(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("rollup").outputMode(OutputMode.Append()).start()
+
+    // two events in hour 0, then one far later to push the watermark
+    input.addData(
+      Event(1L, 1L, ts(10), "click", 2.0),
+      Event(2L, 2L, ts(20), "click", 3.0),
+      Event(3L, 1L, ts(15), "view", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(4L, 1L, ts(600), "click", 1.0)) // watermark -> 570min
+    query.processAllAvailable()
+    val out = spark.table("rollup")
+      .select("hour_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    query.stop()
+    assert(out.contains((0L, "click", 2L, 5.0)))
+    assert(out.contains((0L, "view", 1L, 1.0)))
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming.sessionize(input.toDS(), gapMinutes = 30, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+
+    // user 1: two events 10 min apart (one session), then a 60-min gap event
+    // (closes session 1 in-batch); timestamps offset from epoch so nothing
+    // sits exactly on the initial watermark.
+    input.addData(
+      Event(1L, 1L, ts(1000), "click", 1.0),
+      Event(2L, 1L, ts(1010), "click", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(3L, 1L, ts(1070), "click", 4.0))
+    query.processAllAvailable()
+    // advance watermark far past everything: timeout closes open sessions
+    input.addData(Event(9L, 99L, ts(2000), "click", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(10L, 98L, ts(3000), "click", 0.0))
+    query.processAllAvailable()
+    val sessions = spark.table("sessions").as[Session].collect()
+    query.stop()
+
+    val u1 = sessions.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(u1.length == 2)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(0).session_start == ts(1000) && u1(0).session_end == ts(1010))
+    assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
+  }
+
+  test("streaming rollup agrees with the batch rollup on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 200).map(i =>
+      Event(i.toLong, i % 7L, ts(i % 90L), if (i % 2 == 0) "a" else "b", i * 0.5))
+    val input = MemoryStream[Event]
+    val query = Streaming.hourlyRollup(input.toDF(), watermark = "0 minutes")
+      .writeStream.format("memory").queryName("rollup2").outputMode(OutputMode.Append()).start()
+    input.addData(events: _*)
+    query.processAllAvailable()
+    // close remaining windows
+    input.addData(Event(0L, 0L, ts(10000), "z", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("rollup2")
+      .where($"event_type".isin("a", "b"))
+      .select($"hour_start", $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = events.toDF()
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum($"value"), 2).as("total_value"))
+      .select($"window.start", $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+}
