@@ -1,11 +1,9 @@
 package graft.pipeline
 
 import graft.error.{ErrorHandler, ErrorNotifier, LogNotifier}
-import graft.io.{DataReaders, UploadedLog}
+import graft.io.UploadedLog
 import graft.model._
-import graft.schema.DestinationSchemas
 import graft.sink._
-import graft.transform.Transforms
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -61,16 +59,6 @@ final case class RowOutcome(
 
 object Pipeline {
 
-  /** Resolve a source to (format, path). FILE metadata is positional
-    * [file_type, path] (`models/execution.py:163-213`); BQ [dataset, table]
-    * resolves through the offline path mapping.
-    */
-  private def sourcePath(opts: PipelineOptions, src: SourceSpec): (String, String) =
-    src.sourceType match {
-      case SourceType.File     => (src.metadata.head, src.metadata(1))
-      case SourceType.BigQuery => ("parquet", opts.bqPathFor(src.metadata.head, src.metadata(1)))
-    }
-
   def run(spark: SparkSession, executions: Seq[Execution], opts: PipelineOptions): PipelineReport = {
     val results = Seq.newBuilder[ExecutionResult]
 
@@ -99,24 +87,12 @@ object Pipeline {
 
     groups.toSeq.sortBy(_._1).foreach { case (_, groupExecutions) =>
       val branchExecutions = groupExecutions.filter(_.destination.destinationType == dt)
-      val (format, path) = sourcePath(opts, branchExecutions.head.source)
+      val ds = graft.io.DataSources.forSource(branchExecutions.head.source,
+        opts.bqPathFor, opts.uploadedLogPathFor)
 
       // Read ONCE per (source, branch); schema ops are plan-time.
-      val readAttempt = scala.util.Try {
-        val raw = format match {
-          case "csv" => DataReaders.readCsv(spark, path, dt)
-          case _     => DataReaders.readParquet(spark, path, dt)
-        }
-        val cols = raw.columns.toSeq
-        if (!DestinationSchemas.validateDataColumns(cols, dt))
-          throw new IllegalArgumentException(DestinationSchemas.errorMessage(cols, dt))
-        val shaped = DestinationSchemas.processByDestinationType(
-          DestinationSchemas.castNonString(raw, dt), dt)
-        if (branch.readTransactional != TransactionalType.NotTransactional) {
-          val log = UploadedLog(spark, opts.uploadedLogPathFor(path), branch.readTransactional)
-          Transforms.antiJoinUploaded(shaped, log.read(), branch.readTransactional)
-        } else shaped
-      }
+      val readAttempt = scala.util.Try(
+        graft.io.DataSources.retrieveData(spark, ds, dt, branch.readTransactional))
 
       readAttempt match {
         case scala.util.Failure(e) =>
@@ -152,7 +128,7 @@ object Pipeline {
               if (tt.keyColumns.nonEmpty) {
                 val keyed = successful.select(
                   tt.keyColumns.map(k => col("keys")(k).as(k)): _*)
-                UploadedLog(spark, opts.uploadedLogPathFor(path), tt).append(keyed)
+                UploadedLog(spark, ds.uploadedLogPath, tt).append(keyed)
               }
             }
             outcomesPerExec.foreach(_._2.unpersist())
