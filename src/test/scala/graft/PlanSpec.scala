@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape audit: the properties that decide 100 TB behavior, asserted
+  * against the actual physical plans on real data. A regression that turns
+  * a broadcast anti-join into a nested loop, or un-prunes a scan, fails
+  * here — not in a benchmark three rounds later.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def analyzed(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("transactional dedup is a broadcast left-anti hash join") {
+    val p = planOf("q_anti_join_key")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("schema pruning reaches the parquet scan (ReadSchema)") {
+    val p = planOf("q_prune_user_id")
+    // only the schema-matched source column is read; the decoy column the
+    // query also projected (then pruned away) never reaches the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ReadSchema: struct<c_name:string>"),
+      s"scan not pruned to the single matched column: $readSchema")
+    assert(!readSchema.contains("c_acctbal"))
+  }
+
+  test("filter pushdown reaches the scan (PushedFilters)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), p)
+  }
+
+  test("near-dup LSH plans contain no cartesian/nested-loop joins") {
+    Seq("d_minhash_lsh_pairs", "d_simhash_pairs", "d_ngram_jaccard_pairs",
+      "e_neardup_pairs").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+
+  test("dimension joins in q3 are broadcast (no shuffle of the fact side for the join)") {
+    val p = planOf("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("exact dedup shuffles on the content digest, not the raw text") {
+    val p = planOf("d_exact_dedup_keep")
+    // the partitioning expression is the sha2 digest of the text
+    assert(p.contains("sha2"), "digest key missing from the plan")
+  }
+
+  test("kernel expressions stay inside whole-stage codegen") {
+    val df = analyzed("d_simhash_pairs")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen spans in the final plan; the
+    // projection computing the kernel signature must carry one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+}
