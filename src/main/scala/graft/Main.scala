@@ -19,12 +19,15 @@ object Main {
     val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
     val bqDir = opts.get("--bq-dir")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit provides spark.master; default to local[*] otherwise
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
 
     val executions = PrimaryConfigSource.select(None, Some(configPath), None).executions()

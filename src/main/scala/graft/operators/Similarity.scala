@@ -69,11 +69,42 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Spherical k-means for IVF coarse centroids: each Lloyd iteration is
+    * ONE aggregation job — assign every vector to its max-cosine centroid
+    * (narrow kernel projection), then average per (cell, dimension) via
+    * posexplode + groupBy. Centroids stay driver-side (k × dim doubles) and
+    * are re-broadcast as literals each round; empty cells keep their
+    * previous centroid. At 100 TB you train on a sample, which is exactly
+    * this call on `corpus.sample(...)`.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int, dim: Int,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    var centroids = VectorOps.rademacherPlanes(k, dim)
+    for (_ <- 0 until iters) {
+      val cell = centroids.zipWithIndex.map { case (ctr, i) =>
+        struct((vecCosine(col("v"), typedLit(ctr)) * -1).as("negCos"), lit(i).as("cell"))
+      }
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .withColumn("cell", element_at(slice(array_sort(array(cell: _*)), 1, 1), 1).getField("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    centroids
+  }
+
   /** IVF-style coarse quantization: assign every corpus vector to its
-    * nearest of `centroids` (driver-side literal list, e.g. sampled + kmeans
-    * offline); queries search only their `nprobe` nearest centroid cells.
-    * The cell assignment is a narrow projection; the search is a cell-keyed
-    * join — the 100 TB-scale layout for dense retrieval.
+    * nearest of `centroids` (driver-side literal list — see
+    * [[trainCentroids]]); queries search only their `nprobe` nearest
+    * centroid cells. The cell assignment is a narrow projection; the search
+    * is a cell-keyed join — the 100 TB-scale layout for dense retrieval.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int = 10,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.transform.Transforms
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY §5 rebuild strategy) over scalacheck
+  * generators: batching arithmetic, hash normalization idempotence,
+  * anti-join containment, signature bounds.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int = 60): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("batch count arithmetic: ceil(n/size) with the empty->1 quirk") {
+    samples(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(1, 5000)), 200)
+      .foreach { case (n, size) =>
+        val batches = Transforms.batchCount(n, size)
+        if (n == 0) assert(batches == 1) // reference emits one empty batch
+        else {
+          assert(batches == (n + size - 1) / size)
+          assert(batches * size >= n && (batches - 1) * size < n)
+        }
+      }
+  }
+
+  test("grouped() preserves order, sizes, and total count") {
+    samples(Gen.zip(Gen.listOf(Gen.chooseNum(0, 1000)), Gen.chooseNum(1, 17)), 100)
+      .foreach { case (xs, size) =>
+        val groups = Transforms.grouped(xs.iterator, size).toSeq
+        assert(groups.flatten == xs)
+        assert(groups.dropRight(1).forall(_.size == size))
+        // reference quirk: empty input yields ONE empty batch
+        // (batches_from_executions.py:113-131)
+        if (xs.isEmpty) assert(groups == Seq(Seq.empty))
+        else groups.lastOption.foreach(g => assert(g.nonEmpty && g.size <= size))
+      }
+  }
+
+  test("gmail normalization digest is deterministic and idempotent") {
+    val emails = Seq("John.Doe@GMAIL.com", "a.b.c@googlemail.com", "x@y.com",
+      " padded@gmail.com ", "no.at.sign", "UPPER@Example.ORG")
+    val df = (emails ++ emails).toDF("email")
+    val hashed = graft.transform.PiiHashing.adsShape(df)
+      .select("hashed_email").as[String].collect()
+    // both copies of each email hash identically
+    assert(hashed.take(emails.size).toSeq == hashed.drop(emails.size).toSeq)
+  }
+
+  test("anti-join output = source minus uploaded keys (multiset semantics)") {
+    samples(Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L)),
+      Gen.listOf(Gen.chooseNum(0L, 50L))), 12).foreach { case (src, up) =>
+      val out = Transforms.antiJoinUploaded(src.toDF("k"), up.toDF("k"), Seq("k"))
+        .as[Long].collect().toList
+      assert(out.toSet.intersect(up.toSet).isEmpty)
+      assert(out.sorted == src.filterNot(up.toSet).sorted)
+    }
+  }
+
+  test("minhash signature values are bounded by the universe prime") {
+    val texts = samples(Gen.alphaStr, 40) ++ Seq("", "ab", "exactly5")
+    val sigs = texts.toDF("t")
+      .select(col("t"), graft.functions.KernelExpressions.minhashSig(col("t"), 5, 16).as("sig"))
+      .as[(String, Seq[Long])].collect()
+    sigs.foreach { case (text, sig) =>
+      assert(sig.size == 16)
+      assert(sig.forall(v => v >= 0 && v <= graft.functions.Kernels.MinhashP))
+      if (text.length < 5) assert(sig.forall(_ == graft.functions.Kernels.MinhashP))
+    }
+  }
+
+  test("simhash ignores whitespace amount between identical tokens") {
+    val tokLists = samples(Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta")), 30)
+    val pairs = tokLists.map(t => (t.mkString(" "), t.mkString("  ") + " "))
+    val sigs = pairs.flatMap(p => Seq(p._1, p._2)).toDF("t")
+      .select(graft.functions.KernelExpressions.simhash60(col("t")))
+      .as[Long].collect()
+    sigs.grouped(2).foreach(g => assert(g(0) == g(1)))
+  }
+}

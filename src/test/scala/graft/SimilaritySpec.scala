@@ -47,6 +47,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"SRP recall too low: $recall") // approximate, wide probe
   }
 
+  test("trained IVF centroids improve or match recall vs untrained") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallWith(centroids: Seq[Seq[Double]]): Double = {
+      val ann = Similarity.ivfTopK(q, emb, "vec_id", "embedding", centroids,
+        k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect ann).size.toDouble / brute.size
+    }
+    val untrained = recallWith(graft.functions.VectorOps.rademacherPlanes(8, 64))
+    val trained = recallWith(Similarity.trainCentroids(emb, "embedding", 8, 64, iters = 4))
+    assert(trained >= untrained - 0.051, s"trained $trained vs untrained $untrained")
+    assert(trained >= 0.3, s"trained recall too low: $trained")
+  }
+
   test("IVF top-k finds planted cluster neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
