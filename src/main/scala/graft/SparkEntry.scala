@@ -155,6 +155,25 @@ object SparkEntry {
       .select(col("crm_id"), col("hashed_email"), col("hashed_phone_number"))
   }
 
+  /** PII hashing, DV360 shape (reference
+    * mappers/dv_user_list_pii_hashing_mapper.py:25-68): flat hashed columns
+    * + country/zip passthrough, same gmail normalization.
+    */
+  private def qPiiHashDv(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "customer").select(
+      col("c_custkey").as("crm_id"),
+      concat(regexp_replace(lower(col("c_name")), "#", "."), lit("@gmail.com")).as("email"),
+      col("c_custkey").cast("string").as("phone"),
+      lower(col("c_name")).as("mailing_address_first_name"),
+      lower(col("c_mktsegment")).as("mailing_address_last_name"),
+      lit("BR").as("mailing_address_country"),
+      col("c_custkey").cast("string").as("mailing_address_zip"))
+    PiiHashing.dvShape(users)
+      .select(col("crm_id"), col("hashedEmails"), col("hashedPhoneNumbers"),
+        col("hashedFirstName"), col("hashedLastName"),
+        col("countryCode"), col("zipCodes"))
+  }
+
   /** CM customVariables fold (reference data_schemas.py:401-413): group-
     * concat of per-uuid JSON fragments, deterministic via sort.
     */
@@ -357,8 +376,10 @@ object SparkEntry {
     t(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
       round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
 
   private def tLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -434,6 +455,7 @@ object SparkEntry {
     "q_anti_join_2key" -> (qAntiJoin2Key _),
     "q_prune_user_id" -> (qPruneUserId _),
     "q_pii_hash_ads" -> (qPiiHashAds _),
+    "q_pii_hash_dv" -> (qPiiHashDv _),
     "q_cm_custvars_fold" -> (qCmCustvarsFold _),
     "q_retention_filter" -> (qRetentionFilter _),
     "q_json_extract_cast" -> (qJsonExtractCast _),
@@ -817,14 +839,29 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
     "t_quality" ->
-      s"""SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         round((length(text) - length(regexp_replace(text,
-           '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
-         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
-           x -> x IN ($stopwordsSql)))::DOUBLE /
-           len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
-         FROM documents""",
+      s"""WITH r AS (SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
+           (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ($stopwordsSql)))::DOUBLE /
+             len(string_split_regex(trim(text), '\\s+')) AS sr
+         FROM documents)
+         SELECT doc_id, n_tokens, n_bpeish,
+           round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+           round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+             * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality
+         FROM r""",
+    "q_pii_hash_dv" ->
+      """SELECT c_custkey AS crm_id,
+         sha256(replace(replace(lower(c_name), '#', '.'), '.', '') || '@gmail.com') AS hashedEmails,
+         sha256(CAST(c_custkey AS VARCHAR)) AS hashedPhoneNumbers,
+         sha256(lower(c_name)) AS hashedFirstName,
+         sha256(lower(c_mktsegment)) AS hashedLastName,
+         'BR' AS countryCode,
+         CAST(c_custkey AS VARCHAR) AS zipCodes
+         FROM customer""",
     "t_langid" ->
       s"""SELECT doc_id, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
