@@ -222,11 +222,11 @@ object Pipeline {
     */
   private[pipeline] def rowToMap(row: Row, schema: org.apache.spark.sql.types.StructType): Map[String, Any] = {
     def convert(v: Any): Any = v match {
-      case r: Row => ListMap(r.schema.fieldNames.zip(r.toSeq.map(convert)): _*)
+      case r: Row => ListMap(r.schema.fieldNames.toSeq.zip(r.toSeq.map(convert)): _*)
       case s: scala.collection.Seq[_] => s.toSeq.map(convert)
       case other => other
     }
-    ListMap(schema.fieldNames.zipWithIndex.map { case (n, i) =>
+    ListMap(schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
       n -> convert(row.get(i))
     }: _*)
   }

@@ -111,4 +111,26 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .option("path", path)
+
+  /** Streaming exact dedup: drop duplicate keys within the watermark
+    * horizon (Spark keeps one state entry per key until the watermark
+    * passes its event time — the streaming dual of the batch
+    * digest-keyed exact dedup, with bounded state).
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Streaming ACTIVATION bridge: drive the batch pipeline's sink stage
+    * from a stream via foreachBatch — each micro-batch flows through the
+    * same branch plan (hashing → batching → renderer → transport →
+    * writeback) as a batch run, so a Kafka/file stream of conversions
+    * activates continuously with the identical payload contract. The
+    * `_uploaded` anti-join inside the pipeline keeps redelivered
+    * micro-batches idempotent.
+    */
+  def activationSink(stream: DataFrame, runBatch: DataFrame => Unit) =
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch((batch: DataFrame, _: Long) => runBatch(batch))
 }

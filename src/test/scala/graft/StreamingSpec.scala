@@ -63,6 +63,57 @@ class StreamingSpec extends SparkTestBase {
     assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming.dedupStream(input.toDF(), Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1L, 1L, ts(1000), "click", 1.0),
+      Event(1L, 1L, ts(1000), "click", 1.0), // duplicate
+      Event(2L, 1L, ts(1001), "click", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(1L, 1L, ts(1000), "click", 1.0)) // late duplicate
+    query.processAllAvailable()
+    val n = spark.table("dedup").count()
+    query.stop()
+    assert(n == 2)
+  }
+
+  test("activation sink drives the batch pipeline per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.sink.RecordingTransport.reset()
+    val dir = java.nio.file.Files.createTempDirectory("graft_act").toString
+    val input = MemoryStream[(String, String, String)]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val query = Streaming.activationSink(
+      input.toDF().toDF("gclid", "time", "amount"),
+      runBatch = { batch =>
+        val src = s"$dir/batch.parquet"
+        batch.write.mode("overwrite").parquet(src)
+        val config = s"""{
+          "GoogleAdsAccountId": "1234567890",
+          "Sources": [{"Name": "s", "Type": "FILE", "Dataset": "parquet", "Table": "$src"}],
+          "Destinations": [{"Name": "d", "Type": "ADS_OFFLINE_CONVERSION", "Metadata": ["Conv"]}],
+          "Connections": [{"Enabled": true, "Source": "s", "Destination": "d"}]
+        }"""
+        val report = graft.pipeline.Pipeline.run(spark,
+          graft.config.JsonConfigSource.fromString(config).executions(),
+          graft.pipeline.PipelineOptions(transport = graft.sink.RecordingTransport(),
+            uploadedLogPathFor = _ => s"$dir/uploaded.parquet"))
+        seen.addAndGet(report.totalUploaded)
+        ()
+      }).start()
+    input.addData(("g1", "2024-05-01T10:00:00.000000", "1.5"))
+    query.processAllAvailable()
+    // redelivery of the same key is deduped by the _uploaded anti-join
+    input.addData(("g1", "2024-05-01T10:00:00.000000", "1.5"),
+      ("g2", "2024-05-01T10:00:01.000000", "2.5"))
+    query.processAllAvailable()
+    query.stop()
+    assert(seen.get() == 2) // g1 once, g2 once
+  }
+
   test("streaming rollup agrees with the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (1 to 200).map(i =>
