@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM/codegen warmup so per-query numbers measure steady-state
+    // plans, not first-query JIT (the first timed query used to absorb
+    // ~4s of warmup regardless of which query it was).
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
