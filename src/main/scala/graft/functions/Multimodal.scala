@@ -81,6 +81,34 @@ object Multimodal {
       i => bin.substr((i * stride + 1).cast("int"), lit(frameSize)))
   }
 
+  /** Distributed decode plumbing — the Scala analog of a `mapInPandas`
+    * batch UDF: one decoder instance per partition (amortizing model/codec
+    * init), bytes in → fixed-schema features out, executed inside
+    * `mapPartitions` with no driver round trips. The DECODER itself is the
+    * injection seam (a real build passes JNI/ONNX codecs; tests pass
+    * deterministic fakes) — the partitioning, batching, and schema contract
+    * here are the production surface.
+    *
+    * @param decoder  per-partition factory → (id, payload) → feature vector
+    */
+  def decodePartitions(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String, dim: Int)(
+      decoder: () => (Long, Array[Byte]) => Array[Float]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = decoder() // one per partition: codec/model init amortized
+        it.map { case (id, bytes) =>
+          val f = decode(id, bytes)
+          require(f.length == dim, s"decoder returned ${f.length} dims, expected $dim")
+          (id, f)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** DETERMINISTIC STUB for a learned media encoder: element k of the
     * `dim`-sized output is an affine poly-hash of the payload scaled to
     * [0, 1). Replace with a real model server / ONNX runtime in

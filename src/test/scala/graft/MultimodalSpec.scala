@@ -47,6 +47,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1)._2 == "AB" * 16) // bytes 65..80 of 100
   }
 
+  test("decodePartitions: per-partition decoder init, schema contract, distributed") {
+    val inits = spark.sparkContext.longAccumulator("decoderInits")
+    val df = (1L to 100L).map(i => (i, Array.fill(8)(i.toByte)))
+      .toDF("doc_id", "bin").repartition(4)
+    val out = Multimodal.decodePartitions(df, "doc_id", "bin", dim = 2) { () =>
+      inits.add(1) // once per partition, not per row
+      (id, bytes) => Array(bytes.length.toFloat, (id % 7).toFloat)
+    }
+    val rows = out.collect()
+    assert(rows.length == 100)
+    assert(inits.value == 4)
+    val r = out.filter(col("doc_id") === 10L).select("features").as[Seq[Float]].head()
+    assert(r == Seq(8.0f, 3.0f))
+  }
+
   test("fake embedding is deterministic, dim-sized, in [0,1)") {
     val df = Seq("CAFEBABE").toDF("hx").select(unhex(col("hx")).as("bin"))
     val e1 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()

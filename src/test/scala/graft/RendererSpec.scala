@@ -168,6 +168,31 @@ class RendererSpec extends AnyFunSuite {
     assert(body.contains(s""""timestampMicros": ${TimeUtils.timestampMicros("2020-04-09T14:13:55.000")}"""))
   }
 
+  test("CM360 golden body equals the reference test's expected_body " +
+      "(campaign_manager_conversion_uploader_test.py:64-106)") {
+    val e = exec(DestinationType.CmOfflineConversion,
+      Seq("floodlight_activity_id", "floodlight_configuration_id"))
+    val now = 1700000000000000L
+    val rows = Seq(
+      ListMap[String, Any]("gclid" -> "123", "timestamp" -> "2021-11-30T12:00:00.000"),
+      ListMap[String, Any]("gclid" -> "456"))
+    val body = Renderers.Cm360(now).render(e, rows, 1L).head.body
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val conv = root.get("conversions")
+    assert(conv.size() == 2)
+    val c0 = conv.get(0); val c1 = conv.get(1)
+    assert(c0.get("gclid").asText() == "123")
+    assert(c0.get("floodlightActivityId").asText() == "floodlight_activity_id")
+    assert(c0.get("floodlightConfigurationId").asText() == "floodlight_configuration_id")
+    assert(c0.get("ordinal").asText() == now.toString)
+    // row timestamp overrides: micros of 2021-11-30T12:00:00 (UTC-resolved)
+    assert(c0.get("timestampMicros").asLong() == 1638273600000000L)
+    assert(c0.get("quantity").asLong() == 1L)
+    assert(c1.get("gclid").asText() == "456")
+    assert(c1.get("timestampMicros").asLong() == now)
+    assert(c1.get("quantity").asLong() == 1L)
+  }
+
   test("CM360 defaults: quantity 1, ordinal = now micros, second identifier when gclid empty") {
     val e = exec(DestinationType.CmOfflineConversion, Seq("a", "c"))
     val row = ListMap[String, Any]("uuid" -> "u1", "gclid" -> "", "encryptedUserId" -> "enc")
