@@ -253,6 +253,18 @@ object SparkEntry {
   private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
 
+  /** Near-dup CLUSTER resolution: minhash pairs → connected components →
+    * (doc_id, comp); dedup keeps comp == doc_id. The oracle replays the
+    * same pair set and closes it with a recursive CTE.
+    */
+  private def dNeardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+    Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+  }
+
   private def eCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
@@ -467,6 +479,7 @@ object SparkEntry {
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
     "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
     "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_neardup_components" -> (dNeardupComponents _),
     "e_cosine_topk" -> (eCosineTopK _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
@@ -529,6 +542,36 @@ object SparkEntry {
   private def sqlMinhashAB(numHashes: Int): (String, String) = {
     val cs = Dedup.minhashCoeffs(numHashes)
     (cs.map(_._1).mkString("[", ", ", "]"), cs.map(_._2).mkString("[", ", ", "]"))
+  }
+
+  /** The minhash-LSH pair pipeline as a reusable CTE chain ending in
+    * `j(id_a, id_b, jac)` — shared by the pairs oracle and the
+    * connected-components closure.
+    */
+  private lazy val sqlMinhashCtes: String = {
+    val (a, b) = sqlMinhashAB(32)
+    s"""sh AS (
+           SELECT doc_id,
+             CASE WHEN length(lower(text)) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
+                         i -> lower(text)[i:i+4])) END AS g
+           FROM documents),
+         ph AS (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
+                FROM sh),
+         sig AS (SELECT doc_id, phs,
+             list_transform(range(0, 32), k -> coalesce(
+               list_min(list_transform(phs, p -> (($a)[k + 1] * p + ($b)[k + 1]) % 1000000007)),
+               1000000007)) AS sig
+           FROM ph),
+         cand AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+           WHERE len(list_filter(range(0, 8), bd ->
+             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         j AS (SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+                  ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
+           FROM cand)"""
   }
 
   private val langProfilesSql = TextAnalysis.languageProfiles.map { case (lang, markers) =>
@@ -679,32 +722,19 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.2"""
     },
-    "d_minhash_lsh_pairs" -> {
-      val (a, b) = sqlMinhashAB(32)
-      s"""WITH sh AS (
-           SELECT doc_id,
-             CASE WHEN length(lower(text)) < 5 THEN []::VARCHAR[]
-                  ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
-                         i -> lower(text)[i:i+4])) END AS g
-           FROM documents),
-         ph AS (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
-                FROM sh),
-         sig AS (SELECT doc_id, phs,
-             list_transform(range(0, 32), k -> coalesce(
-               list_min(list_transform(phs, p -> (($a)[k + 1] * p + ($b)[k + 1]) % 1000000007)),
-               1000000007)) AS sig
-           FROM ph),
-         cand AS (
-           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
-           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-           WHERE len(list_filter(range(0, 8), bd ->
-             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
-         j AS (SELECT id_a, id_b,
-             CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
-                  ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
-           FROM cand)
-         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5"""
-    },
+    "d_minhash_lsh_pairs" ->
+      s"""WITH $sqlMinhashCtes
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_neardup_components" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                   UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)
+         SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""",
     "d_simhash_pairs" ->
       s"""WITH toks AS (
            SELECT doc_id,

@@ -286,6 +286,38 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------- cluster resolution
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation — the scalable post-pass that turns near-dup
+    * PAIRS into dedup CLUSTERS (keep comp == id, drop the rest). Each round
+    * is one join + one aggregation; rounds bounded by component diameter
+    * (near-dup clusters are shallow). Labels/edges carry only ids: the
+    * shuffle never sees document payloads.
+    *
+    * @return (id, comp) for every node; comp = min id reachable.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(prop)
+        .groupBy("id").agg(min("comp").as("comp")).persist()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH: each of

@@ -111,6 +111,19 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute) // 4 tables × 2 bits: near-identical vectors collide
   }
 
+  test("connected components resolve pair chains into min-id clusters") {
+    val nodes = (0L to 9L).toDF("doc_id")
+    // chain 0-1-2, pair 5-7, singletons 3,4,6,8,9
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(0L) == 0L && comp(1L) == 0L && comp(2L) == 0L)
+    assert(comp(5L) == 5L && comp(7L) == 5L)
+    assert(Seq(3L, 4L, 6L, 8L, 9L).forall(i => comp(i) == i))
+    // dedup-keep = comp == id: one survivor per cluster
+    assert(comp.count { case (id, c) => id == c } == 7)
+  }
+
   test("embedding near-dup SRP recall >= 0.9 vs exact on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
