@@ -302,7 +302,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).persist()
+    // Only edge-touched nodes can change labels; singletons — the vast
+    // majority of a deduped corpus — never enter the iteration.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).persist()
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("src") === labels("id"))
@@ -315,7 +318,10 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels
+    // singletons keep their own id as component
+    val all = nodes.select(col(idCol).as("id"))
+    all.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   // ---------------------------------------------------- embedding near-dup
