@@ -29,27 +29,6 @@ object VectorOps {
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Sign-random-projection bits for LSH bucketing: bit p = sign(v · plane_p).
-    * Planes are deterministic driver-side literals (seeded), broadcast into
-    * the expression — the corpus side never shuffles for signature
-    * computation.
-    */
-  def srpSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = typedLit(plane)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Deterministic pseudo-random hyperplanes (fixed seed → same planes on
-    * every run and every executor).
-    */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
-
   /** ±1 entry of the Rademacher plane family: two xor-shift-multiply rounds
     * (murmur-finalizer style) over the flat index, all intermediates inside
     * a positive 63-bit range. A single multiplicative round is a Weyl

@@ -111,6 +111,27 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute) // 4 tables × 2 bits: near-identical vectors collide
   }
 
+  test("kernel expressions equal their pure-expression formulations") {
+    // the Column-expression variants are the executable SPEC of the
+    // kernels: any drift between them would silently break oracle parity
+    val df = docs.select(col("doc_id"), col("text"),
+      Dedup.simhash(col("text")).as("sim_expr"),
+      graft.functions.KernelExpressions.simhash60(col("text")).as("sim_kernel"),
+      array_sort(array_distinct(transform(Dedup.charShingles(col("text"), 5),
+        s => Dedup.shingleHash(s)))).as("csh_expr"),
+      graft.functions.KernelExpressions.charShingleHashes(col("text"), 5).as("csh_kernel"),
+      Dedup.minhashSignature(transform(Dedup.charShingles(col("text"), 5),
+        s => Dedup.shingleHash(s)), 32).as("mh_expr"),
+      graft.functions.KernelExpressions.minhashSig(col("text"), 5, 32).as("mh_kernel"),
+      array_sort(array_distinct(transform(Dedup.wordShingles(col("text"), 3),
+        s => Dedup.shingleHash(s)))).as("wsh_expr"),
+      graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3).as("wsh_kernel"))
+    assert(df.filter(col("sim_expr") =!= col("sim_kernel")).count() == 0)
+    assert(df.filter(col("csh_expr") =!= col("csh_kernel")).count() == 0)
+    assert(df.filter(col("mh_expr") =!= col("mh_kernel")).count() == 0)
+    assert(df.filter(col("wsh_expr") =!= col("wsh_kernel")).count() == 0)
+  }
+
   test("connected components resolve pair chains into min-id clusters") {
     val nodes = (0L to 9L).toDF("doc_id")
     // chain 0-1-2, pair 5-7, singletons 3,4,6,8,9
