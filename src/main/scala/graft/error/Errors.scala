@@ -27,13 +27,14 @@ trait ErrorNotifier {
   * is what matters and is testable.)
   */
 final class LogNotifier extends ErrorNotifier {
+  // one notifier is shared by all (concurrently running) branches
   private val buf = scala.collection.mutable.ListBuffer.empty[(DestinationType, Seq[Error])]
   override def notify(destinationType: DestinationType, errors: Iterable[Error]): Unit = {
-    buf += destinationType -> errors.toSeq
+    buf.synchronized { buf += destinationType -> errors.toSeq }
     errors.foreach(e => System.err.println(
       s"[graft] $destinationType error on ${e.execution.key}: ${e.errorMessage}"))
   }
-  def notifications: Seq[(DestinationType, Seq[Error])] = buf.toSeq
+  def notifications: Seq[(DestinationType, Seq[Error])] = buf.synchronized(buf.toSeq)
 }
 
 final class ErrorHandler(val destinationType: DestinationType, notifier: ErrorNotifier) {

@@ -60,18 +60,35 @@ final case class UploadedLog(spark: SparkSession, path: String, tt: Transactiona
     val raw =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         spark.read.schema(schema).parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        // LocalRelation-backed empty frame: carries ACCURATE zero-size stats,
+        // so the downstream anti-join broadcast gate sees "tiny" (an
+        // emptyRDD-backed frame reports unknown/max size and would force the
+        // first run — no log yet — into a full shuffle of the source).
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     graft.transform.Transforms.retentionFilter(raw)
   }
 
-  /** Append successfully-uploaded keys with the current timestamp. */
+  /** Append successfully-uploaded keys with the current timestamp.
+    * Serialized per path: two concurrently-running branches can share one
+    * control table (same source, same key type), and concurrent append jobs
+    * to one directory race on the output committer's staging dir.
+    */
   def append(successful: DataFrame): Unit = {
     if (tt.keyColumns.nonEmpty) {
-      successful
-        .select(tt.keyColumns.map(c => col(c).cast(StringType).as(c)): _*)
-        .withColumn("timestamp", current_timestamp())
-        .select("timestamp", tt.keyColumns: _*)
-        .write.mode("append").parquet(path)
+      UploadedLog.lockFor(path).synchronized {
+        successful
+          .select(tt.keyColumns.map(c => col(c).cast(StringType).as(c)): _*)
+          .withColumn("timestamp", current_timestamp())
+          .select("timestamp", tt.keyColumns: _*)
+          .write.mode("append").parquet(path)
+      }
     }
   }
+}
+
+object UploadedLog {
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[io] def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
 }

@@ -101,15 +101,25 @@ object Dedup {
   // ------------------------------------------------- inverted-index block
 
   /** N-gram Jaccard near-dup pairs via inverted-index blocking: doc pairs
-    * are candidates iff they share at least one shingle — EXACT for any
-    * threshold > 0 (jaccard ≥ t > 0 implies a nonempty intersection), so
-    * this replaces the quadratic all-pairs join with Σ_shingle df² work.
+    * are candidates iff they share at least one indexed shingle — exact for
+    * any threshold > 0 (jaccard ≥ t > 0 implies a nonempty intersection)
+    * whenever no shingle exceeds `maxShingleDf`; over-cap shingles are
+    * dropped from the index, so candidate recall drops ONLY for pairs whose
+    * every shared shingle is boilerplate. Emitted jaccard values are ALWAYS
+    * exact: pairs that may have lost intersection counts to the cap are
+    * re-verified against the full shingle arrays.
+    *
+    * Scale shape (100 TB): two passes over the exploded (shingle, id)
+    * pairs — (1) a partial-aggregatable df count per shingle (no posting
+    * list is ever materialized: a boilerplate shingle's collect_list would
+    * be one unbounded aggregation row); (2) a self-equi-join on surviving
+    * shingles, co-partitioned with pass 1's output. Per-doc set sizes ride
+    * shuffle equi-joins on id — the sizes table is O(corpus) and must never
+    * be broadcast.
     *
     * @param maxShingleDf shingles present in more than this many docs are
     *        dropped from the index (boilerplate n-grams generate df² pairs
-    *        and discriminate nothing). Recall only drops for pairs whose
-    *        EVERY shared shingle is boilerplate — at sane thresholds such
-    *        pairs do not exist (a j ≥ t pair shares many rare shingles).
+    *        and discriminate nothing).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
@@ -117,29 +127,68 @@ object Dedup {
     // inverted index shuffles (hash, id) pairs — never text.
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
-    // The index yields each (a, b) pair ONCE PER SHARED SHINGLE, so a
-    // count aggregation IS the exact intersection size — no second join
-    // against the shingle arrays and no per-pair set ops. Jaccard follows
-    // from |A∩B| and the two set sizes (broadcast: one row per doc).
-    val sizes = shingled.select(col("id"), size(col("shingles")).as("sz"))
-    val inter = shingled
-      .select(col("id"), explode(col("shingles")).as("shingle"))
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxShingleDf))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // The doc's set SIZE rides the explode (one extra int per index row):
+    // no per-doc sizes table exists downstream, so nothing per-doc is ever
+    // joined — let alone broadcast.
+    val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("shingle"))
+    // Pass 1: per-shingle document frequency (map-side combinable count).
+    val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val indexable = dfs.filter(col("df").between(2, maxShingleDf)).select("shingle")
+    // Docs carrying at least one over-cap shingle: only pairs where BOTH
+    // sides carry one can have an undercounted intersection. The hot-shingle
+    // list is tiny (bounded by corpus/df-cap distinct shingles); AQE
+    // broadcasts it on its own.
+    val hotDocs = exploded
+      .join(dfs.filter(col("df") > maxShingleDf).select("shingle"), "shingle")
+      .select("id").distinct()
+    // Pass 2: the surviving index yields each (a, b) pair ONCE PER SHARED
+    // SHINGLE, so a count aggregation IS the intersection size over the
+    // indexed universe — no per-pair set ops. Sizes are functionally
+    // dependent on the ids; max() just picks the carried value.
+    val posting = exploded.join(indexable, "shingle")
+    val inter = posting.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(posting.select(col("shingle").as("shingle_b"), col("id").as("id_b"),
+          col("sz").as("sz_b")),
+        col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .agg(count(lit(1)).as("inter"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+    val marked = inter
+      .join(hotDocs.select(col("id").as("id_a"), lit(true).as("hot_a")), Seq("id_a"), "left")
+      .join(hotDocs.select(col("id").as("id_b"), lit(true).as("hot_b")), Seq("id_b"), "left")
+      .withColumn("undercounted",
+        coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false)))
+    // Pairs untouched by the cap: the counted intersection is exact.
+    val exactByCount = marked.filter(!col("undercounted"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // Pairs where both docs carry a capped shingle: fetch the full arrays
+    // once and verify exactly (zero rows when no shingle hits the cap).
+    val verified = verifyJaccard(
+      marked.filter(col("undercounted")).select("id_a", "id_b"), shingled, threshold)
+    exactByCount.unionByName(verified)
   }
+
+  // ------------------------------------------------------- bucket skew cap
+
+  /** Guard for LSH candidate self-joins: a degenerate key (every empty doc
+    * shares one sentinel minhash signature, boilerplate headers share band
+    * slices, near-constant embeddings share SRP buckets) puts a large
+    * fraction of the corpus into ONE bucket, making that bucket's self-join
+    * quadratic — the classic skewed-key scale-killer. Rows in buckets larger
+    * than `maxBucket` are dropped from candidate generation (same rationale
+    * as `maxShingleDf`): members of an over-cap bucket are dominated by
+    * exact/boilerplate duplicates, which exact dedup (cheap, digest-keyed)
+    * already resolves. One window count on the bucket key; the subsequent
+    * self-join reuses the same hash partitioning, so the guard costs a
+    * per-partition sort, not an extra shuffle.
+    */
+  private def capBuckets(keyed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    keyed.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
 
   // -------------------------------------------------------------- minhash
 
@@ -186,24 +235,34 @@ object Dedup {
     * array of `rowsPerBand` longs), not a hash of it: exact semantics, no
     * collision term, and Spark hashes array keys for the exchange anyway.
     *
+    * Skew guards: shingle-less docs (empty/short text — all of them share
+    * the one all-sentinel signature) are excluded before banding, and any
+    * band bucket larger than `maxBucket` is dropped from candidate
+    * generation (see [[capBuckets]]). With no over-cap bucket the output is
+    * identical to the unguarded plan.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
     val banded = df
       .select(col(idCol).as("id"),
         graft.functions.KernelExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+      // sig[0] == P iff the doc has no shingles: such docs can never clear a
+      // threshold > 0 and would otherwise all collide in one bucket.
+      .filter(element_at(col("sig"), 1) =!= MinhashP)
       .select(col("id"),
         explode(array((0 until numBands).map(b =>
           struct(lit(b).as("band"),
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
           .as("bk"))
-    val a = banded.select(col("bk").as("bk"), col("id").as("id_a"))
-    val b = banded.select(col("bk").as("bk2"), col("id").as("id_b"))
+    val capped = capBuckets(banded, "bk", maxBucket)
+    val a = capped.select(col("bk").as("bk"), col("id").as("id_a"))
+    val b = capped.select(col("bk").as("bk2"), col("id").as("id_b"))
     val candidates = a.join(b, a("bk") === b("bk2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -261,24 +320,30 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 15-bit chunks (any pair within
     * hamming distance ≤ 3 shares at least one of 4 chunks — pigeonhole, so
-    * recall is EXACTLY 1.0 by construction), then verify hamming ≤
-    * maxDistance. Shuffle carries (id, chunkIdx, chunkValue, sig) — the sig
-    * rides along (16 bytes) so verification needs no second join.
+    * recall is EXACTLY 1.0 by construction when no chunk bucket exceeds
+    * `maxBucket`), then verify hamming ≤ maxDistance. Shuffle carries
+    * (id, chunkIdx, chunkValue, sig) — the sig rides along (16 bytes) so
+    * verification needs no second join. Zero-signature (token-free) docs are
+    * excluded and over-cap chunk buckets dropped (see [[capBuckets]]).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxDistance <= 3, "pigeonhole blocking over 4 chunks is exact only for distance <= 3")
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.simhash60(col(textCol)).as("sig"))
+      // sig == 0 is the token-free signature (empty docs — exact-dup
+      // territory) and the worst degenerate bucket: exclude before chunking.
+      .filter(col("sig") =!= 0L)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("idx"),
           shiftright(col("sig"), i * 15).bitwiseAND(0x7FFFL).as("value"))): _*)).as("chunk"))
+    val capped = capBuckets(chunked, "chunk", maxBucket)
     // Hamming is part of the JOIN condition: random chunk collisions are
     // filtered before the distinct (deduping the small verified set, not
     // the large candidate multiset).
-    val a = chunked.select(col("chunk").as("c"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk").as("c2"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = capped.select(col("chunk").as("c"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("chunk").as("c2"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, a("c") === b("c2") && col("id_a") < col("id_b") &&
         hamming(col("sig_a"), col("sig_b")) <= maxDistance)
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
@@ -291,33 +356,54 @@ object Dedup {
   /** Connected components over an undirected pair list by iterative
     * min-label propagation — the scalable post-pass that turns near-dup
     * PAIRS into dedup CLUSTERS (keep comp == id, drop the rest). Each round
-    * is one join + one aggregation; rounds bounded by component diameter
+    * is one join + ONE aggregation; convergence is read from the same
+    * aggregation (did any label decrease?) instead of a second join, so a
+    * round costs exactly one job. Rounds are bounded by component diameter
     * (near-dup clusters are shallow). Labels/edges carry only ids: the
     * shuffle never sees document payloads.
+    *
+    * Lineage control: edges and the initial labels are `localCheckpoint`ed
+    * (the upstream pair pipeline materializes once), and labels re-
+    * checkpoint every `checkpointInterval` rounds — without this the plan
+    * grows per round and deep graphs blow up the planner. Between
+    * checkpoints labels are persisted; block loss re-derives from the last
+    * checkpoint.
     *
     * @return (id, comp) for every node; comp = min id reachable.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, checkpointInterval: Int = 3): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     // Only edge-touched nodes can change labels; singletons — the vast
     // majority of a deduped corpus — never enter the iteration.
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).persist()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var materialized = labels
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(prop)
-        .groupBy("id").agg(min("comp").as("comp")).persist()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
+      // `own` tags each node's previous label (exactly one per id — every
+      // propagation target is an edge endpoint and thus already labeled);
+      // min(comp) is the new label, min(own) the old one, so the
+      // convergence check folds into this one aggregation.
+      val agg = labels.select(col("id"), col("comp"), col("comp").as("own"))
+        .union(prop)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"), min(col("own")).as("old"))
+      val next =
+        if (round % checkpointInterval == 0) agg.localCheckpoint()
+        else { agg.persist(); agg }
+      changed = next.filter(col("comp") < col("old")).count()
+      materialized.unpersist()
+      materialized = next
+      labels = next.select("id", "comp")
     }
-    edges.unpersist()
     // singletons keep their own id as component
     val all = nodes.select(col(idCol).as("id"))
     all.join(labels, Seq("id"), "left")
@@ -343,7 +429,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numTables: Int = 8, bitsPerTable: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val candidates =
       if (numTables <= 0) {
@@ -357,8 +443,11 @@ object Dedup {
         val keyed = base.select(col("id"),
           explode(graft.functions.KernelExpressions.srpBucketKeys(
             col("vec"), planes, numTables, bitsPerTable)).as("tb"))
-        val a = keyed.select(col("tb").as("tb"), col("id").as("id_a"))
-        val b = keyed.select(col("tb").as("tb2"), col("id").as("id_b"))
+        // Near-constant embedding clusters (e.g. zero/padding vectors) share
+        // every table bucket: cap per-cell population (see capBuckets).
+        val capped = capBuckets(keyed, "tb", maxBucket)
+        val a = capped.select(col("tb").as("tb"), col("id").as("id_a"))
+        val b = capped.select(col("tb").as("tb2"), col("id").as("id_b"))
         a.join(b, a("tb") === b("tb2") && col("id_a") < col("id_b"))
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b")

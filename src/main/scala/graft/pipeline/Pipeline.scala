@@ -59,20 +59,38 @@ final case class RowOutcome(
 
 object Pipeline {
 
+  /** Bounded branch concurrency: Spark job submission is thread-safe, so
+    * independent branches interleave their stages instead of paying a
+    * serial ~19× wall-clock. The reference runs branches serially — an
+    * artifact of its single-worker deploy, not a semantic requirement.
+    */
+  val BranchParallelism = 6
+
   def run(spark: SparkSession, executions: Seq[Execution], opts: PipelineOptions): PipelineReport = {
-    val results = Seq.newBuilder[ExecutionResult]
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
 
     // 18+1 independent branches; an error in one never aborts the others
     // (error/error_handling.py semantics; exit code handled by caller).
-    Branches.all.foreach { branch =>
-      val handler = new ErrorHandler(branch.destinationType, opts.notifier)
-      results ++= runBranch(spark, executions, branch, handler, opts)
-      handler.notifyErrors()
+    // Results are collected per-branch future, preserving branch order —
+    // the report is identical to a serial run.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(BranchParallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = Branches.all.map { branch =>
+      Future {
+        val handler = new ErrorHandler(branch.destinationType, opts.notifier)
+        val branchResults = runBranch(spark, executions, branch, handler, opts)
+        handler.notifyErrors()
+        branchResults
+      }
     }
+    val results =
+      try Await.result(Future.sequence(futures), Duration.Inf).flatten
+      finally pool.shutdown()
 
     // Consolidation (steps/last_step.py:26-56): flatten + dedup executions.
     val distinct = executions.map(_.key).distinct.size
-    PipelineReport(results.result(), distinct)
+    PipelineReport(results, distinct)
   }
 
   private def runBranch(spark: SparkSession, executions: Seq[Execution],
@@ -139,10 +157,9 @@ object Pipeline {
   }
 
   /** The sink stage: distributed batching + upload, returning the per-row
-    * outcome Dataset (persisted — the send side effects must run exactly
-    * once across the downstream aggregation and writeback actions; at
-    * cluster scale this would be a durable checkpoint, and the `_uploaded`
-    * anti-join makes uploads at-least-once idempotent regardless).
+    * outcome Dataset (eagerly localCheckpoint'ed — the send side effects run
+    * exactly once across the downstream aggregation and writeback actions,
+    * and the truncated lineage makes silent re-sends impossible).
     *
     * Batch `iteration` is GLOBAL per execution and 1-based (drives REPLACE
     * remove_all / DV create-vs-edit): partition batch offsets are
@@ -167,7 +184,13 @@ object Pipeline {
 
     val transport = opts.transport
     val renderer = branch.renderer(opts.nowMicros())
-    val rateLimit = branch.rateLimitPerSec
+    // The API rate limit is GLOBAL (AppsFlyer 500 events/s,
+    // appsflyer_s2s_uploader_async.py:135-139). Enforcing it verbatim per
+    // partition would multiply the aggregate rate by the partition count, so
+    // divide it across the partitions that actually hold rows (counts are
+    // already known at this point) — the aggregate stays within the limit.
+    val activeParts = math.max(1, counts.count(_._2 > 0))
+    val rateLimit = branch.rateLimitPerSec.map(l => math.max(1, l / activeParts))
     val execKey = execution.key
 
     val outcomes = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -211,10 +234,13 @@ object Pipeline {
         out
       }
     }
-    val ds = spark.createDataset(outcomes).toDF()
-    ds.persist(StorageLevel.MEMORY_AND_DISK)
-    ds.count() // materialize side effects exactly once
-    ds
+    // Eager localCheckpoint: runs the send job ONCE, stores the outcomes,
+    // and truncates lineage — executor loss or cache eviction can never
+    // silently re-run the non-idempotent sends (a lost block fails the read
+    // instead, and the `_uploaded` anti-join keeps a retried RUN
+    // idempotent). At cluster scale a durable checkpoint/table takes this
+    // role.
+    spark.createDataset(outcomes).toDF().localCheckpoint()
   }
 
   /** Row → ordered field map (the reference's row dict), nested structs and

@@ -25,9 +25,15 @@ final case class JStr(s: String) extends JVal {
 final case class JLong(v: Long) extends JVal { override def render: String = v.toString }
 
 final case class JDouble(v: Double) extends JVal {
-  // render integral doubles as "2.0" (Python float repr), not "2"
+  // Render integral doubles as "2.0" (Python float repr), not "2" — but only
+  // below 1e15: v.toLong saturates at Long.MaxValue, so 1e19 would silently
+  // render as "9223372036854775807.0" (and Python's own repr switches to
+  // exponent form near this magnitude anyway). Beyond the bound, fall back
+  // to the Double's representation (valid JSON exponent form).
   override def render: String =
-    if (v == Math.floor(v) && !v.isInfinite) s"${v.toLong}.0" else v.toString
+    if (v == Math.floor(v) && !v.isInfinite && math.abs(v) < 1e15)
+      s"${v.toLong}.0"
+    else v.toString
 }
 
 final case class JBool(v: Boolean) extends JVal { override def render: String = v.toString }
