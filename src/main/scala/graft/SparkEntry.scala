@@ -253,6 +253,25 @@ object SparkEntry {
   private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
 
+  /** Skew-guard stress: the documents corpus with planted degeneracy — 10%
+    * of docs emptied (shingle-less) and 10% replaced by one shared
+    * boilerplate line — through minhash-LSH with a tight bucket cap. Empty
+    * docs are excluded by the signature filter; the boilerplate group floods
+    * every band bucket past the cap and drops out of candidate generation;
+    * the rest of the corpus is unaffected. The oracle replicates banding,
+    * cap, and exact jaccard, so the guard SEMANTICS are hash-checked — the
+    * degenerate groups' pairs are provably absent, not just "it ran".
+    */
+  private def dLshSkewGuard(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(""))
+        .when(col("doc_id") % 10 === 1,
+          lit("terms of service apply to every page of this corpus"))
+        .otherwise(col("text")).as("text"))
+    Dedup.minhashLshPairs(planted, "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5, maxBucket = 20)
+  }
+
   /** Near-dup CLUSTER resolution: minhash pairs → connected components →
     * (doc_id, comp); dedup keeps comp == doc_id. The oracle replays the
     * same pair set and closes it with a recursive CTE.
@@ -479,6 +498,7 @@ object SparkEntry {
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
     "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
     "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_lsh_skew_guard" -> (dLshSkewGuard _),
     "d_neardup_components" -> (dNeardupComponents _),
     "e_cosine_topk" -> (eCosineTopK _),
     "e_neardup_pairs" -> (eNeardupPairs _),
@@ -544,25 +564,33 @@ object SparkEntry {
     (cs.map(_._1).mkString("[", ", ", "]"), cs.map(_._2).mkString("[", ", ", "]"))
   }
 
-  /** The minhash-LSH pair pipeline as a reusable CTE chain ending in
-    * `j(id_a, id_b, jac)` — shared by the pairs oracle and the
-    * connected-components closure.
+  /** The minhash signature chain (`sh` → `ph` → `sig(doc_id, phs, sig)`)
+    * over `table(doc_id, text)` — shared by the pairs oracle, the
+    * connected-components closure, and the skew-guard oracle.
     */
-  private lazy val sqlMinhashCtes: String = {
+  private def sqlMinhashSigCtes(table: String): String = {
     val (a, b) = sqlMinhashAB(32)
     s"""sh AS (
            SELECT doc_id,
              CASE WHEN length(lower(text)) < 5 THEN []::VARCHAR[]
                   ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
                          i -> lower(text)[i:i+4])) END AS g
-           FROM documents),
+           FROM $table),
          ph AS (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
                 FROM sh),
          sig AS (SELECT doc_id, phs,
              list_transform(range(0, 32), k -> coalesce(
                list_min(list_transform(phs, p -> (($a)[k + 1] * p + ($b)[k + 1]) % 1000000007)),
                1000000007)) AS sig
-           FROM ph),
+           FROM ph)"""
+  }
+
+  /** The minhash-LSH pair pipeline as a reusable CTE chain ending in
+    * `j(id_a, id_b, jac)` — shared by the pairs oracle and the
+    * connected-components closure.
+    */
+  private lazy val sqlMinhashCtes: String =
+    s"""${sqlMinhashSigCtes("documents")},
          cand AS (
            SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
            FROM sig x JOIN sig y ON x.doc_id < y.doc_id
@@ -572,7 +600,6 @@ object SparkEntry {
              CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
                   ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
            FROM cand)"""
-  }
 
   private val langProfilesSql = TextAnalysis.languageProfiles.map { case (lang, markers) =>
     val ms = markers.map(m => s"'$m'").mkString(", ")
@@ -725,6 +752,30 @@ object SparkEntry {
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_lsh_skew_guard" ->
+      s"""WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN ''
+                  WHEN doc_id % 10 = 1 THEN 'terms of service apply to every page of this corpus'
+                  ELSE text END AS text
+           FROM documents),
+         ${sqlMinhashSigCtes("planted")},
+         bands AS (
+           SELECT doc_id, bd, sig[bd * 4 + 1 : bd * 4 + 4] AS key
+           FROM sig, (SELECT unnest(range(0, 8)) AS bd) r
+           WHERE len(phs) > 0),
+         bsz AS (SELECT bd, key, count(*) AS c FROM bands GROUP BY bd, key),
+         okb AS (SELECT doc_id, bd, key FROM bands JOIN bsz USING (bd, key) WHERE c <= 20),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM okb a JOIN okb b ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id),
+         wj AS (SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(x.phs || y.phs)) = 0 THEN 0.0
+                  ELSE len(list_intersect(x.phs, y.phs))::DOUBLE /
+                       len(list_distinct(x.phs || y.phs)) END AS jac
+           FROM cand JOIN ph x ON cand.id_a = x.doc_id
+                     JOIN ph y ON cand.id_b = y.doc_id)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM wj WHERE jac >= 0.5""",
     "d_neardup_components" ->
       s"""WITH RECURSIVE $sqlMinhashCtes,
          mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
@@ -751,7 +802,8 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.s, b.s))::BIGINT AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.s, b.s)) <= 3""",
+         WHERE a.s != 0 AND b.s != 0
+           AND bit_count(xor(a.s, b.s)) <= 3""",
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

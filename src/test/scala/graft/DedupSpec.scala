@@ -145,6 +145,77 @@ class DedupSpec extends SparkTestBase {
     assert(comp.count { case (id, c) => id == c } == 7)
   }
 
+  test("LSH bucket caps neutralize degenerate identical/empty groups") {
+    // 100 docs: 10 empty, 10 identical boilerplate, 80 unique — the 10%
+    // degenerate mix the 100 TB skew scenario names. A boilerplate group of
+    // size g floods its band/chunk buckets and costs O(g²) candidate pairs
+    // per bucket if unguarded.
+    // the unique docs are seeded-random words: template docs varying only in
+    // digits would themselves be near-dups under char-5-gram minhash and
+    // legitimately flood buckets
+    def randomText(i: Int): String = {
+      val rnd = new scala.util.Random(i * 2654435761L)
+      (0 until 12).map(_ => (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    }
+    val corpus = (0 until 100).map { i =>
+      val text =
+        if (i < 10) ""
+        else if (i < 20) "identical boilerplate legal footer repeated verbatim on every page"
+        else randomText(i)
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val degenerate = (10L until 20L).toSet
+    // cap above the group size: the identical group yields all 45 of its
+    // pairs; empty docs yield none (signature filter)
+    val open = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5,
+      maxBucket = 10000).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(open.count(p => degenerate(p._1) && degenerate(p._2)) == 45)
+    assert(!open.exists(p => p._1 < 10L || p._2 < 10L))
+    // cap below the group size: the flooded buckets drop out — candidate
+    // work is bounded, no pair touches the degenerate group, and every
+    // other pair is unchanged
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5,
+      maxBucket = 5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => degenerate(p._1) || degenerate(p._2)))
+    assert(capped == open.filterNot(p => degenerate(p._1) || degenerate(p._2)))
+    // simhash: same guard shape (identical docs collide at hamming 0)
+    val simOpen = Dedup.simhashPairs(corpus, "doc_id", "text", maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(simOpen.count(p => degenerate(p._1) && degenerate(p._2)) == 45)
+    assert(!simOpen.exists(p => p._1 < 10L || p._2 < 10L)) // empty docs excluded
+    val simCapped = Dedup.simhashPairs(corpus, "doc_id", "text", maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!simCapped.exists(p => degenerate(p._1) || degenerate(p._2)))
+  }
+
+  test("ngram jaccard stays exact when the df cap bites (verify path)") {
+    // Every doc shares a 6-token boilerplate prefix (3-grams at df = 30,
+    // over the cap of 10 → dropped from the index); docs 2k and 2k+1
+    // additionally share a rare per-pair phrase (df = 2 → indexed). The
+    // within-pair jaccard is 10/12 ≈ 0.83; cross-pair is 7/15 ≈ 0.47, so at
+    // threshold 0.6 brute force keeps exactly the 15 planted pairs. A
+    // COUNT-ONLY plan would see just the 3 rare shared shingles (3/19 ≈
+    // 0.16 < 0.6) and emit nothing — the verify path must restore the exact
+    // values over the full arrays.
+    val boiler = "all rights reserved by the publisher"
+    val corpus = (0 until 30).map { i =>
+      val k = i / 2
+      (i.toLong, s"$boiler shared secret token$k anchors this pair variant$i")
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.6, maxShingleDf = 10)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3).as("g"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.jaccard(col("a.g"), col("b.g")), 6).as("j"))
+      .filter(col("j") >= 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+    assert(blocked.size == 15)
+  }
+
   test("embedding near-dup SRP recall >= 0.9 vs exact on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",

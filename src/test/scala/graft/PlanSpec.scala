@@ -44,11 +44,21 @@ class PlanSpec extends SparkTestBase {
 
   test("near-dup LSH plans contain no cartesian/nested-loop joins") {
     Seq("d_minhash_lsh_pairs", "d_simhash_pairs", "d_ngram_jaccard_pairs",
-      "e_neardup_pairs").foreach { q =>
+      "e_neardup_pairs", "d_lsh_skew_guard").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
+  }
+
+  test("ngram jaccard plan carries no plan-time broadcast hint (per-doc tables)") {
+    // The sizes table is one row per DOCUMENT — a forced broadcast() of it
+    // OOMs at corpus scale. The plan must carry no hint at all; AQE may
+    // still legitimately pick a runtime broadcast for genuinely small
+    // intermediates, which is exactly the behavior we want.
+    val logical = analyzed("d_ngram_jaccard_pairs").queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      "a plan-time broadcast hint survives in the ngram-jaccard plan")
   }
 
   test("dimension joins in q3 are broadcast (no shuffle of the fact side for the join)") {

@@ -302,4 +302,14 @@ class RendererSpec extends AnyFunSuite {
     val body = Renderers.GaDataImport.render(e, rows, 1L).head.body
     assert(body == "ga:cd1,ga:cd2\nv1a,v2a\nv1b,")
   }
+
+  test("JSON double rendering: integral, fractional, and beyond-Long magnitudes") {
+    assert(JDouble(2.0).render == "2.0")
+    assert(JDouble(2.5).render == "2.5")
+    assert(JDouble(-3.0).render == "-3.0")
+    assert(JDouble(1e14).render == "100000000000000.0")
+    // beyond the integral-render bound: must NOT saturate to Long.MaxValue
+    assert(JDouble(1e19).render == "1.0E19")
+    assert(JDouble(-1e19).render == "-1.0E19")
+  }
 }

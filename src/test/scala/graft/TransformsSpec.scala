@@ -48,6 +48,22 @@ class TransformsSpec extends SparkTestBase {
     assert(out.columns.toSeq == li.columns.toSeq)
   }
 
+  test("anti join broadcast is size-gated: oversized control tables lose the hint") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val up = li.filter($"l_returnflag" === "R").select("l_orderkey", "l_linenumber")
+    // under the gate: the broadcast hint is present (control tables are
+    // usually small and the 100 TB source side must not shuffle)
+    val small = Transforms.antiJoinUploaded(li, up, Seq("l_orderkey", "l_linenumber"))
+    assert(small.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // over the gate (forced with a 1-byte threshold): no hint — AQE decides,
+    // so a billion-key log can never be forced into executor memory
+    val big = Transforms.antiJoinUploaded(li, up, Seq("l_orderkey", "l_linenumber"),
+      broadcastGateBytes = 1L)
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // identical semantics either way
+    assert(big.count() == small.count())
+  }
+
   test("digitsOnly mirrors reference utils filter") {
     val out = Seq("+55 (11) 99999-9999", "abc", "123")
       .toDF("v").select(Transforms.digitsOnly($"v")).as[String].collect()
