@@ -323,6 +323,21 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** IVF with TRAINED coarse centroids: spherical k-means over the sf0.01
+    * embeddings (5 Lloyd iterations), frozen as compile-time literals in
+    * [[graft.operators.TrainedCentroids]] — the 100 TB practice of training
+    * on a sample offline and shipping centroids as a small artifact. The
+    * oracle replays the identical doubles, so cell assignment, probing, and
+    * ranking are hash-checked end-to-end.
+    */
+  private def eIvfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", centroids = graft.operators.TrainedCentroids.sf001,
+      k = 10, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal columns: binary payloads with typed metadata
   // ------------------------------------------------------------------
@@ -504,6 +519,7 @@ object SparkEntry {
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
+    "e_ivf_trained_topk" -> (eIvfTrainedTopK _),
     "m_modality_stats" -> (mModalityStats _),
     "m_image_dims" -> (mImageDims _),
     "m_media_fingerprint" -> (mMediaFingerprint _),
@@ -844,6 +860,29 @@ object SparkEntry {
     "e_ivf_topk" -> {
       val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
       s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM e CROSS JOIN sgt),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell FROM cells),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cells WHERE vec_id < 5),
+         cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
+           FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
+    },
+    "e_ivf_trained_topk" -> {
+      // identical formulation to e_ivf_topk, with the TRAINED centroid
+      // doubles (Double.toString round-trips through DuckDB's parser)
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT $flat::DOUBLE[] AS sg),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cells AS (SELECT vec_id, v,
              list_transform(list_sort(list_transform(range(0, 8), ci ->

@@ -28,14 +28,15 @@ final case class DataSource(
 object DataSources {
 
   def forSource(src: SourceSpec, bqPathFor: (String, String) => String,
-      uploadedLogPathFor: String => String): DataSource = src.sourceType match {
-    case SourceType.File =>
-      val p = src.metadata(1)
-      DataSource(src.metadata.head, p, uploadedLogPathFor(p))
-    case SourceType.BigQuery =>
-      val p = bqPathFor(src.metadata.head, src.metadata(1))
-      DataSource("parquet", p, uploadedLogPathFor(p))
-  }
+      uploadedLogPathFor: String => String, bqFormat: String = "parquet"): DataSource =
+    src.sourceType match {
+      case SourceType.File =>
+        val p = src.metadata(1)
+        DataSource(src.metadata.head, p, uploadedLogPathFor(p))
+      case SourceType.BigQuery =>
+        val p = bqPathFor(src.metadata.head, src.metadata(1))
+        DataSource(bqFormat, p, uploadedLogPathFor(p))
+    }
 
   /** The per-(source, branch) declared plan (reference effective query,
     * SURVEY §3.2): pruned scan → schema validation → cast → per-destination
@@ -46,8 +47,16 @@ object DataSources {
   def retrieveData(spark: SparkSession, ds: DataSource, dt: DestinationType,
       transactional: TransactionalType): DataFrame = {
     val raw = ds.format match {
-      case "csv" => DataReaders.readCsv(spark, ds.path, dt)
-      case _     => DataReaders.readParquet(spark, ds.path, dt)
+      case "csv"     => DataReaders.readCsv(spark, ds.path, dt)
+      case "parquet" => DataReaders.readParquet(spark, ds.path, dt)
+      // The connector plug point: any other format name dispatches straight
+      // to spark.read.format(...) — "json" in tests proves the seam; in a
+      // cluster deployment "bigquery" (connector on the classpath, path =
+      // dataset.table via bqPathFor identity) takes the identical path.
+      // Pruning happens immediately after the scan, so DSv2 sources receive
+      // the column projection through Catalyst as usual.
+      case other =>
+        DestinationSchemas.prune(spark.read.format(other).load(ds.path), dt)
     }
     val cols = raw.columns.toSeq
     if (!DestinationSchemas.validateDataColumns(cols, dt))

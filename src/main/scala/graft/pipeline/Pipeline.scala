@@ -30,6 +30,12 @@ final case class PipelineOptions(
     notifier: ErrorNotifier = new LogNotifier,
     /** BigQuery-source offline analog: (dataset, table) → parquet path. */
     bqPathFor: (String, String) => String = (d, t) => s"/data/$d/$t.parquet",
+    /** Spark format used for BigQuery-typed sources: "parquet" offline; in a
+      * cluster deployment "bigquery" with the connector on the classpath and
+      * `bqPathFor = (d, t) => s"$d.$t"`. Any registered format works —
+      * exercised end-to-end with "json" in ReaderSeamSpec.
+      */
+    bqFormat: String = "parquet",
     /** `_uploaded` control-table location for a data path (reference:
       * sibling `<base>_uploaded` table/file, `file_data_source.py:149-154`).
       */
@@ -106,7 +112,7 @@ object Pipeline {
     groups.toSeq.sortBy(_._1).foreach { case (_, groupExecutions) =>
       val branchExecutions = groupExecutions.filter(_.destination.destinationType == dt)
       val ds = graft.io.DataSources.forSource(branchExecutions.head.source,
-        opts.bqPathFor, opts.uploadedLogPathFor)
+        opts.bqPathFor, opts.uploadedLogPathFor, opts.bqFormat)
 
       // Read ONCE per (source, branch); schema ops are plan-time.
       val readAttempt = scala.util.Try(

@@ -114,6 +114,73 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.get() == 2) // g1 once, g2 once
   }
 
+  test("file-streamed hourly rollup equals the oracle-checked batch q_hourly_rollup") {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = sf("sf0.001")
+    // the real events table tailed as a file stream (availableNow: drain
+    // and stop) — FileStreamSource wants a directory, so the single parquet
+    // file lands in a temp landing zone; ts arrives as an ns-epoch long
+    // (nanosAsLong) and is truncated to µs exactly like the batch query's tsUs
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val evStream = Streaming.readParquetStream(spark, landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = Streaming.hourlyRollup(evStream, watermark = "2 hours")
+      .writeStream.format("memory").queryName("rollup_file")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val streamed = spark.table("rollup_file")
+      .select((unix_timestamp($"hour_start") / 3600).cast("long").as("hour_id"),
+        $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("q_hourly_rollup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("hour_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streamed sessionization equals the oracle-checked batch q_sessionize") {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"user_id", timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val query = Streaming.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(events: _*)
+    query.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // session's (lastTs + gap), the second lets the event-time timeouts
+    // fire and flush the still-open sessions
+    val maxMs = events.map(_.ts.getTime).max
+    input.addData(Event(-1L, -1L, new java.sql.Timestamp(maxMs + 86400000L), "z", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(-2L, -1L, new java.sql.Timestamp(maxMs + 86401000L), "z", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("sessions_eq").as[Session].collect()
+      .filter(_.user_id >= 0L)
+      .groupBy(_.user_id)
+      .map { case (u, ss) => (u, ss.length.toLong, ss.map(_.n_events).sum) }
+      .toSet
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_events")))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming rollup agrees with the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (1 to 200).map(i =>
