@@ -49,6 +49,20 @@ object Main {
     }
     println(s"[graft] ${report.distinctExecutions} distinct executions, " +
       s"${report.totalUploaded} rows uploaded, exit ${report.exitCode}")
+
+    // usage stats, run silently after the summary (last_step.py:99-129);
+    // opt-in via --collect-usage-stats true, offline collector = log line
+    if (opts.get("--collect-usage-stats").contains("true")) {
+      val attempted = report.results.filter(_.attempted > 0).map(_.executionKey).toSet
+      val ran = graft.pipeline.UsageStats.ranRecords(
+        executions.filter(e => attempted.contains(e.key)).distinct)
+      val errs = graft.pipeline.UsageStats.errorRecords(
+        report.results.flatMap(r => r.error.map(m => (s"megalista.${r.destinationType}", m))))
+      graft.pipeline.UsageStats.process(collectUsageStats = true,
+        clientId = (System.currentTimeMillis() * 10).toString,
+        records = ran ++ errs,
+        collect = rs => println(s"[graft] usage stats: ${rs.size} records"))
+    }
     spark.stop()
     if (report.exitCode != 0) sys.exit(report.exitCode)
   }

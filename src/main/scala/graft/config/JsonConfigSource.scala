@@ -92,21 +92,201 @@ final class JsonConfigSource(json: String) extends ConfigSource {
   }
 }
 
-/** Interface stubs for the Sheets / Firestore config paths (reference
-  * `spreadsheet_execution_source.py:25-133`, `firestore_execution_source.py:
-  * 25-137`): external-API surfaces, out of scope offline — the trait seam is
-  * what the engine depends on.
+/** Python `distutils.util.strtobool`, used by the reference for the MCC
+  * flag in both the Sheets and Firestore sources
+  * (`spreadsheet_execution_source.py:50`, `firestore_execution_source.py:61`).
   */
-final class SpreadsheetConfigSource(sheetId: String) extends ConfigSource {
-  override def executions(): Seq[Execution] =
-    throw new UnsupportedOperationException(
-      s"Sheets config source requires the Sheets API (sheet $sheetId); use JsonConfigSource offline")
+object ConfigValues {
+  def strtobool(s: String): Boolean = s.trim.toLowerCase match {
+    case "y" | "yes" | "t" | "true" | "on" | "1"  => true
+    case "n" | "no" | "f" | "false" | "off" | "0" => false
+    case other => throw new IllegalArgumentException(s"invalid truth value '$other'")
+  }
 }
 
-final class FirestoreConfigSource(collection: String) extends ConfigSource {
-  override def executions(): Seq[Execution] =
+/** Named-range access to a configuration spreadsheet — the ONLY surface
+  * that touches the Sheets API (reference `models/sheets_config.py:44-60`:
+  * `get_range` / `get_value` / `check_if_range_exists`). A live deployment
+  * wraps the Sheets v4 client; offline/tests back it with in-memory grids.
+  */
+trait SheetsData {
+  /** Values grid of a named range; None when the range is missing. */
+  def getRange(name: String): Option[Seq[Seq[String]]]
+  /** Top-left cell of a named range (`sheets_config.py` get_value). */
+  def getValue(name: String): Option[String] =
+    getRange(name).flatMap(_.headOption).flatMap(_.headOption)
+  /** `check_if_range_exists`. */
+  def rangeExists(name: String): Boolean = getRange(name).isDefined
+}
+
+final case class InMemorySheet(ranges: Map[String, Seq[Seq[String]]]) extends SheetsData {
+  override def getRange(name: String): Option[Seq[Seq[String]]] = ranges.get(name)
+}
+
+/** The live-API plug point: accessing any range without a Sheets client is
+  * an error with a remediation hint.
+  */
+final class UnavailableSheets(sheetId: String) extends SheetsData {
+  override def getRange(name: String): Option[Seq[Seq[String]]] =
     throw new UnsupportedOperationException(
-      s"Firestore config source requires the Firestore API (collection $collection); use JsonConfigSource offline")
+      s"Sheets config source requires the Sheets API (sheet $sheetId); " +
+        "use JsonConfigSource offline or back SpreadsheetConfigSource with an offline SheetsData")
+}
+
+/** Sheets-backed execution source (reference
+  * `spreadsheet_execution_source.py:44-133`): account cells from named
+  * ranges (MCC via strtobool, CampaignManagerProfileId falling back to
+  * CampaignManagerAccountId only when the PROFILE range does not exist),
+  * `SourcesRange` / `DestinationsRange` rows as (name, type, metadata...),
+  * `SchedulesRange` rows gated on a literal "YES" in column 0.
+  */
+final class SpreadsheetConfigSource(data: SheetsData) extends ConfigSource {
+
+  def accountConfig: AccountConfig = AccountConfig(
+    googleAdsAccountId = data.getValue("GoogleAdsAccountId").getOrElse(""),
+    mccTrix = data.getValue("GoogleAdsMCC").exists(ConfigValues.strtobool),
+    googleAnalyticsAccountId = data.getValue("GoogleAnalyticsAccountId").getOrElse(""),
+    campaignManagerProfileId = (
+      if (data.rangeExists("CampaignManagerProfileId")) data.getValue("CampaignManagerProfileId")
+      else data.getValue("CampaignManagerAccountId")).getOrElse(""),
+    appId = data.getValue("AppId").getOrElse("")).normalized
+
+  def sources: Map[String, SourceSpec] =
+    data.getRange("SourcesRange").getOrElse(Seq.empty).map { row =>
+      val s = SourceSpec(row.head, SourceType.fromName(row(1)), row.drop(2))
+      s.name -> s
+    }.toMap
+
+  def destinations: Map[String, DestinationSpec] =
+    data.getRange("DestinationsRange").getOrElse(Seq.empty).map { row =>
+      val d = DestinationSpec(row.head, DestinationType.fromName(row(1)), row.drop(2))
+      d.name -> d
+    }.toMap
+
+  override def executions(): Seq[Execution] = {
+    val account = accountConfig
+    val srcs = sources
+    val dsts = destinations
+    data.getRange("SchedulesRange").getOrElse(Seq.empty).collect {
+      case row if row.headOption.contains("YES") =>
+        Execution(account, srcs(row(1)), dsts(row(2)))
+    }
+  }
+}
+
+/** Document access for the Firestore config collection — the ONLY surface
+  * touching the Firestore client (reference `firestore_execution_source.py:
+  * 44-55`). `scheduleDocuments` carries the reference's server-side query
+  * predicate `where('active', '==', 'yes')`; `accountDocument` is the
+  * special `account_config` document.
+  */
+trait FirestoreData {
+  def scheduleDocuments(): Seq[Map[String, String]]
+  def accountDocument(): Option[Map[String, String]]
+}
+
+final case class InMemoryFirestore(docs: Seq[Map[String, String]],
+    account: Option[Map[String, String]]) extends FirestoreData {
+  override def scheduleDocuments(): Seq[Map[String, String]] =
+    docs.filter(_.get("active").contains("yes"))
+  override def accountDocument(): Option[Map[String, String]] = account
+}
+
+final class UnavailableFirestore(collection: String) extends FirestoreData {
+  private def unavailable = throw new UnsupportedOperationException(
+    s"Firestore config source requires the Firestore API (collection $collection); " +
+      "use JsonConfigSource offline or back FirestoreConfigSource with an offline FirestoreData")
+  override def scheduleDocuments(): Seq[Map[String, String]] = unavailable
+  override def accountDocument(): Option[Map[String, String]] = unavailable
+}
+
+object FirestoreConfigSource {
+  /** Destination metadata field order per type
+    * (`firestore_execution_source.py:95-126`). `metadata_padding` stands
+    * for the N/A columns in the Sheets layout, preserving positional
+    * metadata indexes.
+    */
+  val MetadataFields: Map[String, Seq[String]] = Map(
+    "ADS_OFFLINE_CONVERSION" -> Seq("gads_conversion_name"),
+    "ADS_ENHANCED_CONVERSION" -> Seq("gads_conversion_label",
+      "gads_conversion_tracking_id", "gads_currency_code"),
+    "ADS_SSD_UPLOAD" -> Seq("gads_conversion_name", "gads_external_upload_id",
+      "gads_hash", "gads_currency_code", "gads_account"),
+    "ADS_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD" -> Seq("gads_audience_name",
+      "gads_operation", "gads_hash", "metadata_padding", "gads_account"),
+    "ADS_CUSTOMER_MATCH_MOBILE_DEVICE_ID_UPLOAD" -> Seq("gads_audience_name",
+      "gads_operation", "metadata_padding", "gads_app_id", "gads_account"),
+    "ADS_CUSTOMER_MATCH_USER_ID_UPLOAD" -> Seq("gads_audience_name",
+      "gads_operation", "gads_hash", "metadata_padding", "gads_account"),
+    "GA_MEASUREMENT_PROTOCOL" -> Seq("google_analytics_property_id",
+      "google_analytics_non_interaction"),
+    "GA_DATA_IMPORT" -> Seq("google_analytics_property_id",
+      "google_analytics_data_import_name"),
+    "GA_USER_LIST_UPLOAD" -> Seq("google_analytics_property_id",
+      "google_analytics_view_id", "google_analytics_data_import_name",
+      "google_analytics_user_id_list_name", "google_analytics_user_id_custom_dim",
+      "google_analytics_buyer_custom_dim"),
+    "CM_OFFLINE_CONVERSION" -> Seq("campaign_manager_floodlight_activity_id",
+      "campaign_manager_floodlight_configuration_id"),
+    "APPSFLYER_S2S_EVENTS" -> Seq("appsflyer_app_id"))
+}
+
+/** Firestore-backed execution source (reference
+  * `firestore_execution_source.py:44-137`): account fields defaulting to
+  * 'empty' (then digit-normalized like every source), mcc_trix via
+  * strtobool defaulting FALSE, source metadata fixed to [bq_dataset,
+  * bq_table], destination metadata reconstructed positionally from
+  * [[FirestoreConfigSource.MetadataFields]] with `metadata_padding` → "N/A"
+  * and missing fields raising, schedules gated on active == YES
+  * (case-insensitive — the query already filtered lowercase 'yes').
+  */
+final class FirestoreConfigSource(data: FirestoreData) extends ConfigSource {
+  import FirestoreConfigSource._
+
+  def accountConfig: AccountConfig = {
+    val acc = data.accountDocument().getOrElse(
+      throw new IllegalStateException("Firestore collection is absent"))
+    AccountConfig(
+      googleAdsAccountId = acc.getOrElse("google_ads_id", "empty"),
+      mccTrix = ConfigValues.strtobool(acc.getOrElse("mcc_trix", "FALSE")),
+      googleAnalyticsAccountId = acc.getOrElse("google_analytics_account_id", "empty"),
+      campaignManagerProfileId = acc.getOrElse("campaign_manager_profile_id", "empty"),
+      appId = acc.getOrElse("app_id", "empty")).normalized
+  }
+
+  private def metadataFor(doc: Map[String, String]): Seq[String] = {
+    val t = doc("type")
+    val fields = MetadataFields.getOrElse(t,
+      throw new IllegalArgumentException(s"Upload type not implemented: $t"))
+    fields.map {
+      case "metadata_padding" => "N/A"
+      case f => doc.getOrElse(f, throw new IllegalArgumentException(
+        s"Missing field in Firestore document for $t: $f"))
+    }
+  }
+
+  def sources: Map[String, SourceSpec] =
+    data.scheduleDocuments().map { doc =>
+      val s = SourceSpec(doc("source_name"), SourceType.fromName(doc("source")),
+        Seq(doc("bq_dataset"), doc("bq_table")))
+      s.name -> s
+    }.toMap
+
+  def destinations: Map[String, DestinationSpec] =
+    data.scheduleDocuments().map { doc =>
+      val d = DestinationSpec(doc("destination_name"),
+        DestinationType.fromName(doc("type")), metadataFor(doc))
+      d.name -> d
+    }.toMap
+
+  override def executions(): Seq[Execution] = {
+    val account = accountConfig
+    val srcs = sources
+    val dsts = destinations
+    data.scheduleDocuments()
+      .filter(_.get("active").exists(_.toUpperCase == "YES"))
+      .map(doc => Execution(account, srcs(doc("source_name")), dsts(doc("destination_name"))))
+  }
 }
 
 /** Dispatch by which config parameter is set (reference
@@ -116,9 +296,9 @@ object PrimaryConfigSource {
   def select(sheetId: Option[String], jsonPath: Option[String],
       firestoreCollection: Option[String]): ConfigSource =
     (sheetId, jsonPath, firestoreCollection) match {
-      case (Some(s), _, _) => new SpreadsheetConfigSource(s)
+      case (Some(s), _, _) => new SpreadsheetConfigSource(new UnavailableSheets(s))
       case (_, Some(j), _) => JsonConfigSource.fromFile(j)
-      case (_, _, Some(f)) => new FirestoreConfigSource(f)
+      case (_, _, Some(f)) => new FirestoreConfigSource(new UnavailableFirestore(f))
       case _ => throw new IllegalArgumentException(
         "One of sheet id, json path or firestore collection must be set")
     }

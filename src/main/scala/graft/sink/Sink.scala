@@ -81,6 +81,48 @@ final case class FileTransport(dir: String) extends Transport {
   }
 }
 
+/** Live HTTP transport over `java.net.http` (JDK built-in — no added
+  * dependencies): POSTs each rendered request's body to its URL. Status
+  * mapping mirrors the reference uploaders' error handling
+  * (`google_analytics_4_measurement_protocol.py:97-139` logs non-2xx;
+  * `safe_call_api` retries raised exceptions, `uploaders/utils.py:91-104`):
+  *  - 2xx → success for the carried rows;
+  *  - 5xx → thrown, so [[Transport.sendWithRetry]] retries up to 3 times;
+  *  - any other status → permanent failure for the carried rows.
+  * The HttpClient is built lazily per JVM (`@transient` — each executor
+  * constructs its own; the case class itself stays serializable).
+  *
+  * @param rewriteUrl maps the renderer's endpoint to the live target —
+  *        identity in production, a mock-server address in tests, or an
+  *        API-base injection for staging.
+  */
+final case class HttpTransport(
+    headers: Map[String, String] = Map("Content-Type" -> "application/json"),
+    timeoutMs: Long = 15000L,
+    rewriteUrl: String => String = identity[String] _) extends Transport {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+  override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+    val builder = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(rewriteUrl(req.url)))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(req.body))
+    headers.foreach { case (k, v) => builder.header(k, v) }
+    val resp = client.send(builder.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    val code = resp.statusCode()
+    if (code / 100 == 2) TransportResult()
+    else if (code >= 500)
+      throw new java.io.IOException(s"HTTP $code: ${resp.body().take(200)}")
+    else TransportResult(
+      error = Some(s"Error uploading data: HTTP $code: ${resp.body().take(200)}"))
+  }
+}
+
 /** Test transport failing requests per predicate; records sends in a static
   * buffer (single-JVM local mode — tests only).
   */

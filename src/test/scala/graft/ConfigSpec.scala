@@ -59,4 +59,94 @@ class ConfigSpec extends AnyFunSuite {
   test("missing sections yield empty plan") {
     assert(JsonConfigSource.fromString("{}").executions().isEmpty)
   }
+
+  // ---- Sheets-backed source (spreadsheet_execution_source.py semantics)
+
+  private def sheet(extra: Map[String, Seq[Seq[String]]] = Map.empty) =
+    new graft.config.SpreadsheetConfigSource(graft.config.InMemorySheet(Map(
+      "GoogleAdsAccountId" -> Seq(Seq("123-456-7890")),
+      "GoogleAdsMCC" -> Seq(Seq("Yes")),
+      "AppId" -> Seq(Seq("my.app")),
+      "GoogleAnalyticsAccountId" -> Seq(Seq("UA-1234-5")),
+      "CampaignManagerAccountId" -> Seq(Seq("999")),
+      "SourcesRange" -> Seq(
+        Seq("src oci", "BIG_QUERY", "ds", "conversions"),
+        Seq("src mp", "FILE", "parquet", "/tmp/x.parquet")),
+      "DestinationsRange" -> Seq(
+        Seq("dst oci", "ADS_OFFLINE_CONVERSION", "Conv_Name"),
+        Seq("dst mp", "GA_MEASUREMENT_PROTOCOL", "GA_ID", "1")),
+      "SchedulesRange" -> Seq(
+        Seq("YES", "src oci", "dst oci"),
+        Seq("NO", "src mp", "dst mp"))) ++ extra))
+
+  test("sheets source parses account cells with strtobool MCC and CM fallback") {
+    val account = sheet().accountConfig
+    assert(account.googleAdsAccountId == "1234567890")
+    assert(account.mccTrix) // strtobool("Yes")
+    assert(account.campaignManagerProfileId == "999") // AccountId fallback
+    // the PROFILE range existing takes precedence even over the account id
+    val withProfile = sheet(Map("CampaignManagerProfileId" -> Seq(Seq("111"))))
+    assert(withProfile.accountConfig.campaignManagerProfileId == "111")
+  }
+
+  test("sheets source yields only YES-scheduled executions") {
+    val execs = sheet().executions()
+    assert(execs.map(_.key) == Seq("src oci -> dst oci"))
+    assert(execs.head.source.metadata == Seq("ds", "conversions"))
+    assert(execs.head.destination.metadata == Seq("Conv_Name"))
+  }
+
+  test("strtobool accepts the distutils truth table and rejects garbage") {
+    import graft.config.ConfigValues.strtobool
+    assert(Seq("y", "YES", "t", "True", "on", "1").forall(strtobool))
+    assert(!Seq("n", "No", "f", "FALSE", "off", "0").exists(strtobool))
+    intercept[IllegalArgumentException](strtobool("maybe"))
+  }
+
+  // ---- Firestore-backed source (firestore_execution_source.py semantics)
+
+  private def firestoreDoc(active: String = "yes") = Map(
+    "active" -> active,
+    "source_name" -> "src fs",
+    "source" -> "BIG_QUERY",
+    "bq_dataset" -> "ds",
+    "bq_table" -> "conversions",
+    "destination_name" -> "dst fs",
+    "type" -> "ADS_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD",
+    "gads_audience_name" -> "aud",
+    "gads_operation" -> "ADD",
+    "gads_hash" -> "true",
+    "gads_account" -> "555")
+
+  test("firestore source reconstructs positional metadata with padding") {
+    val src = new graft.config.FirestoreConfigSource(graft.config.InMemoryFirestore(
+      Seq(firestoreDoc()), Some(Map("google_ads_id" -> "123", "mcc_trix" -> "TRUE"))))
+    val execs = src.executions()
+    assert(execs.map(_.key) == Seq("src fs -> dst fs"))
+    // metadata_padding fills index 3 with N/A, preserving the Sheets layout
+    assert(execs.head.destination.metadata == Seq("aud", "ADD", "true", "N/A", "555"))
+    assert(execs.head.source.metadata == Seq("ds", "conversions"))
+    assert(execs.head.account.googleAdsAccountId == "123")
+    assert(execs.head.account.mccTrix)
+  }
+
+  test("firestore source filters inactive docs and flags missing fields") {
+    val inactive = new graft.config.FirestoreConfigSource(graft.config.InMemoryFirestore(
+      Seq(firestoreDoc(active = "no")), Some(Map.empty)))
+    assert(inactive.executions().isEmpty)
+    val missing = new graft.config.FirestoreConfigSource(graft.config.InMemoryFirestore(
+      Seq(firestoreDoc() - "gads_account"), Some(Map.empty)))
+    val ex = intercept[IllegalArgumentException](missing.executions())
+    assert(ex.getMessage.contains("gads_account"))
+    val noAccount = new graft.config.FirestoreConfigSource(
+      graft.config.InMemoryFirestore(Seq(firestoreDoc()), None))
+    intercept[IllegalStateException](noAccount.executions())
+  }
+
+  test("live-API plug points still throw with remediation hints") {
+    intercept[UnsupportedOperationException](
+      graft.config.PrimaryConfigSource.select(Some("sheet1"), None, None).executions())
+    intercept[UnsupportedOperationException](
+      graft.config.PrimaryConfigSource.select(None, None, Some("coll")).executions())
+  }
 }
