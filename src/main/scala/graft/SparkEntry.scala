@@ -323,6 +323,23 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** IVF over a MATERIALIZED index: the corpus is written once partitioned
+    * by coarse cell (`Similarity.writeIvfIndex` — the directory layout IS
+    * the index at 100 TB), then searched via the partition column with
+    * dynamic partition pruning. Semantics identical to e_ivf_topk, so the
+    * oracle is the same SQL — the hash match proves the persisted layout
+    * loses nothing.
+    */
+  private def eIvfIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = VectorOps.rademacherPlanes(8, 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+    Similarity.ivfIndexTopK(s, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      centroids, path, k = 10, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** IVF with TRAINED coarse centroids: spherical k-means over the sf0.01
     * embeddings (5 Lloyd iterations), frozen as compile-time literals in
     * [[graft.operators.TrainedCentroids]] — the 100 TB practice of training
@@ -435,6 +452,40 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Gopher-style repetition quality signals: top-2-gram fraction and
+    * duplicate-3-gram fraction, from one codegen'd all-integer stats kernel
+    * per row (the oracle recomputes the same 30-bit n-gram hashes).
+    */
+  private def tRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top_2gram_frac"),
+      round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6).as("dup_3gram_frac"))
+
+  /** Regex PII scrubbing over text with planted emails/long numbers: the
+    * redacted text AND the audit match count are both hash-checked (the
+    * patterns are RE2-compatible on purpose, so DuckDB replays them).
+    */
+  private def tRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call "),
+          lpad(col("doc_id").cast("string"), 7, "0")).as("raw"))
+      .select(col("doc_id"),
+        TextAnalysis.piiMatchCount(col("raw")).cast("long").as("n_pii"),
+        TextAnalysis.redactPii(col("raw")).as("clean"))
+
+  /** C4/Gopher-style composite keep-filter: quality score + duplicate-3-gram
+    * bound + minimum length, the canonical pre-training cleanup gate.
+    */
+  private def tQualityFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6).as("dup3"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
+      .select("doc_id", "quality")
+
   // ------------------------------------------------------------------
   // Pipeline-level queries: the engine itself under the oracle gate
   // ------------------------------------------------------------------
@@ -520,6 +571,7 @@ object SparkEntry {
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
     "e_ivf_trained_topk" -> (eIvfTrainedTopK _),
+    "e_ivf_index_topk" -> (eIvfIndexTopK _),
     "m_modality_stats" -> (mModalityStats _),
     "m_image_dims" -> (mImageDims _),
     "m_media_fingerprint" -> (mMediaFingerprint _),
@@ -527,7 +579,10 @@ object SparkEntry {
     "t_token_stats" -> (tTokenStats _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
-    "t_fingerprint" -> (tFingerprint _)
+    "t_fingerprint" -> (tFingerprint _),
+    "t_repetition" -> (tRepetition _),
+    "t_redact" -> (tRedact _),
+    "t_quality_filter" -> (tQualityFilter _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -572,6 +627,41 @@ object SparkEntry {
     def dotRf(x: String, y: String) =
       s"list_reduce([0.0] || list_transform(list_zip($x, $y), zz -> zz[1] * zz[2]), (cacc, cx) -> cacc + cx)"
     s"(${dotRf(a, b)} / (sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)})))"
+  }
+
+  /** The untrained-centroid IVF search oracle, shared by the recompute
+    * (e_ivf_topk) and materialized-index (e_ivf_index_topk) variants —
+    * identical semantics by construction.
+    */
+  private lazy val sqlIvfTopK: String = {
+    val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+    s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM e CROSS JOIN sgt),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell FROM cells),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cells WHERE vec_id < 5),
+         cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
+           FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
+  }
+
+  /** Word n-gram occurrence hashes (NOT distinct) over a `tk` token-array
+    * column — mirrors `Kernels.wordNgramStats` hashing (space-joined window,
+    * 30-bit poly hash). `range(1, len(tk) - ${n-2})` yields len-n+1 windows.
+    */
+  private def sqlWordNgramHashes(n: Int): String = {
+    val upper = if (n == 2) "len(tk)" else s"len(tk) - ${n - 2}"
+    s"CASE WHEN len(tk) < $n THEN []::BIGINT[] ELSE " +
+      s"list_transform(range(1, $upper), i -> " +
+      s"${sqlPh(s"array_to_string(tk[i:i+${n - 1}], ' ')", 31L, 1000000007L)}) END"
   }
 
   /** MinHash affine coefficients as SQL list literals. */
@@ -857,25 +947,9 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10""",
-    "e_ivf_topk" -> {
-      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
-      s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
-             list_transform(list_sort(list_transform(range(0, 8), ci ->
-               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
-               st -> st.cell) AS sorted_cells
-           FROM e CROSS JOIN sgt),
-         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell FROM cells),
-         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
-               FROM cells WHERE vec_id < 5),
-         cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
-           FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
-         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 10"""
-    },
+    "e_ivf_topk" -> sqlIvfTopK,
+    // the materialized-index variant is semantically identical — same oracle
+    "e_ivf_index_topk" -> sqlIvfTopK,
     "e_ivf_trained_topk" -> {
       // identical formulation to e_ivf_topk, with the TRAINED centroid
       // doubles (Double.toString round-trips through DuckDB's parser)
@@ -991,6 +1065,51 @@ object SparkEntry {
       """SELECT doc_id,
          list_reduce([0::BIGINT] || list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-         FROM documents"""
+         FROM documents""",
+    "t_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+                        FROM documents),
+         g AS (SELECT doc_id, ${sqlWordNgramHashes(2)} AS g2, ${sqlWordNgramHashes(3)} AS g3
+               FROM toks)
+         SELECT doc_id,
+           round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+             coalesce(list_max(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))), 0)::DOUBLE / len(g2) END, 6)
+             AS top_2gram_frac,
+           round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+             (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6)
+             AS dup_3gram_frac
+         FROM g""",
+    "t_redact" ->
+      s"""WITH r AS (SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or call '
+                  || lpad(doc_id::VARCHAR, 7, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '${TextAnalysis.EmailPattern}'))
+              + len(regexp_extract_all(raw, '${TextAnalysis.LongNumberPattern}')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+             '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS clean
+         FROM r""",
+    "t_quality_filter" ->
+      s"""WITH r AS (SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ($stopwordsSql)))::DOUBLE /
+             len(string_split_regex(trim(text), '\\s+')) AS sr,
+           string_split_regex(trim(text), '\\s+') AS tk
+         FROM documents),
+         g AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM r),
+         q AS (SELECT doc_id,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
+             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
+             n_tokens
+           FROM g)
+         SELECT doc_id, quality FROM q
+         WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5"""
   )
 }

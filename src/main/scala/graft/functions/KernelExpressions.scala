@@ -109,6 +109,18 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [total, distinct, maxRun] occurrence stats of word n-grams of
+    * trim(text) — basis of the Gopher repetition signals.
+    */
+  case class WordNgramStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.wordNgramStats(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.wordNgramStats($t, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 60-bit SimHash of lower(text) over whitespace tokens. */
   case class Simhash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -141,4 +153,6 @@ object KernelExpressions {
     c(SortedIntersectCount(e(a), e(b)))
 
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
+
+  def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
 }

@@ -201,6 +201,40 @@ object Kernels {
     s.substring(from, until)
   }
 
+  /** Occurrence statistics of word n-grams of trim(text) (occurrences, NOT
+    * distinct): [total windows, distinct n-grams, max occurrences of any one
+    * n-gram]. The Gopher-style repetition quality signals — top-n-gram
+    * fraction and duplicate-n-gram fraction — are ratios of these three
+    * integers, so the cross-engine contract stays all-integer. Tokenization
+    * and hashing identical to [[wordShingleHashes]] (trim + \s+ split, space
+    * join, 30-bit poly hash).
+    */
+  def wordNgramStats(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = sparkTrim(text.toString)
+    if (trimmed.isEmpty) return new GenericArrayData(Array(0L, 0L, 0L))
+    val toks = trimmed.split("\\s+")
+    val windows = math.max(toks.length - (n - 1), 0)
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val sb = new java.lang.StringBuilder(toks(w))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(w + j)); j += 1 }
+      val cps = codePoints(sb.toString)
+      hs(w) = polyHashRange(cps, 0, cps.length, Base1, Mod1)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 0L; var maxRun = 0L; var run = 0L
+    var i = 0
+    while (i < windows) {
+      if (i == 0 || hs(i) != hs(i - 1)) { distinct += 1; run = 1L } else run += 1
+      if (run > maxRun) maxRun = run
+      i += 1
+    }
+    new GenericArrayData(Array(windows.toLong, distinct, maxRun))
+  }
+
   def simhash60(text: UTF8String): Long = {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L

@@ -87,4 +87,43 @@ object TextAnalysis {
       split(text, ""),
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Fraction of n-gram occurrences accounted for by the single most
+    * frequent word n-gram — the Gopher "top n-gram" repetition signal
+    * (templated/boilerplate text scores high). Kernel-backed: one codegen'd
+    * pass per row, all-integer stats, ratio taken in the plan.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val s = KernelExpressions.wordNgramStats(text, n)
+    when(element_at(s, 1) === 0L, lit(0.0))
+      .otherwise(element_at(s, 3).cast("double") / element_at(s, 1))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier
+    * occurrence — the Gopher "duplicate n-gram" signal (spammy repetition
+    * scores high; distinct text scores 0).
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val s = KernelExpressions.wordNgramStats(text, n)
+    when(element_at(s, 1) === 0L, lit(0.0))
+      .otherwise((element_at(s, 1) - element_at(s, 2)).cast("double") / element_at(s, 1))
+  }
+
+  /** Regex PII scrubbing for training text: emails → `<EMAIL>`, 7+-digit
+    * runs (phones, account numbers) → `<NUM>`. Patterns are deliberately
+    * RE2-compatible so the DuckDB oracle replays them verbatim; Spark's
+    * regexp_replace is global by default, matching DuckDB's 'g' flag.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** Count of PII matches (before redaction) — the audit metric that rides
+    * along with scrubbing in a real pipeline.
+    */
+  def piiMatchCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(LongNumberPattern))
 }

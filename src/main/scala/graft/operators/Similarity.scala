@@ -100,6 +100,19 @@ object Similarity {
     centroids
   }
 
+  /** The `n` nearest centroid cells of a vector by cosine, descending
+    * (ties by cell index — the exact order the DuckDB oracles replicate).
+    */
+  def nearestCells(vec: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]], n: Int): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+      struct((vecCosine(vec, typedLit(ctr)) * -1).as("negCos"),
+        lit(i).as("cell"))
+    }
+    // sort ascending by negCos = descending by cosine; take n cells
+    slice(array_sort(array(scored: _*)), 1, n).getField("cell")
+  }
+
   /** IVF-style coarse quantization: assign every corpus vector to its
     * nearest of `centroids` (driver-side literal list — see
     * [[trainCentroids]]); queries search only their `nprobe` nearest
@@ -109,19 +122,40 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int = 10,
       nprobe: Int = 2): DataFrame = {
-    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
-      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-        struct((vecCosine(vec, typedLit(ctr)) * -1).as("negCos"),
-          lit(i).as("cell"))
-      }
-      // sort ascending by negCos = descending by cosine; take n cells
-      slice(array_sort(array(scored: _*)), 1, n).getField("cell")
-    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", element_at(nearestCells(col("c_vec"), 1), 1))
+      .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
+    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe)
+  }
+
+  /** Materialized IVF index: the corpus written ONCE partitioned by coarse
+    * cell. At 100 TB you do not re-assign cells per query — the directory
+    * layout IS the index, and each search reads only its `nprobe` cells:
+    * the cell-keyed join against the partition column drives dynamic
+    * partition pruning, so the scan touches ~nprobe/k of the files.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Search a materialized index written by [[writeIvfIndex]] with the SAME
+    * centroid list. Identical results to [[ivfTopK]]; the corpus-side cell
+    * assignment is read from the partition column instead of recomputed.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]], path: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val c = spark.read.parquet(path)
+      .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
+    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe)
+  }
+
+  private def rankCells(queries: DataFrame, cellsCorpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(nearestCells(col("q_vec"), nprobe)))
-    val candidates = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cell", explode(nearestCells(col("q_vec"), centroids, nprobe)))
+    val candidates = cellsCorpus.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))

@@ -64,6 +64,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained >= 0.3, s"trained recall too low: $trained")
   }
 
+  test("materialized IVF index equals the recompute path and prunes partitions") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = VectorOps.rademacherPlanes(8, 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+    // one directory per cell — the layout IS the index
+    val cells = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    val q = emb.filter(col("vec_id") < 5)
+    val fromIndex = Similarity.ivfIndexTopK(spark, q, "vec_id", "embedding",
+      centroids, path, k = 10, nprobe = 2)
+    val recomputed = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      centroids, k = 10, nprobe = 2)
+    assert(fromIndex.collect().map(_.toSeq).toSet == recomputed.collect().map(_.toSeq).toSet)
+    // the cell-keyed broadcast join drives dynamic partition pruning on the
+    // index scan: only the probed cells' directories are read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), "index scan is not partition-pruned:\n" +
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("IVF top-k finds planted cluster neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
