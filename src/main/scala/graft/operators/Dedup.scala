@@ -181,14 +181,17 @@ object Dedup {
     * than `maxBucket` are dropped from candidate generation (same rationale
     * as `maxShingleDf`): members of an over-cap bucket are dominated by
     * exact/boilerplate duplicates, which exact dedup (cheap, digest-keyed)
-    * already resolves. One window count on the bucket key; the subsequent
-    * self-join reuses the same hash partitioning, so the guard costs a
-    * per-partition sort, not an extra shuffle.
+    * already resolves. Implementation: a map-side-combinable count per key
+    * (the shuffle carries (key, partial count), not rows) joined back on the
+    * key — co-partitioned with the self-join that follows and, unlike a
+    * window count, needing NO sort of the full keyed table.
     */
-  private def capBuckets(keyed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
-    keyed.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+  private def capBuckets(keyed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    val small = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") <= maxBucket)
       .drop("__bucket_n")
+    keyed.join(small, keyCol)
+  }
 
   // -------------------------------------------------------------- minhash
 
