@@ -89,4 +89,24 @@ object Transforms {
     */
   def consolidate(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _).distinct()
+
+  /** Salted large-large equi-join for degenerate keys: the skewed left
+    * side's rows are salted `factor` ways (deterministically, from a hash of
+    * the full row) and the right side is replicated once per salt, so one
+    * hot key's rows spread over `factor` tasks instead of one straggler.
+    * Exact inner-join semantics; use when a single KEY is hot beyond what
+    * AQE's partition-granularity skew split can subdivide.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      factor: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(factor)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit(_)): _*)))
+    val cond = (keys.map(k => l(k) === r(k)) :+ (l("__salt") === r("__salt")))
+      .reduce(_ && _)
+    l.join(r, cond)
+      .select(left.columns.map(l(_)) ++
+        right.columns.filterNot(keys.contains).map(r(_)): _*)
+  }
 }
