@@ -487,6 +487,86 @@ object SparkEntry {
       .select("doc_id", "quality")
 
   // ------------------------------------------------------------------
+  // Streaming queries under the oracle gate: the stream RUNS (availableNow
+  // / micro-batches) and its OUTPUT is hash-compared to the DuckDB batch
+  // oracle — stream/batch equivalence as a correctness row, not just a test
+  // ------------------------------------------------------------------
+
+  /** The watermarked streaming hourly rollup over the real events table,
+    * drained with availableNow into a memory sink; output reshaped to the
+    * q_hourly_rollup schema. Equivalence to the batch plan is exact: same
+    * window arithmetic, same µs truncation.
+    */
+  private def sRollupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qn = s"s_rollup_stream_${System.nanoTime()}"
+    val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).select(
+      (unix_timestamp(col("hour_start")) / 3600).cast("long").as("hour_id"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** The stateful streaming sessionizer over the real events table as a
+    * FILE stream — no driver-side row materialization at any scale. The
+    * landing dir gets the events file plus two watermark-advancing sentinel
+    * files; maxFilesPerTrigger=1 makes each file its own micro-batch, so
+    * the sentinels advance the watermark between batches and every real
+    * session times out and flushes. Output aggregated to the q_sessionize
+    * shape; sentinel user (-1) filtered.
+    */
+  private def sSessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.Streaming
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_s")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val base = s.read.parquet(landing.toString)
+    val maxTsNs = base.agg(max(col("ts"))).head().getLong(0)
+    def writeSentinel(name: String, tsNs: Long, eid: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+      base.limit(1).select(base.schema.fields.map { f =>
+        (f.name match {
+          case "event_id"   => lit(eid)
+          case "ts"         => lit(tsNs)
+          case "user_id"    => lit(-1L)
+          case "event_type" => lit("z")
+          case "value"      => lit(0.0)
+          case _            => lit("{}")
+        }).cast(f.dataType).as(f.name)
+      }: _*).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(name))
+    }
+    writeSentinel("zz_sentinel1.parquet", maxTsNs + 86400L * 1000000000L, -1L)
+    writeSentinel("zz_sentinel2.parquet", maxTsNs + 86401L * 1000000000L, -2L)
+    val ev = Streaming.readParquetStream(s, landing.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val qn = s"s_sessionize_stream_${System.nanoTime()}"
+    val query = Streaming.sessionize(ev.as[Streaming.Event],
+        gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).filter(col("user_id") >= 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+  }
+
+  // ------------------------------------------------------------------
   // Pipeline-level queries: the engine itself under the oracle gate
   // ------------------------------------------------------------------
 
@@ -546,6 +626,8 @@ object SparkEntry {
     "q_part_agg" -> (qPartAgg _),
     "q_window_rank" -> (qWindowRank _),
     "q_sessionize" -> (qSessionize _),
+    "s_rollup_stream" -> (sRollupStream _),
+    "s_sessionize_stream" -> (sSessionizeStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
     "q_top_users" -> (qTopUsers _),
     "q_anti_join_key" -> (qAntiJoinKey _),
@@ -628,6 +710,27 @@ object SparkEntry {
       s"list_reduce([0.0] || list_transform(list_zip($x, $y), zz -> zz[1] * zz[2]), (cacc, cx) -> cacc + cx)"
     s"(${dotRf(a, b)} / (sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)})))"
   }
+
+  /** Shared by the batch query and its streaming dual — the stream's output
+    * is hash-checked against the SAME DuckDB result.
+    */
+  private lazy val sqlSessionize: String =
+    """WITH g AS (
+         SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         FROM events),
+       m AS (
+         SELECT user_id,
+           CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+         FROM g)
+       SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM m GROUP BY user_id"""
+
+  private lazy val sqlHourlyRollup: String =
+    """SELECT epoch_us(ts) // 3600000000 AS hour_id,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2"""
 
   /** The untrained-centroid IVF search oracle, shared by the recompute
     * (e_ivf_topk) and materialized-index (e_ivf_index_topk) variants —
@@ -765,22 +868,12 @@ object SparkEntry {
            SELECT event_id, user_id,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn <= 3""",
-    "q_sessionize" ->
-      """WITH g AS (
-           SELECT user_id,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-           FROM events),
-         m AS (
-           SELECT user_id,
-             CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
-           FROM g)
-         SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
-                count(*) AS n_events
-         FROM m GROUP BY user_id""",
-    "q_hourly_rollup" ->
-      """SELECT epoch_us(ts) // 3600000000 AS hour_id,
-         event_type, count(*) AS n, round(sum(value), 2) AS total_value
-         FROM events GROUP BY 1, 2""",
+    "q_sessionize" -> sqlSessionize,
+    // the STREAMING sessionizer must reproduce the batch result exactly
+    "s_sessionize_stream" -> sqlSessionize,
+    "q_hourly_rollup" -> sqlHourlyRollup,
+    // the STREAMING rollup must reproduce the batch result exactly
+    "s_rollup_stream" -> sqlHourlyRollup,
     "q_top_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY user_id

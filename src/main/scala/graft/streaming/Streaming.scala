@@ -96,10 +96,13 @@ object Streaming {
 
   /** Source wiring: a parquet directory tailed as a stream (schema from the
     * existing files — the standard pattern for landing-zone ingestion).
+    * `options` pass through to the source (e.g. maxFilesPerTrigger for
+    * bounded micro-batches).
     */
-  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
+  def readParquetStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    spark.readStream.schema(schema).options(options).parquet(path)
   }
 
   /** Sink wiring: append the rollup/sessions to a parquet directory with a
