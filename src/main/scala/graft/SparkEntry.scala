@@ -426,6 +426,17 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         hex(col("frame")).as("frame_hex"))
 
+  /** Audio feature extraction from the WAV payloads: RMS + peak over the
+    * PCM body bytes — the oracle recomputes both from the text bytes the
+    * container was built from, so the byte-offset arithmetic is fully
+    * checked.
+    */
+  private def mAudioEnergy(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .filter(Multimodal.sniffModality(col("payload")) === "audio/wav")
+      .withColumn("st", Multimodal.wavAudioStats(col("payload")))
+      .select(col("doc_id"), round(col("st.rms"), 6).as("rms"), col("st.peak").as("peak"))
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -658,6 +669,7 @@ object SparkEntry {
     "m_image_dims" -> (mImageDims _),
     "m_media_fingerprint" -> (mMediaFingerprint _),
     "m_frame_sample" -> (mFrameSample _),
+    "m_audio_energy" -> (mAudioEnergy _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
@@ -1121,6 +1133,17 @@ object SparkEntry {
          SELECT doc_id, fi AS frame_idx, substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
          FROM p, unnest(range(0, ((length(ph) // 2 - 1) // 64) + 1)) AS u(fi)"""
     },
+    "m_audio_energy" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
+                    FROM documents WHERE doc_id % 3 = 2),
+         b AS (SELECT doc_id, list_transform(range(1, length(hx) // 2 + 1),
+                 i -> ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS BIGINT), 2))::BIGINT) AS bytes
+               FROM h)
+         SELECT doc_id,
+           round(CASE WHEN len(bytes) = 0 THEN 0.0 ELSE
+             sqrt(list_sum(list_transform(bytes, x -> x * x))::DOUBLE / len(bytes)) END, 6) AS rms,
+           CAST(coalesce(list_max(bytes), 0) AS BIGINT) AS peak
+         FROM b""",
     "t_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,

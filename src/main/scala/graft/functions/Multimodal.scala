@@ -81,6 +81,31 @@ object Multimodal {
       i => bin.substr((i * stride + 1).cast("int"), lit(frameSize)))
   }
 
+  /** Unsigned byte values of the payload from 1-based byte offset `from` —
+    * expression-only (hex-pair parse), mirroring the DuckDB oracle exactly.
+    */
+  def byteValues(bin: Column, from: Int): Column = {
+    val h = substring(hex(bin), (from - 1) * 2 + 1, 1 << 30)
+    val n = (length(h) / 2).cast("long")
+    when(n < 1, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1L), n),
+        i => conv(h.substr(((i - 1L) * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")))
+  }
+
+  /** RMS level + peak of the WAV body (bytes after the 12-byte RIFF/WAVE
+    * header) read as unsigned 8-bit samples — real byte arithmetic over the
+    * container, like the image-header parsing; a codec would swap the
+    * sample interpretation (bit depth, endianness), not the plumbing.
+    */
+  def wavAudioStats(bin: Column): Column = {
+    val bytes = byteValues(bin, 13)
+    val n = size(bytes)
+    val sumsq = aggregate(bytes, lit(0L), (acc, b) => acc + b * b)
+    struct(
+      when(n === 0, lit(0.0)).otherwise(sqrt(sumsq.cast("double") / n)).as("rms"),
+      coalesce(array_max(bytes), lit(0L)).as("peak"))
+  }
+
   /** Distributed decode plumbing — the Scala analog of a `mapInPandas`
     * batch UDF: one decoder instance per partition (amortizing model/codec
     * init), bytes in → fixed-schema features out, executed inside
