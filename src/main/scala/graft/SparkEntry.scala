@@ -272,6 +272,36 @@ object SparkEntry {
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5, maxBucket = 20)
   }
 
+  /** C4-style corpus-frequent line removal over a corpus with planted
+    * boilerplate: every 5th doc gains a shared footer sentence; the df cap
+    * strips it back out (plus any naturally-frequent sentence, identically
+    * on both engines). Clean text AND kept-count are hash-checked.
+    */
+  private def dLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(". all rights reserved worldwide")))
+        .otherwise(col("text")).as("text"))
+    Dedup.lineDedup(planted, "doc_id", "text", maxDf = 5)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_kept"))
+  }
+
+  /** Per-language token-budget curation (data-mixture building): keep each
+    * language's highest-quality documents until its token budget fills.
+    * A PARTITIONED running-sum window — per-language ordering shuffles one
+    * partition per language, never a global single-partition sort.
+    */
+  private def tTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Near-dup CLUSTER resolution: minhash pairs → connected components →
     * (doc_id, comp); dedup keeps comp == doc_id. The oracle replays the
     * same pair set and closes it with a recursive CTE.
@@ -658,6 +688,8 @@ object SparkEntry {
     "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lsh_skew_guard" -> (dLshSkewGuard _),
+    "d_line_dedup" -> (dLineDedup _),
+    "t_token_budget" -> (tTokenBudget _),
     "d_neardup_components" -> (dNeardupComponents _),
     "e_cosine_topk" -> (eCosineTopK _),
     "e_neardup_pairs" -> (eNeardupPairs _),
@@ -963,6 +995,44 @@ object SparkEntry {
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_line_dedup" ->
+      """WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || '. all rights reserved worldwide' ELSE text END AS text
+           FROM documents),
+         p AS (SELECT doc_id, string_split_regex(text, '\. ') AS parts FROM planted),
+         sent AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, parts[i] AS sentence
+                  FROM p, unnest(range(1, len(parts) + 1)) AS t(i)),
+         hot AS (SELECT sentence FROM (
+                   SELECT sentence, count(DISTINCT doc_id) AS df
+                   FROM sent GROUP BY sentence)
+                 WHERE df > 5),
+         kept AS (SELECT doc_id, pos, sentence FROM sent
+                  WHERE sentence NOT IN (SELECT sentence FROM hot)),
+         agg AS (SELECT doc_id, string_agg(sentence, '. ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+         FROM planted d LEFT JOIN agg a USING (doc_id)""",
+    "t_token_budget" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ($stopwordsSql)))::DOUBLE /
+             len(string_split_regex(trim(text), '\\s+')) AS sr
+         FROM documents),
+         q AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality
+           FROM r)
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM q)
+         WHERE cum_tokens <= 2000""",
     "d_lsh_skew_guard" ->
       s"""WITH planted AS (
            SELECT doc_id,

@@ -354,6 +354,39 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --------------------------------------------------- line-level dedup
+
+  /** C4-style corpus-frequent line removal: drop every sentence/line that
+    * occurs in more than `maxDf` distinct documents (navigation chrome,
+    * legal footers, cookie banners). Scale shape: sentences are COUNTED by
+    * fixed-width digest (the text never keys a shuffle); the per-doc
+    * reassembly groups by id and restores original order via the carried
+    * position.
+    *
+    * @return (id, clean_text, n_kept) — documents whose every line is
+    *         boilerplate come back with an empty clean_text.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      separator: String = "\\. ", joiner: String = ". ",
+      maxDf: Int = 5): DataFrame = {
+    val sent = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), separator)).as(Seq("pos", "sentence")))
+      .withColumn("digest", contentDigest(col("sentence")))
+    // distinct (digest, id) first so df counts documents, not occurrences
+    val hot = sent.select(col("digest"), col("id")).distinct()
+      .groupBy(col("digest")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("digest")
+    val kept = sent.join(hot, Seq("digest"), "left_anti")
+    val reassembled = kept.groupBy(col("id")).agg(
+      concat_ws(joiner, transform(array_sort(collect_list(
+        struct(col("pos"), col("sentence")))), s => s.getField("sentence"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id")).join(reassembled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected pair list by iterative

@@ -216,6 +216,20 @@ class DedupSpec extends SparkTestBase {
     assert(blocked.size == 15)
   }
 
+  test("line dedup strips corpus-frequent sentences, preserves order, keeps the rest") {
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"unique opening $i. shared cookie banner. unique body $i. shared cookie banner")
+    } :+ (10L, "shared cookie banner") // doc that is ALL boilerplate
+    val out = Dedup.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text", maxDf = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toMap
+    (0 until 10).foreach { i =>
+      assert(out(i.toLong) == (s"unique opening $i. unique body $i", 2L),
+        s"doc $i: ${out(i.toLong)}")
+    }
+    assert(out(10L) == ("", 0L)) // fully-boilerplate doc comes back empty
+  }
+
   test("embedding near-dup SRP recall >= 0.9 vs exact on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
