@@ -238,9 +238,11 @@ object SparkEntry {
     Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
 
-  /** Inverted-index-blocked word-3-gram Jaccard pairs — exact for any
-    * threshold > 0 (a pair with jaccard ≥ t shares ≥1 shingle), so the
-    * all-pairs DuckDB oracle matches the blocked plan's output exactly.
+  /** Inverted-index-blocked word-3-gram Jaccard pairs. Emitted values are
+    * always exact (capped pairs re-verify on full arrays); candidates are
+    * exact whenever no shingle's df exceeds the cap — true by construction
+    * at sf0.01 (500 docs < cap 1000), so the all-pairs DuckDB oracle
+    * matches the blocked plan's output exactly.
     */
   private def dNgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -289,7 +291,11 @@ object SparkEntry {
   /** Per-language token-budget curation (data-mixture building): keep each
     * language's highest-quality documents until its token budget fills.
     * A PARTITIONED running-sum window — per-language ordering shuffles one
-    * partition per language, never a global single-partition sort.
+    * partition per language, never a global single-partition sort. Caveat
+    * at extreme scale: one dominant language still lands in one partition;
+    * the refinement is a two-pass prefix sum (range-partition by quality,
+    * per-shard totals → shard offsets → local running sums) — same output,
+    * applied when a single language exceeds executor-partition size.
     */
   private def tTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
