@@ -274,6 +274,20 @@ object SparkEntry {
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5, maxBucket = 20)
   }
 
+  /** Incremental cross-run exact dedup as a two-run fixpoint (the dedup
+    * analog of p_pipeline_idempotence): run 1 keeps one row per distinct
+    * text and logs the digests; run 2 over the SAME corpus keeps nothing.
+    */
+  private def dIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = java.nio.file.Files.createTempDirectory("graft_digests").toString +
+      "/digests.parquet"
+    val docs = t(s, dir, "documents")
+    val run1 = Dedup.incrementalExactDedup(docs, "text", "doc_id", log).count()
+    val run2 = Dedup.incrementalExactDedup(docs, "text", "doc_id", log).count()
+    Seq((1L, run1), (2L, run2)).toDF("run", "n_new")
+  }
+
   /** C4-style corpus-frequent line removal over a corpus with planted
     * boilerplate: every 5th doc gains a shared footer sentence; the df cap
     * strips it back out (plus any naturally-frequent sentence, identically
@@ -695,6 +709,7 @@ object SparkEntry {
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lsh_skew_guard" -> (dLshSkewGuard _),
     "d_line_dedup" -> (dLineDedup _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
     "t_token_budget" -> (tTokenBudget _),
     "d_neardup_components" -> (dNeardupComponents _),
     "e_cosine_topk" -> (eCosineTopK _),
@@ -1001,6 +1016,9 @@ object SparkEntry {
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_incremental_dedup" ->
+      """SELECT 1 AS run, count(DISTINCT text) AS n_new FROM documents
+         UNION ALL SELECT 2 AS run, CAST(0 AS BIGINT) AS n_new""",
     "d_line_dedup" ->
       """WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
              THEN text || '. all rights reserved worldwide' ELSE text END AS text

@@ -46,6 +46,39 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental CROSS-RUN exact dedup (the daily-crawl pattern): rows whose
+    * content digest already exists in the persistent digest log are dropped;
+    * the batch is then deduped internally (keep min id per digest); the
+    * survivors' digests append to the log. Exactly the `_uploaded`
+    * anti-join shape applied to content: the log carries fixed-width
+    * digests only — never text — and the anti-join broadcast is size-gated
+    * the same way. The result is materialized (localCheckpoint) BEFORE the
+    * log append, so consuming the returned frame after the append cannot
+    * re-read the updated log and filter everything out.
+    */
+  def incrementalExactDedup(df: DataFrame, byCol: String, idCol: String,
+      digestLogPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
+        spark.read.parquet(digestLogPath)
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType))))
+    val unseen = graft.transform.Transforms.antiJoinUploaded(
+      withDigest.withColumnRenamed("__digest", "digest"), seen, Seq("digest"))
+    val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+    val result = unseen.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    result.select("digest").write.mode("append").parquet(digestLogPath)
+    result.drop("digest")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Character n-gram shingles (distinct), lowercased.

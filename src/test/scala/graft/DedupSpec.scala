@@ -216,6 +216,17 @@ class DedupSpec extends SparkTestBase {
     assert(blocked.size == 15)
   }
 
+  test("incremental dedup drops rows seen in earlier runs, keeps the genuinely new") {
+    val log = java.nio.file.Files.createTempDirectory("graft_inc").toString + "/digests.parquet"
+    val batch1 = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val r1 = Dedup.incrementalExactDedup(batch1, "text", "doc_id", log)
+    assert(r1.select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(r1.columns.toSeq == Seq("doc_id", "text")) // digest is internal
+    val batch2 = Seq((3L, "beta"), (4L, "gamma")).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalExactDedup(batch2, "text", "doc_id", log)
+    assert(r2.select("doc_id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("line dedup strips corpus-frequent sentences, preserves order, keeps the rest") {
     val docs = (0 until 10).map { i =>
       (i.toLong, s"unique opening $i. shared cookie banner. unique body $i. shared cookie banner")
