@@ -71,6 +71,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("wordNgramStats matches a naive reference on random token streams") {
+    val textGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))
+    val texts = samples(textGen, 60) ++ Seq("", "  ", "aa", "aa aa aa aa")
+    val stats = texts.toDF("t")
+      .select(col("t"), graft.functions.KernelExpressions.wordNgramStats(col("t"), 2).as("s"))
+      .as[(String, Seq[Long])].collect()
+    stats.foreach { case (text, s) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      assert(s(0) == grams.size.toLong, s"total for '$text'")
+      assert(s(1) == counts.size.toLong, s"distinct for '$text'")
+      assert(s(2) == (if (grams.isEmpty) 0L else counts.values.max.toLong), s"maxRun for '$text'")
+    }
+  }
+
   test("simhash ignores whitespace amount between identical tokens") {
     val tokLists = samples(Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta")), 30)
     val pairs = tokLists.map(t => (t.mkString(" "), t.mkString("  ") + " "))
