@@ -51,6 +51,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no cartesian/nested-loop joins across ALL registered query plans") {
+    // excluded: queries that execute side effects at plan-BUILD time (the
+    // pipeline fixpoint, streaming drains, the index write, the digest-log
+    // double run); q_retention_filter, whose 1-row broadcast crossJoin is
+    // the intended scalar-subquery shape (a BNLJ with a single-row side);
+    // and e_cosine_topk, the deliberate exact brute-force BASELINE — a
+    // broadcast nested-loop of a handful of query vectors against the
+    // corpus (the ANN queries exist precisely to avoid this at scale).
+    val skip = Set("p_pipeline_idempotence", "s_rollup_stream",
+      "s_sessionize_stream", "d_incremental_dedup", "e_ivf_index_topk",
+      "q_retention_filter", "e_cosine_topk")
+    SparkEntry.queries.keys.filterNot(skip).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+
   test("ngram jaccard plan carries no plan-time broadcast hint (per-doc tables)") {
     // The sizes table is one row per DOCUMENT — a forced broadcast() of it
     // OOMs at corpus scale. The plan must carry no hint at all; AQE may
