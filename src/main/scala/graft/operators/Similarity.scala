@@ -41,6 +41,15 @@ object Similarity {
 
   /** SRP-LSH top-k with multi-probe.
     *
+    * The probe is an EQUI-join: every XOR mask with ≤ `probeRadius` bits
+    * set (Σ C(numPlanes, i) masks — query-independent, enumerated once on
+    * the driver) expands each query signature into its probe signatures,
+    * and the corpus joins on exact signature equality. Identical candidate
+    * set to a Hamming-distance predicate (a corpus row within radius
+    * matches exactly one probe), but the join is HASH-joinable — no
+    * nested-loop scan, and it scales past a broadcastable query set to a
+    * shuffle hash join on the signature.
+    *
     * @param probeRadius candidates are corpus rows whose signature is within
     *                    this Hamming distance of the query signature.
     */
@@ -50,16 +59,16 @@ object Similarity {
     val planes = VectorOps.rademacherPlanes(numPlanes, dim)
     def sig(v: org.apache.spark.sql.Column) = element_at(
       graft.functions.KernelExpressions.srpBucketKeys(v, planes, 1, numPlanes), 1)
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(i =>
+      (0 until numPlanes).combinations(i).map(_.foldLeft(0L)((a, p) => a | (1L << p))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_sig", sig(col("q_vec")))
+      .withColumn("probe_sig",
+        explode(transform(typedLit(masks), m => col("q_sig").bitwiseXOR(m))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_sig", sig(col("c_vec")))
-    // Small query set: broadcast and range over signature distance. The
-    // corpus side computes its signature once (narrow) and the join filters
-    // to Hamming ≤ probeRadius before any exact cosine work.
     val candidates = c.join(broadcast(q),
-      col("query_id") =!= col("neighbor_id") &&
-        bit_count(col("q_sig").bitwiseXOR(col("c_sig"))) <= probeRadius)
+      col("probe_sig") === col("c_sig") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
