@@ -89,6 +89,16 @@ final case class UploadedLog(spark: SparkSession, path: String, tt: Transactiona
 
 object UploadedLog {
   private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[io] def lockFor(path: String): Object =
+
+  /** In-JVM per-path lock shared by everything that appends to an
+    * append-only parquet log (the `_uploaded` control table, the dedup
+    * digest log): serializes the read→check→append window so concurrent
+    * same-path writers in one driver can neither admit duplicates nor race
+    * on the output committer's staging directory. Cross-driver concurrency
+    * still needs an external arbiter (a lock service or a transactional
+    * table format) — same single-writer assumption the reference's control
+    * table has.
+    */
+  private[graft] def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(path, _ => new Object)
 }

@@ -55,29 +55,37 @@ object Dedup {
     * the same way. The result is materialized (localCheckpoint) BEFORE the
     * log append, so consuming the returned frame after the append cannot
     * re-read the updated log and filter everything out.
+    *
+    * The read→anti-join→append window is serialized per log path
+    * ([[graft.io.UploadedLog.lockFor]]): two concurrent in-JVM runs can no
+    * longer both pass the anti-join and admit the same digest, nor race
+    * their append jobs on one staging directory. Concurrent runs from
+    * SEPARATE drivers still assume a single writer (use an external lock or
+    * a transactional table format for the log in that deployment).
     */
   def incrementalExactDedup(df: DataFrame, byCol: String, idCol: String,
-      digestLogPath: String): DataFrame = {
-    val spark = df.sparkSession
-    val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
-    val seen =
-      if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
-        spark.read.parquet(digestLogPath)
-      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("digest",
-            org.apache.spark.sql.types.StringType))))
-    val unseen = graft.transform.Transforms.antiJoinUploaded(
-      withDigest.withColumnRenamed("__digest", "digest"), seen, Seq("digest"))
-    val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
-    val result = unseen.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
-    result.select("digest").write.mode("append").parquet(digestLogPath)
-    result.drop("digest")
-  }
+      digestLogPath: String): DataFrame =
+    graft.io.UploadedLog.lockFor(digestLogPath).synchronized {
+      val spark = df.sparkSession
+      val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
+      val seen =
+        if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
+          spark.read.parquet(digestLogPath)
+        else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("digest",
+              org.apache.spark.sql.types.StringType))))
+      val unseen = graft.transform.Transforms.antiJoinUploaded(
+        withDigest.withColumnRenamed("__digest", "digest"), seen, Seq("digest"))
+      val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+      val result = unseen.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
+      result.select("digest").write.mode("append").parquet(digestLogPath)
+      result.drop("digest")
+    }
 
   // ------------------------------------------------------------- shingles
 

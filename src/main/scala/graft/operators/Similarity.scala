@@ -21,6 +21,19 @@ object Similarity {
 
   import graft.functions.KernelExpressions.vecCosine
 
+  /** Broadcast the query side of a candidate join only while its estimated
+    * size is under the gate (default [[graft.transform.Transforms.BroadcastGateBytes]]).
+    * A hardcoded hint OOMs corpus-vs-corpus retrieval, where the "query set"
+    * is as large as the corpus; above the gate the join is left unhinted —
+    * the signature / cell key is a plain equi-join key, so Spark falls back
+    * to a shuffle (hash or sort-merge) join, which is the correct plan for
+    * the large-query regime.
+    */
+  private def gatedBroadcast(df: DataFrame, gateBytes: Long): DataFrame = {
+    val estimatedBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimatedBytes <= BigInt(gateBytes)) broadcast(df) else df
+  }
+
   /** Exact top-k: queries × corpus cosine, rank per query.
     * The query side is expected to be small and is broadcast.
     */
@@ -55,7 +68,8 @@ object Similarity {
     */
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, numPlanes: Int = 12, dim: Int = 64,
-      probeRadius: Int = 2): DataFrame = {
+      probeRadius: Int = 2,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     val planes = VectorOps.rademacherPlanes(numPlanes, dim)
     def sig(v: org.apache.spark.sql.Column) = element_at(
       graft.functions.KernelExpressions.srpBucketKeys(v, planes, 1, numPlanes), 1)
@@ -67,7 +81,7 @@ object Similarity {
         explode(transform(typedLit(masks), m => col("q_sig").bitwiseXOR(m))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_sig", sig(col("c_vec")))
-    val candidates = c.join(broadcast(q),
+    val candidates = c.join(gatedBroadcast(q, broadcastGateBytes),
       col("probe_sig") === col("c_sig") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -130,10 +144,11 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int = 10,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
-    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe)
+    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)
   }
 
   /** Materialized IVF index: the corpus written ONCE partitioned by coarse
@@ -154,17 +169,19 @@ object Similarity {
     */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Seq[Double]], path: String,
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
+      k: Int = 10, nprobe: Int = 2,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     val c = spark.read.parquet(path)
       .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
-    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe)
+    rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)
   }
 
   private def rankCells(queries: DataFrame, cellsCorpus: DataFrame, idCol: String,
-      vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+      vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
+      broadcastGateBytes: Long): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(nearestCells(col("q_vec"), centroids, nprobe)))
-    val candidates = cellsCorpus.join(broadcast(q), Seq("cell"))
+    val candidates = cellsCorpus.join(gatedBroadcast(q, broadcastGateBytes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))

@@ -25,7 +25,15 @@ final case class BranchSpec(
     writebackTransactional: Option[TransactionalType],
     hasher: Option[(DataFrame, Seq[String]) => DataFrame],
     renderer: Long => PayloadRenderer, // nowMicros => renderer
-    rateLimitPerSec: Option[Int] = None)
+    rateLimitPerSec: Option[Int] = None,
+    /** True when the renderer's output depends on the GLOBAL 1-based batch
+      * iteration (CM REPLACE remove_all / ensure-list on iteration 1, GA
+      * data-import erase-before-first, DV create-vs-edit). Only these
+      * branches pay the per-partition row-count pass that precomputes global
+      * batch offsets; all others take a partition-local index the renderer
+      * never reads.
+      */
+    needsIteration: Boolean = false)
 
 object Branches {
   import DestinationType._
@@ -46,13 +54,13 @@ object Branches {
       _ => Renderers.AdsSsi),
     // processing_steps.py:141-167
     BranchSpec(AdsCustomerMatchMobileDeviceIdUpload, 5000, NotTransactional, None,
-      Some(adsHash), _ => Renderers.AdsCustomerMatch("mobile")),
+      Some(adsHash), _ => Renderers.AdsCustomerMatch("mobile"), needsIteration = true),
     // processing_steps.py:170-196
     BranchSpec(AdsCustomerMatchContactInfoUpload, 5000, NotTransactional, None,
-      Some(adsHash), _ => Renderers.AdsCustomerMatch("contact_info")),
+      Some(adsHash), _ => Renderers.AdsCustomerMatch("contact_info"), needsIteration = true),
     // processing_steps.py:199-225
     BranchSpec(AdsCustomerMatchUserIdUpload, 5000, NotTransactional, None,
-      Some(adsHash), _ => Renderers.AdsCustomerMatch("user_id")),
+      Some(adsHash), _ => Renderers.AdsCustomerMatch("user_id"), needsIteration = true),
     // processing_steps.py:228-261
     BranchSpec(AdsOfflineConversion, 2000, GclidTime, Some(GclidTime), None,
       _ => Renderers.AdsOfflineClick),
@@ -79,7 +87,7 @@ object Branches {
             .map(_.copy(rowIdx = Seq.empty)) else Seq.empty
           erase ++ Renderers.GaDataImport.render(e, rows, it)
         }
-      }),
+      }, needsIteration = true),
     // processing_steps.py:477-508
     BranchSpec(GaMeasurementProtocol, 20, Uuid, Some(Uuid), None,
       _ => Renderers.GaMeasurementProtocol),
@@ -91,10 +99,10 @@ object Branches {
       now => Renderers.Cm360(now)),
     // processing_steps.py:582-608
     BranchSpec(DvCustomerMatchContactInfoUpload, 5000, NotTransactional, None,
-      Some(dvHash), _ => Renderers.DvCustomerMatch("contact_info")),
+      Some(dvHash), _ => Renderers.DvCustomerMatch("contact_info"), needsIteration = true),
     // processing_steps.py:610-637
     BranchSpec(DvCustomerMatchDeviceIdUpload, 5000, NotTransactional, None,
-      Some(dvHash), _ => Renderers.DvCustomerMatch("mobile")),
+      Some(dvHash), _ => Renderers.DvCustomerMatch("mobile"), needsIteration = true),
     // third_party/steps.py:20-51; 500 events/s rate limit
     // (appsflyer_s2s_uploader_async.py:135-139)
     BranchSpec(AppsFlyerS2SEvents, 1000, Uuid, Some(Uuid), None,

@@ -36,11 +36,20 @@ final case class PipelineOptions(
       * exercised end-to-end with "json" in ReaderSeamSpec.
       */
     bqFormat: String = "parquet",
-    /** `_uploaded` control-table location for a data path (reference:
-      * sibling `<base>_uploaded` table/file, `file_data_source.py:149-154`).
+    /** `_uploaded` control-table location for a (data path, destination)
+      * pair. The reference keys its sibling `<base>_uploaded` table/file by
+      * source path only (`file_data_source.py:149-154`) — workable because
+      * its branches run serially in registry order; with concurrent branches
+      * a SHARED log makes the read-vs-append interleaving between two
+      * destinations on one source timing-dependent (drop rows in one run,
+      * double-upload in the next). Keying by destination type keeps each
+      * branch's read→upload→append window self-contained and deterministic;
+      * the reference's shared layout remains reachable by supplying a
+      * function that ignores the destination (accepting its serial-order
+      * assumption).
       */
-    uploadedLogPathFor: String => String = p =>
-      p.replaceAll("\\.parquet$", "") + "_uploaded.parquet",
+    uploadedLogPathFor: (String, DestinationType) => String = (p, dt) =>
+      p.replaceAll("\\.parquet$", "") + s"_uploaded_${dt.name}.parquet",
     nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
 
 final case class ExecutionResult(
@@ -112,7 +121,7 @@ object Pipeline {
     groups.toSeq.sortBy(_._1).foreach { case (_, groupExecutions) =>
       val branchExecutions = groupExecutions.filter(_.destination.destinationType == dt)
       val ds = graft.io.DataSources.forSource(branchExecutions.head.source,
-        opts.bqPathFor, opts.uploadedLogPathFor, opts.bqFormat)
+        opts.bqPathFor, p => opts.uploadedLogPathFor(p, dt), opts.bqFormat)
 
       // Read ONCE per (source, branch); schema ops are plan-time.
       val readAttempt = scala.util.Try(
@@ -170,7 +179,12 @@ object Pipeline {
     * Batch `iteration` is GLOBAL per execution and 1-based (drives REPLACE
     * remove_all / DV create-vs-edit): partition batch offsets are
     * precomputed from per-partition row counts — deterministic, no
-    * cross-partition coordination at upload time (SURVEY §7.4 item 1).
+    * cross-partition coordination at upload time (SURVEY §7.4 item 1). The
+    * counting pass is an EXTRA read of the (persisted) source, so it only
+    * runs for branches that need it: `needsIteration` renderers and
+    * rate-limited branches (which divide a global budget across the
+    * partitions that hold rows). Every other branch takes a partition-local
+    * index its renderer never reads — one pass, not two, per execution.
     */
   private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame, execution: Execution,
       branch: BranchSpec, opts: PipelineOptions): DataFrame = {
@@ -180,9 +194,13 @@ object Pipeline {
     val keyCols = branch.writebackTransactional.map(_.keyColumns).getOrElse(Seq.empty)
 
     val rdd = df.rdd
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator((pid, it.size.toLong))
-    }.collect().toMap
+    val needsCounts = branch.needsIteration || branch.rateLimitPerSec.isDefined
+    val counts: Map[Int, Long] =
+      if (needsCounts)
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          Iterator((pid, it.size.toLong))
+        }.collect().toMap
+      else Map.empty
     val sortedPids = counts.keys.toSeq.sorted
     val batchOffsets: Map[Int, Long] = sortedPids.zip(
       sortedPids.map(p => (counts(p) + batchSize - 1) / batchSize)
@@ -193,10 +211,17 @@ object Pipeline {
     // The API rate limit is GLOBAL (AppsFlyer 500 events/s,
     // appsflyer_s2s_uploader_async.py:135-139). Enforcing it verbatim per
     // partition would multiply the aggregate rate by the partition count, so
-    // divide it across the partitions that actually hold rows (counts are
-    // already known at this point) — the aggregate stays within the limit.
-    val activeParts = math.max(1, counts.count(_._2 > 0))
-    val rateLimit = branch.rateLimitPerSec.map(l => math.max(1, l / activeParts))
+    // pace each batch by `rows × concurrency / limit` seconds, where
+    // concurrency = min(partitions that hold rows, scheduler slots): at most
+    // that many partitions send at once, so the aggregate rate stays within
+    // the limit even when active partitions outnumber the per-second budget
+    // (a per-partition integer rate would floor at 1/s and exceed it). When
+    // fewer partitions than `concurrency` are actually running (stragglers)
+    // this over-throttles — the bound is one-sided by design: never above
+    // the API limit.
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val concurrency = math.max(1, math.min(counts.count(_._2 > 0), slots))
+    val rateLimit = branch.rateLimitPerSec
     val execKey = execution.key
 
     val outcomes = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -230,9 +255,10 @@ object Pipeline {
               rows.indices.map(i => RowOutcome(execKey, keyMaps(i), success = false, Some(msg)))
           }
         // AppsFlyer-style pacing: a batch may not finish faster than
-        // rows/limit seconds (appsflyer_s2s_uploader_async.py:135-139).
+        // rows × concurrency / limit seconds
+        // (appsflyer_s2s_uploader_async.py:135-139).
         rateLimit.foreach { limit =>
-          val minNanos = rows.size.toLong * 1000000000L / limit
+          val minNanos = rows.size.toLong * concurrency * 1000000000L / limit
           val elapsed = System.nanoTime() - start
           if (elapsed < minNanos)
             Thread.sleep((minNanos - elapsed) / 1000000L)

@@ -227,6 +227,27 @@ class DedupSpec extends SparkTestBase {
     assert(r2.select("doc_id").as[Long].collect().toSet == Set(4L))
   }
 
+  test("concurrent incremental dedup runs admit each digest exactly once") {
+    // Two threads race the SAME batch against one digest log: the per-path
+    // lock serializes the read→anti-join→append window, so the loser's
+    // anti-join must see the winner's append (and admit nothing), and the
+    // log must hold each digest once.
+    val log = java.nio.file.Files.createTempDirectory("graft_inc_conc").toString + "/digests.parquet"
+    val batch = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        val r = Dedup.incrementalExactDedup(batch, "text", "doc_id", log)
+        admitted.addAndGet(r.count())
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(admitted.get() == 3, s"expected 3 total admissions, got ${admitted.get()}")
+    val digests = spark.read.parquet(log).select("digest").as[String].collect()
+    assert(digests.length == 3 && digests.distinct.length == 3,
+      s"log holds duplicate digests: ${digests.mkString(",")}")
+  }
+
   test("line dedup strips corpus-frequent sentences, preserves order, keeps the rest") {
     val docs = (0 until 10).map { i =>
       (i.toLong, s"unique opening $i. shared cookie banner. unique body $i. shared cookie banner")

@@ -42,8 +42,11 @@ class PipelineSpec extends SparkTestBase with BeforeAndAfterEach {
     val run1 = Pipeline.run(spark, executions, opts)
     assert(run1.exitCode == 0)
     assert(run1.totalUploaded == 25)
-    // writeback landed next to the source
-    assert(new java.io.File(s"$dir/conversions_uploaded.parquet").exists())
+    // writeback landed next to the source, keyed by destination type (the
+    // shared sibling file of the serial reference is timing-dependent under
+    // concurrent branches — see PipelineOptions.uploadedLogPathFor)
+    assert(new java.io.File(
+      s"$dir/conversions_uploaded_ADS_OFFLINE_CONVERSION.parquet").exists())
 
     val run2 = Pipeline.run(spark, executions, opts)
     assert(run2.exitCode == 0)

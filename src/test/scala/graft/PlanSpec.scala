@@ -79,6 +79,37 @@ class PlanSpec extends SparkTestBase {
       "a plan-time broadcast hint survives in the ngram-jaccard plan")
   }
 
+  test("ANN query-side broadcast is size-gated: oversized query set takes a shuffle join") {
+    // Corpus-vs-corpus retrieval makes the "query set" as large as the
+    // corpus; with the gate forced to 0 bytes the plan must carry NO
+    // broadcast hint, so an oversized query side takes a shuffle join. A
+    // plan-time hint would force broadcast regardless of Spark's own
+    // threshold — so with auto-broadcast disabled, any surviving broadcast
+    // in the physical plan can only come from a hint.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("embedding"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val srp = graft.operators.Similarity.srpTopK(emb, emb, "vec_id", "embedding",
+        broadcastGateBytes = 0L).queryExecution.executedPlan.toString
+      assert(!srp.contains("BroadcastHashJoin") && !srp.contains("BroadcastExchange"),
+        "srpTopK still broadcasts an oversized query set")
+      assert(!srp.contains("BroadcastNestedLoopJoin") && !srp.contains("CartesianProduct"))
+      assert(srp.contains("SortMergeJoin") || srp.contains("ShuffledHashJoin"),
+        "expected a shuffle join on the signature key")
+      val centroids = graft.operators.TrainedCentroids.sf001
+      val ivf = graft.operators.Similarity.ivfTopK(emb, emb, "vec_id", "embedding",
+        centroids, broadcastGateBytes = 0L).queryExecution.executedPlan.toString
+      assert(!ivf.contains("BroadcastHashJoin") && !ivf.contains("BroadcastExchange"),
+        "ivfTopK still broadcasts an oversized query set")
+      assert(!ivf.contains("BroadcastNestedLoopJoin") && !ivf.contains("CartesianProduct"))
+      assert(ivf.contains("SortMergeJoin") || ivf.contains("ShuffledHashJoin"),
+        "expected a shuffle join on the cell key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dimension joins in q3 are broadcast (no shuffle of the fact side for the join)") {
     val p = planOf("q3_top_orders")
     assert(p.contains("BroadcastHashJoin"))

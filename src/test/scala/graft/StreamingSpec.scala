@@ -100,7 +100,7 @@ class StreamingSpec extends SparkTestBase {
         val report = graft.pipeline.Pipeline.run(spark,
           graft.config.JsonConfigSource.fromString(config).executions(),
           graft.pipeline.PipelineOptions(transport = graft.sink.RecordingTransport(),
-            uploadedLogPathFor = _ => s"$dir/uploaded.parquet"))
+            uploadedLogPathFor = (_, _) => s"$dir/uploaded.parquet"))
         seen.addAndGet(report.totalUploaded)
         ()
       }).start()
