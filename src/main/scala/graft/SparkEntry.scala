@@ -487,6 +487,30 @@ object SparkEntry {
       .withColumn("st", Multimodal.wavAudioStats(col("payload")))
       .select(col("doc_id"), round(col("st.rms"), 6).as("rms"), col("st.peak").as("peak"))
 
+  /** JPEG dimensions via the SOF marker-segment walk
+    * ([[graft.functions.Kernels.jpegDims]]): planted JPEGs are SOI + JFIF
+    * APP0 + (even doc_id) a DHT filler segment + SOF0/SOF2 carrying real
+    * planted dimensions + SOS + the document text as entropy body. The SOF
+    * sits at a VARIABLE offset (extra segment, baseline vs progressive), so
+    * unlike PNG/GIF the oracle cannot state fixed offsets — it replays the
+    * same segment walk as a recursive byte-walk CTE over the hex rendering.
+    */
+  private def mJpegDims(s: SparkSession, dir: String): DataFrame = {
+    val h16 = lpad(hex(col("doc_id") % 300 + 1), 4, "0")
+    val w16 = lpad(hex(col("n_chars") % 1000 + 1), 4, "0")
+    val ph = concat(
+      lit("FFD8FFE000104A46494600010100000100010000"),
+      when(col("doc_id") % 2 === 0, lit("FFC4000500AABB")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("FFC0")).otherwise(lit("FFC2")),
+      lit("001108"), h16, w16, lit("03011100021101031101"),
+      lit("FFDA000C03010002110311003F00"),
+      hex(encode(col("text"), "UTF-8")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), unhex(ph).as("payload"))
+      .withColumn("dims", Multimodal.imageDims(col("payload")))
+      .select(col("doc_id"), col("dims.width").as("width"), col("dims.height").as("height"))
+  }
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -723,6 +747,7 @@ object SparkEntry {
     "m_media_fingerprint" -> (mMediaFingerprint _),
     "m_frame_sample" -> (mFrameSample _),
     "m_audio_energy" -> (mAudioEnergy _),
+    "m_jpeg_dims" -> (mJpegDims _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
@@ -1227,6 +1252,41 @@ object SparkEntry {
          SELECT doc_id, fi AS frame_idx, substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
          FROM p, unnest(range(0, ((length(ph) // 2 - 1) // 64) + 1)) AS u(fi)"""
     },
+    "m_jpeg_dims" ->
+      // Recursive segment walk mirroring Kernels.jpegDims: `pos` is the
+      // 1-based byte index of the current marker's 0xFF (byte i lives at hex
+      // offset (i-1)*2+1); recurse past non-SOF segments by 2 + BE16 length,
+      // stop at SOF (192-207 minus DHT 196 / JPG 200 / DAC 204), SOS 218,
+      // EOI 217, or end of buffer; emit height/width from the SOF payload.
+      """WITH RECURSIVE p AS (
+           SELECT doc_id,
+             'FFD8FFE000104A46494600010100000100010000'
+             || CASE WHEN doc_id % 2 = 0 THEN 'FFC4000500AABB' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END
+             || '001108' || lpad(to_hex(doc_id % 300 + 1), 4, '0')
+             || lpad(to_hex(n_chars % 1000 + 1), 4, '0')
+             || '03011100021101031101'
+             || 'FFDA000C03010002110311003F00' || hex(encode(text)) AS ph
+           FROM documents),
+         walk AS (
+           SELECT doc_id, ph, 3::BIGINT AS pos FROM p
+           UNION ALL
+           SELECT doc_id, ph,
+             pos + 2 + ('0x' || substr(ph, (pos + 1) * 2 + 1, 2))::BIGINT * 256
+                     + ('0x' || substr(ph, (pos + 2) * 2 + 1, 2))::BIGINT
+           FROM walk
+           WHERE ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT NOT IN (217, 218)
+             AND NOT (('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT BETWEEN 192 AND 207
+                      AND ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT NOT IN (196, 200, 204))
+             AND (pos + 3) * 2 <= length(ph))
+         SELECT doc_id,
+           ('0x' || substr(ph, (pos + 6) * 2 + 1, 2))::BIGINT * 256
+             + ('0x' || substr(ph, (pos + 7) * 2 + 1, 2))::BIGINT AS width,
+           ('0x' || substr(ph, (pos + 4) * 2 + 1, 2))::BIGINT * 256
+             + ('0x' || substr(ph, (pos + 5) * 2 + 1, 2))::BIGINT AS height
+         FROM walk
+         WHERE ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT BETWEEN 192 AND 207
+           AND ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT NOT IN (196, 200, 204)""",
     "m_audio_energy" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
                     FROM documents WHERE doc_id % 3 = 2),

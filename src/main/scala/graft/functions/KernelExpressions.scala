@@ -121,6 +121,18 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Packed JPEG dimensions `(width << 16) | height` from the SOF segment
+    * walk; -1 when the payload has no frame header.
+    */
+  case class JpegDims(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.jpegDims(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.jpegDims($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 60-bit SimHash of lower(text) over whitespace tokens. */
   case class Simhash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -155,4 +167,6 @@ object KernelExpressions {
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
 
   def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
+
+  def jpegDims(bin: Column): Column = c(JpegDims(e(bin)))
 }

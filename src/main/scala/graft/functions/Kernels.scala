@@ -235,6 +235,49 @@ object Kernels {
     new GenericArrayData(Array(windows.toLong, distinct, maxRun))
   }
 
+  // ----------------------------------------------------------- multimodal
+
+  /** JPEG frame dimensions via the marker-segment walk (ITU T.81 §B): after
+    * the FFD8 SOI, each segment is 0xFF, a type byte, then a 2-byte
+    * big-endian length (counting itself) — except standalone markers
+    * (TEM 0x01, RST0-7 0xD0-D7) and fill bytes (any run of 0xFF pads a
+    * marker). The first frame header (SOF0-SOF15 minus DHT 0xC4, JPG 0xC8,
+    * DAC 0xCC) carries [precision u8][height u16][width u16]. Returns
+    * `(width << 16) | height` (both are u16 by spec), or -1 when no SOF
+    * appears before SOS/EOI/end-of-buffer or the stream desyncs. Bounded:
+    * walks header segments only, never the entropy-coded body.
+    */
+  def jpegDims(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    if (n < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return -1L
+    var p = 2 // byte offset of the next marker's 0xFF
+    while (p + 1 < n) {
+      if (u8(p) != 0xFF) return -1L // desync: expected a marker
+      // fill bytes: skip extra 0xFF padding before the marker type
+      while (p + 1 < n && u8(p + 1) == 0xFF) p += 1
+      if (p + 1 >= n) return -1L
+      val m = u8(p + 1)
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2 // standalone marker: no length field
+      } else if (m == 0xD9 || m == 0xDA) {
+        return -1L // EOI or SOS reached without a frame header
+      } else {
+        if (p + 3 >= n) return -1L
+        val len = (u8(p + 2) << 8) | u8(p + 3)
+        if (len < 2) return -1L
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (p + 8 >= n || len < 7) return -1L
+          val h = (u8(p + 5) << 8) | u8(p + 6)
+          val w = (u8(p + 7) << 8) | u8(p + 8)
+          return (w.toLong << 16) | h.toLong
+        }
+        p += 2 + len
+      }
+    }
+    -1L
+  }
+
   def simhash60(text: UTF8String): Long = {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L

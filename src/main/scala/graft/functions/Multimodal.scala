@@ -56,11 +56,23 @@ object Multimodal {
   def gifWidth(bin: Column): Column = leUint16(bin, 7)
   def gifHeight(bin: Column): Column = leUint16(bin, 9)
 
-  /** Dimensions dispatched by sniffed modality; null for non-images. */
+  /** JPEG dimensions from the SOF marker walk (kernel expression — the
+    * segment list is variable-length, so this is a bounded loop, not fixed
+    * offsets like PNG/GIF). Packed `(width << 16) | height`, -1 if absent.
+    */
+  def jpegDimsPacked(bin: Column): Column = KernelExpressions.jpegDims(bin)
+
+  /** Dimensions dispatched by sniffed modality; null for non-images and for
+    * JPEGs with no frame header (truncated/corrupt streams).
+    */
   def imageDims(bin: Column): Column = {
     val m = sniffModality(bin)
+    val packed = jpegDimsPacked(bin)
     when(m === "image/png", struct(pngWidth(bin).as("width"), pngHeight(bin).as("height")))
       .when(m === "image/gif", struct(gifWidth(bin).as("width"), gifHeight(bin).as("height")))
+      .when(m === "image/jpeg" && packed >= 0,
+        struct(shiftright(packed, 16).as("width"),
+          packed.bitwiseAND(lit(0xFFFFL)).as("height")))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 

@@ -36,6 +36,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.toSet == Set(("png", 320L, 240L), ("gif", 320L, 240L)))
   }
 
+  test("jpeg dimensions from the SOF segment walk, incl. fill bytes and edge cases") {
+    val app0 = "FFE000104A46494600010100000100010000"
+    val sof0 = "FFC00011" + "08" + "0129" + "0307" + "03011100021101031101" // 297x775
+    val sof2 = "FFC20011" + "08" + "00F0" + "0140" + "03011100021101031101" // 240x320
+    val dht = "FFC4000500AABB"
+    val cases = Seq(
+      // baseline: SOI + APP0 + SOF0
+      ("base", "FFD8" + app0 + sof0, Some((775L, 297L))),
+      // progressive SOF2 after a skipped DHT segment
+      ("prog", "FFD8" + app0 + dht + sof2, Some((320L, 240L))),
+      // fill bytes (extra 0xFF) and a standalone RST before the SOF
+      ("fill", "FFD8" + "FFFFFF" + app0.drop(2) + "FFD0" + sof0, Some((775L, 297L))),
+      // EOI before any SOF → no dims
+      ("eoi", "FFD8" + app0 + "FFD9", None),
+      // SOS before any SOF → no dims
+      ("sos", "FFD8" + app0 + "FFDA000C03010002110311003F00" + "AB" * 8, None),
+      // truncated mid-segment → no dims
+      ("trunc", "FFD8" + "FFE00010" + "4A46", None),
+      // desync: segment length points into garbage that is not a marker
+      ("junk", "FFD8" + "FFE00004" + "0000" + "1122334455", None))
+    val df = cases.map { case (n, hx, _) => (n, hx) }.toDF("name", "hx")
+      .select(col("name"), unhex(col("hx")).as("bin"))
+    val out = df.select(col("name"), Multimodal.imageDims(col("bin")).as("d"))
+      .collect().map { r =>
+        val d = r.getStruct(1)
+        r.getString(0) -> Option(d).map(s => (s.getLong(0), s.getLong(1)))
+      }.toMap
+    cases.foreach { case (n, _, expect) =>
+      assert(out(n) == expect, s"case $n: got ${out(n)}, expected $expect")
+    }
+  }
+
   test("frame windows: count and content of byte windows") {
     val payload = ("AB" * 100) // 100 bytes
     val df = Seq(payload).toDF("hx").select(unhex(col("hx")).as("bin"))
