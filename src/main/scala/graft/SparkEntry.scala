@@ -304,16 +304,19 @@ object SparkEntry {
 
   /** Per-language token-budget curation (data-mixture building): keep each
     * language's highest-quality documents until its token budget fills.
-    * A PARTITIONED running-sum window — per-language ordering shuffles one
-    * partition per language, never a global single-partition sort. Caveat
-    * at extreme scale: one dominant language still lands in one partition;
-    * the refinement is a two-pass prefix sum (range-partition by quality,
-    * per-shard totals → shard offsets → local running sums) — same output,
-    * applied when a single language exceeds executor-partition size.
+    * Budgets are metered in REAL BPE tokens ([[TextAnalysis.bpeTokenCount]],
+    * frozen merge table) — the counts that actually bound a training run —
+    * not whitespace words. A PARTITIONED running-sum window — per-language
+    * ordering shuffles one partition per language, never a global
+    * single-partition sort. Caveat at extreme scale: one dominant language
+    * still lands in one partition; the refinement is a two-pass prefix sum
+    * (range-partition by quality, per-shard totals → shard offsets → local
+    * running sums) — same output, applied when a single language exceeds
+    * executor-partition size.
     */
   private def tTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
     val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -519,6 +522,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("n_tokens")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  /** Real-BPE token counts per document next to the whitespace counts —
+    * direct oracle coverage of the merge-table tokenizer (the budget query
+    * exercises it only through the cumulative filter).
+    */
+  private def tBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
 
   private def tQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -749,6 +761,7 @@ object SparkEntry {
     "m_audio_energy" -> (mAudioEnergy _),
     "m_jpeg_dims" -> (mJpegDims _),
     "t_token_stats" -> (tTokenStats _),
+    "t_bpe_tokens" -> (tBpeTokens _),
     "t_quality" -> (tQuality _),
     "t_langid" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
@@ -758,6 +771,56 @@ object SparkEntry {
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The frozen BPE merge table as parallel DuckDB list literals, rank
+    * order preserved: left and right symbols of each pair.
+    */
+  private lazy val sqlBpeLefts: String =
+    graft.functions.TrainedBpeMerges.merges
+      .map { case (a, _) => sqlStr(a) }.mkString("[", ", ", "]")
+  private lazy val sqlBpeRights: String =
+    graft.functions.TrainedBpeMerges.merges
+      .map { case (_, b) => sqlStr(b) }.mkString("[", ", ", "]")
+
+  /** DuckDB replay of [[graft.functions.Kernels.bpeTokenCount]] over `src`
+    * (must have doc_id, text): recursive-CTE word states `(syms, mi)` where
+    * each step merges the LEFTMOST occurrence of rank `mi`'s pair, advancing
+    * rank when none remains. Repeated-leftmost equals the kernel's single
+    * left-to-right non-overlapping scan per rank (a merge cannot create a
+    * new occurrence of its own pair at or before its position — see
+    * [[graft.functions.Bpe]]). Yields `bpe_counts(doc_id, n_bpe)` with
+    * zero-word docs absent (LEFT JOIN + coalesce at the use site). Splice
+    * directly after `WITH RECURSIVE`.
+    */
+  private def sqlBpeCtes(src: String): String = {
+    val m = graft.functions.TrainedBpeMerges.merges.size
+    s"""bpe_words AS (
+         SELECT doc_id, unnest(ws) AS word
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
+       ),
+       bpe_st AS (
+         SELECT doc_id, row_number() OVER () AS wid,
+           string_split(word, '') AS syms, 1 AS mi
+         FROM bpe_words WHERE word <> ''
+         UNION ALL
+         SELECT doc_id, wid,
+           CASE WHEN j IS NULL THEN syms
+                ELSE syms[1:j-1] || [syms[j] || syms[j+1]] || syms[j+2:] END,
+           CASE WHEN j IS NULL THEN mi + 1 ELSE mi END
+         FROM (
+           SELECT doc_id, wid, syms, mi,
+             list_filter(range(1, len(syms)), i ->
+               syms[i] = ($sqlBpeLefts)[mi] AND syms[i+1] = ($sqlBpeRights)[mi])[1] AS j
+           FROM bpe_st WHERE mi <= $m
+         )
+       ),
+       bpe_counts AS (
+         SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe
+         FROM bpe_st WHERE mi = ${m + 1} GROUP BY doc_id
+       )"""
+  }
 
   // ---- DuckDB fragments replicating the cross-engine hash/LSH primitives.
   // Every constant below mirrors the Scala side exactly (Dedup / VectorOps);
@@ -1064,18 +1127,22 @@ object SparkEntry {
            CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
          FROM planted d LEFT JOIN agg a USING (doc_id)""",
     "t_token_budget" ->
-      s"""WITH r AS (SELECT doc_id, lang,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+      // budget metered in real BPE tokens; quality still scores whitespace
+      // tokens (qualityScore's own definition)
+      s"""WITH RECURSIVE ${sqlBpeCtes("documents")},
+         r AS (SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
            (length(text) - length(regexp_replace(text,
              '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
            len(list_filter(string_split_regex(trim(text), '\\s+'),
              x -> x IN ($stopwordsSql)))::DOUBLE /
              len(string_split_regex(trim(text), '\\s+')) AS sr
          FROM documents),
-         q AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+         q AS (SELECT r.doc_id, r.lang,
+             CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens,
+             round(least(ws_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
                * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality
-           FROM r)
+           FROM r LEFT JOIN bpe_counts b USING (doc_id))
          SELECT doc_id, lang, n_tokens, cum_tokens FROM (
            SELECT doc_id, lang, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY lang
@@ -1298,6 +1365,12 @@ object SparkEntry {
              sqrt(list_sum(list_transform(bytes, x -> x * x))::DOUBLE / len(bytes)) END, 6) AS rms,
            CAST(coalesce(list_max(bytes), 0) AS BIGINT) AS peak
          FROM b""",
+    "t_bpe_tokens" ->
+      s"""WITH RECURSIVE ${sqlBpeCtes("documents")}
+         SELECT d.doc_id,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_ws,
+         CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_bpe
+         FROM documents d LEFT JOIN bpe_counts b USING (doc_id)""",
     "t_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,

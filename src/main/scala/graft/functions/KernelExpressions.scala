@@ -121,6 +121,24 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** BPE token count of whitespace words under a frozen merge table
+    * (precompiled to parallel left/right symbol arrays in rank order).
+    */
+  case class BpeTokenCount(child: Expression, lefts: Seq[String], rights: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    private lazy val leftsArr = lefts.toArray
+    private lazy val rightsArr = rights.toArray
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.bpeTokenCount(t.asInstanceOf[UTF8String], leftsArr, rightsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rl = ctx.addReferenceObj("lefts", leftsArr, "java.lang.String[]")
+      val rr = ctx.addReferenceObj("rights", rightsArr, "java.lang.String[]")
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.bpeTokenCount($t, $rl, $rr)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Packed JPEG dimensions `(width << 16) | height` from the SOF segment
     * walk; -1 when the payload has no frame header.
     */
@@ -169,4 +187,7 @@ object KernelExpressions {
   def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
 
   def jpegDims(bin: Column): Column = c(JpegDims(e(bin)))
+
+  def bpeTokenCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
+    c(BpeTokenCount(e(text), lefts, rights))
 }

@@ -235,6 +235,51 @@ object Kernels {
     new GenericArrayData(Array(windows.toLong, distinct, maxRun))
   }
 
+  /** BPE token count of the whole text: words are trim + `\s+` split (same
+    * as [[wordShingleHashes]], empty words skipped); a word starts as its
+    * code-point symbols and each merge rank runs ONE left-to-right
+    * non-overlapping scan over the symbol array (true BPE application —
+    * [[Bpe]] documents the contract and the DuckDB recursive-CTE replay).
+    * The word's count is its final symbol count; empty text counts 0.
+    */
+  def bpeTokenCount(text: UTF8String, lefts: Array[String], rights: Array[String]): Long = {
+    val trimmed = sparkTrim(text.toString)
+    if (trimmed.isEmpty) return 0L
+    val words = trimmed.split("\\s+")
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (!w.isEmpty) {
+        val syms = new Array[String](w.length)
+        var n = 0
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          syms(n) = new String(Character.toChars(cp))
+          n += 1
+          i += Character.charCount(cp)
+        }
+        var m = 0
+        while (m < lefts.length && n > 1) {
+          val a = lefts(m); val b = rights(m)
+          var in = 0; var out = 0
+          while (in < n) {
+            if (in + 1 < n && syms(in) == a && syms(in + 1) == b) {
+              syms(out) = a + b; in += 2
+            } else { syms(out) = syms(in); in += 1 }
+            out += 1
+          }
+          n = out
+          m += 1
+        }
+        total += n
+      }
+      wi += 1
+    }
+    total
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** JPEG frame dimensions via the marker-segment walk (ITU T.81 §B): after

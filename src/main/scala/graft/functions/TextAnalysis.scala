@@ -20,13 +20,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: word-pieces + digits + punctuation as separate
-    * tokens (a regex approximation of byte-pair tokenizers for budget
-    * estimation — NOT a real BPE).
+    * tokens (a regex approximation of byte-pair tokenizers — kept as the
+    * zero-setup estimator; [[bpeTokenCount]] is the real merge-table BPE).
     */
   def bpeishTokenCount(text: Column): Column = {
     val pieces = regexp_extract_all(
       text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
     size(pieces)
+  }
+
+  /** REAL BPE subword count under the frozen merge table
+    * ([[TrainedBpeMerges]], trained by `runMain graft.TrainBpeMerges`):
+    * greedy rank-ordered merges over each whitespace word's code points —
+    * see [[Bpe]] for the exact contract both engines replay. One codegen'd
+    * kernel pass per row; this is the counter token-budget curation meters
+    * with.
+    */
+  def bpeTokenCount(text: Column): Column = {
+    val (lefts, rights) = Bpe.compiled(TrainedBpeMerges.merges)
+    KernelExpressions.bpeTokenCount(text, lefts.toSeq, rights.toSeq)
   }
 
   /** Ratio of punctuation chars (fixed class, cross-engine-stable). */

@@ -87,6 +87,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("BPE kernel count matches the naive symbol-merging reference") {
+    // Random merge tables trained on random word sets, applied to random
+    // texts: the in-place symbol-array kernel must count exactly what
+    // explicit symbol-list merging produces, word by word.
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    samples(Gen.zip(Gen.nonEmptyListOf(wordGen), Gen.chooseNum(0, 12)), 25)
+      .foreach { case (words, numMerges) =>
+        val freqs = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        val merges = graft.functions.Bpe.train(freqs, numMerges)
+        val (pats, reps) = graft.functions.Bpe.compiled(merges)
+        val texts = samples(Gen.listOf(Gen.oneOf(words)).map(_.mkString(" ")), 8) ++
+          Seq("", "   ", words.head)
+        val kernel = texts.toDF("t")
+          .select(graft.functions.KernelExpressions.bpeTokenCount(
+            col("t"), pats.toSeq, reps.toSeq))
+          .as[Long].collect()
+        texts.zip(kernel).foreach { case (text, k) =>
+          val naive = text.trim.split("\\s+").filter(_.nonEmpty)
+            .map(w => graft.functions.Bpe.tokenizeWordNaive(w, merges).size.toLong).sum
+          assert(k == naive, s"text '$text' merges $merges: kernel $k != naive $naive")
+        }
+      }
+  }
+
+  test("BPE training is deterministic and merges the most frequent pair first") {
+    val freqs = Seq(("abab", 10L), ("abc", 5L), ("cab", 3L))
+    val m1 = graft.functions.Bpe.train(freqs, 4)
+    val m2 = graft.functions.Bpe.train(freqs, 4)
+    assert(m1 == m2)
+    // ("a","b") dominates: 2×10 + 5 + 3 occurrences
+    assert(m1.head == ("a", "b"))
+    // a merge table exhausts once every word is one symbol
+    val tiny = graft.functions.Bpe.train(Seq(("ab", 1L)), 10)
+    assert(tiny == Seq(("a", "b")))
+  }
+
   test("simhash ignores whitespace amount between identical tokens") {
     val tokLists = samples(Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta")), 30)
     val pairs = tokLists.map(t => (t.mkString(" "), t.mkString("  ") + " "))
