@@ -226,6 +226,27 @@ object SparkEntry {
     t(s, dir, "customer")
       .select(col("c_custkey"), Transforms.digitsOnly(col("c_name")).as("digits"))
 
+  /** Skew-salted equi-join under the oracle gate: a third of the events
+    * collapse onto ONE hot key (every user_id % 3 == 0 → key 0 — the
+    * degenerate-key regime where a plain hash join puts the whole hot key
+    * in one straggler task), joined to a per-key dim through
+    * [[Transforms.saltedJoin]] with factor 8. The oracle is the PLAIN join
+    * — salting must be semantically invisible; `TransformsSpec` separately
+    * asserts the hot key's rows actually spread across all 8 salts. The dim
+    * is built from a second independent scan, not the left frame's lineage
+    * (a derived right side can silently resolve join keys to the left).
+    */
+  private def qSaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    def keyed = t(s, dir, "events").select(col("event_id"),
+      when(col("user_id") % 3 === 0, lit(0L)).otherwise(col("user_id")).as("k"),
+      col("value"))
+    val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("k_freq"))
+    Transforms.saltedJoin(keyed, dim, Seq("k"), factor = 8)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), max(col("k_freq")).as("k_freq"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   // ------------------------------------------------------------------
   // Training-data pipeline: dedup / text / similarity
   // ------------------------------------------------------------------
@@ -583,6 +604,63 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
       .select("doc_id", "quality")
 
+  /** END-TO-END curation pipeline as ONE composed plan — the shape this
+    * engine actually runs at 100 TB: quality gate → PII scrub → line-level
+    * boilerplate removal → near-dup clustering (MinHash-LSH + connected
+    * components, keep the min-id representative per cluster) → per-language
+    * token-budget selection metered in real BPE tokens. Every stage is
+    * individually green elsewhere (t_quality_filter, t_redact, d_line_dedup,
+    * d_neardup_components, t_token_budget); this row proves the COMPOSITION
+    * holds in one plan: the curated frame materializes exactly once
+    * (localCheckpoint — it feeds LSH banding, shingle verification, cluster
+    * resolution, and the final selection), pair generation stays
+    * ids-only/capped, and no stage introduces a cartesian or nested-loop
+    * join (PlanSpec blanket assertion covers this query).
+    *
+    * Planted inputs give every stage real work: every 5th doc gains a
+    * boilerplate footer (stripped by line dedup), every 7th a contact email
+    * (scrubbed to &lt;EMAIL&gt;).
+    */
+  private def cCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(". all rights reserved worldwide"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(". contact admin"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit(""))).as("text"))
+    // Stage 1: C4/Gopher composite quality gate. The score is computed on
+    // the raw (pre-scrub) text and rides through as the final selection key.
+    val gated = planted
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("dup3", round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6))
+      .withColumn("n_ws", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_ws") >= 5)
+      .select(col("doc_id"), col("lang"), col("quality"), col("text"))
+    // Stage 2: PII scrub (same narrow codegen'd stage as t_redact).
+    val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
+    // Stage 3: corpus-frequent line removal; `curated` is the one
+    // materialization point of the whole pipeline.
+    val curated = scrubbed.drop("text")
+      .join(Dedup.lineDedup(scrubbed, "doc_id", "text", maxDf = 5)
+        .select(col("id").as("doc_id"), col("clean_text").as("text")), "doc_id")
+      .localCheckpoint()
+    // Stage 4: near-dup clusters over the CLEANED text; keep representatives.
+    val pairs = Dedup.minhashLshPairs(curated, "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+    val reps = curated.join(
+      Dedup.connectedComponents(curated, "doc_id", pairs)
+        .filter(col("comp") === col("id")).select(col("id").as("doc_id")), "doc_id")
+    // Stage 5: per-language token budget in REAL BPE tokens of the clean text.
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    reps.withColumn("n_tokens", TextAnalysis.bpeTokenCount(col("text")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ------------------------------------------------------------------
   // Streaming queries under the oracle gate: the stream RUNS (availableNow
   // / micro-batches) and its OUTPUT is hash-compared to the DuckDB batch
@@ -602,11 +680,17 @@ object SparkEntry {
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val qn = s"s_rollup_stream_${System.nanoTime()}"
-    val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    // Narrowed stateful shuffle for the single-batch drain (fixed per-
+    // partition state-store cost; see s_sessionize_stream's note).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(qn).select(
       (unix_timestamp(col("hour_start")) / 3600).cast("long").as("hour_id"),
       col("event_type"), col("n"), col("total_value"))
@@ -615,10 +699,19 @@ object SparkEntry {
   /** The stateful streaming sessionizer over the real events table as a
     * FILE stream — no driver-side row materialization at any scale. The
     * landing dir gets the events file plus two watermark-advancing sentinel
-    * files; maxFilesPerTrigger=1 makes each file its own micro-batch, so
-    * the sentinels advance the watermark between batches and every real
-    * session times out and flushes. Output aggregated to the q_sessionize
-    * shape; sentinel user (-1) filtered.
+    * files; maxFilesPerTrigger=2 packs them into TWO micro-batches
+    * (events+sentinel1, then sentinel2): the watermark after batch 1 sits a
+    * day past every real event, so every session's event-time timeout fires
+    * during batch 2 and flushes. File→batch assignment is pinned by
+    * explicit modification times (the file source orders by modTime); even
+    * a pathological (events+sentinel2, sentinel1) grouping yields the same
+    * output — sentinel1 would arrive late and be dropped, but the timeouts
+    * fire regardless, and sentinel users (&lt;0) are filtered. The stateful
+    * shuffle is narrowed for the drain (state-store open/commit cost is
+    * per-partition × per-batch — micro-batch FIXED cost, not a data term;
+    * at real scale you'd widen it back out and flip on RocksDB via
+    * [[graft.streaming.Streaming.scaleStateStore]]). Output aggregated to
+    * the q_sessionize shape.
     */
   private def sSessionizeStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -647,18 +740,31 @@ object SparkEntry {
     }
     writeSentinel("zz_sentinel1.parquet", maxTsNs + 86400L * 1000000000L, -1L)
     writeSentinel("zz_sentinel2.parquet", maxTsNs + 86401L * 1000000000L, -2L)
-    val ev = Streaming.readParquetStream(s, landing.toString,
-        Map("maxFilesPerTrigger" -> "1"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    // Pin the source's modTime ordering: events first, sentinels after.
+    val t0 = java.nio.file.Files.getLastModifiedTime(landing.resolve("events.parquet"))
+      .toMillis
+    Seq("zz_sentinel1.parquet" -> 1000L, "zz_sentinel2.parquet" -> 2000L)
+      .foreach { case (n, off) =>
+        java.nio.file.Files.setLastModifiedTime(landing.resolve(n),
+          java.nio.file.attribute.FileTime.fromMillis(t0 + off))
+      }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_sessionize_stream_${System.nanoTime()}"
-    val query = Streaming.sessionize(ev.as[Streaming.Event],
-        gapMinutes = 30, watermark = "0 minutes")
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.table(qn).filter(col("user_id") >= 0L)
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Streaming.readParquetStream(s, landing.toString,
+          Map("maxFilesPerTrigger" -> "2"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      val query = Streaming.sessionize(ev.as[Streaming.Event],
+          gapMinutes = 30, watermark = "0 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn)
+      .filter(col("user_id") >= 0L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
   }
@@ -738,6 +844,7 @@ object SparkEntry {
     "q_batch_count" -> (qBatchCount _),
     "q_consolidate" -> (qConsolidate _),
     "q_digits_filter" -> (qDigitsFilter _),
+    "q_salted_skew_join" -> (qSaltedSkewJoin _),
     "d_exact_dup_groups" -> (dExactDupGroups _),
     "d_exact_dedup_keep" -> (dExactDedupKeep _),
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
@@ -767,7 +874,8 @@ object SparkEntry {
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
     "t_redact" -> (tRedact _),
-    "t_quality_filter" -> (tQualityFilter _)
+    "t_quality_filter" -> (tQualityFilter _),
+    "c_curation_pipeline" -> (cCurationPipeline _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -1077,6 +1185,15 @@ object SparkEntry {
     "q_digits_filter" ->
       """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
          FROM customer""",
+    "q_salted_skew_join" ->
+      // the PLAIN join: salting must be semantically invisible
+      """WITH ev AS (SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k, value
+           FROM events),
+         dim AS (SELECT k, count(*) AS k_freq FROM ev GROUP BY k)
+         SELECT k, count(*) AS n, max(k_freq) AS k_freq,
+           round(sum(value), 2) AS total_value
+         FROM ev JOIN dim USING (k) GROUP BY k""",
     "d_exact_dup_groups" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM documents GROUP BY text HAVING count(*) > 1""",
@@ -1453,6 +1570,91 @@ object SparkEntry {
              n_tokens
            FROM g)
          SELECT doc_id, quality FROM q
-         WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5"""
+         WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
+    "c_curation_pipeline" ->
+      // Full replay of the composed pipeline, stage by stage: plant →
+      // quality gate → scrub → line dedup → minhash-LSH pairs → recursive
+      // component closure → representative keep → BPE token budget.
+      s"""WITH RECURSIVE c_planted AS (
+           SELECT doc_id, lang,
+             text || (CASE WHEN doc_id % 5 = 0
+                           THEN '. all rights reserved worldwide' ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0
+                           THEN '. contact admin' || doc_id || '@example.com now'
+                           ELSE '' END) AS text
+           FROM documents),
+         c_feat AS (
+           SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+             (length(text) - length(regexp_replace(text,
+               '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x IN ($stopwordsSql)))::DOUBLE /
+               len(string_split_regex(trim(text), '\\s+')) AS sr,
+             string_split_regex(trim(text), '\\s+') AS tk
+           FROM c_planted),
+         c_gate AS (
+           SELECT doc_id, lang, text,
+             round(least(n_ws::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
+             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
+             n_ws
+           FROM (SELECT *, ${sqlWordNgramHashes(3)} AS g3 FROM c_feat)),
+         c_scrub AS (
+           SELECT doc_id, lang, quality,
+             regexp_replace(regexp_replace(text,
+               '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+               '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS text
+           FROM c_gate WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_ws >= 5),
+         c_parts AS (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+                     FROM c_scrub),
+         c_sent AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, parts[i] AS sentence
+                    FROM c_parts, unnest(range(1, len(parts) + 1)) AS u(i)),
+         c_hotl AS (SELECT sentence FROM (
+                      SELECT sentence, count(DISTINCT doc_id) AS df
+                      FROM c_sent GROUP BY sentence)
+                    WHERE df > 5),
+         c_lines AS (SELECT doc_id, string_agg(sentence, '. ' ORDER BY pos) AS clean_text
+                     FROM c_sent
+                     WHERE sentence NOT IN (SELECT sentence FROM c_hotl)
+                     GROUP BY doc_id),
+         curated AS (SELECT s.doc_id, s.lang, s.quality,
+                       coalesce(l.clean_text, '') AS text
+                     FROM c_scrub s LEFT JOIN c_lines l USING (doc_id)),
+         ${sqlMinhashSigCtes("curated")},
+         c_cand AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+           WHERE len(list_filter(range(0, 8), bd ->
+             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         c_mp AS (SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+                    ELSE len(list_intersect(ga, gb))::DOUBLE /
+                         len(list_distinct(ga || gb)) END AS jac
+             FROM c_cand)
+           WHERE jac >= 0.5),
+         c_edges AS (SELECT id_a AS s, id_b AS d FROM c_mp
+                     UNION ALL SELECT id_b AS s, id_a AS d FROM c_mp),
+         c_reach(a, b) AS (
+           SELECT doc_id, doc_id FROM curated
+           UNION
+           SELECT r.a, e.d FROM c_reach r JOIN c_edges e ON e.s = r.b),
+         c_comp AS (SELECT a AS doc_id, min(b) AS comp FROM c_reach GROUP BY a),
+         reps AS (SELECT c.doc_id, c.lang, c.quality, c.text
+                  FROM curated c JOIN c_comp m
+                    ON c.doc_id = m.doc_id AND m.comp = c.doc_id),
+         ${sqlBpeCtes("reps")},
+         c_sel AS (SELECT r.doc_id, r.lang, r.quality,
+                     CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens
+                   FROM reps r LEFT JOIN bpe_counts b USING (doc_id))
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+           FROM c_sel)
+         WHERE cum_tokens <= 2000"""
   )
 }

@@ -94,6 +94,25 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** State-store scale configuration, applied BEFORE the first query
+    * starts (the stateful shuffle width is frozen into the checkpoint):
+    * RocksDB-backed state keeps large keyed state (hundreds of millions of
+    * live sessions / dedup keys) off the executor heap with incremental
+    * checkpointing — the 100 TB-stream setting, where the default in-memory
+    * HDFSBackedStateStore would OOM or GC-thrash. `shufflePartitions` sizes
+    * the stateful operator's parallelism: wide enough that each partition's
+    * state fits the store's memtable budget, narrow enough that per-batch
+    * store open/commit fixed cost doesn't dominate (micro-benches here run
+    * 8; a 1000-executor cluster runs thousands).
+    */
+  def scaleStateStore(spark: SparkSession, shufflePartitions: Int = 32,
+      rocksDb: Boolean = true): Unit = {
+    if (rocksDb)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+  }
+
   /** Source wiring: a parquet directory tailed as a stream (schema from the
     * existing files — the standard pattern for landing-zone ingestion).
     * `options` pass through to the source (e.g. maxFilesPerTrigger for

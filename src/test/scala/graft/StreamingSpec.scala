@@ -181,6 +181,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("sessionizer runs unchanged on the RocksDB state store (scale config)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Streaming.scaleStateStore(spark, shufflePartitions = 4)
+      val input = MemoryStream[Event]
+      val query = Streaming.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(
+        Event(1L, 1L, ts(1000), "click", 1.0),
+        Event(2L, 1L, ts(1010), "click", 2.0),
+        Event(3L, 2L, ts(1005), "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(9L, 99L, ts(5000), "z", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(10L, 98L, ts(9000), "z", 0.0))
+      query.processAllAvailable()
+      query.stop()
+      val sessions = spark.table("sessions_rocks").as[Session].collect()
+        .filter(_.user_id <= 2L)
+      assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSet ==
+        Set((1L, 2L, 3.0), (2L, 1L, 1.0)))
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("streaming rollup agrees with the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (1 to 200).map(i =>

@@ -75,4 +75,27 @@ class TransformsSpec extends SparkTestBase {
     val b = Seq(2, 3, 4).toDF("k")
     assert(Transforms.consolidate(Seq(a, b)).as[Int].collect().toSet == Set(1, 2, 3, 4))
   }
+
+  test("saltedJoin: plain-join semantics, hot key spread across all salts") {
+    // 1000 of 1100 rows share key 0 — the straggler regime: unsalted, every
+    // hot row lands in ONE hash-partition bucket.
+    val left = spark.range(1100).select(
+      when($"id" < 1000, 0L).otherwise($"id").as("k"), $"id".as("v"))
+    val right = spark.range(1100).select(
+        when($"id" < 1000, 0L).otherwise($"id").as("k")).distinct()
+      .withColumn("attr", $"k" * 2)
+    val naive = left.join(right, Seq("k")).select("k", "v", "attr")
+    val salted = Transforms.saltedJoin(left, right, Seq("k"), 8)
+      .select("k", "v", "attr")
+    assert(salted.exceptAll(naive).count() == 0 && naive.exceptAll(salted).count() == 0)
+    assert(salted.count() == 1100)
+    // The straggler disappears: replaying saltedJoin's salt derivation, the
+    // hot key's 1000 rows occupy all 8 (k, salt) buckets and the largest
+    // holds ~1/8 of them — the join task fed by it shrinks accordingly.
+    val dist = left.filter($"k" === 0L)
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .groupBy($"__salt").count().collect().map(_.getLong(1))
+    assert(dist.length == 8, s"expected 8 salt buckets, got ${dist.length}")
+    assert(dist.max <= 250, s"hot-key bucket still holds ${dist.max} of 1000 rows")
+  }
 }
