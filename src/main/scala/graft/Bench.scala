@@ -18,8 +18,14 @@ object Bench {
     // ~4s of warmup regardless of which query it was).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    // Optional comma-separated query filter for targeted local timing runs
+    // (absent → the full registry, which is what the driver measures).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -638,13 +638,19 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_ws") >= 5)
       .select(col("doc_id"), col("lang"), col("quality"), col("text"))
     // Stage 2: PII scrub (same narrow codegen'd stage as t_redact).
+    // Persisted: the subtree below (line dedup's sentence explode + df
+    // count + reassembly, plus the id join) consumes it three times inside
+    // the single checkpoint job — without the persist the gate kernels and
+    // regexes re-run per consumer.
     val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
+      .persist()
     // Stage 3: corpus-frequent line removal; `curated` is the one
     // materialization point of the whole pipeline.
     val curated = scrubbed.drop("text")
       .join(Dedup.lineDedup(scrubbed, "doc_id", "text", maxDf = 5)
         .select(col("id").as("doc_id"), col("clean_text").as("text")), "doc_id")
       .localCheckpoint()
+    scrubbed.unpersist() // curated is materialized; the scrub tree is done
     // Stage 4: near-dup clusters over the CLEANED text; keep representatives.
     val pairs = Dedup.minhashLshPairs(curated, "doc_id", "text",
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)

@@ -431,25 +431,31 @@ object Dedup {
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected pair list by iterative
-    * min-label propagation — the scalable post-pass that turns near-dup
-    * PAIRS into dedup CLUSTERS (keep comp == id, drop the rest). Each round
-    * is one join + ONE aggregation; convergence is read from the same
-    * aggregation (did any label decrease?) instead of a second join, so a
-    * round costs exactly one job. Rounds are bounded by component diameter
-    * (near-dup clusters are shallow). Labels/edges carry only ids: the
-    * shuffle never sees document payloads.
+    * min-label propagation with POINTER JUMPING — the scalable post-pass
+    * that turns near-dup PAIRS into dedup CLUSTERS (keep comp == id, drop
+    * the rest). Each round propagates labels one hop over the edges, then
+    * shortcuts through the previous round's label table (comp :=
+    * labels(comp)) — the label reaches 2^r hops after r rounds, so rounds
+    * are O(log diameter) instead of O(diameter) (chain-shaped near-dup
+    * clusters — page series, versioned boilerplate — are exactly the deep
+    * case). Convergence is read from the same aggregation (did any label
+    * decrease?), so a round costs one propagation job plus the cheap
+    * shortcut join against the already-materialized previous labels.
+    * Labels/edges carry only ids: the shuffle never sees document payloads.
     *
     * Lineage control: edges and the initial labels are `localCheckpoint`ed
     * (the upstream pair pipeline materializes once), and labels re-
-    * checkpoint every `checkpointInterval` rounds — without this the plan
-    * grows per round and deep graphs blow up the planner. Between
-    * checkpoints labels are persisted; block loss re-derives from the last
-    * checkpoint.
+    * checkpoint every round by default. Each round references the previous
+    * labels THREE times (self-union, propagation join, jump lookup), so an
+    * un-truncated plan grows 3^k between checkpoints and the OPTIMIZER —
+    * not the data — becomes the bottleneck within a few rounds; with
+    * O(log d) rounds and ids-only label frames, a per-round checkpoint is
+    * the cheap side of that trade at every scale.
     *
     * @return (id, comp) for every node; comp = min id reachable.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, checkpointInterval: Int = 3): DataFrame = {
+      pairs: DataFrame, checkpointInterval: Int = 1): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -473,9 +479,20 @@ object Dedup {
         .union(prop)
         .groupBy("id")
         .agg(min(col("comp")).as("comp"), min(col("own")).as("old"))
+      // Pointer jump: comp := previous-labels(comp). Every label value is a
+      // node id inside the same component (it entered as some node's min),
+      // so the lookup composes reachability — after r rounds a label has
+      // traveled 2^r hops. `least` keeps monotonicity explicit; the lookup
+      // side is the persisted previous round, so this join is cheap.
+      val jumped = agg.join(
+          labels.select(col("id").as("__jid"), col("comp").as("__jcomp")),
+          agg("comp") === col("__jid"), "left")
+        .select(agg("id"),
+          least(col("comp"), coalesce(col("__jcomp"), col("comp"))).as("comp"),
+          col("old"))
       val next =
-        if (round % checkpointInterval == 0) agg.localCheckpoint()
-        else { agg.persist(); agg }
+        if (round % checkpointInterval == 0) jumped.localCheckpoint()
+        else { jumped.persist(); jumped }
       changed = next.filter(col("comp") < col("old")).count()
       materialized.unpersist()
       materialized = next
