@@ -604,6 +604,45 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
       .select("doc_id", "quality")
 
+  /** Deterministic stratified downsampling — mixture rebalancing, the step
+    * that turns "too much src0, not enough books" into a target data mix.
+    * Each source stratum keeps a configured per-mille fraction, selected by
+    * a content-stable polynomial hash of (source, doc_id): reproducible
+    * across runs, engines, and partitionings (no RNG state, unlike
+    * `df.sample`), and at 100 TB it is a NARROW filter fused into the scan —
+    * no shuffle, no sort, prunes to two columns.
+    */
+  private def cStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 250L)
+      .when(col("source").isin("src4", "src5", "src6"), 500L)
+      .otherwise(1000L)
+    val bucket = pmod(Dedup.polyHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")),
+      31L, 1000000007L), lit(1000L))
+    t(s, dir, "documents")
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Corpus-wide top-k frequent word bigrams — vocabulary/boilerplate
+    * mining (the discovery pass behind line-dedup df thresholds and merge-
+    * table training). Scale shape: the explode emits bounded 2-word keys,
+    * the count is map-side combinable, and the top-k is a TakeOrdered over
+    * the aggregated (tiny) key space — no global sort of the corpus.
+    */
+  private def tTopNgrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val cnt = size(toks) - 1
+    val grams = when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    t(s, dir, "documents")
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(50)
+  }
+
   /** END-TO-END curation pipeline as ONE composed plan — the shape this
     * engine actually runs at 100 TB: quality gate → PII scrub → line-level
     * boilerplate removal → near-dup clustering (MinHash-LSH + connected
@@ -881,6 +920,8 @@ object SparkEntry {
     "t_repetition" -> (tRepetition _),
     "t_redact" -> (tRedact _),
     "t_quality_filter" -> (tQualityFilter _),
+    "t_top_ngrams" -> (tTopNgrams _),
+    "c_stratified_sample" -> (cStratifiedSample _),
     "c_curation_pipeline" -> (cCurationPipeline _)
   )
 
@@ -1577,6 +1618,19 @@ object SparkEntry {
            FROM g)
          SELECT doc_id, quality FROM q
          WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
+    "c_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE ${sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)} % 1000 <
+           CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 250
+                WHEN source IN ('src4', 'src5', 'src6') THEN 500
+                ELSE 1000 END""",
+    "t_top_ngrams" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+                       FROM documents WHERE trim(text) <> ''),
+         g AS (SELECT array_to_string(tk[i:i+1], ' ') AS ngram
+               FROM toks, unnest(range(1, len(tk))) AS u(i))
+         SELECT ngram, count(*) AS n FROM g
+         GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
     "c_curation_pipeline" ->
       // Full replay of the composed pipeline, stage by stage: plant →
       // quality gate → scrub → line dedup → minhash-LSH pairs → recursive
