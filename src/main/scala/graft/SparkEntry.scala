@@ -604,6 +604,45 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
       .select("doc_id", "quality")
 
+  /** Fixed-size token chunking — the retrieval/embedding prep staple: each
+    * document splits into consecutive 64-token windows, exploded with chunk
+    * indices. Narrow per-row transform + explode: no shuffle at any scale,
+    * and the scan prunes to (doc_id, text).
+    */
+  private def tChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 64
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks)
+    val chunks = when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L), floor((n - 1) / lit(chunkLen)).cast("long")),
+        j => concat_ws(" ", slice(toks, (j * chunkLen + 1).cast("int"), lit(chunkLen)))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        TextAnalysis.tokenCount(col("chunk")).cast("long").as("chunk_tokens"),
+        col("chunk"))
+  }
+
+  /** Cross-document sequence packing (context-window building): per
+    * language, documents concatenate back-to-back in doc_id order; each
+    * doc's pack is the fixed 2048-BPE-token window its first token lands
+    * in, with a flag for docs straddling a boundary (where the loader
+    * splits). One partitioned running sum — the same shuffle shape and
+    * scale caveat as t_token_budget.
+    */
+  private def cPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+      .withColumn("crosses",
+        expr("((cum - 1) div 2048) > ((cum - n_tokens) div 2048) AND n_tokens > 0"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"), col("crosses"))
+  }
+
   /** Deterministic stratified downsampling — mixture rebalancing, the step
     * that turns "too much src0, not enough books" into a target data mix.
     * Each source stratum keeps a configured per-mille fraction, selected by
@@ -921,6 +960,8 @@ object SparkEntry {
     "t_redact" -> (tRedact _),
     "t_quality_filter" -> (tQualityFilter _),
     "t_top_ngrams" -> (tTopNgrams _),
+    "t_chunks" -> (tChunks _),
+    "c_pack_sequences" -> (cPackSequences _),
     "c_stratified_sample" -> (cStratifiedSample _),
     "c_curation_pipeline" -> (cCurationPipeline _)
   )
@@ -1631,6 +1672,25 @@ object SparkEntry {
                FROM toks, unnest(range(1, len(tk))) AS u(i))
          SELECT ngram, count(*) AS n FROM g
          GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
+    "t_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                       FROM documents WHERE trim(text) <> '')
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+           CAST(len(tk[j*64+1 : j*64+64]) AS BIGINT) AS chunk_tokens,
+           array_to_string(tk[j*64+1 : j*64+64], ' ') AS chunk
+         FROM toks, unnest(range(0, (len(tk) - 1) // 64 + 1)) AS u(j)""",
+    "c_pack_sequences" ->
+      s"""WITH RECURSIVE ${sqlBpeCtes("documents")},
+         d AS (SELECT doc_id, lang, CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens
+               FROM documents LEFT JOIN bpe_counts b USING (doc_id)),
+         c AS (SELECT doc_id, lang, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM d)
+         SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           ((cum - 1) // 2048 > (cum - n_tokens) // 2048 AND n_tokens > 0) AS crosses
+         FROM c""",
     "c_curation_pipeline" ->
       // Full replay of the composed pipeline, stage by stage: plant →
       // quality gate → scrub → line dedup → minhash-LSH pairs → recursive
