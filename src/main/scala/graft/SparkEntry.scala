@@ -429,6 +429,18 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** SemDeDup-style semantic dedup over the embeddings table with the
+    * frozen trained centroids: within-cell cosine pairs → clusters → keep
+    * min-id representative. The oracle replays cell assignment (identical
+    * centroid doubles), the within-cell pair set, and the recursive
+    * component closure, so the cluster-scoped dedup semantics are
+    * hash-checked end-to-end.
+    */
+  private def eSemdedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedupKeep(t(s, dir, "embeddings"), "vec_id", "embedding",
+      centroids = graft.operators.TrainedCentroids.sf001, threshold = 0.45)
+      .select(col("id").as("vec_id"), col("cell"))
+
   // ------------------------------------------------------------------
   // Multimodal columns: binary payloads with typed metadata
   // ------------------------------------------------------------------
@@ -945,6 +957,7 @@ object SparkEntry {
     "e_ivf_topk" -> (eIvfTopK _),
     "e_ivf_trained_topk" -> (eIvfTrainedTopK _),
     "e_ivf_index_topk" -> (eIvfIndexTopK _),
+    "e_semdedup_keep" -> (eSemdedupKeep _),
     "m_modality_stats" -> (mModalityStats _),
     "m_image_dims" -> (mImageDims _),
     "m_media_fingerprint" -> (mMediaFingerprint _),
@@ -1468,6 +1481,31 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
+    },
+    "e_semdedup_keep" -> {
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH RECURSIVE sgt AS (SELECT $flat::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             (list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell))[1] AS cell
+           FROM e CROSS JOIN sgt),
+         mp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${sqlCos("a.v", "b.v")} >= 0.45),
+         sd_edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                      UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         sd_reach(a, b) AS (
+           SELECT vec_id, vec_id FROM cells
+           UNION
+           SELECT r.a, e2.d FROM sd_reach r JOIN sd_edges e2 ON e2.s = r.b),
+         sd_comp AS (SELECT a AS vec_id, min(b) AS comp FROM sd_reach GROUP BY a)
+         SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell
+         FROM cells c JOIN sd_comp m ON c.vec_id = m.vec_id AND m.comp = c.vec_id"""
     },
     "m_modality_stats" ->
       """SELECT modality, count(*) AS n, round(avg(byte_len), 4) AS avg_bytes FROM (

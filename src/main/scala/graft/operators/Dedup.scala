@@ -504,6 +504,44 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic dedup (the embedding-cluster variant of
+    * near-dup removal): every vector is coarse-quantized to its nearest
+    * trained centroid cell (same frozen k-means artifact the IVF search
+    * uses), candidate pairs are generated ONLY within a cell — the
+    * cell-keyed equi self-join keeps the quadratic work per-cell, and k
+    * grows with the corpus so cells stay bounded — verified with exact
+    * cosine ≥ threshold, resolved to clusters (pointer-jumping connected
+    * components), and ONE representative (min id) per cluster is kept.
+    * Cross-cell near-dups survive by design — the standard trade of
+    * cluster-scoped dedup, replayed identically by the oracle. Candidates
+    * shuffle ids only (vectors are fetched once for verification);
+    * degenerate cells are capped like every other LSH bucket.
+    *
+    * @return kept rows (id, cell).
+    */
+  def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double = 0.45,
+      maxCell: Int = 100000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        element_at(Similarity.nearestCells(col("vec"), centroids, 1), 1))
+    val keyed = capBuckets(base.select(col("id"), col("cell")), "cell", maxCell)
+    val a = keyed.select(col("cell").as("cell"), col("id").as("id_a"))
+    val b = keyed.select(col("cell").as("cell2"), col("id").as("id_b"))
+    val candidates = a.join(b, col("cell") === col("cell2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = candidates.join(va, "id_a").join(vb, "id_b")
+      .filter(graft.functions.KernelExpressions.vecCosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(base, "id", pairs)
+    base.select(col("id"), col("cell").cast("long").as("cell"))
+      .join(comps.filter(col("comp") === col("id")).select("id"), "id")
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH: each of
