@@ -616,6 +616,27 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
       .select("doc_id", "quality")
 
+  /** EXACT per-language length deciles — corpus QA profiling (the
+    * distribution sheet a curation run starts and ends with). Formulated as
+    * cumulative-rank arithmetic (row_number / count per partition) so the
+    * DuckDB oracle replays it bit-for-bit — `percentile_approx` would be
+    * the 100 TB choice where exactness isn't required, at the cost of the
+    * cross-engine hash check; the shuffle shape (one sort per language
+    * partition) is the same either way.
+    */
+  private def tLengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val cnt = Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .withColumn("cd",
+        row_number().over(w).cast("double") / count(lit(1)).over(cnt))
+      .select(col("lang"), col("n_chars"), col("cd"),
+        explode(array((1 to 9).map(lit(_)): _*)).as("decile"))
+      .filter(col("cd") >= col("decile") / 10.0)
+      .groupBy(col("lang"), col("decile").cast("long").as("decile"))
+      .agg(min(col("n_chars")).as("value"))
+  }
+
   /** Fixed-size token chunking — the retrieval/embedding prep staple: each
     * document splits into consecutive 64-token windows, exploded with chunk
     * indices. Narrow per-row transform + explode: no shuffle at any scale,
@@ -973,6 +994,7 @@ object SparkEntry {
     "t_redact" -> (tRedact _),
     "t_quality_filter" -> (tQualityFilter _),
     "t_top_ngrams" -> (tTopNgrams _),
+    "t_length_deciles" -> (tLengthDeciles _),
     "t_chunks" -> (tChunks _),
     "c_pack_sequences" -> (cPackSequences _),
     "c_stratified_sample" -> (cStratifiedSample _),
@@ -1710,6 +1732,15 @@ object SparkEntry {
                FROM toks, unnest(range(1, len(tk))) AS u(i))
          SELECT ngram, count(*) AS n FROM g
          GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
+    "t_length_deciles" ->
+      """WITH r AS (SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)::DOUBLE /
+             count(*) OVER (PARTITION BY lang) AS cd
+           FROM documents)
+         SELECT lang, CAST(d AS BIGINT) AS decile, min(n_chars) AS value
+         FROM r, unnest(range(1, 10)) AS u(d)
+         WHERE cd >= d / 10.0
+         GROUP BY lang, d""",
     "t_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
                        FROM documents WHERE trim(text) <> '')

@@ -110,6 +110,15 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stratified sample scan prunes to (doc_id, source) — never reads text") {
+    // the whole point of a scan-fused sampler: at 100 TB the text column is
+    // ~the corpus; the hash filter must run off two narrow columns
+    val p = planOf("c_stratified_sample")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("text"), s"sampler reads the text column: $readSchema")
+  }
+
   test("dimension joins in q3 are broadcast (no shuffle of the fact side for the join)") {
     val p = planOf("q3_top_orders")
     assert(p.contains("BroadcastHashJoin"))
