@@ -676,6 +676,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"), col("crosses"))
   }
 
+  /** Benchmark decontamination — drop every training document that shares
+    * a word 3-gram with the eval set (docs 0-9 stand in for the benchmark).
+    * The classic pre-training hygiene pass (real pipelines use 8-13-grams;
+    * 3 keeps the planted corpus overlap non-trivial). Scale shape: the eval
+    * side explodes to a DISTINCT n-gram hash set — tiny (benchmarks are
+    * MBs, corpora are TBs) so the left-anti join broadcasts under the same
+    * size gate as the `_uploaded` control table; the training side streams
+    * through exploded → anti-join → distinct-id, never shuffling text.
+    */
+  private def cDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
+    val docs = t(s, dir, "documents")
+    val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("g").distinct()
+    val trainGrams = grams(docs.filter(col("doc_id") >= 10))
+    val contaminated = trainGrams.join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") >= 10)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Deterministic stratified downsampling — mixture rebalancing, the step
     * that turns "too much src0, not enough books" into a target data mix.
     * Each source stratum keeps a configured per-mille fraction, selected by
@@ -997,6 +1019,7 @@ object SparkEntry {
     "t_length_deciles" -> (tLengthDeciles _),
     "t_chunks" -> (tChunks _),
     "c_pack_sequences" -> (cPackSequences _),
+    "c_decontaminate" -> (cDecontaminate _),
     "c_stratified_sample" -> (cStratifiedSample _),
     "c_curation_pipeline" -> (cCurationPipeline _)
   )
@@ -1719,6 +1742,21 @@ object SparkEntry {
            FROM g)
          SELECT doc_id, quality FROM q
          WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
+    "c_decontaminate" -> {
+      val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
+      s"""WITH sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> $g3)) END AS g3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         ev AS (SELECT DISTINCT unnest(g3) AS g FROM sh WHERE doc_id < 10),
+         cont AS (SELECT DISTINCT s.doc_id
+                  FROM sh s, unnest(s.g3) AS u(g)
+                  WHERE s.doc_id >= 10 AND g IN (SELECT g FROM ev))
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
+    },
     "c_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents
          WHERE ${sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)} % 1000 <
