@@ -690,8 +690,12 @@ object SparkEntry {
       explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
     val docs = t(s, dir, "documents")
     val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("g").distinct()
+    val evalHinted =
+      if (evalGrams.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(Transforms.BroadcastGateBytes)) broadcast(evalGrams)
+      else evalGrams
     val trainGrams = grams(docs.filter(col("doc_id") >= 10))
-    val contaminated = trainGrams.join(evalGrams, Seq("g"), "left_semi")
+    val contaminated = trainGrams.join(evalHinted, Seq("g"), "left_semi")
       .select("doc_id").distinct()
     docs.filter(col("doc_id") >= 10)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -835,6 +839,37 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exact dedup under the oracle gate: the events table lands
+    * TWICE in the stream's directory (the redelivery/duplicate-file case),
+    * and the watermarked `dropDuplicates` state drops every second copy —
+    * the batch aggregate over the drained sink must equal the plain
+    * per-user counts of the ORIGINAL table. Single availableNow batch: all
+    * duplicates fall inside the watermark horizon, so the dedup is exact by
+    * construction (the horizon bounds state at real scale).
+    */
+  private def sDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve(n))
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val qn = s"s_dedup_stream_${System.nanoTime()}"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val query = graft.streaming.Streaming
+        .dedupStream(ev, Seq("event_id"), "ts", "1 day")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+  }
+
   /** The stateful streaming sessionizer over the real events table as a
     * FILE stream — no driver-side row materialization at any scale. The
     * landing dir gets the events file plus two watermark-advancing sentinel
@@ -970,6 +1005,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "s_rollup_stream" -> (sRollupStream _),
     "s_sessionize_stream" -> (sSessionizeStream _),
+    "s_dedup_stream" -> (sDedupStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
     "q_top_users" -> (qTopUsers _),
     "q_anti_join_key" -> (qAntiJoinKey _),
@@ -1281,6 +1317,9 @@ object SparkEntry {
     "q_hourly_rollup" -> sqlHourlyRollup,
     // the STREAMING rollup must reproduce the batch result exactly
     "s_rollup_stream" -> sqlHourlyRollup,
+    // duplicate-file redelivery deduped back to the original per-user counts
+    "s_dedup_stream" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
     "q_top_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY user_id

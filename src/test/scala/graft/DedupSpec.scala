@@ -145,6 +145,38 @@ class DedupSpec extends SparkTestBase {
     assert(comp.count { case (id, c) => id == c } == 7)
   }
 
+  test("pointer-jumping components match union-find on random graphs and deep chains") {
+    def expectedComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).groupBy(find).flatMap { case (_, ms) =>
+        val mn = ms.min.toLong; ms.map(_.toLong -> mn)
+      }
+    }
+    def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+      val got = Dedup.connectedComponents((0L until n.toLong).toDF("id"), "id",
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expectedComponents(n, edges))
+    }
+    // a 40-node chain: the depth case pointer jumping exists for
+    check(40, (0L until 39L).map(i => (i, i + 1)))
+    // random graphs, fixed seed
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      check(n, edges)
+    }
+  }
+
   test("LSH bucket caps neutralize degenerate identical/empty groups") {
     // 100 docs: 10 empty, 10 identical boilerplate, 80 unique — the 10%
     // degenerate mix the 100 TB skew scenario names. A boilerplate group of
