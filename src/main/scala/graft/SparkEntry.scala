@@ -547,6 +547,45 @@ object SparkEntry {
       .select(col("doc_id"), col("dims.width").as("width"), col("dims.height").as("height"))
   }
 
+  /** WAV metadata extraction over properly-chunked RIFF payloads: every doc
+    * becomes a WAV whose fmt chunk carries planted sample rate / channels /
+    * bit depth, with (even ids) a LIST/INFO chunk inserted BEFORE fmt — the
+    * fmt offset varies, so only the chunk walk
+    * ([[graft.functions.Kernels.wavFormat]]) recovers the values the
+    * oracle states independently from the planting formulas.
+    */
+  private def mWavFormat(s: SparkSession, dir: String): DataFrame = {
+    def le16(c: Column) = unhex(concat(
+      substring(lpad(hex(c.bitwiseAND(0xFFFF)), 4, "0"), 3, 2),
+      substring(lpad(hex(c.bitwiseAND(0xFFFF)), 4, "0"), 1, 2)))
+    def le32(c: Column) = {
+      val h = lpad(hex(c.bitwiseAND(0xFFFFFFFFL)), 8, "0")
+      unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    val sampleRate = element_at(
+      typedLit(Seq(8000L, 16000L, 22050L, 44100L)), (col("doc_id") % 4 + 1).cast("int"))
+    val channels = col("doc_id") % 2 + 1
+    val bits = (col("doc_id") % 2 + 1) * 8
+    val data = encode(col("text"), "UTF-8")
+    val listChunk = when(col("doc_id") % 2 === 0,
+      concat(unhex(lit("4C495354")), le32(lit(4L)), unhex(lit("494E464F"))))
+      .otherwise(lit(Array.empty[Byte]))
+    val fmtChunk = concat(unhex(lit("666D7420")), le32(lit(16L)),
+      le16(lit(1L)), le16(channels), le32(sampleRate),
+      le32(sampleRate * channels * (col("doc_id") % 2 + 1)),
+      le16(channels * (col("doc_id") % 2 + 1)), le16(bits))
+    val riffSize = lit(4L) + when(col("doc_id") % 2 === 0, 12L).otherwise(0L) +
+      lit(24L) + lit(8L) + length(data)
+    val payload = concat(unhex(lit("52494646")), le32(riffSize),
+      unhex(lit("57415645")), listChunk, fmtChunk,
+      unhex(lit("64617461")), le32(length(data)), data)
+    t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+      .withColumn("f", Multimodal.wavFormat(col("payload")))
+      .select(col("doc_id"), col("f.sample_rate").as("sample_rate"),
+        col("f.channels").as("channels"), col("f.bits").as("bits"))
+  }
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1043,6 +1082,7 @@ object SparkEntry {
     "m_frame_sample" -> (mFrameSample _),
     "m_audio_energy" -> (mAudioEnergy _),
     "m_jpeg_dims" -> (mJpegDims _),
+    "m_wav_format" -> (mWavFormat _),
     "t_token_stats" -> (tTokenStats _),
     "t_bpe_tokens" -> (tBpeTokens _),
     "t_quality" -> (tQuality _),
@@ -1681,6 +1721,15 @@ object SparkEntry {
          FROM walk
          WHERE ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT BETWEEN 192 AND 207
            AND ('0x' || substr(ph, pos * 2 + 1, 2))::BIGINT NOT IN (196, 200, 204)""",
+    "m_wav_format" ->
+      // ground truth stated from the planting formulas — the byte walk must
+      // recover them through the variable-offset chunk layout
+      """SELECT doc_id,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+         CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS bits
+         FROM documents""",
     "m_audio_energy" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
                     FROM documents WHERE doc_id % 3 = 2),

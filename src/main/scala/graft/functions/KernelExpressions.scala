@@ -151,6 +151,15 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class WavFormat(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.wavFormat(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.wavFormat($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 60-bit SimHash of lower(text) over whitespace tokens. */
   case class Simhash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -187,6 +196,8 @@ object KernelExpressions {
   def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
 
   def jpegDims(bin: Column): Column = c(JpegDims(e(bin)))
+
+  def wavFormat(bin: Column): Column = c(WavFormat(e(bin)))
 
   def bpeTokenCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     c(BpeTokenCount(e(text), lefts, rights))

@@ -282,6 +282,40 @@ object Kernels {
 
   // ----------------------------------------------------------- multimodal
 
+  /** WAV `fmt ` metadata via the RIFF chunk walk: a 12-byte RIFF/WAVE
+    * header, then (4-byte id, LE32 size, body) chunks with word alignment.
+    * The fmt body carries [audioFormat u16][channels u16][sampleRate u32]
+    * [byteRate u32][blockAlign u16][bitsPerSample u16], all little-endian.
+    * Returns `(sampleRate << 16) | (channels << 8) | bitsPerSample`, or -1
+    * when the buffer is not RIFF/WAVE, a chunk size is implausible, or no
+    * fmt chunk appears. Bounded: hops chunk headers only, never scans
+    * audio samples.
+    */
+  def wavFormat(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (n < 12) return -1L
+    if (u8(0) != 'R' || u8(1) != 'I' || u8(2) != 'F' || u8(3) != 'F') return -1L
+    if (u8(8) != 'W' || u8(9) != 'A' || u8(10) != 'V' || u8(11) != 'E') return -1L
+    var p = 12
+    while (p + 8 <= n) {
+      val size = le32(p + 4)
+      if (size < 0L || size > n.toLong) return -1L
+      if (u8(p) == 'f' && u8(p + 1) == 'm' && u8(p + 2) == 't' && u8(p + 3) == ' ') {
+        if (size < 16L || p + 24 > n) return -1L
+        val channels = le16(p + 10)
+        val sampleRate = le32(p + 12)
+        val bits = le16(p + 22)
+        return (sampleRate << 16) | (channels.toLong << 8) | bits.toLong
+      }
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    -1L
+  }
+
   /** JPEG frame dimensions via the marker-segment walk (ITU T.81 §B): after
     * the FFD8 SOI, each segment is 0xFF, a type byte, then a 2-byte
     * big-endian length (counting itself) — except standalone markers

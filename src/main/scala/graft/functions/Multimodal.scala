@@ -76,6 +76,21 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
+  /** WAV `fmt ` chunk metadata (sample rate / channels / bits per sample)
+    * via the RIFF chunk walk (kernel expression — chunks are variable-
+    * length and ordered freely, so fixed offsets don't work); null when the
+    * payload is not RIFF/WAVE or carries no fmt chunk.
+    */
+  def wavFormat(bin: Column): Column = {
+    val packed = KernelExpressions.wavFormat(bin)
+    when(packed >= 0,
+      struct(shiftright(packed, 16).as("sample_rate"),
+        shiftright(packed, 8).bitwiseAND(lit(0xFFL)).as("channels"),
+        packed.bitwiseAND(lit(0xFFL)).as("bits")))
+      .otherwise(lit(null)
+        .cast("struct<sample_rate:bigint,channels:bigint,bits:bigint>"))
+  }
+
   /** Content fingerprint: poly-hash over the payload's hex rendering —
     * engine-reproducible (DuckDB mirrors via to_hex + the same fold).
     */

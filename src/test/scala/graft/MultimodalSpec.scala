@@ -68,6 +68,37 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("wav fmt metadata from the RIFF chunk walk, incl. preceding chunks and edge cases") {
+    // LE helpers over hex strings
+    def le16(v: Int) = f"$v%04X".grouped(2).toSeq.reverse.mkString
+    def le32(v: Long) = f"$v%08X".grouped(2).toSeq.reverse.mkString
+    val riff = "52494646" + le32(100L) + "57415645"
+    // fmt: PCM, 2ch, 44100 Hz, byteRate, blockAlign, 16 bits
+    val fmt = "666D7420" + le32(16L) + le16(1) + le16(2) + le32(44100L) +
+      le32(176400L) + le16(4) + le16(16)
+    val list = "4C495354" + le32(4L) + "494E464F"
+    val odd = "4C495354" + le32(5L) + "494E464F" + "AA" // odd size → pad byte
+    val data = "64617461" + le32(3L) + "AABBCC"
+    val cases = Seq(
+      ("plain", riff + fmt + data, Some((44100L, 2L, 16L))),
+      ("list_first", riff + list + fmt + data, Some((44100L, 2L, 16L))),
+      ("odd_chunk_padded", riff + odd + "00" + fmt + data, Some((44100L, 2L, 16L))),
+      ("no_fmt", riff + data, None),
+      ("not_riff", "0011223344556677889900", None),
+      ("truncated_fmt", riff + "666D7420" + le32(16L) + le16(1), None),
+      ("implausible_size", riff + "4C495354" + le32(1L << 30) + fmt, None))
+    val df = cases.map { case (n, hx, _) => (n, hx) }.toDF("name", "hx")
+      .select(col("name"), unhex(col("hx")).as("bin"))
+    val out = df.select(col("name"), Multimodal.wavFormat(col("bin")).as("f"))
+      .collect().map { r =>
+        val f = r.getStruct(1)
+        r.getString(0) -> Option(f).map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))
+      }.toMap
+    cases.foreach { case (n, _, expect) =>
+      assert(out(n) == expect, s"case $n: got ${out(n)}, expected $expect")
+    }
+  }
+
   test("frame windows: count and content of byte windows") {
     val payload = ("AB" * 100) // 100 bytes
     val df = Seq(payload).toDF("hx").select(unhex(col("hx")).as("bin"))
