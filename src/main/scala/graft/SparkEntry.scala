@@ -767,18 +767,13 @@ object SparkEntry {
     * the count is map-side combinable, and the top-k is a TakeOrdered over
     * the aggregated (tiny) key space — no global sort of the corpus.
     */
-  private def tTopNgrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val cnt = size(toks) - 1
-    val grams = when(cnt < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
+  private def tTopNgrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(explode(grams).as("ngram"))
+      .select(explode(
+        graft.functions.KernelExpressions.wordNgramStrings(col("text"), 2)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(50)
-  }
 
   /** END-TO-END curation pipeline as ONE composed plan — the shape this
     * engine actually runs at 100 TB: quality gate → PII scrub → line-level

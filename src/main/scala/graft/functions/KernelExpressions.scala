@@ -109,6 +109,15 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class WordNgramStrings(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.wordNgramStrings(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.wordNgramStrings($t, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** [total, distinct, maxRun] occurrence stats of word n-grams of
     * trim(text) — basis of the Gopher repetition signals.
     */
@@ -192,6 +201,8 @@ object KernelExpressions {
     c(SortedIntersectCount(e(a), e(b)))
 
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
+
+  def wordNgramStrings(text: Column, n: Int): Column = c(WordNgramStrings(e(text), n))
 
   def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
 

@@ -171,6 +171,30 @@ object Kernels {
     new GenericArrayData(sortedDistinct(hs, windows))
   }
 
+  /** Word n-gram STRINGS (every occurrence, in order) of trim(text): one
+    * split + one StringBuilder pass. The pure-expression formulation
+    * (transform over sequence with slice/concat_ws) re-evaluates the token
+    * split per window inside the lambda — O(tokens²) per document; this is
+    * the vocabulary-mining dual of [[wordShingleHashes]] for consumers that
+    * need the surface form, not the hash.
+    */
+  def wordNgramStrings(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = sparkTrim(text.toString)
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[UTF8String])
+    val toks = trimmed.split("\\s+")
+    val windows = math.max(toks.length - (n - 1), 0)
+    val out = new Array[AnyRef](windows)
+    var w = 0
+    while (w < windows) {
+      val sb = new java.lang.StringBuilder(toks(w))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(w + j)); j += 1 }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two SORTED distinct long arrays (the shape
     * char/wordShingleHashes emit): one merge scan, no allocation — the
     * per-candidate-pair verification kernel.
