@@ -109,6 +109,15 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class TextQualityStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.textQualityStats(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.textQualityStats($t)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WordNgramStrings(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(t: Any): Any =
@@ -203,6 +212,8 @@ object KernelExpressions {
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
 
   def wordNgramStrings(text: Column, n: Int): Column = c(WordNgramStrings(e(text), n))
+
+  def textQualityStats(text: Column): Column = c(TextQualityStats(e(text)))
 
   def wordNgramStats(text: Column, n: Int): Column = c(WordNgramStats(e(text), n))
 

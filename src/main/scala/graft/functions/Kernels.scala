@@ -171,6 +171,46 @@ object Kernels {
     new GenericArrayData(sortedDistinct(hs, windows))
   }
 
+  private lazy val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.TextAnalysis.defaultStopwords.foreach(s.add)
+    s
+  }
+
+  /** [nTokens, nStopwords, nPunctChars, nChars] of text in ONE pass — the
+    * quality-gate basis. The expression formulation re-splits the text for
+    * the token count and again for the stopword ratio, plus a regex pass
+    * for punctuation; every count here matches those expressions exactly
+    * (sparkTrim + \\s+ tokens, the fixed punctuation class, numChars as
+    * Spark's length()).
+    */
+  def textQualityStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val nChars = text.numChars().toLong
+    var punct = 0L
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '.' || ch == ',' || ch == '!' || ch == '?' || ch == ';' ||
+          ch == ':' || ch == '\'' || ch == '"' || ch == '(' || ch == ')' ||
+          ch == '[' || ch == ']' || ch == '{' || ch == '}' || ch == '-') punct += 1
+      i += 1
+    }
+    var nTok = 0L
+    var nStop = 0L
+    val trimmed = sparkTrim(s)
+    if (trimmed.nonEmpty) {
+      val toks = trimmed.split("\\s+")
+      nTok = toks.length.toLong
+      var t = 0
+      while (t < toks.length) {
+        if (StopwordSet.contains(toks(t))) nStop += 1
+        t += 1
+      }
+    }
+    new GenericArrayData(Array(nTok, nStop, punct, nChars))
+  }
+
   /** Word n-gram STRINGS (every occurrence, in order) of trim(text): one
     * split + one StringBuilder pass. The pure-expression formulation
     * (transform over sequence with slice/concat_ws) re-evaluates the token

@@ -61,11 +61,23 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length score × (1 - punct ratio)
     * × stopword-presence score. Heuristic quality gate for corpus filtering.
+    * All three components come from ONE kernel pass
+    * ([[KernelExpressions.textQualityStats]]) — the standalone-column
+    * expressions above re-split the text per component; the counts (and
+    * therefore every double) are identical by construction.
     */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val punct = lit(1.0) - punctRatio(text)
-    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val st = KernelExpressions.textQualityStats(text)
+    val nTok = element_at(st, 1)
+    val nStop = element_at(st, 2)
+    val nPunct = element_at(st, 3)
+    val nChars = element_at(st, 4)
+    val lenScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    val punct = lit(1.0) -
+      when(nChars === 0L, lit(0.0)).otherwise(nPunct.cast("double") / nChars)
+    val stop = least(
+      when(nTok === 0L, lit(0.0)).otherwise(nStop.cast("double") / nTok) * 5.0,
+      lit(1.0))
     round(lenScore * punct * (lit(0.5) + stop * 0.5), 6)
   }
 

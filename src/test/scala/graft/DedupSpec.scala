@@ -130,6 +130,23 @@ class DedupSpec extends SparkTestBase {
     assert(df.filter(col("csh_expr") =!= col("csh_kernel")).count() == 0)
     assert(df.filter(col("mh_expr") =!= col("mh_kernel")).count() == 0)
     assert(df.filter(col("wsh_expr") =!= col("wsh_kernel")).count() == 0)
+
+    // quality stats: kernel counts vs the standalone column expressions
+    import graft.functions.TextAnalysis
+    val edge = docs.select(col("text"))
+      .union(Seq("", "   ", "a", "the the the", "!?!).,").toDF("text"))
+    val q = edge.select(
+      graft.functions.KernelExpressions.textQualityStats(col("text")).as("st"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_expr"),
+      (TextAnalysis.stopwordRatio(col("text")) *
+        TextAnalysis.tokenCount(col("text"))).cast("long").as("stop_expr"),
+      (TextAnalysis.punctRatio(col("text")) * length(col("text")))
+        .cast("long").as("punct_expr"),
+      length(col("text")).cast("long").as("chars_expr"))
+    assert(q.filter(element_at(col("st"), 1) =!= col("n_expr")).count() == 0)
+    assert(q.filter(element_at(col("st"), 2) =!= col("stop_expr")).count() == 0)
+    assert(q.filter(element_at(col("st"), 3) =!= col("punct_expr")).count() == 0)
+    assert(q.filter(element_at(col("st"), 4) =!= col("chars_expr")).count() == 0)
   }
 
   test("connected components resolve pair chains into min-id clusters") {
