@@ -32,7 +32,15 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation between queries: iterative operators localCheckpoint
+      // working frames whose final round outlives the query (the returned
+      // plan reads it). Dropping all persisted blocks here keeps query N's
+      // residue from shrinking query N+1's storage/execution memory — each
+      // timed query starts from the same clean JVM state.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -364,18 +364,25 @@ object Kernels {
     if (n < 12) return -1L
     if (u8(0) != 'R' || u8(1) != 'I' || u8(2) != 'F' || u8(3) != 'F') return -1L
     if (u8(8) != 'W' || u8(9) != 'A' || u8(10) != 'V' || u8(11) != 'E') return -1L
-    var p = 12
+    // Long cursor: for ~2 GB payloads p + 8 + size can exceed Int range; Int
+    // arithmetic would wrap negative while the loop guard still passes.
+    var p = 12L
     while (p + 8 <= n) {
-      val size = le32(p + 4)
+      val pi = p.toInt
+      val size = le32(pi + 4)
       if (size < 0L || size > n.toLong) return -1L
-      if (u8(p) == 'f' && u8(p + 1) == 'm' && u8(p + 2) == 't' && u8(p + 3) == ' ') {
+      if (u8(pi) == 'f' && u8(pi + 1) == 'm' && u8(pi + 2) == 't' && u8(pi + 3) == ' ') {
         if (size < 16L || p + 24 > n) return -1L
-        val channels = le16(p + 10)
-        val sampleRate = le32(p + 12)
-        val bits = le16(p + 22)
+        val channels = le16(pi + 10)
+        val sampleRate = le32(pi + 12)
+        val bits = le16(pi + 22)
+        // channels/bits occupy 8-bit slots of the packed long; a malformed
+        // fmt body with values > 255 must yield the -1 sentinel, not bleed
+        // into neighboring fields.
+        if (channels > 0xFF || bits > 0xFF) return -1L
         return (sampleRate << 16) | (channels.toLong << 8) | bits.toLong
       }
-      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      p += 8L + size + (size & 1L) // chunks are word-aligned
     }
     -1L
   }

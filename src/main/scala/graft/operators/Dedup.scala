@@ -445,17 +445,17 @@ object Dedup {
     *
     * Lineage control: edges and the initial labels are `localCheckpoint`ed
     * (the upstream pair pipeline materializes once), and labels re-
-    * checkpoint every round by default. Each round references the previous
-    * labels THREE times (self-union, propagation join, jump lookup), so an
-    * un-truncated plan grows 3^k between checkpoints and the OPTIMIZER —
-    * not the data — becomes the bottleneck within a few rounds; with
-    * O(log d) rounds and ids-only label frames, a per-round checkpoint is
-    * the cheap side of that trade at every scale.
+    * checkpoint EVERY round — not optionally. Each round references the
+    * previous labels THREE times (self-union, propagation join, jump
+    * lookup), so an un-truncated plan grows 3^k between checkpoints and the
+    * OPTIMIZER — not the data — becomes the bottleneck within a few rounds;
+    * with O(log d) rounds and ids-only label frames, a per-round checkpoint
+    * is the cheap side of that trade at every scale.
     *
     * @return (id, comp) for every node; comp = min id reachable.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, checkpointInterval: Int = 1): DataFrame = {
+      pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -466,9 +466,7 @@ object Dedup {
       .localCheckpoint()
     var materialized = labels
     var changed = 1L
-    var round = 0
     while (changed > 0) {
-      round += 1
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
       // `own` tags each node's previous label (exactly one per id — every
@@ -490,14 +488,18 @@ object Dedup {
         .select(agg("id"),
           least(col("comp"), coalesce(col("__jcomp"), col("comp"))).as("comp"),
           col("old"))
-      val next =
-        if (round % checkpointInterval == 0) jumped.localCheckpoint()
-        else { jumped.persist(); jumped }
+      val next = jumped.localCheckpoint()
       changed = next.filter(col("comp") < col("old")).count()
       materialized.unpersist()
       materialized = next
       labels = next.select("id", "comp")
     }
+    // The edge table and every intermediate label round are dead once the
+    // loop converges — free their blocks eagerly (the final round's
+    // checkpoint stays: the returned frame reads it). Leaked iteration
+    // caches are exactly what turns a 63-query job into a memory-pressure
+    // cascade downstream.
+    edges.unpersist()
     // singletons keep their own id as component
     val all = nodes.select(col(idCol).as("id"))
     all.join(labels, Seq("id"), "left")

@@ -86,7 +86,13 @@ class MultimodalSpec extends SparkTestBase {
       ("no_fmt", riff + data, None),
       ("not_riff", "0011223344556677889900", None),
       ("truncated_fmt", riff + "666D7420" + le32(16L) + le16(1), None),
-      ("implausible_size", riff + "4C495354" + le32(1L << 30) + fmt, None))
+      ("implausible_size", riff + "4C495354" + le32(1L << 30) + fmt, None),
+      // channels/bits over 255 can't fit their 8-bit slots of the packed
+      // long — must be the -1 sentinel, not field bleed
+      ("channels_overflow", riff + "666D7420" + le32(16L) + le16(1) + le16(300) +
+        le32(44100L) + le32(176400L) + le16(4) + le16(16) + data, None),
+      ("bits_overflow", riff + "666D7420" + le32(16L) + le16(1) + le16(2) +
+        le32(44100L) + le32(176400L) + le16(4) + le16(512) + data, None))
     val df = cases.map { case (n, hx, _) => (n, hx) }.toDF("name", "hx")
       .select(col("name"), unhex(col("hx")).as("bin"))
     val out = df.select(col("name"), Multimodal.wavFormat(col("bin")).as("f"))
