@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with an 8g heap GC-thrashes the heavy LSH/curation queries
+  // (observed 4s -> 21s outliers from collector stalls); the bench host has
+  // 128 GiB, so size the single-JVM heap like a real executor fleet would be.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -838,6 +838,93 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-domain document cap — the anti-boilerplate mixture guard (no
+    * single domain may contribute more than N documents). Uses the salted
+    * two-phase top-N ([[Transforms.topNPerKey]]): a hot domain's rows rank
+    * inside salt buckets first, so one domain owning 10% of the corpus
+    * cannot serialize into a single straggler task the way a plain
+    * `row_number over (partition by domain)` does.
+    */
+  private def cDomainCap(s: SparkSession, dir: String): DataFrame =
+    Transforms.topNPerKey(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), Seq(col("n_chars").desc, col("doc_id")), 20,
+      col("doc_id"), salts = 16)
+      .select(col("doc_id"), col("source"), col("rk"))
+
+  /** Decontamination with a BLOOM pre-filter — identical output to
+    * [[cDecontaminate]] (the oracle replays the exact formulation), but the
+    * training-side n-gram stream probes a driver-built Bloom filter
+    * (`df.stat.bloomFilter` over the eval grams, ~1.2 MB at fpp 1%) BEFORE
+    * any join: at 100 TB only ~fpp of the corpus grams plus the true
+    * overlaps reach the exact verify semi-join, turning a corpus-wide
+    * shuffle/broadcast join into a narrow codegen'd scan. False positives
+    * are removed by the verify join; false negatives cannot occur.
+    */
+  private def cDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
+    val docs = t(s, dir, "documents")
+    val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("g").distinct()
+    val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
+    val train = docs.filter(col("doc_id") >= 10)
+    val suspects = grams(train)
+      .filter(graft.functions.KernelExpressions.bloomMightContain(col("g"), bloom))
+    val evalHinted =
+      if (evalGrams.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(Transforms.BroadcastGateBytes)) broadcast(evalGrams)
+      else evalGrams
+    val contaminated = suspects.join(evalHinted, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Int8-quantized flat ANN with exact rescore ([[Similarity.quantizedTopK]]):
+    * the compressed-index scan + fetch-on-verify pattern. Exactness of the
+    * FINAL ranks is over the quantized candidate set; the oracle replays the
+    * quantization arithmetic (floor(x*scale+0.5)) bit for bit.
+    */
+  private def eQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+      "embedding", k = 10, candidates = 30)
+  }
+
+  /** Cluster profile of the trained coarse quantization
+    * ([[Similarity.clusterProfile]]): per-cell population and mean cosine —
+    * the corpus-mixture / IVF-balance audit over the same frozen centroids
+    * as e_ivf_trained_topk.
+    */
+  private def eClusterProfile(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterProfile(t(s, dir, "embeddings"), "embedding",
+      graft.operators.TrainedCentroids.sf001)
+
+  /** ORC round-trip: the events table written to ORC and read back through
+    * the ORC scan path, aggregated. Proves the columnar-format surface
+    * beyond parquet (same Catalyst pruning/pushdown contract).
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    t(s, dir, "events").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** JSON-lines round-trip with an EXPLICIT read schema (inference would
+    * scan the input twice — never at 100 TB). Doubles survive exactly:
+    * Spark writes shortest-round-trip representations.
+    */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val ev = t(s, dir, "events")
+    ev.write.mode("overwrite").json(tmp)
+    s.read.schema(ev.schema).json(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
   // ------------------------------------------------------------------
   // Streaming queries under the oracle gate: the stream RUNS (availableNow
   // / micro-batches) and its OUTPUT is hash-compared to the DuckDB batch
@@ -902,6 +989,40 @@ object SparkEntry {
       query.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Watermarked stream-stream INTERVAL join under the oracle gate
+    * ([[graft.streaming.Streaming.intervalJoin]]): click→purchase
+    * attribution within 30 minutes per user, both sides of the self-join
+    * read from the same landing stream. One availableNow batch emits every
+    * pair (nothing is late), so the drained output equals the batch
+    * interval join the oracle runs; at real scale the watermark + two-sided
+    * time bound is what keeps the join state finite.
+    */
+  private def sIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_j")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val qn = s"s_interval_join_${System.nanoTime()}"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val query = graft.streaming.Streaming
+        .intervalJoin(clicks, purchases, "user_id", "ts", windowSeconds = 1800L)
+        .select(col("user_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
   }
 
   /** The stateful streaming sessionizer over the real events table as a
@@ -1092,7 +1213,14 @@ object SparkEntry {
     "c_pack_sequences" -> (cPackSequences _),
     "c_decontaminate" -> (cDecontaminate _),
     "c_stratified_sample" -> (cStratifiedSample _),
-    "c_curation_pipeline" -> (cCurationPipeline _)
+    "c_curation_pipeline" -> (cCurationPipeline _),
+    "c_domain_cap" -> (cDomainCap _),
+    "c_decontaminate_bloom" -> (cDecontaminateBloom _),
+    "e_quantized_topk" -> (eQuantizedTopK _),
+    "e_cluster_profile" -> (eClusterProfile _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "s_interval_join_stream" -> (sIntervalJoinStream _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -1232,6 +1360,26 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
+  }
+
+  /** The exact-decontamination result both the plain and the bloom-prefilter
+    * formulations must produce (the bloom is a performance layer, not a
+    * semantic one).
+    */
+  private lazy val sqlDecontaminate: String = {
+    val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
+    s"""WITH sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> $g3)) END AS g3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         ev AS (SELECT DISTINCT unnest(g3) AS g FROM sh WHERE doc_id < 10),
+         cont AS (SELECT DISTINCT s.doc_id
+                  FROM sh s, unnest(s.g3) AS u(g)
+                  WHERE s.doc_id >= 10 AND g IN (SELECT g FROM ev))
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
   }
 
   /** Word n-gram occurrence hashes (NOT distinct) over a `tk` token-array
@@ -1825,21 +1973,10 @@ object SparkEntry {
            FROM g)
          SELECT doc_id, quality FROM q
          WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
-    "c_decontaminate" -> {
-      val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
-      s"""WITH sh AS (SELECT doc_id,
-             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
-                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                         i -> $g3)) END AS g3
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-                 FROM documents)),
-         ev AS (SELECT DISTINCT unnest(g3) AS g FROM sh WHERE doc_id < 10),
-         cont AS (SELECT DISTINCT s.doc_id
-                  FROM sh s, unnest(s.g3) AS u(g)
-                  WHERE s.doc_id >= 10 AND g IN (SELECT g FROM ev))
-         SELECT d.doc_id, d.lang FROM documents d
-         WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
-    },
+    "c_decontaminate" -> sqlDecontaminate,
+    // the bloom variant's prefilter is semantics-free (false positives are
+    // removed by the exact verify join) — identical declared result
+    "c_decontaminate_bloom" -> sqlDecontaminate,
     "c_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents
          WHERE ${sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)} % 1000 <
@@ -1965,6 +2102,68 @@ object SparkEntry {
                ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_tokens
            FROM c_sel)
-         WHERE cum_tokens <= 2000"""
+         WHERE cum_tokens <= 2000""",
+    "c_domain_cap" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+           FROM documents) WHERE rk <= 20""",
+    "e_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q8t AS (SELECT vec_id, v,
+             CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x ->
+                    CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)) END AS q
+           FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+         cand AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qq.q) + 1),
+               i -> qq.q[i] * cc.q[i])) AS qdot
+           FROM q8t cc JOIN q8t qq
+             ON qq.vec_id < 5 AND qq.vec_id <> cc.vec_id),
+         top AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id) AS crank FROM cand)
+           WHERE crank <= 30),
+         res AS (SELECT query_id, neighbor_id,
+             ${sqlCos("eq.v", "ec.v")} AS cos
+           FROM top JOIN e eq ON eq.vec_id = query_id
+                JOIN e ec ON ec.vec_id = neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM res)
+         WHERE rank <= 10""",
+    "e_cluster_profile" -> {
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT $flat::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id,
+             (list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})))[1] AS best
+           FROM e CROSS JOIN sgt),
+         p AS (SELECT CAST(best.cell AS BIGINT) AS cell,
+                      round(-best.negCos, 6) AS cos FROM cells)
+         SELECT cell, count(*) AS n,
+           round(CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS avg_cos
+         FROM p GROUP BY cell"""
+    },
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1""",
+    "q_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1""",
+    "s_interval_join_stream" ->
+      """SELECT l.user_id, count(*) AS n_pairs
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'click' AND r.event_type = 'purchase'
+          AND epoch_us(r.ts) >= epoch_us(l.ts)
+          AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+         GROUP BY 1"""
   )
 }

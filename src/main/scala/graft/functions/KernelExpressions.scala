@@ -77,6 +77,28 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Symmetric per-vector int8 quantization of a numeric array column. */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.int8Quantize(v.asInstanceOf[ArrayData], isFloatArr(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.Kernels.int8Quantize($v, ${isFloatArr(child)})")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Integer dot product of two long-array columns. */
+  case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Merge-scan intersection count of two sorted long arrays. */
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -169,12 +191,44 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Packed PNG/GIF/JPEG dimensions `(width << 32) | height`; -1 when the
+    * payload is not an image or its header is truncated.
+    */
+  case class ImageDims(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.imageDims(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.imageDims($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WavFormat(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(b: Any): Any =
       Kernels.wavFormat(b.asInstanceOf[Array[Byte]])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.wavFormat($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Bloom-filter membership probe of a long column against a driver-built
+    * filter (`df.stat.bloomFilter` — Spark's public sketch, built
+    * distributed via treeAggregate). The filter rides to executors as a
+    * codegen reference object — one `mightContainLong` per row, no join.
+    * False positives only (callers follow with an exact verify join);
+    * never false negatives.
+    */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(h: Any): Any =
+      bloom.mightContainLong(h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      defineCodeGen(ctx, ev, h => s"$ref.mightContainLong($h)")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -219,8 +273,17 @@ object KernelExpressions {
 
   def jpegDims(bin: Column): Column = c(JpegDims(e(bin)))
 
+  def imageDims(bin: Column): Column = c(ImageDims(e(bin)))
+
   def wavFormat(bin: Column): Column = c(WavFormat(e(bin)))
 
   def bpeTokenCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     c(BpeTokenCount(e(text), lefts, rights))
+
+  def bloomMightContain(h: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContain(e(h), bloom))
+
+  def int8Quantize(v: Column): Column = c(Int8Quantize(e(v)))
+
+  def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
 }

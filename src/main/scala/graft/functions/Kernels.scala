@@ -67,6 +67,43 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x_i|,
+    * q_i = floor(x_i * scale + 0.5) ∈ [-127, 127]; an all-zero vector
+    * quantizes to zeros. floor(x + 0.5) (not rint) so the oracle's
+    * `floor(x * scale + 0.5)` replays it bit for bit; float inputs widen
+    * to double exactly, so both engines run identical double arithmetic.
+    */
+  def int8Quantize(v: ArrayData, vFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(getD(v, i, vFloat)); if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs > 0.0) {
+      val scale = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(getD(v, i, vFloat) * scale + 0.5).toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product of two long arrays (quantized similarity scoring —
+    * exact 64-bit arithmetic, no rounding concerns cross-engine).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   // ------------------------------------------------------------- hashing
 
   /** Polynomial rolling hash of a code-point range: fold of
@@ -426,6 +463,34 @@ object Kernels {
       }
     }
     -1L
+  }
+
+  /** Packed image dimensions `(width << 32) | height` across the three
+    * sniffable image containers — PNG IHDR (big-endian uint32 at 16/20),
+    * GIF logical screen (little-endian uint16 at 6/8), JPEG SOF walk
+    * ([[jpegDims]]) — or -1 for non-images/truncated headers. One kernel
+    * call replaces a when-chain over repeated hex/substring/conv subtrees
+    * whose generated `processNext()` blew janino's method limit and dropped
+    * the whole stage to interpreted eval. Width gets the high 32 bits: PNG
+    * dimensions are 32-bit, so a 16-bit pack would truncate.
+    */
+  def imageDims(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    if (n >= 3 && u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF) {
+      val p = jpegDims(bytes)
+      if (p < 0) -1L else ((p >>> 16) << 32) | (p & 0xFFFFL)
+    } else if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+        u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+        u8(7) == 0x0A) {
+      val w = (u8(16).toLong << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+      val h = (u8(20).toLong << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+      (w << 32) | h
+    } else if (n >= 10 && u8(0) == 0x47 && u8(1) == 0x49 && u8(2) == 0x46) {
+      val w = (u8(6) | (u8(7) << 8)).toLong
+      val h = (u8(8) | (u8(9) << 8)).toLong
+      (w << 32) | h
+    } else -1L
   }
 
   def simhash60(text: UTF8String): Long = {

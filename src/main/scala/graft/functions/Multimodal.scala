@@ -62,17 +62,18 @@ object Multimodal {
     */
   def jpegDimsPacked(bin: Column): Column = KernelExpressions.jpegDims(bin)
 
-  /** Dimensions dispatched by sniffed modality; null for non-images and for
-    * JPEGs with no frame header (truncated/corrupt streams).
+  /** Dimensions dispatched by container magic; null for non-images and for
+    * images with truncated/absent headers. One packed kernel call
+    * ([[Kernels.imageDims]], `width << 32 | height`) — the previous
+    * when-chain over per-format hex/substring/conv subtrees generated a
+    * `processNext()` past janino's method limit and silently dropped the
+    * stage to interpreted eval.
     */
   def imageDims(bin: Column): Column = {
-    val m = sniffModality(bin)
-    val packed = jpegDimsPacked(bin)
-    when(m === "image/png", struct(pngWidth(bin).as("width"), pngHeight(bin).as("height")))
-      .when(m === "image/gif", struct(gifWidth(bin).as("width"), gifHeight(bin).as("height")))
-      .when(m === "image/jpeg" && packed >= 0,
-        struct(shiftright(packed, 16).as("width"),
-          packed.bitwiseAND(lit(0xFFFFL)).as("height")))
+    val packed = KernelExpressions.imageDims(bin)
+    when(packed >= 0,
+      struct(shiftright(packed, 32).as("width"),
+        packed.bitwiseAND(lit(0xFFFFFFFFL)).as("height")))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 

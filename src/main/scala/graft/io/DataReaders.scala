@@ -34,6 +34,24 @@ object DataReaders {
     val df = spark.read.option("header", "true").schema(allString).csv(path)
     DestinationSchemas.castNonString(DestinationSchemas.prune(df, dt), dt)
   }
+
+  /** ORC scan + schema-regex pruning. Beyond the reference's csv/parquet
+    * pair (`file_data_source.py:182-219`): ORC is the other columnar
+    * landing format a warehouse hands us; same pruning/pushdown contract as
+    * parquet (Catalyst pushes `ReadSchema`/`PushedFilters` to the ORC
+    * reader).
+    */
+  def readOrc(spark: SparkSession, path: String, dt: DestinationType): DataFrame =
+    DestinationSchemas.prune(spark.read.orc(path), dt)
+
+  /** JSON-lines scan with an explicit schema (schema inference reads the
+    * whole input TWICE — never at 100 TB; callers pass the schema or
+    * sample-derive it once). Pruned per destination schema like the other
+    * formats.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType,
+      dt: DestinationType): DataFrame =
+    DestinationSchemas.prune(spark.read.schema(schema).json(path), dt)
 }
 
 /** `_uploaded` control table on parquet (reference keeps it in BigQuery with

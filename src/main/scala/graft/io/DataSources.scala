@@ -49,6 +49,7 @@ object DataSources {
     val raw = ds.format match {
       case "csv"     => DataReaders.readCsv(spark, ds.path, dt)
       case "parquet" => DataReaders.readParquet(spark, ds.path, dt)
+      case "orc"     => DataReaders.readOrc(spark, ds.path, dt)
       // The connector plug point: any other format name dispatches straight
       // to spark.read.format(...) — "json" in tests proves the seam; in a
       // cluster deployment "bigquery" (connector on the classpath, path =

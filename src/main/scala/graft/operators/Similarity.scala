@@ -176,6 +176,75 @@ object Similarity {
     rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)
   }
 
+  /** Quantized flat search with exact rescore — the int8 compression
+    * pattern (FAISS `IndexFlat`-with-SQ8 analog): candidates are scored
+    * against the 8× smaller int8 index (`Kernels.int8Quantize`, integer dot
+    * product), then ONLY the `candidates` survivors per query fetch their
+    * float vectors for exact cosine ranking. At 100 TB the full-precision
+    * embedding table is the dominant storage cost; the scan that touches
+    * every row reads the int8 column (8 B/dim → 1 B/dim) and the exact
+    * rescore reads ~candidates/corpus of the float rows via an id equi-join
+    * (fetch-on-verify, same shape as the LSH dedup verifies).
+    *
+    * The quantized scan itself is the documented brute-force shape (tiny
+    * broadcast query side × corpus); swap the candidate stage for
+    * [[ivfTopK]] cells when the corpus outgrows a flat scan.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, candidates: Int = 30): DataFrame = {
+    import graft.functions.KernelExpressions.{dotLong, int8Quantize}
+    val q8 = queries.select(col(idCol).as("query_id"),
+      int8Quantize(col(vecCol)).as("q8"))
+    val c8 = corpus.select(col(idCol).as("neighbor_id"),
+      int8Quantize(col(vecCol)).as("c8"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = c8.crossJoin(broadcast(q8))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotLong(col("q8"), col("c8")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // fetch-on-verify: only candidate ids rejoin the full-precision vectors
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Per-cluster profile of a coarse quantization (corpus mixture audit /
+    * IVF balance check): each vector assigns to its max-cosine centroid —
+    * the same narrow kernel projection as [[ivfTopK]]'s corpus side — and
+    * the aggregate is one map-side-combinable groupBy over k cells. The
+    * per-row cosine is rounded to 1e-6 and summed as an INTEGER so the
+    * cluster mean is bit-stable under any partitioning/aggregation order
+    * (a double sum would make the hash depend on plan shape).
+    */
+  def clusterProfile(corpus: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val best = element_at(slice(array_sort(array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        struct((vecCosine(col("v"), typedLit(ctr)) * -1).as("negCos"),
+          lit(i).as("cell"))
+    }: _*)), 1, 1), 1)
+    corpus.select(col(vecCol).as("v"))
+      .withColumn("best", best)
+      .select(col("best").getField("cell").cast("long").as("cell"),
+        round(col("best").getField("negCos") * -1, 6).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("cos") * 1000000, 0).cast("long")).as("cos_e6"))
+      .select(col("cell"), col("n"),
+        round(col("cos_e6") / col("n") / 1000000.0, 6).as("avg_cos"))
+  }
+
   private def rankCells(queries: DataFrame, cellsCorpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
       broadcastGateBytes: Long): DataFrame = {

@@ -144,6 +144,25 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Watermarked stream-stream interval join (click→conversion attribution):
+    * left rows match right rows of the same key whose event time falls in
+    * [left.ts, left.ts + windowSeconds]. Both sides carry watermarks and the
+    * join condition bounds the time range in BOTH directions, so Spark can
+    * evict buffered state once the watermark passes a row's last possible
+    * match — the state-bounded stream-stream join shape (an unbounded
+    * condition would buffer a side forever at 100 TB/day rates).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.toDF(right.columns.map(c => s"r_$c"): _*)
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Streaming ACTIVATION bridge: drive the batch pipeline's sink stage
     * from a stream via foreachBatch — each micro-batch flows through the
     * same branch plan (hashing → batching → renderer → transport →

@@ -90,6 +90,33 @@ object Transforms {
   def consolidate(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _).distinct()
 
+  /** Exact per-key top-N (per-domain document caps, per-language exemplars)
+    * with a salted partial-rank pre-pass: phase 1 ranks within
+    * (key, salt(row)) and keeps N per salt bucket — any global top-N row is
+    * necessarily top-N inside its bucket under the same total order, so
+    * nothing is lost — and phase 2 ranks the ≤ salts×N survivors per key.
+    * A plain `row_number over (partition by key)` sorts EVERY row of a hot
+    * key in one task; here the first (wide) shuffle spreads a hot key over
+    * `salts` tasks and the second sees at most salts×N rows per key —
+    * the combiner-style cap that survives a single domain owning 10% of a
+    * 100 TB corpus.
+    *
+    * `order` must be a TOTAL order per key (include a unique tiebreak
+    * column) — ties broken differently per phase would drop the wrong rows.
+    * `salt` must be deterministic per row (e.g. `pmod(col("id"), salts)`).
+    */
+  def topNPerKey(df: DataFrame, key: Column, order: Seq[Column], n: Int,
+      salt: Column, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = Window.partitionBy(key, pmod(salt, lit(salts))).orderBy(order: _*)
+    val fin = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__pre_rk", row_number().over(pre))
+      .filter(col("__pre_rk") <= n)
+      .drop("__pre_rk")
+      .withColumn("rk", row_number().over(fin).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
   /** Salted large-large equi-join for degenerate keys: the skewed left
     * side's rows are salted `factor` ways (deterministically, from a hash of
     * the full row) and the right side is replicated once per salt, so one

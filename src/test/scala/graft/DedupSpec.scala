@@ -311,6 +311,24 @@ class DedupSpec extends SparkTestBase {
     assert(out(10L) == ("", 0L)) // fully-boilerplate doc comes back empty
   }
 
+  test("bloom prefilter: zero false negatives, fp rate near configured, codegen'd") {
+    import graft.functions.KernelExpressions.bloomMightContain
+    import org.apache.spark.sql.functions.col
+    val planted = spark.range(0, 1000).select((col("id") * 7919L).as("g"))
+    val bloom = planted.stat.bloomFilter("g", 2000L, 0.01)
+    // no false negatives: every inserted key must probe true
+    assert(planted.filter(!bloomMightContain(col("g"), bloom)).count() == 0)
+    // fp rate on a disjoint key space stays near the configured 1%
+    val probes = spark.range(0, 10000).select((col("id") * 7919L + 1L).as("g"))
+    val fps = probes.filter(bloomMightContain(col("g"), bloom)).count()
+    assert(fps < 500, s"false-positive count out of band: $fps / 10000")
+    // the probe must stay inside whole-stage codegen (it's the 100 TB
+    // hot path of bloom decontamination)
+    val plan = probes.filter(bloomMightContain(col("g"), bloom))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")), plan)
+  }
+
   test("embedding near-dup SRP recall >= 0.9 vs exact on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",

@@ -59,9 +59,15 @@ class PlanSpec extends SparkTestBase {
     // and e_cosine_topk, the deliberate exact brute-force BASELINE — a
     // broadcast nested-loop of a handful of query vectors against the
     // corpus (the ANN queries exist precisely to avoid this at scale).
+    // e_quantized_topk joins the brute-force exception: its candidate stage
+    // is the documented flat scan of the int8 index (tiny broadcast query
+    // side × corpus), rescored via equi-joins. The roundtrip queries write
+    // at plan-build time; the interval join drains a stream.
     val skip = Set("p_pipeline_idempotence", "s_rollup_stream",
-      "s_sessionize_stream", "d_incremental_dedup", "e_ivf_index_topk",
-      "q_retention_filter", "e_cosine_topk")
+      "s_sessionize_stream", "s_dedup_stream", "s_interval_join_stream",
+      "d_incremental_dedup", "e_ivf_index_topk",
+      "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
+      "q_orc_roundtrip", "q_jsonl_roundtrip")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")

@@ -40,6 +40,25 @@ class ReaderSeamSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(df.count() == 5)
   }
 
+  test("ORC and JSON-lines readers prune to the destination schema like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = spark.read.json(writeJsonSource(dir))
+    src.write.mode("overwrite").orc(s"$dir/conv_orc")
+    val orc = graft.io.DataReaders.readOrc(spark, s"$dir/conv_orc",
+      DestinationType.AdsOfflineConversion)
+    assert(orc.columns.toSet == Set("gclid", "time", "amount"))
+    assert(orc.count() == 5)
+    val jsonl = graft.io.DataReaders.readJsonLines(spark, s"$dir/conversions.json",
+      src.schema, DestinationType.AdsOfflineConversion)
+    assert(jsonl.columns.toSet == Set("gclid", "time", "amount"))
+    assert(jsonl.count() == 5)
+    // the factory dispatches "orc" natively (not through the seam fallback)
+    val viaFactory = DataSources.retrieveData(spark,
+      DataSource("orc", s"$dir/conv_orc", s"$dir/up.parquet"),
+      DestinationType.AdsOfflineConversion, TransactionalType.NotTransactional)
+    assert(viaFactory.count() == 5)
+  }
+
   test("BigQuery-typed source runs the full pipeline through an injected format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seam_bq").toString
     writeJsonSource(dir)

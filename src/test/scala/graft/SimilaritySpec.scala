@@ -85,6 +85,49 @@ class SimilaritySpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("int8 quantization: bounded range, zero-vector safe, argmax preserved") {
+    import graft.functions.KernelExpressions.{dotLong, int8Quantize}
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1e-4f, -1e-4f, 5e-5f)))
+      .toDF("id", "v")
+    val q = df.select(col("id"), int8Quantize(col("v")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(q(0L) == Seq(64L, -127L, 32L)) // floor(x*127/1.0 + 0.5)
+    assert(q(1L) == Seq(0L, 0L, 0L))      // all-zero vector: no divide blowup
+    assert(q(2L).forall(x => math.abs(x) <= 127)) // tiny magnitudes still span the range
+    // 5e-5f/1e-4f in float is fractionally under 0.5, so the midpoint rounds down
+    assert(q(2L) == Seq(127L, -127L, 63L))
+    val d = df.as("a").crossJoin(df.as("b"))
+      .select(dotLong(int8Quantize(col("a.v")), int8Quantize(col("b.v"))))
+      .as[Long].collect()
+    assert(d.contains(64L * 64 + 127L * 127 + 32L * 32)) // self dot of id 0
+  }
+
+  test("quantized top-k with exact rescore matches brute force on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(q, emb, "vec_id", "embedding",
+      k = 10, candidates = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // int8 over 64 dims is near-lossless for ranking; the 30-candidate
+    // margin absorbs the residual quantization error
+    val recall = (brute intersect quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall too low: $recall")
+  }
+
+  test("cluster profile: sizes sum to corpus, cells match IVF assignment") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = graft.operators.TrainedCentroids.sf001
+    val prof = Similarity.clusterProfile(emb, "embedding", centroids).collect()
+    assert(prof.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(prof.forall(r => r.getAs[Double]("avg_cos") <= 1.0))
+    assert(prof.map(_.getAs[Long]("cell")).toSet.subsetOf((0L until 8L).toSet))
+  }
+
   test("IVF top-k finds planted cluster neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),

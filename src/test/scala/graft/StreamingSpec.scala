@@ -240,4 +240,28 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
   }
+
+  test("interval join pairs rows within the window, both bounds enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts", $"event_id"),
+      buys.toDF().select($"user_id", $"ts", $"event_id"),
+      "user_id", "ts", windowSeconds = 1800L)
+    val query = joined.select($"event_id".as("click_id"), $"r_event_id".as("buy_id"))
+      .writeStream.format("memory").queryName("ij").outputMode(OutputMode.Append()).start()
+    // times sit well past epoch 0 — the initial watermark — so nothing is late
+    clicks.addData(
+      Event(1L, 1L, ts(1000), "click", 0.0),
+      Event(2L, 2L, ts(1000), "click", 0.0))
+    buys.addData(
+      Event(11L, 1L, ts(1020), "purchase", 1.0), // inside the 30-min window
+      Event(12L, 1L, ts(1040), "purchase", 1.0), // past the window
+      Event(13L, 2L, ts(990), "purchase", 1.0))  // before the click
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("ij").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L)))
+  }
 }

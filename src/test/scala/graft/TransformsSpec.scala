@@ -26,6 +26,26 @@ class TransformsSpec extends SparkTestBase {
     }
   }
 
+  test("topNPerKey: salted two-phase equals the plain per-key window, hot key included") {
+    // one hot key (80% of rows) plus a long tail; total order = (score desc, id)
+    val rows = (1 to 500).map { i =>
+      val key = if (i % 5 != 0) "hot" else s"k${i % 17}"
+      (i.toLong, key, (i * 31 % 97).toLong)
+    }
+    val df = rows.toDF("id", "key", "score")
+    val got = Transforms.topNPerKey(df, col("key"),
+      Seq(col("score").desc, col("id")), 7, col("id"), salts = 4)
+      .select("id", "key", "rk").as[(Long, String, Long)].collect().toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 7)
+        .select("id", "key", "rk").as[(Long, String, Long)].collect().toSet
+    }
+    assert(got == want)
+  }
+
   test("anti join drops exactly the uploaded keys") {
     val source = Seq(("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z"), ("a", 2, "w"))
       .toDF("gclid", "time", "payload")
