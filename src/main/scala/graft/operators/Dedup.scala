@@ -452,13 +452,36 @@ object Dedup {
     * with O(log d) rounds and ids-only label frames, a per-round checkpoint
     * is the cheap side of that trade at every scale.
     *
+    * Small-graph fast path: the edge list is ids-only and, after LSH +
+    * threshold verification, usually a tiny fraction of the corpus — when
+    * it fits comfortably on the driver (`localEdgeLimit` pairs, integral
+    * ids), a single collect + union-find replaces O(log d) rounds of
+    * (join + checkpoint + aggregate) jobs, whose per-round FIXED cost
+    * dominates wall-clock on all but huge graphs. Same gate philosophy as
+    * the broadcast hints: metadata-scale data may visit the driver, and
+    * past the gate the distributed iteration takes over unchanged. Labels
+    * are identical by construction (comp = min reachable id).
+    *
     * @return (id, comp) for every node; comp = min id reachable.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, localEdgeLimit: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    // the checkpoint above already materialized the pair pipeline, so this
+    // count is a metadata read, not a recompute
+    if (integralIds && edges.count() <= 2 * localEdgeLimit) {
+      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val labels = unionFindLabels(nodes.sparkSession, arr)
+      val all = nodes.select(col(idCol).as("id"))
+      return all.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
     // Only edge-touched nodes can change labels; singletons — the vast
     // majority of a deduped corpus — never enter the iteration.
     var labels = edges.select(col("src").as("id")).distinct()
@@ -504,6 +527,40 @@ object Dedup {
     val all = nodes.select(col(idCol).as("id"))
     all.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Driver-side union-find over a collected (src, dst) edge array:
+    * path-halving finds, union by attachment, then one pass assigning each
+    * root's MINIMUM member id as the component label — exactly the fixpoint
+    * the distributed min-label propagation converges to.
+    */
+  private def unionFindLabels(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      if (!parent.containsKey(x)) { parent.put(x, x); return x }
+      while (parent.get(x) != x) {
+        val p = parent.get(x)
+        parent.put(x, parent.get(p)) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+    ids.foreach { id =>
+      val r = find(id)
+      val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+      if (id < cur) minOfRoot.put(r, id.toLong)
+    }
+    ids.map(id => (id.toLong, minOfRoot.get(find(id)).toLong)).toSeq
+      .toDF("id", "comp")
   }
 
   // ------------------------------------------------------ semantic dedup

@@ -176,10 +176,17 @@ class DedupSpec extends SparkTestBase {
       }
     }
     def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+      // localEdgeLimit = 0 forces the DISTRIBUTED pointer-jumping path
+      // (default would route these small graphs to the driver fast path)
       val got = Dedup.connectedComponents((0L until n.toLong).toDF("id"), "id",
-          edges.toDF("id_a", "id_b"))
+          edges.toDF("id_a", "id_b"), localEdgeLimit = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got == expectedComponents(n, edges))
+      // and the gated driver union-find must agree exactly
+      val local = Dedup.connectedComponents((0L until n.toLong).toDF("id"), "id",
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(local == got)
     }
     // a 40-node chain: the depth case pointer jumping exists for
     check(40, (0L until 39L).map(i => (i, i + 1)))
