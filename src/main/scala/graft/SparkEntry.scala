@@ -880,6 +880,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Incremental near-dup against a MATERIALIZED LSH index
+    * ([[Dedup.writeLshIndex]] / [[Dedup.lshPairsAgainstIndex]]): docs < 400
+    * are indexed once (bands partitioned by band + shingle table), the rest
+    * arrive as the "new batch" and join the stored bands — the daily-ingest
+    * layout where the indexed corpus is never re-signed. The oracle replays
+    * the full minhash chain restricted to (indexed × new) pairs.
+    */
+  private def dLshIndexPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", path)
+    Dedup.lshPairsAgainstIndex(s, docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", path)
+  }
+
   /** Int8-quantized flat ANN with exact rescore ([[Similarity.quantizedTopK]]):
     * the compressed-index scan + fetch-on-verify pattern. Exactness of the
     * FINAL ranks is over the quantized candidate set; the oracle replays the
@@ -1216,6 +1231,7 @@ object SparkEntry {
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
+    "d_lsh_index_pairs" -> (dLshIndexPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -1588,6 +1604,18 @@ object SparkEntry {
     },
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_lsh_index_pairs" ->
+      s"""WITH ${sqlMinhashSigCtes("documents")},
+         cand AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
+           FROM sig x JOIN sig y ON x.doc_id < 400 AND y.doc_id >= 400
+           WHERE len(list_filter(range(0, 8), bd ->
+             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         j AS (SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+                  ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
+           FROM cand)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
     "d_incremental_dedup" ->
       """SELECT 1 AS run, count(DISTINCT text) AS n_new FROM documents

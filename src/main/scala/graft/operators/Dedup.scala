@@ -290,26 +290,82 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
-    val banded = df
-      .select(col(idCol).as("id"),
-        graft.functions.KernelExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
-      // sig[0] == P iff the doc has no shingles: such docs can never clear a
-      // threshold > 0 and would otherwise all collide in one bucket.
-      .filter(element_at(col("sig"), 1) =!= MinhashP)
-      .select(col("id"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band"),
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
-          .as("bk"))
+    val banded = bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
     val capped = capBuckets(banded, "bk", maxBucket)
     val a = capped.select(col("bk").as("bk"), col("id").as("id_a"))
     val b = capped.select(col("bk").as("bk2"), col("id").as("id_b"))
     val candidates = a.join(b, a("bk") === b("bk2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Banded minhash signatures — (id, bk = struct(band, key)) rows, the
+    * LSH blocking unit shared by the self-join pairs path and the
+    * materialized index. Shingle-less docs (sentinel signature) are
+    * excluded: they can never clear a threshold > 0 and would otherwise
+    * all collide in one bucket.
+    */
+  private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, shingleSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= MinhashP)
+      .select(col("id"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
+          .as("bk"))
+  }
+
+  /** Materialize an LSH index for a corpus: the banded signatures (written
+    * partitioned by band — each band's buckets co-group into their own
+    * files) plus the shingle table for exact verification. The daily-
+    * ingest layout at 100 TB: the indexed corpus is signed/shingled ONCE,
+    * and each new batch queries it via [[lshPairsAgainstIndex]] instead of
+    * re-banding tens of terabytes per run (the near-dup analog of the
+    * `_uploaded` control-table / [[incrementalExactDedup]] pattern).
+    */
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5): Unit = {
+    bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Near-dup pairs of NEW documents against a corpus indexed by
+    * [[writeLshIndex]] (same parameters): band-bucket equi-join of the new
+    * batch's signatures against the stored bands, exact-Jaccard verify
+    * against the stored + fresh shingle tables. Both sides carry the
+    * [[capBuckets]] guard — a degenerate bucket on EITHER side (boilerplate
+    * flood in the index, or in today's batch) is dropped before the join,
+    * bounding the candidate product at maxBucket². Only the new batch is
+    * signed per run; index-side work is a scan of ids+bands.
+    *
+    * @return (id_a = indexed id, id_b = new id, jaccard)
+    */
+  def lshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val idx = spark.read.parquet(s"$path/bands")
+      .select(struct(col("band").cast("int").as("band"), col("key")).as("bk"),
+        col("id").as("id_a"))
+    val fresh = bandSignatures(newDocs, idCol, textCol, numHashes, numBands, shingleSize)
+      .select(col("bk"), col("id").as("id_b"))
+    val candidates = capBuckets(idx, "bk", maxBucket)
+      .join(capBuckets(fresh, "bk", maxBucket), "bk")
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val shingled = spark.read.parquet(s"$path/shingles").unionByName(
+      newDocs.select(col(idCol).as("id"),
+        graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles")))
     verifyJaccard(candidates, shingled, threshold)
   }
 

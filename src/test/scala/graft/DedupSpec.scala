@@ -318,6 +318,22 @@ class DedupSpec extends SparkTestBase {
     assert(out(10L) == ("", 0L)) // fully-boilerplate doc comes back empty
   }
 
+  test("LSH index query equals self-join pairs restricted to cross-split") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_ut").toString
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 25), "doc_id", "text", path)
+    val incr = Dedup.lshPairsAgainstIndex(spark,
+        docs.filter(col("doc_id") >= 25), "doc_id", "text", path)
+      .as[(Long, Long, Double)].collect().toSet
+    // exactly the pairs with one indexed and one new member (id_a < 25 <= id_b
+    // holds because minhashLshPairs emits id_a < id_b)
+    assert(incr == full.filter { case (a, b, _) => a < 25 && b >= 25 })
+    assert(incr.nonEmpty)
+  }
+
   test("bloom prefilter: zero false negatives, fp rate near configured, codegen'd") {
     import graft.functions.KernelExpressions.bloomMightContain
     import org.apache.spark.sql.functions.col
