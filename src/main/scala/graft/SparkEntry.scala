@@ -880,6 +880,18 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Char-bigram LM quality score ([[graft.operators.NgramLm]]): the
+    * CCNet-style perplexity-filter signal, self-trained on the corpus and
+    * kept integer-exact (1e-6-scaled smoothed conditional probabilities,
+    * integer mean per doc) so the oracle replays it bit for bit.
+    */
+  private def tLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.NgramLm.charBigramModel(docs, "doc_id", "lang", "text")
+    graft.operators.NgramLm.lmScore(docs, "doc_id", "lang", "text", model)
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"))
+  }
+
   /** Incremental near-dup against a MATERIALIZED LSH index
     * ([[Dedup.writeLshIndex]] / [[Dedup.lshPairsAgainstIndex]]): docs < 400
     * are indexed once (bands partitioned by band + shingle table), the rest
@@ -1232,6 +1244,7 @@ object SparkEntry {
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
     "d_lsh_index_pairs" -> (dLshIndexPairs _),
+    "t_lm_score" -> (tLmScore _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -2131,6 +2144,27 @@ object SparkEntry {
                AS cum_tokens
            FROM c_sel)
          WHERE cum_tokens <= 2000""",
+    "t_lm_score" -> {
+      val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
+      val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         occ AS (
+           SELECT doc_id, lang, st.h1 AS h1, st.h2 AS h2
+           FROM d, unnest(list_transform(range(1, length(t)),
+             i -> {'h1': $ph1, 'h2': $ph2})) AS u(st)),
+         c2 AS (SELECT lang, h1, h2, count(*) AS c2 FROM occ GROUP BY 1, 2, 3),
+         c1 AS (SELECT lang, h1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2),
+         model AS (SELECT lang, h1, h2, (c2 * ${graft.operators.NgramLm.Scale})
+             // (c1 + ${graft.operators.NgramLm.SmoothK}) AS term
+           FROM c2 JOIN c1 USING (lang, h1)),
+         sc AS (SELECT o.doc_id, o.lang, count(*) AS n_bigrams,
+               CAST(sum(m.term) AS BIGINT) AS s
+             FROM occ o JOIN model m USING (lang, h1, h2) GROUP BY 1, 2)
+         SELECT d.doc_id, d.lang,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
+         FROM d LEFT JOIN sc USING (doc_id, lang)"""
+    },
     "c_domain_cap" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,

@@ -121,6 +121,16 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Poly hashes of every char n-gram OCCURRENCE of lower(text), in order. */
+  case class CharNgramOccHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.charNgramOccHashes(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.charNgramOccHashes($t, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct poly-hashed word n-gram shingles of trim(text). */
   case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -264,6 +274,8 @@ object KernelExpressions {
     c(SortedIntersectCount(e(a), e(b)))
 
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
+
+  def charNgramOccHashes(text: Column, n: Int): Column = c(CharNgramOccHashes(e(text), n))
 
   def wordNgramStrings(text: Column, n: Int): Column = c(WordNgramStrings(e(text), n))
 

@@ -465,6 +465,22 @@ object Kernels {
     -1L
   }
 
+  /** Poly hashes of EVERY char n-gram occurrence of lower(text), in order
+    * (NOT distinct — the language-model dual of [[charShingleHashes]], whose
+    * distinct/sorted output serves set similarity).
+    */
+  def charNgramOccHashes(text: UTF8String, n: Int): ArrayData = {
+    val cps = codePoints(text.toLowerCase.toString)
+    val windows = math.max(cps.length - (n - 1), 0)
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      out(w) = polyHashRange(cps, w, w + n, Base1, Mod1)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Packed image dimensions `(width << 32) | height` across the three
     * sniffable image containers — PNG IHDR (big-endian uint32 at 16/20),
     * GIF logical screen (little-endian uint16 at 6/8), JPEG SOF walk
