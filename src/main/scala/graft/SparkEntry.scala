@@ -880,6 +880,31 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Cross-source overlap matrix — which sources duplicate each other (the
+    * mixture-dedup audit run before weighting a data mix): distinct word
+    * 3-grams per source, self-joined on the gram, counted per source pair,
+    * with the overlap coefficient as an exact 1e-6-scaled integer
+    * (shared div min(|A|,|B|)). Scale shape: the (gram, source) table is
+    * DISTINCT — bounded by vocabulary × sources, not corpus rows — and a
+    * gram joins at most #sources² pairs, so unlike document-level LSH there
+    * is no quadratic blow-up to cap; the corpus text is read once, narrow.
+    */
+  private def cSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents").select(col("source"),
+        explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = grams.select(col("g"), col("source").as("src_a"))
+    val b = grams.select(col("g").as("g2"), col("source").as("src_b"))
+    a.join(b, col("g") === col("g2") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        expr("shared_grams * 1000000 div least(na, nb)").as("overlap_e6"))
+  }
+
   /** Char-bigram LM quality score ([[graft.operators.NgramLm]]): the
     * CCNet-style perplexity-filter signal, self-trained on the corpus and
     * kept integer-exact (1e-6-scaled smoothed conditional probabilities,
@@ -1245,6 +1270,7 @@ object SparkEntry {
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
     "d_lsh_index_pairs" -> (dLshIndexPairs _),
     "t_lm_score" -> (tLmScore _),
+    "c_source_overlap" -> (cSourceOverlap _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -2164,6 +2190,24 @@ object SparkEntry {
            coalesce(sc.n_bigrams, 0) AS n_bigrams,
            coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
          FROM d LEFT JOIN sc USING (doc_id, lang)"""
+    },
+    "c_source_overlap" -> {
+      val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
+      s"""WITH sh AS (SELECT doc_id, source,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> $g3)) END AS g3
+           FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         sg AS (SELECT DISTINCT source, unnest(g3) AS g FROM sh),
+         sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+         p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+               FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, shared_grams,
+           (shared_grams * 1000000) // least(za.n, zb.n) AS overlap_e6
+         FROM p JOIN sz za ON za.source = src_a
+                JOIN sz zb ON zb.source = src_b"""
     },
     "c_domain_cap" ->
       """SELECT doc_id, source, rk FROM (
