@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{Bpe, KernelExpressions => K, TrainedBpeMerges, VectorOps}
+
+/** SQL surface for the kernel library: `spark.sql.extensions=graft.GraftExtensions`
+  * (wired into Main/Bench/Verify and available to any `spark-submit`) injects
+  * every codegen'd kernel as a `graft_*` SQL function, so pure-SQL users get
+  * the same single-static-call generated code as the Column API — cosine over
+  * embedding arrays, minhash/simhash signatures, shingle and n-gram hashes,
+  * quality stats, int8 quantization, media header parsing, and the frozen
+  * merge-table BPE token count. Parameter arguments (n-gram sizes, hash
+  * counts) must be integer LITERALS — they parameterize code generation, not
+  * per-row values.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def litInt(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
+    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n arguments, got ${args.length}")
+
+  private def fd(name: String, usage: String, builder: Builder)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.KernelExpressions", null, name, usage, ""),
+      builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    fd("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
+      args => { arity("graft_cosine", args, 2); K.VecCosine(args(0), args(1)) }),
+    fd("graft_int8_quantize",
+      "graft_int8_quantize(v) - symmetric per-vector int8 quantization",
+      args => { arity("graft_int8_quantize", args, 1); K.Int8Quantize(args(0)) }),
+    fd("graft_dot_long", "graft_dot_long(a, b) - integer dot product of long arrays",
+      args => { arity("graft_dot_long", args, 2); K.DotLong(args(0), args(1)) }),
+    fd("graft_minhash_sig",
+      "graft_minhash_sig(text, shingleSize, numHashes) - minhash signature over char shingles",
+      args => { arity("graft_minhash_sig", args, 3)
+        K.MinhashSig(args(0), litInt(args, 1, "graft_minhash_sig"),
+          litInt(args, 2, "graft_minhash_sig")) }),
+    fd("graft_simhash", "graft_simhash(text) - 60-bit simhash over whitespace tokens",
+      args => { arity("graft_simhash", args, 1); K.Simhash60(args(0)) }),
+    fd("graft_char_shingles",
+      "graft_char_shingles(text, n) - sorted distinct poly-hashed char n-grams of lower(text)",
+      args => { arity("graft_char_shingles", args, 2)
+        K.CharShingleHashes(args(0), litInt(args, 1, "graft_char_shingles")) }),
+    fd("graft_word_shingles",
+      "graft_word_shingles(text, n) - sorted distinct poly-hashed word n-grams of trim(text)",
+      args => { arity("graft_word_shingles", args, 2)
+        K.WordShingleHashes(args(0), litInt(args, 1, "graft_word_shingles")) }),
+    fd("graft_char_ngram_hashes",
+      "graft_char_ngram_hashes(text, n) - poly hashes of every char n-gram occurrence",
+      args => { arity("graft_char_ngram_hashes", args, 2)
+        K.CharNgramOccHashes(args(0), litInt(args, 1, "graft_char_ngram_hashes")) }),
+    fd("graft_sorted_intersect",
+      "graft_sorted_intersect(a, b) - intersection size of two sorted long arrays",
+      args => { arity("graft_sorted_intersect", args, 2)
+        K.SortedIntersectCount(args(0), args(1)) }),
+    fd("graft_quality_stats",
+      "graft_quality_stats(text) - [tokens, stopwords, punct chars, chars]",
+      args => { arity("graft_quality_stats", args, 1); K.TextQualityStats(args(0)) }),
+    fd("graft_ngram_stats",
+      "graft_ngram_stats(text, n) - [total, distinct, maxRun] word n-gram occurrence stats",
+      args => { arity("graft_ngram_stats", args, 2)
+        K.WordNgramStats(args(0), litInt(args, 1, "graft_ngram_stats")) }),
+    fd("graft_bpe_count",
+      "graft_bpe_count(text) - BPE token count under the frozen trained merge table",
+      args => { arity("graft_bpe_count", args, 1)
+        val (lefts, rights) = Bpe.compiled(TrainedBpeMerges.merges)
+        K.BpeTokenCount(args(0), lefts.toSeq, rights.toSeq) }),
+    fd("graft_image_dims",
+      "graft_image_dims(bin) - packed (width << 32) | height for PNG/GIF/JPEG, -1 otherwise",
+      args => { arity("graft_image_dims", args, 1); K.ImageDims(args(0)) }),
+    fd("graft_jpeg_dims",
+      "graft_jpeg_dims(bin) - packed (width << 16) | height from the JPEG SOF walk",
+      args => { arity("graft_jpeg_dims", args, 1); K.JpegDims(args(0)) }),
+    fd("graft_wav_format",
+      "graft_wav_format(bin) - packed (rate << 16) | (channels << 8) | bits from the fmt chunk",
+      args => { arity("graft_wav_format", args, 1); K.WavFormat(args(0)) }),
+    fd("graft_srp_buckets",
+      "graft_srp_buckets(v, numTables, bits, dim) - per-table SRP LSH bucket keys",
+      args => { arity("graft_srp_buckets", args, 4)
+        val tables = litInt(args, 1, "graft_srp_buckets")
+        val bits = litInt(args, 2, "graft_srp_buckets")
+        val dim = litInt(args, 3, "graft_srp_buckets")
+        K.SrpBucketKeys(args(0), VectorOps.rademacherPlanes(tables * bits, dim).flatten,
+          tables, bits) })
+  )
+}

@@ -25,6 +25,7 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // spark-submit provides spark.master; default to local[*] otherwise
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))

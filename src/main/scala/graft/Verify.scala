@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // testdata events.ts is parquet TIMESTAMP(NANOS): read as ns-long
       // (Spark has no ns timestamp); queries truncate to µs for oracle parity
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The injected `graft_*` SQL functions (GraftExtensions) must resolve from
+  * pure SQL and agree exactly with the Column-API kernels.
+  */
+class SqlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_* functions resolve in SQL and match the Column API") {
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+           graft_simhash(text) AS sh,
+           graft_bpe_count(text) AS bpe,
+           size(graft_char_shingles(text, 5)) AS n_sh,
+           graft_quality_stats(text)[0] AS n_tok
+         FROM sql_docs""")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    val viaApi = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.KernelExpressions.simhash60(col("text")).as("sh"),
+        graft.functions.TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+        size(graft.functions.KernelExpressions.charShingleHashes(col("text"), 5)).as("n_sh"),
+        element_at(graft.functions.KernelExpressions.textQualityStats(col("text")), 1).as("n_tok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(viaSql == viaApi)
+  }
+
+  test("vector SQL functions: cosine, quantization, dot, SRP buckets") {
+    val row = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                graft_int8_quantize(array(0.5D, -1.0D)) AS q,
+                graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d,
+                size(graft_srp_buckets(array(1.0D, 0.0D), 2, 4, 2)) AS nb""").head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getSeq[Long](1) == Seq(64L, -127L))
+    assert(row.getLong(2) == 23L)
+    assert(row.getInt(3) == 2)
+  }
+
+  test("parameter arguments must be literals, arity is enforced") {
+    spark.range(1).createOrReplaceTempView("sql_one")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_char_shingles('ab', id) FROM sql_one").collect())
+    assert(e1.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_cosine(array(1.0D)) AS x").collect())
+    assert(e2.getMessage.contains("expects 2 arguments"))
+  }
+
+  test("media SQL functions parse planted headers") {
+    // PNG 3x2: signature + IHDR length/tag + width/height big-endian
+    val png = "89504E470D0A1A0A0000000D49484452" + "00000003" + "00000002"
+    val out = spark.sql(
+      s"SELECT graft_image_dims(unhex('$png')) AS d").head().getLong(0)
+    assert(out == ((3L << 32) | 2L))
+  }
+}
