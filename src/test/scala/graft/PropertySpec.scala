@@ -123,6 +123,52 @@ class PropertySpec extends SparkTestBase {
     assert(tiny == Seq(("a", "b")))
   }
 
+  test("int8 quantization invariants vs a naive reference") {
+    import graft.functions.KernelExpressions.int8Quantize
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f))
+    samples(vecGen, 40).zipWithIndex.foreach { case (v, _) =>
+      val got = Seq(Tuple1(v.toArray)).toDF("v")
+        .select(int8Quantize(col("v"))).as[Seq[Long]].collect().head
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val naive =
+        if (maxAbs == 0.0) v.map(_ => 0L)
+        else v.map(x => math.floor(x.toDouble * (127.0 / maxAbs) + 0.5).toLong)
+      assert(got == naive)
+      assert(got.forall(q => q >= -127L && q <= 127L))
+      if (maxAbs > 0.0) assert(got.map(math.abs).max == 127L) // range is spanned
+    }
+  }
+
+  test("char n-gram occurrence hashes: count, order, and distinct-set agreement") {
+    import graft.functions.KernelExpressions.{charNgramOccHashes, charShingleHashes}
+    val textGen = Gen.listOf(Gen.oneOf('a', 'b', 'C', ' ', 'é')).map(_.mkString)
+    samples(textGen, 50).foreach { t =>
+      val (occ, dst) = Seq(Tuple1(t)).toDF("t")
+        .select(charNgramOccHashes(col("t"), 3), charShingleHashes(col("t"), 3))
+        .as[(Seq[Long], Seq[Long])].collect().head
+      val nCps = t.codePointCount(0, t.length)
+      assert(occ.length == math.max(0, nCps - 2)) // every occurrence, in order
+      // the occurrence stream's distinct set IS the sorted shingle set
+      assert(occ.distinct.sorted == dst)
+    }
+  }
+
+  test("packed image dims agree with per-format parses on random planted headers") {
+    import graft.functions.KernelExpressions.imageDims
+    def be32(v: Long) = f"$v%08X"
+    def le16(v: Long) = { val h = f"$v%04X"; h.substring(2) + h.substring(0, 2) }
+    samples(Gen.zip(Gen.chooseNum(1L, 0x7FFFFFL), Gen.chooseNum(1L, 0xFFFFL)), 30)
+      .foreach { case (w, h) =>
+        val png = "89504E470D0A1A0A0000000D49484452" + be32(w) + be32(h)
+        val gif = "474946383961" + le16(w & 0xFFFFL) + le16(h)
+        val rows = Seq(png, gif, "DEADBEEF").toDF("hx")
+          .select(imageDims(unhex(col("hx")))).as[Long].collect()
+        assert(rows(0) == ((w << 32) | h))
+        assert(rows(1) == (((w & 0xFFFFL) << 32) | h))
+        assert(rows(2) == -1L)
+      }
+  }
+
   test("simhash ignores whitespace amount between identical tokens") {
     val tokLists = samples(Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta")), 30)
     val pairs = tokLists.map(t => (t.mkString(" "), t.mkString("  ") + " "))
