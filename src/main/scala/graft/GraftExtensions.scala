@@ -94,6 +94,10 @@ object GraftFunctions {
     fd("graft_wav_format",
       "graft_wav_format(bin) - packed (rate << 16) | (channels << 8) | bits from the fmt chunk",
       args => { arity("graft_wav_format", args, 1); K.WavFormat(args(0)) }),
+    fd("graft_topk",
+      "graft_topk(score, id, k) - AGGREGATE: k best (score, id) pairs per group, score DESC id ASC",
+      args => { arity("graft_topk", args, 3)
+        graft.functions.TopKByScore(args(0), args(1), litInt(args, 2, "graft_topk")) }),
     fd("graft_srp_buckets",
       "graft_srp_buckets(v, numTables, bits, dim) - per-table SRP LSH bucket keys",
       args => { arity("graft_srp_buckets", args, 4)

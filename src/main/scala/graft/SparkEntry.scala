@@ -102,6 +102,21 @@ object SparkEntry {
       .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Top-3 events by value per user through the custom bounded top-k
+    * AGGREGATE ([[graft.functions.TopKAggregate]]) — the no-sort,
+    * map-side-combining alternative to the q_window_rank plan: the shuffle
+    * carries ≤ k pairs per (user, partition) instead of every event row,
+    * and no group is ever sorted.
+    */
+  private def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("value"), col("event_id"), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+
   private def qTopUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"))
@@ -1271,6 +1286,7 @@ object SparkEntry {
     "d_lsh_index_pairs" -> (dLshIndexPairs _),
     "t_lm_score" -> (tLmScore _),
     "c_source_overlap" -> (cSourceOverlap _),
+    "q_topk_agg" -> (qTopkAgg _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -2170,6 +2186,12 @@ object SparkEntry {
                AS cum_tokens
            FROM c_sel)
          WHERE cum_tokens <= 2000""",
+    "q_topk_agg" ->
+      """SELECT user_id, rank, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS BIGINT) AS rank
+           FROM events) WHERE rank <= 3""",
     "t_lm_score" -> {
       val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
       val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)

@@ -136,6 +136,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("sha2"), "digest key missing from the plan")
   }
 
+  test("top-k aggregate runs as a PARTIAL object-hash aggregation (map-side combine)") {
+    // the whole point vs a window rank: the pre-shuffle phase must carry a
+    // partial aggregate (<= k pairs per group per partition), not raw rows
+    val p = planOf("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(6).mkString("\n"))
+    assert(p.contains("partial_topkbyscore"), "no partial (map-side) top-k phase in the plan")
+    assert(!p.contains("Window"), "top-k agg plan must not fall back to a window sort")
+  }
+
   test("kernel expressions stay inside whole-stage codegen") {
     val df = analyzed("d_simhash_pairs")
     df.collect() // finalize the adaptive plan

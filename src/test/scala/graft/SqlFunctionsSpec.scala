@@ -53,6 +53,32 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("expects 2 arguments"))
   }
 
+  test("graft_topk aggregate matches the window-rank formulation, SQL and API") {
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select($"user_id", $"event_id", $"value")
+    events.createOrReplaceTempView("sql_events")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = norm(spark.sql(
+      """SELECT user_id, rank, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS BIGINT) AS rank
+           FROM sql_events) WHERE rank <= 5""").collect())
+    val viaSqlAgg = norm(spark.sql(
+      """SELECT user_id, CAST(pos + 1 AS BIGINT) AS rank, e.id AS event_id, e.score AS value
+         FROM (SELECT user_id, graft_topk(value, event_id, 5) AS top
+               FROM sql_events GROUP BY user_id)
+         LATERAL VIEW posexplode(top) AS pos, e""").collect())
+    val viaApi = norm(events.groupBy($"user_id")
+      .agg(graft.functions.TopKAggregate.topKByScore($"value", $"event_id", 5).as("top"))
+      .select($"user_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"user_id", ($"pos" + 1).cast("long"), $"e.id", $"e.score")
+      .collect())
+    assert(viaSqlAgg == viaWindow)
+    assert(viaApi == viaWindow)
+  }
+
   test("media SQL functions parse planted headers") {
     // PNG 3x2: signature + IHDR length/tag + width/height big-endian
     val png = "89504E470D0A1A0A0000000D49484452" + "00000003" + "00000002"
