@@ -895,6 +895,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Shared-passage pairs via winnowed fingerprints ([[Dedup.winnowPairs]]):
+    * the position-robust complement to whole-document LSH — a paragraph
+    * planted into every 11th document pairs those docs even though their
+    * overall similarity is tiny. Planted input gives the operator real
+    * work beyond natural overlaps.
+    */
+  private def dWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" the shared boilerplate passage that winnowing must catch"))
+          .otherwise(lit(""))).as("text"))
+    Dedup.winnowPairs(planted, "doc_id", "text")
+  }
+
   /** Cross-source overlap matrix — which sources duplicate each other (the
     * mixture-dedup audit run before weighting a data mix): distinct word
     * 3-grams per source, self-joined on the gram, counted per source pair,
@@ -1287,6 +1302,7 @@ object SparkEntry {
     "t_lm_score" -> (tLmScore _),
     "c_source_overlap" -> (cSourceOverlap _),
     "q_topk_agg" -> (qTopkAgg _),
+    "d_winnow_pairs" -> (dWinnowPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
@@ -2212,6 +2228,32 @@ object SparkEntry {
            coalesce(sc.n_bigrams, 0) AS n_bigrams,
            coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
          FROM d LEFT JOIN sc USING (doc_id, lang)"""
+    },
+    "d_winnow_pairs" -> {
+      val ph16 = sqlPh("t[i:i+15]", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id,
+             lower(text || (CASE WHEN doc_id % 11 = 0
+               THEN ' the shared boilerplate passage that winnowing must catch'
+               ELSE '' END)) AS t
+           FROM documents),
+         h AS (SELECT doc_id,
+             CASE WHEN length(t) < 16 THEN []::BIGINT[]
+                  ELSE list_transform(range(1, length(t) - 14), i -> $ph16) END AS hs
+           FROM d),
+         wf AS (SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(
+                         range(1, greatest(len(hs) - 7, 1) + 1),
+                         i -> list_min(hs[i:i+7]))) END AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+         under AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM e GROUP BY 1)
+                   WHERE c <= 1000),
+         ee AS (SELECT doc_id, fp FROM e WHERE fp IN (SELECT fp FROM under)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+               FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, shared FROM p WHERE shared >= 2"""
     },
     "c_source_overlap" -> {
       val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)

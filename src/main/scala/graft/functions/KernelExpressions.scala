@@ -121,6 +121,17 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Sorted distinct winnowed (min-of-w-window) k-gram fingerprints. */
+  case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.winnowedFingerprints(t.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.winnowedFingerprints($t, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Poly hashes of every char n-gram OCCURRENCE of lower(text), in order. */
   case class CharNgramOccHashes(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -276,6 +287,9 @@ object KernelExpressions {
   def wordShingleHashes(text: Column, n: Int): Column = c(WordShingleHashes(e(text), n))
 
   def charNgramOccHashes(text: Column, n: Int): Column = c(CharNgramOccHashes(e(text), n))
+
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
+    c(WinnowedFingerprints(e(text), k, w))
 
   def wordNgramStrings(text: Column, n: Int): Column = c(WordNgramStrings(e(text), n))
 

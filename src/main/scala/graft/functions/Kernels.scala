@@ -481,6 +481,48 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** MOSS-style winnowed fingerprints of lower(text): the minimum k-gram
+    * hash of every w-window of consecutive k-gram occurrence hashes,
+    * distinct + sorted. Texts with fewer than w k-grams (but at least one)
+    * contribute one whole-sequence window; shorter than k chars → empty.
+    * Window MINIMA are position-free values, so the distinct SET is
+    * insensitive to the winnowing tie-position rule — the property that
+    * lets the oracle replay it with plain slice-min list ops.
+    */
+  def winnowedFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = codePoints(text.toLowerCase.toString)
+    val n = cps.length - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    // rolling update: h' = ((h - cp_out * B^(k-1)) * B + cp_in) mod M — O(1)
+    // per slide instead of O(k), and VALUE-identical to the windowed fold
+    // (so the oracle's per-window replay matches bit for bit)
+    var bk = 1L // B^(k-1) mod M
+    var e = 0
+    while (e < k - 1) { bk = bk * Base1 % Mod1; e += 1 }
+    var h = polyHashRange(cps, 0, k, Base1, Mod1)
+    hs(0) = h
+    var i = 1
+    while (i < n) {
+      val drop = (cps(i - 1) % Mod1) * bk % Mod1
+      h = (((h - drop + Mod1) % Mod1) * Base1 + cps(i + k - 1)) % Mod1
+      hs(i) = h
+      i += 1
+    }
+    val windows = math.max(n - w + 1, 1)
+    val mins = new Array[Long](windows)
+    var p = 0
+    while (p < windows) {
+      var m = hs(p)
+      var j = p + 1
+      val until = math.min(p + w, n)
+      while (j < until) { if (hs(j) < m) m = hs(j); j += 1 }
+      mins(p) = m
+      p += 1
+    }
+    new GenericArrayData(sortedDistinct(mins, windows))
+  }
+
   /** Packed image dimensions `(width << 32) | height` across the three
     * sniffable image containers — PNG IHDR (big-endian uint32 at 16/20),
     * GIF logical screen (little-endian uint16 at 6/8), JPEG SOF walk

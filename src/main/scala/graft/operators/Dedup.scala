@@ -369,6 +369,41 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** Shared-passage candidate pairs via MOSS-style winnowing: each doc
+    * contributes its distinct winnowed fingerprints (min k-gram hash per
+    * w-window — guaranteed to include a fingerprint from ANY shared passage
+    * of length ≥ k + w - 1, regardless of where it sits in either doc), and
+    * docs sharing ≥ `minShared` fingerprints pair up. The positional
+    * robustness LSH-over-whole-docs lacks: a paragraph copied into an
+    * otherwise unrelated document still collides.
+    *
+    * Scale shape: ids-only inverted index on the fingerprint, df-capped
+    * like the n-gram index (a fingerprint present in more than
+    * `maxFingerprintDf` docs is boilerplate and leaves candidate
+    * generation) — the pair count per fingerprint is bounded, and `shared`
+    * counts replay exactly in the oracle because the cap is part of the
+    * declared semantics.
+    *
+    * @return (id_a, id_b, shared) with id_a < id_b, shared ≥ minShared
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 2,
+      maxFingerprintDf: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.KernelExpressions.winnowedFingerprints(
+        col(textCol), k, w)).as("fp"))
+    val under = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFingerprintDf)
+      .drop("__df")
+    val indexed = fps.join(under, "fp")
+    val a = indexed.select(col("fp"), col("id").as("id_a"))
+    val b = indexed.select(col("fp").as("fp2"), col("id").as("id_b"))
+    a.join(b, a("fp") === b("fp2") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** Bit width of the simhash signature. 60 = two stacked 30-bit polynomial

@@ -334,6 +334,24 @@ class DedupSpec extends SparkTestBase {
     assert(incr.nonEmpty)
   }
 
+  test("winnowing pairs docs sharing a planted passage, ignores disjoint docs") {
+    val passage = "an identical paragraph that was copied between documents verbatim"
+    val docs = Seq(
+      (0L, s"completely unrelated opening text. $passage. and a distinct tail zero"),
+      (1L, s"other framing words before the copy. $passage. different ending one"),
+      (2L, "no shared content at all in this document whatsoever xyz"),
+      (3L, "short"),
+      (4L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    // any shared passage of length >= k + w - 1 must collide: the guarantee
+    val fps = docs.filter(col("doc_id") < 2).select(
+      graft.functions.KernelExpressions.winnowedFingerprints(col("text"), 16, 8))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).size >= 3)
+  }
+
   test("bloom prefilter: zero false negatives, fp rate near configured, codegen'd") {
     import graft.functions.KernelExpressions.bloomMightContain
     import org.apache.spark.sql.functions.col
