@@ -94,6 +94,11 @@ object GraftFunctions {
     fd("graft_wav_format",
       "graft_wav_format(bin) - packed (rate << 16) | (channels << 8) | bits from the fmt chunk",
       args => { arity("graft_wav_format", args, 1); K.WavFormat(args(0)) }),
+    fd("graft_winnow",
+      "graft_winnow(text, k, w) - distinct winnowed (min per w-window) k-gram fingerprints",
+      args => { arity("graft_winnow", args, 3)
+        K.WinnowedFingerprints(args(0), litInt(args, 1, "graft_winnow"),
+          litInt(args, 2, "graft_winnow")) }),
     fd("graft_topk",
       "graft_topk(score, id, k) - AGGREGATE: k best (score, id) pairs per group, score DESC id ASC",
       args => { arity("graft_topk", args, 3)

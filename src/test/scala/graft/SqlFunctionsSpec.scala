@@ -29,6 +29,14 @@ class SqlFunctionsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
     assert(viaSql == viaApi)
+    val winnowSql = spark.sql(
+      "SELECT graft_winnow(text, 16, 8) FROM sql_docs ORDER BY doc_id")
+      .as[Seq[Long]].collect().toSeq
+    val winnowApi = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .orderBy("doc_id")
+      .select(graft.functions.KernelExpressions.winnowedFingerprints(col("text"), 16, 8))
+      .as[Seq[Long]].collect().toSeq
+    assert(winnowSql == winnowApi)
   }
 
   test("vector SQL functions: cosine, quantization, dot, SRP buckets") {
