@@ -21,4 +21,22 @@ object Bucketing {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Layout maintenance: rewrite a dataset as `numFiles` RANGE-partitioned,
+    * internally sorted parquet files on a clustering key — the compaction
+    * pass that fixes the small-files problem (a day of streaming output is
+    * thousands of KB-scale files; scans pay per-file open cost) while
+    * making the key's parquet min/max footers DISJOINT across files, so a
+    * point/range predicate on the clustering key prunes to one file's row
+    * groups instead of sampling every file. Run periodically over landing
+    * zones; at 100 TB this is the difference between a key lookup touching
+    * one file and touching all of them.
+    */
+  def compactSorted(df: DataFrame, sortCols: Seq[String], numFiles: Int,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -47,6 +47,32 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("compaction yields N sorted files with disjoint clustering-key ranges") {
+    import org.apache.spark.sql.functions.col
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "user_id", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/out"
+    Bucketing.compactSorted(events, Seq("user_id", "event_id"), 4, path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4, s"expected 4 data files, got ${files.length}")
+    // per-file: internally sorted; across files: key ranges disjoint (the
+    // precondition for parquet min/max footer pruning to hit ONE file)
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select(col("user_id"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(keys.sameElements(keys.sorted), s"${f.getName} not sorted")
+      (keys.head, keys.last)
+    }
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(implicitly[Ordering[(Long, Long)]].lteq(hiA, loB),
+        s"file ranges overlap: $hiA vs $loB")
+    }
+    // nothing lost
+    assert(spark.read.parquet(path).count() == events.count())
+  }
+
   test("salted join equals the plain join on a corpus with one hot key") {
     val left = ((1 to 900).map(i => (42L, s"hot$i")) ++
       (101 to 200).map(i => (i.toLong, s"cold$i"))).toDF("k", "payload")
