@@ -163,6 +163,19 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Incrementally APPEND new vectors to an index written by
+    * [[writeIvfIndex]] (same centroids): each batch is cell-assigned and
+    * appended into the per-cell directories — the daily embedding-ingest
+    * path. Searches see old + new rows identically to a full rebuild; run
+    * [[graft.io.Bucketing.compactSorted]]-style maintenance per cell when
+    * appends accumulate small files.
+    */
+  def appendIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit =
+    newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Search a materialized index written by [[writeIvfIndex]] with the SAME
     * centroid list. Identical results to [[ivfTopK]]; the corpus-side cell
     * assignment is read from the partition column instead of recomputed.

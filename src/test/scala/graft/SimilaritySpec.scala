@@ -128,6 +128,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(prof.map(_.getAs[Long]("cell")).toSet.subsetOf((0L until 8L).toSet))
   }
 
+  test("appended IVF index equals a full rebuild for search") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = VectorOps.rademacherPlanes(8, 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val (pInc, pFull) = (s"$dir/inc", s"$dir/full")
+    // build from the first half, append the second half
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", centroids, pInc)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", centroids, pInc)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, pFull)
+    val q = emb.filter(col("vec_id") < 5)
+    def search(p: String) = Similarity.ivfIndexTopK(spark, q, "vec_id",
+      "embedding", centroids, p, k = 10, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(search(pInc) == search(pFull))
+  }
+
   test("IVF top-k finds planted cluster neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
