@@ -348,6 +348,11 @@ object Dedup {
     * bounding the candidate product at maxBucket². Only the new batch is
     * signed per run; index-side work is a scan of ids+bands.
     *
+    * Id namespaces of the index and the new batch must be DISJOINT (a
+    * re-ingested id would double its shingle rows through the union and
+    * duplicate candidate rows) — run [[incrementalExactDedup]] first, which
+    * is the ingest order a real pipeline uses anyway.
+    *
     * @return (id_a = indexed id, id_b = new id, jaccard)
     */
   def lshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,

@@ -204,7 +204,8 @@ object Similarity {
     * [[ivfTopK]] cells when the corpus outgrows a flat scan.
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10, candidates: Int = 30): DataFrame = {
+      vecCol: String, k: Int = 10, candidates: Int = 30,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     import graft.functions.KernelExpressions.{dotLong, int8Quantize}
     val q8 = queries.select(col(idCol).as("query_id"),
       int8Quantize(col(vecCol)).as("q8"))
@@ -212,7 +213,10 @@ object Similarity {
       int8Quantize(col(vecCol)).as("c8"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("neighbor_id"))
-    val cand = c8.crossJoin(broadcast(q8))
+    // the flat scan is inherently a small-query-set operator, but the hint
+    // still size-gates (round-3 lesson: a hardcoded broadcast turns
+    // corpus-vs-corpus retrieval into an OOM, not a slow plan)
+    val cand = c8.crossJoin(gatedBroadcast(q8, broadcastGateBytes))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", dotLong(col("q8"), col("c8")))
       .withColumn("crank", row_number().over(wq))
@@ -224,7 +228,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
     cand.join(cv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+      .join(gatedBroadcast(qv, broadcastGateBytes), Seq("query_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
