@@ -506,6 +506,20 @@ object SparkEntry {
       .filter(col("dims").isNotNull)
       .select(col("doc_id"), col("dims.width").as("width"), col("dims.height").as("height"))
 
+  /** The resize seam over the planted image payloads: headers transform
+    * exactly (dims halve), bodies subsample to ceil(n/2) bytes, and the
+    * standard dims operator reads the RESIZED payloads — proving the seam
+    * composes with the rest of the multimodal surface.
+    */
+  private def mResizeStub(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .withColumn("rz", Multimodal.resizeStub(col("payload"), 2))
+      .withColumn("dims", Multimodal.imageDims(col("rz")))
+      .filter(col("dims").isNotNull)
+      .select(col("doc_id"), col("dims.width").as("width"),
+        col("dims.height").as("height"),
+        length(col("rz")).cast("long").as("byte_len"))
+
   /** Content fingerprint + deterministic stub embedding (the decoder seam):
     * both are engine-reproducible byte folds the oracle replays over the
     * same constructed payloads.
@@ -1280,6 +1294,7 @@ object SparkEntry {
     "m_frame_sample" -> (mFrameSample _),
     "m_audio_energy" -> (mAudioEnergy _),
     "m_jpeg_dims" -> (mJpegDims _),
+    "m_resize_stub" -> (mResizeStub _),
     "m_wav_format" -> (mWavFormat _),
     "t_token_stats" -> (tTokenStats _),
     "t_bpe_tokens" -> (tBpeTokens _),
@@ -1884,6 +1899,13 @@ object SparkEntry {
     "m_image_dims" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS width,
                 CAST(doc_id % 100 AS BIGINT) AS height
+         FROM documents WHERE doc_id % 3 IN (0, 1)""",
+    "m_resize_stub" ->
+      """SELECT doc_id,
+           CAST(n_chars // 2 AS BIGINT) AS width,
+           CAST((doc_id % 100) // 2 AS BIGINT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 24 ELSE 10 END
+                + (octet_length(encode(text)) + 1) // 2 AS BIGINT) AS byte_len
          FROM documents WHERE doc_id % 3 IN (0, 1)""",
     "m_media_fingerprint" -> {
       // the oracle rebuilds the payload's HEX rendering as a string and

@@ -224,6 +224,17 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Header-exact, payload-subsampled resize seam for image payloads. */
+  case class ResizeStub(child: Expression, factor: Int) extends UnaryExpression {
+    require(factor > 0, "factor must be positive")
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.resizeStub(b.asInstanceOf[Array[Byte]], factor)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.resizeStub($b, $factor)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WavFormat(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(b: Any): Any =
@@ -300,6 +311,8 @@ object KernelExpressions {
   def jpegDims(bin: Column): Column = c(JpegDims(e(bin)))
 
   def imageDims(bin: Column): Column = c(ImageDims(e(bin)))
+
+  def resizeStub(bin: Column, factor: Int): Column = c(ResizeStub(e(bin), factor))
 
   def wavFormat(bin: Column): Column = c(WavFormat(e(bin)))
 

@@ -551,6 +551,47 @@ object Kernels {
     } else -1L
   }
 
+  /** Deterministic RESIZE SEAM for image payloads: patches the container's
+    * header dimensions to floor(d/factor) and keeps every factor-th body
+    * byte (ceil(n/factor) bytes). NOT a pixel resample — this container has
+    * no codecs; it is the honest shape of the decode→resize→encode hop
+    * (header metadata transforms exactly, payload shrinks by the factor,
+    * everything downstream — dims, sizes, fingerprints — keeps working).
+    * Non-image payloads pass through unchanged.
+    */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    def subsampled(hdr: Int): Array[Byte] = {
+      val body = n - hdr
+      val kept = if (body <= 0) 0 else (body + factor - 1) / factor
+      val out = new Array[Byte](hdr + kept)
+      System.arraycopy(bytes, 0, out, 0, hdr)
+      var i = 0
+      while (i < kept) { out(hdr + i) = bytes(hdr + i * factor); i += 1 }
+      out
+    }
+    if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+        u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+        u8(7) == 0x0A) {
+      val w = ((u8(16).toLong << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)) / factor
+      val h = ((u8(20).toLong << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)) / factor
+      val out = subsampled(24)
+      out(16) = (w >>> 24).toByte; out(17) = (w >>> 16).toByte
+      out(18) = (w >>> 8).toByte; out(19) = w.toByte
+      out(20) = (h >>> 24).toByte; out(21) = (h >>> 16).toByte
+      out(22) = (h >>> 8).toByte; out(23) = h.toByte
+      out
+    } else if (n >= 10 && u8(0) == 0x47 && u8(1) == 0x49 && u8(2) == 0x46) {
+      val w = ((u8(6) | (u8(7) << 8)) / factor).toLong
+      val h = ((u8(8) | (u8(9) << 8)) / factor).toLong
+      val out = subsampled(10)
+      out(6) = w.toByte; out(7) = (w >>> 8).toByte
+      out(8) = h.toByte; out(9) = (h >>> 8).toByte
+      out
+    } else bytes
+  }
+
   def simhash60(text: UTF8String): Long = {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L

@@ -77,6 +77,14 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
+  /** Resize seam ([[KernelExpressions.resizeStub]]): header dims become
+    * floor(d/factor), the body keeps every factor-th byte; non-images pass
+    * through. The deterministic stand-in for the decode→resample→encode
+    * hop a codec library plugs into (see the module scaladoc on seams).
+    */
+  def resizeStub(bin: Column, factor: Int): Column =
+    KernelExpressions.resizeStub(bin, factor)
+
   /** WAV `fmt ` chunk metadata (sample rate / channels / bits per sample)
     * via the RIFF chunk walk (kernel expression — chunks are variable-
     * length and ordered freely, so fixed offsets don't work); null when the

@@ -131,6 +131,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(r == Seq(8.0f, 3.0f))
   }
 
+  test("resize stub halves header dims, subsamples body, passes non-images through") {
+    // PNG 6x4 with a 5-byte body
+    val png = "89504E470D0A1A0A0000000D49484452" + "00000006" + "00000004" + "0102030405"
+    val gif = "474946383961" + "0600" + "0400" + "AABBCC"
+    val wav = "52494646" + "24000000" + "57415645" + "FF"
+    val rows = Seq(png, gif, wav).toDF("hx")
+      .select(Multimodal.resizeStub(unhex(col("hx")), 2).as("rz"))
+      .withColumn("dims", Multimodal.imageDims(col("rz")))
+      .select(col("dims.width"), col("dims.height"), length(col("rz")))
+      .collect()
+    assert(rows(0).getLong(0) == 3L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getInt(2) == 24 + 3) // ceil(5/2) body bytes kept
+    assert(rows(1).getLong(0) == 3L && rows(1).getLong(1) == 2L)
+    assert(rows(1).getInt(2) == 10 + 2) // ceil(3/2)
+    assert(rows(2).isNullAt(0) && rows(2).getInt(2) == 13) // WAV untouched
+  }
+
   test("fake embedding is deterministic, dim-sized, in [0,1)") {
     val df = Seq("CAFEBABE").toDF("hx").select(unhex(col("hx")).as("bin"))
     val e1 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()
