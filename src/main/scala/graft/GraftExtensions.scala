@@ -102,7 +102,13 @@ object GraftFunctions {
     fd("graft_topk",
       "graft_topk(score, id, k) - AGGREGATE: k best (score, id) pairs per group, score DESC id ASC",
       args => { arity("graft_topk", args, 3)
-        graft.functions.TopKByScore(args(0), args(1), litInt(args, 2, "graft_topk")) }),
+        // cast-tolerant: any numeric score / integral id works from SQL
+        graft.functions.TopKByScore(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType),
+          litInt(args, 2, "graft_topk")) }),
     fd("graft_srp_buckets",
       "graft_srp_buckets(v, numTables, bits, dim) - per-table SRP LSH bucket keys",
       args => { arity("graft_srp_buckets", args, 4)

@@ -924,6 +924,25 @@ object SparkEntry {
     Dedup.winnowPairs(planted, "doc_id", "text")
   }
 
+  /** Cross-modal consistency audit: every text near-dup pair (MinHash-LSH,
+    * exact-Jaccard verified) annotated with the cosine of the SAME ids'
+    * embeddings — the check that a text-level duplicate is also an
+    * embedding-level near-neighbor (disagreement flags stale or noisy
+    * embeddings before they poison semantic dedup). The pair set is tiny
+    * relative to the corpus, so the embedding fetch is candidates-only —
+    * same fetch-on-verify shape as the dedup verifies.
+    */
+  private def cCrossModal(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+    val emb = t(s, dir, "embeddings")
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(graft.functions.KernelExpressions.vecCosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+  }
+
   /** Cross-source overlap matrix — which sources duplicate each other (the
     * mixture-dedup audit run before weighting a data mix): distinct word
     * 3-grams per source, self-joined on the gram, counted per source pair,
@@ -1316,6 +1335,7 @@ object SparkEntry {
     "d_lsh_index_pairs" -> (dLshIndexPairs _),
     "t_lm_score" -> (tLmScore _),
     "c_source_overlap" -> (cSourceOverlap _),
+    "c_cross_modal" -> (cCrossModal _),
     "q_topk_agg" -> (qTopkAgg _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
@@ -2251,6 +2271,14 @@ object SparkEntry {
            coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
          FROM d LEFT JOIN sc USING (doc_id, lang)"""
     },
+    "c_cross_modal" ->
+      s"""WITH $sqlMinhashCtes,
+         sel AS (SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT id_a, id_b, jaccard,
+           round(${sqlCos("ea.v", "eb.v")}, 6) AS cosine
+         FROM sel JOIN e ea ON ea.vec_id = id_a
+                  JOIN e eb ON eb.vec_id = id_b""",
     "d_winnow_pairs" -> {
       val ph16 = sqlPh("t[i:i+15]", 31L, 1000000007L)
       s"""WITH d AS (SELECT doc_id,
