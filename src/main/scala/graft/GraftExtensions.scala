@@ -27,14 +27,26 @@ object GraftFunctions {
   private type Builder = Seq[Expression] => Expression
 
   private def litInt(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
-    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
-      s"$fn: argument ${i + 1} must be an integer literal, got $other")
+      s"$fn: argument ${i + 1} must be a non-null integer literal, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n)
       throw new IllegalArgumentException(s"$fn expects $n arguments, got ${args.length}")
+
+  /** Cast an array argument to the element type the kernel reads (float →
+    * double is exact, int → long is exact), so SQL integer-array literals
+    * neither crash nor silently reinterpret bytes.
+    */
+  private def castArr(e: Expression,
+      elem: org.apache.spark.sql.types.DataType): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(elem))
+
+  private val D = org.apache.spark.sql.types.DoubleType
+  private val L = org.apache.spark.sql.types.LongType
 
   private def fd(name: String, usage: String, builder: Builder)
       : (FunctionIdentifier, ExpressionInfo, Builder) =
@@ -44,12 +56,15 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     fd("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
-      args => { arity("graft_cosine", args, 2); K.VecCosine(args(0), args(1)) }),
+      args => { arity("graft_cosine", args, 2)
+        K.VecCosine(castArr(args(0), D), castArr(args(1), D)) }),
     fd("graft_int8_quantize",
       "graft_int8_quantize(v) - symmetric per-vector int8 quantization",
-      args => { arity("graft_int8_quantize", args, 1); K.Int8Quantize(args(0)) }),
+      args => { arity("graft_int8_quantize", args, 1)
+        K.Int8Quantize(castArr(args(0), D)) }),
     fd("graft_dot_long", "graft_dot_long(a, b) - integer dot product of long arrays",
-      args => { arity("graft_dot_long", args, 2); K.DotLong(args(0), args(1)) }),
+      args => { arity("graft_dot_long", args, 2)
+        K.DotLong(castArr(args(0), L), castArr(args(1), L)) }),
     fd("graft_minhash_sig",
       "graft_minhash_sig(text, shingleSize, numHashes) - minhash signature over char shingles",
       args => { arity("graft_minhash_sig", args, 3)
@@ -72,7 +87,7 @@ object GraftFunctions {
     fd("graft_sorted_intersect",
       "graft_sorted_intersect(a, b) - intersection size of two sorted long arrays",
       args => { arity("graft_sorted_intersect", args, 2)
-        K.SortedIntersectCount(args(0), args(1)) }),
+        K.SortedIntersectCount(castArr(args(0), L), castArr(args(1), L)) }),
     fd("graft_quality_stats",
       "graft_quality_stats(text) - [tokens, stopwords, punct chars, chars]",
       args => { arity("graft_quality_stats", args, 1); K.TextQualityStats(args(0)) }),
@@ -115,7 +130,7 @@ object GraftFunctions {
         val tables = litInt(args, 1, "graft_srp_buckets")
         val bits = litInt(args, 2, "graft_srp_buckets")
         val dim = litInt(args, 3, "graft_srp_buckets")
-        K.SrpBucketKeys(args(0), VectorOps.rademacherPlanes(tables * bits, dim).flatten,
-          tables, bits) })
+        K.SrpBucketKeys(castArr(args(0), D),
+          VectorOps.rademacherPlanes(tables * bits, dim).flatten, tables, bits) })
   )
 }

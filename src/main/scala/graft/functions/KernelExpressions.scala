@@ -124,6 +124,7 @@ object KernelExpressions {
   /** Sorted distinct winnowed (min-of-w-window) k-gram fingerprints. */
   case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
+    require(k > 0 && w > 0, s"winnowing needs positive k/w, got k=$k w=$w")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(t: Any): Any =
       Kernels.winnowedFingerprints(t.asInstanceOf[UTF8String], k, w)

@@ -557,7 +557,10 @@ object Kernels {
     * no codecs; it is the honest shape of the decode→resize→encode hop
     * (header metadata transforms exactly, payload shrinks by the factor,
     * everything downstream — dims, sizes, fingerprints — keeps working).
-    * Non-image payloads pass through unchanged.
+    * Covers all three sniffable image containers: PNG/GIF patch fixed
+    * header offsets; JPEG walks its marker segments to the SOF and
+    * subsamples only the post-SOS entropy body. Non-images and malformed
+    * JPEG streams pass through unchanged.
     */
   def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
     val n = bytes.length
@@ -571,7 +574,47 @@ object Kernels {
       while (i < kept) { out(hdr + i) = bytes(hdr + i * factor); i += 1 }
       out
     }
-    if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+    if (n >= 3 && u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF) {
+      // JPEG: the same marker walk as [[jpegDims]], locating the SOF (dims
+      // to patch) and the SOS header end (segments stay intact; only the
+      // entropy body after SOS subsamples). Malformed streams pass through.
+      var p = 2
+      var sof = -1
+      var bodyAt = -1
+      var ok = true
+      while (bodyAt < 0 && ok && p + 1 < n) {
+        if (u8(p) != 0xFF) ok = false
+        else {
+          while (p + 1 < n && u8(p + 1) == 0xFF) p += 1
+          if (p + 1 >= n) ok = false
+          else {
+            val m = u8(p + 1)
+            if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2
+            else if (m == 0xD9) ok = false
+            else if (p + 3 >= n) ok = false
+            else {
+              val len = (u8(p + 2) << 8) | u8(p + 3)
+              if (len < 2) ok = false
+              else {
+                if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+                  sof = p
+                if (m == 0xDA) bodyAt = p + 2 + len
+                else p += 2 + len
+              }
+            }
+          }
+        }
+      }
+      if (!ok || sof < 0 || bodyAt < 0 || sof + 8 >= n || bodyAt > n) bytes
+      else {
+        val out = subsampled(bodyAt)
+        val h = ((u8(sof + 5) << 8) | u8(sof + 6)) / factor
+        val w = ((u8(sof + 7) << 8) | u8(sof + 8)) / factor
+        out(sof + 5) = (h >>> 8).toByte; out(sof + 6) = h.toByte
+        out(sof + 7) = (w >>> 8).toByte; out(sof + 8) = w.toByte
+        out
+      }
+    } else if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
         u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
         u8(7) == 0x0A) {
       val w = ((u8(16).toLong << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)) / factor

@@ -38,24 +38,6 @@ object Multimodal {
       .otherwise(lit("application/octet-stream"))
   }
 
-  /** Big-endian uint from `len` bytes at 1-based `pos`. */
-  private def beUint(bin: Column, pos: Int, len: Int): Column =
-    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
-
-  /** Little-endian uint16 at 1-based `pos` (GIF screen descriptor). */
-  private def leUint16(bin: Column, pos: Int): Column =
-    conv(concat(hex(substring(bin, pos + 1, 1)), hex(substring(bin, pos, 1))), 16, 10).cast("long")
-
-  /** PNG IHDR width/height (spec: 8-byte signature, 4-byte length,
-    * "IHDR", then width/height as big-endian uint32 at offsets 16/20).
-    */
-  def pngWidth(bin: Column): Column = beUint(bin, 17, 4)
-  def pngHeight(bin: Column): Column = beUint(bin, 21, 4)
-
-  /** GIF logical screen width/height (little-endian uint16 at offset 6). */
-  def gifWidth(bin: Column): Column = leUint16(bin, 7)
-  def gifHeight(bin: Column): Column = leUint16(bin, 9)
-
   /** JPEG dimensions from the SOF marker walk (kernel expression — the
     * segment list is variable-length, so this is a bounded loop, not fixed
     * offsets like PNG/GIF). Packed `(width << 16) | height`, -1 if absent.

@@ -113,9 +113,16 @@ object TopKEntry {
 }
 
 object TopKAggregate {
-  /** Column API: `topKByScore(score, id, k)` inside `.agg(...)`. */
+  /** Column API: `topKByScore(score, id, k)` inside `.agg(...)`. Inputs are
+    * cast to double/long (update() reads exactly those types), so any
+    * numeric score and integral id column works.
+    */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftExpressionBridge.column(
-      TopKByScore(GraftExpressionBridge.expression(score),
-        GraftExpressionBridge.expression(id), k).toAggregateExpression())
+      TopKByScore(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftExpressionBridge.expression(score), DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftExpressionBridge.expression(id), LongType),
+        k).toAggregateExpression())
 }

@@ -565,12 +565,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    val integralIds = edges.schema.fields.forall(f =>
-      f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
+    // LongType only: the collect below reads getLong, and widening an
+    // IntegerType id here would change the output comp type between the
+    // two paths — int-keyed graphs take the distributed iteration
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
     // the checkpoint above already materialized the pair pipeline, so this
     // count is a metadata read, not a recompute
-    if (integralIds && edges.count() <= 2 * localEdgeLimit) {
+    if (longIds && edges.count() <= 2 * localEdgeLimit) {
       val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val labels = unionFindLabels(nodes.sparkSession, arr)

@@ -136,7 +136,11 @@ class MultimodalSpec extends SparkTestBase {
     val png = "89504E470D0A1A0A0000000D49484452" + "00000006" + "00000004" + "0102030405"
     val gif = "474946383961" + "0600" + "0400" + "AABBCC"
     val wav = "52494646" + "24000000" + "57415645" + "FF"
-    val rows = Seq(png, gif, wav).toDF("hx")
+    // JPEG: SOI + SOF0(precision 8, h=4, w=6, 1 component) + SOS + 5-byte
+    // entropy body = 25 header bytes before the body
+    val jpg = "FFD8" + "FFC0" + "000B" + "08" + "0004" + "0006" + "01" + "011100" +
+      "FFDA" + "0008" + "01" + "0100" + "003F00" + "0102030405"
+    val rows = Seq(png, gif, wav, jpg).toDF("hx")
       .select(Multimodal.resizeStub(unhex(col("hx")), 2).as("rz"))
       .withColumn("dims", Multimodal.imageDims(col("rz")))
       .select(col("dims.width"), col("dims.height"), length(col("rz")))
@@ -146,6 +150,9 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(1).getLong(0) == 3L && rows(1).getLong(1) == 2L)
     assert(rows(1).getInt(2) == 10 + 2) // ceil(3/2)
     assert(rows(2).isNullAt(0) && rows(2).getInt(2) == 13) // WAV untouched
+    // JPEG: SOF dims patched through the marker walk, entropy body halved
+    assert(rows(3).getLong(0) == 3L && rows(3).getLong(1) == 2L)
+    assert(rows(3).getInt(2) == 25 + 3) // headers intact + ceil(5/2) body
   }
 
   test("fake embedding is deterministic, dim-sized, in [0,1)") {
