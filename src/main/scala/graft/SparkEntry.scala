@@ -934,6 +934,10 @@ object SparkEntry {
     */
   private def cCrossModal(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      // the verified pair list is tiny (near-dups are rare by definition);
+      // materializing it keeps the two embedding fetches from re-running
+      // the whole minhash chain once per join side
+      .localCheckpoint()
     val emb = t(s, dir, "embeddings")
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
