@@ -126,9 +126,19 @@ object Dedup {
     * positives.
     */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
-      threshold: Double): DataFrame = {
-    val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      threshold: Double): DataFrame =
+    verifyJaccardSides(candidates, shingled, shingled, threshold)
+
+  /** Exact-Jaccard verification with separate shingle sources per pair
+    * side — when the a-side and b-side ids come from different tables (the
+    * incremental index query), feeding each join only its own source
+    * halves the shingle evaluation (a union would be scanned once per
+    * join side).
+    */
+  private def verifyJaccardSides(candidates: DataFrame, shingledA: DataFrame,
+      shingledB: DataFrame, threshold: Double): DataFrame = {
+    val shA = shingledA.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingledB.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("inter",
         graft.functions.KernelExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -368,10 +378,13 @@ object Dedup {
       .join(capBuckets(fresh, "bk", maxBucket), "bk")
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val shingled = spark.read.parquet(s"$path/shingles").unionByName(
+    // id_a is always an INDEX id and id_b a NEW id (disjoint namespaces),
+    // so each verify side reads only its own shingle source
+    verifyJaccardSides(candidates,
+      spark.read.parquet(s"$path/shingles"),
       newDocs.select(col(idCol).as("id"),
-        graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles")))
-    verifyJaccard(candidates, shingled, threshold)
+        graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles")),
+      threshold)
   }
 
   /** Shared-passage candidate pairs via MOSS-style winnowing: each doc
