@@ -2268,8 +2268,8 @@ object SparkEntry {
              // (c1 + ${graft.operators.NgramLm.SmoothK}) AS term
            FROM c2 JOIN c1 USING (lang, h1)),
          sc AS (SELECT o.doc_id, o.lang, count(*) AS n_bigrams,
-               CAST(sum(m.term) AS BIGINT) AS s
-             FROM occ o JOIN model m USING (lang, h1, h2) GROUP BY 1, 2)
+               CAST(sum(coalesce(m.term, 0)) AS BIGINT) AS s
+             FROM occ o LEFT JOIN model m USING (lang, h1, h2) GROUP BY 1, 2)
          SELECT d.doc_id, d.lang,
            coalesce(sc.n_bigrams, 0) AS n_bigrams,
            coalesce(sc.s // sc.n_bigrams, 0) AS lm_score

@@ -94,10 +94,16 @@ object Kernels {
   }
 
   /** Integer dot product of two long arrays (quantized similarity scoring —
-    * exact 64-bit arithmetic, no rounding concerns cross-engine).
+    * exact 64-bit arithmetic, no rounding concerns cross-engine). Mismatched
+    * dimensions are an error, not a truncation: a plausible-but-partial
+    * score is worse than a failure (the float kernels null-propagate the
+    * same condition via `zip_with`).
     */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot_long: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }

@@ -347,6 +347,38 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
       .write.mode("overwrite").parquet(s"$path/shingles")
+    writeLshManifest(df.sparkSession, path, numHashes, numBands, shingleSize)
+  }
+
+  /** The LSH parameters are part of the index's identity: a query with a
+    * different signature family silently yields empty/wrong candidates, so
+    * they are persisted alongside the data and asserted at query time.
+    */
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/lsh_params.json")
+
+  private def writeLshManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, numBands: Int, shingleSize: Int): Unit = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"numHashes":$numHashes,"numBands":$numBands,"shingleSize":$shingleSize}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def assertLshManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, numBands: Int, shingleSize: Int): Unit = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no LSH params manifest at $p — index not written by writeLshIndex?")
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val expected =
+      s"""{"numHashes":$numHashes,"numBands":$numBands,"shingleSize":$shingleSize}"""
+    require(json == expected,
+      s"LSH index at $path was written with $json but queried with $expected")
   }
 
   /** Near-dup pairs of NEW documents against a corpus indexed by
@@ -359,16 +391,28 @@ object Dedup {
     * signed per run; index-side work is a scan of ids+bands.
     *
     * Id namespaces of the index and the new batch must be DISJOINT (a
-    * re-ingested id would double its shingle rows through the union and
-    * duplicate candidate rows) — run [[incrementalExactDedup]] first, which
-    * is the ingest order a real pipeline uses anyway.
+    * re-ingested id would pair a document with itself and ambiguate the
+    * id_a/id_b side contract) — run [[incrementalExactDedup]] first, which
+    * is the ingest order a real pipeline uses anyway. The precondition is
+    * ENFORCED: an ids-only semi-join (early-out at the first clash) runs
+    * before candidate generation unless `assertDisjointIds = false`.
     *
     * @return (id_a = indexed id, id_b = new id, jaccard)
     */
   def lshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
-      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 10000,
+      assertDisjointIds: Boolean = true): DataFrame = {
+    assertLshManifest(spark, path, numHashes, numBands, shingleSize)
+    if (assertDisjointIds) {
+      val clash = spark.read.parquet(s"$path/shingles").select(col("id"))
+        .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"lshPairsAgainstIndex: id namespaces of the index at $path and the " +
+          "new batch overlap — run incrementalExactDedup first or remap ids")
+    }
     val idx = spark.read.parquet(s"$path/bands")
       .select(struct(col("band").cast("int").as("band"), col("key")).as("bk"),
         col("id").as("id_a"))
