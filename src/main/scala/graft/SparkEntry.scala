@@ -804,6 +804,73 @@ object SparkEntry {
       .orderBy(col("n").desc, col("ngram"))
       .limit(50)
 
+  // ------------------------------------------------------------------
+  // Temporal joins (as-of, keyless interval), sketches, importance
+  // ------------------------------------------------------------------
+
+  /** As-of join ([[graft.operators.Temporal.asofJoin]]): every event carries
+    * the customer's latest order state as of the event time — one shuffle on
+    * the key, no range join. Orders are pre-aggregated to one row per
+    * (customer, order time) so tie resolution is deterministic in both
+    * engines.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    // o_orderdate reads as TIMESTAMP_NTZ; the session tz is UTC everywhere
+    // (Verify/Bench/tests), so the cast matches the oracle's epoch_us
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      .agg(round(max(col("o_totalprice")), 2).as("last_order_price"),
+        count(lit(1)).as("last_order_n"))
+    graft.operators.Temporal.asofJoin(ev, ord, "user_id", "ts_us", "o_us",
+      Seq("last_order_price", "last_order_n"))
+  }
+
+  /** Keyless point-in-interval join ([[graft.operators.Temporal
+    * .pointInIntervalJoin]]): all activity in the 30 minutes after each
+    * high-value "anchor" event. No equi-key exists — the bin-exploded
+    * equi-join replaces the BroadcastNestedLoopJoin Catalyst would pick for
+    * a bare range predicate.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 1800L * 1000000L
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), tsUs.as("ts_us"), col("value"))
+    val anchors = ev.filter(col("value") > 300)
+      .select(col("event_id").as("anchor_id"), col("ts_us").as("w_start"),
+        (col("ts_us") + winUs).as("w_end"))
+    graft.operators.Temporal.pointInIntervalJoin(ev, "ts_us", anchors,
+      "w_start", "w_end", winUs)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Count-min sketch vocabulary profile ([[graft.operators.Sketches]]):
+    * the fixed-size (4×1024-cell) frequency summary, probed for the top-50
+    * exact tokens so the oracle checks estimate ≥ exact pointwise with
+    * exact integer parity on the estimates themselves.
+    */
+  private def tHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(
+        graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("tok"))
+    val sketch = graft.operators.Sketches.countMinSketch(toks, "tok")
+    val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(50)
+    graft.operators.Sketches.cmsEstimate(cand, sketch, "tok")
+  }
+
+  /** DSIR-style importance weights ([[graft.operators.Importance]]) against
+    * the English slice as the target distribution.
+    */
+  private def tDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.dsirWeights(
+      t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+
   /** END-TO-END curation pipeline as ONE composed plan — the shape this
     * engine actually runs at 100 TB: quality gate → PII scrub → line-level
     * boilerplate removal → near-dup clustering (MinHash-LSH + connected
@@ -1346,7 +1413,11 @@ object SparkEntry {
     "e_cluster_profile" -> (eClusterProfile _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
-    "s_interval_join_stream" -> (sIntervalJoinStream _)
+    "s_interval_join_stream" -> (sIntervalJoinStream _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "t_heavy_hitters" -> (tHeavyHitters _),
+    "t_dsir_weights" -> (tDsirWeights _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2388,6 +2459,60 @@ object SparkEntry {
           AND l.event_type = 'click' AND r.event_type = 'purchase'
           AND epoch_us(r.ts) >= epoch_us(l.ts)
           AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // DuckDB's native ASOF JOIN is the semantic spec the union+window
+    // formulation must reproduce
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS last_order_price,
+             count(*) AS last_order_n
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.last_order_price, o.last_order_n
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND epoch_us(e.ts) >= o.o_us""",
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t, value FROM events),
+         a AS (SELECT event_id AS anchor_id, t AS s FROM ev WHERE value > 300)
+         SELECT a.anchor_id, count(*) AS n_events,
+           round(sum(ev.value), 2) AS total_value
+         FROM a JOIN ev ON ev.t >= a.s AND ev.t < a.s + 1800000000
+         GROUP BY 1""",
+    "t_heavy_hitters" -> {
+      val (a, b) = sqlMinhashAB(4)
+      val ph = sqlPh("tok", 31L, 1000000007L)
+      s"""WITH occ AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+             FROM documents WHERE trim(text) <> ''),
+         h AS (SELECT $ph AS ph FROM occ),
+         cells AS (SELECT r, ((($a)[r + 1] * ph + ($b)[r + 1]) % 1000000007) % 1024 AS bucket
+           FROM h, unnest(range(0, 4)) AS u(r)),
+         cms AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+         cand AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY 1
+           ORDER BY exact_n DESC, tok LIMIT 50),
+         probe AS (SELECT tok, exact_n, r,
+             ((($a)[r + 1] * $ph + ($b)[r + 1]) % 1000000007) % 1024 AS bucket
+           FROM cand, unnest(range(0, 4)) AS u(r))
+         SELECT p.tok, p.exact_n, CAST(min(m.c) AS BIGINT) AS cms_est
+         FROM probe p JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
+         GROUP BY 1, 2"""
+    },
+    "t_dsir_weights" -> {
+      val ph = sqlPh("tok", 31L, 1000000007L)
+      s"""WITH occ AS (SELECT doc_id, lang, $ph % 1024 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents WHERE trim(text) <> '')),
+         cnt AS (SELECT b, count(*) AS rc,
+             count(*) FILTER (WHERE lang = 'en') AS tc
+           FROM occ GROUP BY 1),
+         model AS (SELECT b, (tc + 1) * ${graft.operators.Importance.Scale}
+             // (rc + 1) AS term FROM cnt),
+         sc AS (SELECT o.doc_id, count(*) AS n_tokens,
+             CAST(sum(m.term) AS BIGINT) AS s
+           FROM occ o JOIN model m USING (b) GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+           coalesce(sc.s // sc.n_tokens, 0) AS dsir_score
+         FROM documents d LEFT JOIN sc USING (doc_id)"""
+    }
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream (Cormode & Muthukrishnan '05) —
+  * the fixed-size frequency summary a 100 TB corpus profile needs: the
+  * sketch is `depth × width` integer cells regardless of corpus size, built
+  * with ONE map-side-combinable aggregation (the shuffle carries at most
+  * depth × width partial cells per partition, never token rows), and point
+  * estimates are `min` over the token's `depth` cells — always an
+  * overestimate, with error ≤ N·e/width at confidence 1 - e^-depth.
+  *
+  * The hash family reuses the minhash permutations
+  * ([[Dedup.minhashCoeffs]]): bucket_i(tok) = ((a_i·ph(tok) + b_i) mod P)
+  * mod width over the 30-bit polynomial string hash — pure 64-bit integer
+  * arithmetic, bit-reproducible in any engine (the DuckDB oracle replays
+  * the sketch exactly).
+  */
+object Sketches {
+
+  /** The i-th CMS bucket of a pre-hashed token (`ph` in [0, MinhashP)). */
+  private def bucket(ph: Column, i: Int, width: Int): Column = {
+    val (a, b) = Dedup.minhashCoeffs(i + 1).last
+    pmod(pmod(lit(a) * ph + lit(b), lit(Dedup.MinhashP)), lit(width))
+  }
+
+  /** Build the sketch table (row, bucket, c) from one token-occurrence
+    * column: every occurrence fans out to `depth` (row, bucket) cells in a
+    * single projection (no multi-pass union), then one count aggregation
+    * collapses to ≤ depth × width rows.
+    */
+  def countMinSketch(tokens: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val ph = Dedup.shingleHash(col(tokenCol))
+    tokens
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), bucket(ph, i, width).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate the counts of `candidates(tokenCol, ...)` against a
+    * sketch from [[countMinSketch]] (same depth/width): each candidate
+    * probes its `depth` cells and takes the min. The sketch is at most
+    * depth × width rows — the join broadcasts under AQE on its own.
+    *
+    * @return candidates' columns + `cms_est`
+    */
+  def cmsEstimate(candidates: DataFrame, sketch: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keep = candidates.columns.toSeq
+    val ph = Dedup.shingleHash(col(tokenCol))
+    candidates
+      .withColumn("rb", explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), bucket(ph, i, width).as("bucket"))): _*)))
+      .select(keep.map(col) :+ col("rb.row").as("row") :+ col("rb.bucket").as("bucket"): _*)
+      .join(sketch, Seq("row", "bucket"))
+      .groupBy(keep.map(col): _*)
+      .agg(min(col("c")).as("cms_est"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Importance, Sketches, Temporal}
+
+/** Edge semantics of the temporal joins, the CMS sketch, and DSIR weights —
+  * the boundary cases the sf-corpus oracle rows don't isolate.
+  */
+class TemporalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asofJoin: latest right at or before left ts, nulls before any right") {
+    val left = Seq(
+      (1L, 10L, 5L),   // before any right row -> nulls
+      (1L, 10L, 20L),  // equal ts -> that right row ("<=")
+      (1L, 10L, 25L),  // between rights -> the 20 one
+      (1L, 10L, 40L),  // after the last -> the 30 one
+      (2L, 20L, 99L)   // key with no right rows at all
+    ).toDF("id", "key", "t")
+    val right = Seq((10L, 20L, "a"), (10L, 30L, "b"))
+      .toDF("key", "rt", "payload")
+    val out = Temporal.asofJoin(left, right, "key", "t", "rt", Seq("payload"))
+      .orderBy("key", "t").collect()
+    assert(out.map(r => Option(r.getString(3))).toSeq ===
+      Seq(None, Some("a"), Some("a"), Some("b"), None))
+    // left columns survive untouched
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L, 1L, 2L))
+  }
+
+  test("asofJoin plan: one exchange on the key, no nested loop") {
+    val left = Seq((1L, 1L, 1L)).toDF("id", "key", "t")
+    val right = Seq((1L, 1L, 1L)).toDF("key", "rt", "v")
+    val p = Temporal.asofJoin(left, right, "key", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("pointInIntervalJoin: half-open bounds, bin-spanning interval pairs once") {
+    val points = Seq((1L, 100L), (2L, 150L), (3L, 199L), (4L, 200L), (5L, 99L))
+      .toDF("pid", "t")
+    // interval [100, 200) spans many 30-wide bins; each in-range point must
+    // appear exactly once, the t=200 point (end-exclusive) and t=99 not at all
+    val iv = Seq((7L, 100L, 200L)).toDF("iid", "s", "e")
+    val out = Temporal.pointInIntervalJoin(points, "t", iv, "s", "e", 30L)
+      .select("pid").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("countMinSketch estimates are >= exact counts and exact without collisions") {
+    val toks = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = toks.toDF("tok")
+    val sketch = Sketches.countMinSketch(df, "tok")
+    val exact = df.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimate(exact, sketch, "tok")
+      .select("tok", "exact_n", "cms_est")
+      .as[(String, Long, Long)].collect().map { case (k, n, e) => k -> ((n, e)) }.toMap
+    assert(est.forall { case (_, (n, e)) => e >= n })
+    // 3 tokens in 4x1024 cells: no collisions, estimates are exact
+    assert(est("alpha") === ((5L, 5L)) && est("beta") === ((3L, 3L)) &&
+      est("gamma") === ((1L, 1L)))
+  }
+
+  test("dsirWeights: target-like docs outscore off-target; token-less docs score 0") {
+    val docs = Seq(
+      (1L, "tok_en tok_en common", true),
+      (2L, "tok_other common", false),
+      (3L, "tok_en tok_en tok_en", true),
+      (4L, "   ", false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = Importance.dsirWeights(docs, "doc_id", "text", col("is_en"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(4L) === ((0L, 0L)))
+    // doc 3 is pure target vocabulary; doc 2 carries the off-target token
+    assert(out(3L)._2 > out(2L)._2)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+}
