@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{Bpe, KernelExpressions => K, TrainedBpeMerges, VectorOps}
 
@@ -109,6 +109,11 @@ object GraftFunctions {
     fd("graft_wav_format",
       "graft_wav_format(bin) - packed (rate << 16) | (channels << 8) | bits from the fmt chunk",
       args => { arity("graft_wav_format", args, 1); K.WavFormat(args(0)) }),
+    fd("graft_zvalue",
+      "graft_zvalue(x, y, bits) - Morton z-value interleaving the low `bits` bits of two non-negative coords",
+      args => { arity("graft_zvalue", args, 3)
+        K.ZValue2(Cast(args(0), LongType), Cast(args(1), LongType),
+          litInt(args, 2, "graft_zvalue")) }),
     fd("graft_winnow",
       "graft_winnow(text, k, w) - distinct winnowed (min per w-window) k-gram fingerprints",
       args => { arity("graft_winnow", args, 3)

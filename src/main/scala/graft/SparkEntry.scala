@@ -871,6 +871,96 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
       .withColumnRenamed("id", "doc_id")
 
+  /** Z-order layout maintenance ([[graft.io.Bucketing.compactZOrder]]):
+    * rewrite events clustered on the (user, hour) Morton curve, then answer
+    * a two-sided box query FROM THE REWRITTEN FILES — the oracle checks
+    * losslessness of the rewrite and bit-exact z-value arithmetic (z_sum
+    * replays the interleave in SQL); `BucketingSpec` asserts the layout
+    * property itself (per-file bounding boxes tight on BOTH dims → file
+    * skipping under box predicates).
+    */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      expr("ts div 1000 div 3600000000").as("hour_id"), col("value"))
+    graft.io.Bucketing.compactZOrder(ev, "user_id", "hour_id", 16, path)
+    s.read.parquet(path)
+      .filter(col("user_id").between(10, 30) &&
+        col("hour_id").between(473400L, 473500L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(graft.functions.KernelExpressions.zValue2(
+          col("user_id"), col("hour_id"), 21)).as("z_sum"))
+  }
+
+  /** Histogram-quantile estimates ([[graft.operators.Sketches
+    * .histogramQuantiles]]) of the event value distribution at binWidth 1.
+    */
+  private def tApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.histogramQuantiles(
+      t(s, dir, "events"), "value", 1.0,
+      Seq(100, 250, 500, 750, 900, 950, 990, 999))
+
+  /** Rolling range-frame aggregation: per event, activity of the same user
+    * in the PRECEDING hour — the event-time feature-engineering window
+    * (RANGE frame over the µs timestamp, so duplicate timestamps share a
+    * frame identically in both engines; only order-free aggregates — count
+    * / max — keep double arithmetic association-independent).
+    */
+  private def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("max_v_1h", max(col("value")).over(w))
+      .drop("value")
+  }
+
+  /** CDC merge ([[Transforms.mergeUpsert]]): price corrections for every
+    * 10th order plus an insert batch of new keys, latest-wins by version
+    * with update-beats-base ties — resolved in ONE keyed window pass, no
+    * join.
+    */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        lit(0L).as("version"))
+    val updates = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("o_totalprice"),
+        lit(1L).as("version"))
+      .unionByName(t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1.0).as("o_totalprice"), lit(1L).as("version")))
+    Transforms.mergeUpsert(base, updates, Seq("o_orderkey"), "version")
+  }
+
+  /** CROSS-corpus LM scoring: the model trains on the first half of the
+    * corpus (doc_id < 250) and scores ALL documents, so unseen bigrams in
+    * the held-out half exercise the left-join/coalesce(0) path — the
+    * decontamination-adjacent use [[graft.operators.NgramLm.lmScore]]
+    * declares (t_lm_score self-trains and never hits it).
+    */
+  private def tLmCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.NgramLm.charBigramModel(
+      docs.filter(col("doc_id") < 250), "doc_id", "lang", "text")
+    graft.operators.NgramLm.lmScore(docs, "doc_id", "lang", "text", model)
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"))
+  }
+
+  /** Token-mixture sampling ([[graft.operators.Importance.mixtureSample]]):
+    * a 5:3:2 token recipe over three sources, scaled to the largest total
+    * the corpus supplies.
+    */
+  private def cMixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.mixtureSample(
+      t(s, dir, "documents"), "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")).cast("long"),
+      Seq(("src0", 5L), ("src1", 3L), ("src2", 2L)))
+      .withColumnRenamed("id", "doc_id")
+
   /** END-TO-END curation pipeline as ONE composed plan — the shape this
     * engine actually runs at 100 TB: quality gate → PII scrub → line-level
     * boilerplate removal → near-dup clustering (MinHash-LSH + connected
@@ -1417,7 +1507,13 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "t_heavy_hitters" -> (tHeavyHitters _),
-    "t_dsir_weights" -> (tDsirWeights _)
+    "t_dsir_weights" -> (tDsirWeights _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "t_approx_quantiles" -> (tApproxQuantiles _),
+    "c_mixture_sample" -> (cMixtureSample _),
+    "q_rolling_window" -> (qRollingWindow _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "t_lm_cross" -> (tLmCross _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2495,6 +2591,90 @@ object SparkEntry {
          SELECT p.tok, p.exact_n, CAST(min(m.c) AS BIGINT) AS cms_est
          FROM probe p JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
          GROUP BY 1, 2"""
+    },
+    "q_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         count(*) OVER w AS n_1h, max(value) OVER w AS max_v_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             0::BIGINT AS version, 0 AS src FROM orders),
+         upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2),
+             1::BIGINT, 1 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 1.0::DOUBLE, 1::BIGINT, 1
+           FROM orders WHERE o_orderkey % 97 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC, src DESC) AS rn FROM u)
+         SELECT o_orderkey, o_totalprice, version FROM r WHERE rn = 1""",
+    "t_lm_cross" -> {
+      val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
+      val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         occ AS (
+           SELECT doc_id, lang, st.h1 AS h1, st.h2 AS h2
+           FROM d, unnest(list_transform(range(1, length(t)),
+             i -> {'h1': $ph1, 'h2': $ph2})) AS u(st)),
+         c2 AS (SELECT lang, h1, h2, count(*) AS c2 FROM occ
+           WHERE doc_id < 250 GROUP BY 1, 2, 3),
+         c1 AS (SELECT lang, h1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2),
+         model AS (SELECT lang, h1, h2, (c2 * ${graft.operators.NgramLm.Scale})
+             // (c1 + ${graft.operators.NgramLm.SmoothK}) AS term
+           FROM c2 JOIN c1 USING (lang, h1)),
+         sc AS (SELECT o.doc_id, o.lang, count(*) AS n_bigrams,
+               CAST(sum(coalesce(m.term, 0)) AS BIGINT) AS s
+             FROM occ o LEFT JOIN model m USING (lang, h1, h2) GROUP BY 1, 2)
+         SELECT d.doc_id, d.lang,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
+         FROM d LEFT JOIN sc USING (doc_id, lang)"""
+    },
+    // the z-ordered rewrite must be lossless (same box-query answer as the
+    // original table) and the z-values bit-exact (z_sum replays the
+    // interleave); the layout property itself is asserted in BucketingSpec
+    "q_zorder_layout" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, value
+           FROM events),
+         f AS (SELECT user_id, hour_id, value,
+             CAST(list_sum(list_transform(range(0, 21), i ->
+               (((user_id >> i) & 1) << (2 * i)) +
+               (((hour_id >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+           FROM ev
+           WHERE user_id BETWEEN 10 AND 30 AND hour_id BETWEEN 473400 AND 473500)
+         SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value,
+           CAST(sum(zv) AS BIGINT) AS z_sum
+         FROM f GROUP BY 1""",
+    "t_approx_quantiles" ->
+      """WITH h AS (SELECT CAST(floor(value / 1.0) AS BIGINT) AS bin, count(*) AS n
+           FROM events GROUP BY 1),
+         c AS (SELECT bin, n,
+             CAST(sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+           FROM h)
+         SELECT CAST(q_pm AS BIGINT) AS q_pm, bin * (1.0::DOUBLE) AS est
+         FROM c, unnest([100, 250, 500, 750, 900, 950, 990, 999]) AS u(q_pm)
+         WHERE q_pm * total > (cum - n) * 1000 AND q_pm * total <= cum * 1000""",
+    "c_mixture_sample" -> {
+      val h = sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             $h AS h
+           FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         wt AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) AS t(source, w)),
+         tot AS (SELECT d.source, w, CAST(sum(n_tokens) AS BIGINT) AS t
+           FROM d JOIN wt USING (source) GROUP BY 1, 2),
+         kk AS (SELECT min(t * 10 // w) AS k FROM tot),
+         bud AS (SELECT source, CAST(w * k // 10 AS BIGINT) AS budget FROM tot, kk),
+         sel AS (SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM d)
+         SELECT sel.doc_id, sel.source, sel.n_tokens, sel.cum_tokens, bud.budget
+         FROM sel JOIN bud USING (source) WHERE cum_tokens <= budget"""
     },
     "t_dsir_weights" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)

@@ -99,6 +99,19 @@ object KernelExpressions {
       copy(left = l, right = r)
   }
 
+  /** Morton z-value of two non-negative long coordinates ([[Kernels.zValue2]]). */
+  case class ZValue2(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits > 0 && bits <= 31, s"zvalue needs 1..31 bits per dim, got $bits")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.zValue2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zValue2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Merge-scan intersection count of two sorted long arrays. */
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -326,4 +339,7 @@ object KernelExpressions {
   def int8Quantize(v: Column): Column = c(Int8Quantize(e(v)))
 
   def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
+
+  def zValue2(x: Column, y: Column, bits: Int = 21): Column =
+    c(ZValue2(e(x), e(y), bits))
 }

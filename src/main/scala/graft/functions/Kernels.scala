@@ -641,6 +641,26 @@ object Kernels {
     } else bytes
   }
 
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * coordinates (x takes even bit positions, y odd) — the space-filling-
+    * curve clustering key for two-dimensional data layout. Values beyond
+    * `bits` bits are masked (the z-value is a LAYOUT key, not an identity;
+    * callers quantize coordinates into the bit budget first). Negative
+    * inputs are an error — they would silently interleave sign bits.
+    */
+  def zValue2(x: Long, y: Long, bits: Int): Long = {
+    if (x < 0 || y < 0)
+      throw new IllegalArgumentException(s"graft_zvalue: negative coordinate ($x, $y)")
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   def simhash60(text: UTF8String): Long = {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L

@@ -39,4 +39,26 @@ object Bucketing {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-dimensional layout maintenance: [[compactSorted]] on the Morton
+    * z-value of two clustering columns instead of a lexicographic key. A
+    * lexicographic (x, y) sort makes x-predicates prunable but scatters y
+    * across every file; the z-curve keeps BOTH columns' parquet min/max
+    * footers tight per file, so a box predicate (x range AND y range) skips
+    * the files whose z-range misses the box — the standard selective-scan
+    * layout for two-key access patterns at 100 TB (Delta/Iceberg OPTIMIZE
+    * ZORDER does exactly this). Columns must be non-negative integers that
+    * fit `bits` bits — quantize first (the z-value is a layout key only;
+    * the data columns are untouched).
+    */
+  def compactZOrder(df: DataFrame, xCol: String, yCol: String, numFiles: Int,
+      path: String, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.KernelExpressions.zValue2(col(xCol), col(yCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

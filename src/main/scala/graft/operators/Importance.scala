@@ -69,4 +69,54 @@ object Importance {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
   }
+
+  /** Token-mixture sampling: select documents so the KEPT tokens match a
+    * target source mixture (the DoReMi/Pile-style "X% web, Y% books, Z%
+    * code" recipe), scaled to the LARGEST total the corpus can supply —
+    * the binding source is taken whole, every other source downsamples to
+    * its proportional share.
+    *
+    * All budget arithmetic is integer (weights are ratios, budgets are
+    * floor-divided token counts) and selection order inside a source is the
+    * deterministic content hash of `source:id` — reproducible cross-engine
+    * and cross-run, no RNG state. Per-source token totals are one
+    * map-side-combinable aggregation; the budget table is |weights| rows
+    * (broadcast by AQE); selection is the same per-source cumulative-window
+    * pass as the token-budget curation — one shuffle on the source key.
+    * A skewed source is bounded by its own window, and at 100 TB the
+    * window's sort can be replaced by the bucketed layout
+    * ([[graft.io.Bucketing]]) like any other per-key pass.
+    *
+    * Sources absent from `weights` are dropped.
+    *
+    * @param tokenCol expression giving each doc's token count
+    * @return (id, source, n_tokens, cum_tokens, budget) — the kept docs
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, srcCol: String,
+      tokenCol: org.apache.spark.sql.Column,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val wSum = weights.map(_._2).sum
+    val wTable = docs.sparkSession.createDataFrame(weights).toDF("source", "w")
+    val d = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+      tokenCol.as("n_tokens"),
+      Dedup.shingleHash(concat(col(srcCol), lit(":"), col(idCol).cast("string")))
+        .as("__h"))
+      .join(wTable, Seq("source"))
+    // K = max achievable total = min over sources of T_s * wSum div w_s;
+    // budget_s = w_s * K div wSum  (<= T_s by floor-division algebra)
+    val budgets = d.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("k", min(expr(s"t * $wSum div w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("source"), expr(s"w * k div $wSum").as("budget"))
+    val sel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__h"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.join(budgets, Seq("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(sel))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        col("budget"))
+  }
 }

@@ -59,4 +59,45 @@ object Sketches {
       .groupBy(keep.map(col): _*)
       .agg(min(col("c")).as("cms_est"))
   }
+
+  /** Distributed quantile ESTIMATES from an equi-width histogram — the
+    * no-global-sort answer to "give me p50/p95/p99 of a 100 TB column":
+    * one map-side-combinable count per bin (shuffle carries ≤ #bins partial
+    * rows per partition, never values), then the estimate for quantile q
+    * (given in PER MILLE, so rank arithmetic is integer-exact cross-engine)
+    * is the LEFT EDGE of the first bin whose cumulative count reaches
+    * rank = ceil(q·N / 1000). Error is bounded by `binWidth` by
+    * construction — deterministic, unlike sampling sketches, so the DuckDB
+    * oracle replays it exactly.
+    *
+    * The assignment runs entirely inside a window pass over the aggregated
+    * histogram (≤ #bins rows — the single-partition window is bounded by
+    * the bin count, never the data): a bin answers exactly the quantiles
+    * whose rank falls in (cum - n, cum], tested divison-free as
+    * q·N > 1000·prev AND q·N ≤ 1000·cum — no theta join, no driver loop.
+    *
+    * Values must be non-negative; `binWidth` sets the resolution/state
+    * trade (state = range/binWidth cells).
+    *
+    * @param quantilesPerMille e.g. Seq(500, 950, 990) for p50/p95/p99
+    * @return (q_pm, est) one row per requested quantile
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Double,
+      quantilesPerMille: Seq[Int]): DataFrame = {
+    require(quantilesPerMille.nonEmpty &&
+      quantilesPerMille.forall(q => q > 0 && q <= 1000))
+    val hist = df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val qlit = array(quantilesPerMille.map(q => lit(q.toLong)): _*)
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("qs", filter(qlit, q =>
+        q * col("total") > (col("cum") - col("n")) * 1000 &&
+          q * col("total") <= col("cum") * 1000))
+      .select(explode(col("qs")).as("q_pm"), (col("bin") * binWidth).as("est"))
+  }
 }

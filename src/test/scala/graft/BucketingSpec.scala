@@ -73,6 +73,42 @@ class BucketingSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == events.count())
   }
 
+  test("z-order rewrite: per-file boxes tight on BOTH dims, box query skips files") {
+    // a synthetic grid where the two dims are independent: lexicographic
+    // (x, y) sort makes every file span the FULL y range, the z-curve
+    // bounds both
+    import spark.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val numFiles = 16
+    val zPath = java.nio.file.Files.createTempDirectory("graft_z").toString + "/z"
+    val lexPath = java.nio.file.Files.createTempDirectory("graft_z").toString + "/lex"
+    Bucketing.compactZOrder(grid, "x", "y", numFiles, zPath, bits = 6)
+    Bucketing.compactSorted(grid, Seq("x", "y"), numFiles, lexPath)
+    def fileBoxes(path: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    // lossless
+    assert(spark.read.parquet(zPath).count() === grid.count())
+    // every z file's box is a quadrant-ish cell: both spans well under the
+    // full 0..63 range; the lexicographic layout spans all of y per file
+    val zBoxes = fileBoxes(zPath)
+    val lexBoxes = fileBoxes(lexPath)
+    assert(zBoxes.forall { case (x0, x1, y0, y1) => x1 - x0 <= 31 && y1 - y0 <= 31 },
+      s"z boxes not tight: ${zBoxes.mkString(", ")}")
+    assert(lexBoxes.forall { case (_, _, y0, y1) => y1 - y0 === 63 },
+      "lexicographic baseline unexpectedly bounded y — grid assumption broken")
+    // a 16x16 box predicate intersects a strict minority of z files (file
+    // skipping), but EVERY lexicographic file whose x range matches
+    val hit = zBoxes.count { case (x0, x1, y0, y1) =>
+      x0 <= 15L && x1 >= 0L && y0 <= 15L && y1 >= 0L }
+    assert(hit <= numFiles / 2, s"box query hits $hit of $numFiles z files")
+  }
+
   test("salted join equals the plain join on a corpus with one hot key") {
     val left = ((1 to 900).map(i => (42L, s"hot$i")) ++
       (101 to 200).map(i => (i.toLong, s"cold$i"))).toDF("k", "payload")

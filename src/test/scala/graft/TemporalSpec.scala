@@ -64,6 +64,42 @@ class TemporalSpec extends SparkTestBase {
       est("gamma") === ((1L, 1L)))
   }
 
+  test("zValue2 interleaves bits (x even, y odd) and rejects negatives") {
+    val df = Seq((3L, 1L), (0L, 0L), (63L, 0L), (0L, 63L)).toDF("x", "y")
+      .select(graft.functions.KernelExpressions.zValue2(col("x"), col("y"), 6).as("z"))
+    // x=3 -> z bits 0,2 = 5; y=1 -> z bit 1 = 2; 5|2 = 7
+    assert(df.as[Long].collect().toSeq === Seq(7L, 0L, 0x555L, 0xAAAL))
+    val neg = Seq((-1L, 1L)).toDF("x", "y")
+      .select(graft.functions.KernelExpressions.zValue2(col("x"), col("y"), 6))
+    assertThrows[Exception](neg.collect())
+  }
+
+  test("histogramQuantiles: rank math exact on a known distribution") {
+    // values 0..99 once each, binWidth 10: p50 -> rank 50 -> bin 4 (40..49
+    // holds cum 41..50), p90 -> rank 90 -> bin 8, p1000 -> last bin
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val out = Sketches.histogramQuantiles(df, "v", 10.0, Seq(500, 900, 1000))
+      .as[(Long, Double)].collect().toMap
+    assert(out === Map(500L -> 40.0, 900L -> 80.0, 1000L -> 90.0))
+  }
+
+  test("mixtureSample: binding source kept whole, others hit their ratio budget") {
+    // src a: 100 tokens total, b: 1000, c: 1000; weights 1:1:2 -> a binds:
+    // K = min(100*4/1, 1000*4/1, 1000*4/2) = 400; budgets a=100, b=100, c=200
+    val docs = (
+      (1 to 10).map(i => (s"a$i", "a", 10L)) ++
+      (1 to 100).map(i => (s"b$i", "b", 10L)) ++
+      (1 to 100).map(i => (s"c$i", "c", 10L))).toDF("doc_id", "source", "n")
+    val out = Importance.mixtureSample(docs, "doc_id", "source", col("n"),
+      Seq(("a", 1L), ("b", 1L), ("c", 2L)))
+    val kept = out.groupBy("source")
+      .agg(sum("n_tokens").as("tok"), max("budget").as("budget"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(kept("a") === ((100L, 100L)))
+    assert(kept("b") === ((100L, 100L)))
+    assert(kept("c") === ((200L, 200L)))
+  }
+
   test("dsirWeights: target-like docs outscore off-target; token-less docs score 0") {
     val docs = Seq(
       (1L, "tok_en tok_en common", true),

@@ -118,4 +118,21 @@ class TransformsSpec extends SparkTestBase {
     assert(dist.length == 8, s"expected 8 salt buckets, got ${dist.length}")
     assert(dist.max <= 250, s"hot-key bucket still holds ${dist.max} of 1000 rows")
   }
+
+  test("mergeUpsert: latest wins, update beats base on version tie, inserts land") {
+    val base = Seq((1L, "b1", 5L), (2L, "b2", 5L), (3L, "b3", 5L))
+      .toDF("k", "v", "version")
+    val updates = Seq(
+      (1L, "u1", 9L),  // newer version -> replaces
+      (2L, "u2", 5L),  // SAME version -> update still wins
+      (4L, "u4", 1L))  // new key -> inserts
+      .toDF("k", "v", "version")
+    val out = Transforms.mergeUpsert(base, updates, Seq("k"), "version")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map(1L -> "u1", 2L -> "u2", 3L -> "b3", 4L -> "u4"))
+    // one keyed window, no join in the plan
+    val p = Transforms.mergeUpsert(base, updates, Seq("k"), "version")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"mergeUpsert should not plan a join:\n$p")
+  }
 }
