@@ -857,9 +857,13 @@ object SparkEntry {
     val toks = t(s, dir, "documents")
       .select(explode(
         graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("tok"))
-    val sketch = graft.operators.Sketches.countMinSketch(toks, "tok")
-    val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("tok")).limit(50)
+    // ONE corpus scan: exact counts materialize once (vocabulary-sized),
+    // then both the weighted sketch and the candidate set derive from them
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint()
+    val sketch = graft.operators.Sketches
+      .countMinSketchWeighted(counts, "tok", "exact_n")
+    val cand = counts.orderBy(col("exact_n").desc, col("tok")).limit(50)
     graft.operators.Sketches.cmsEstimate(cand, sketch, "tok")
   }
 

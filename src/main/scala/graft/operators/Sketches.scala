@@ -40,6 +40,23 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** [[countMinSketch]] from a PRE-AGGREGATED (token, count) table —
+    * identical sketch by linearity (a cell is the sum of the counts of the
+    * tokens hashing into it), but the fan-out runs over the VOCABULARY
+    * instead of every occurrence. The one-scan path when exact counts are
+    * being computed anyway (checkpoint the counts and derive both).
+    */
+  def countMinSketchWeighted(tokenCounts: DataFrame, tokenCol: String,
+      countCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val ph = Dedup.shingleHash(col(tokenCol))
+    tokenCounts
+      .select(col(countCol).as("__n"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("row"), bucket(ph, i, width).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("__n")).as("c"))
+  }
+
   /** Point-estimate the counts of `candidates(tokenCol, ...)` against a
     * sketch from [[countMinSketch]] (same depth/width): each candidate
     * probes its `depth` cells and takes the min. The sketch is at most

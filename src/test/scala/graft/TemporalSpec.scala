@@ -62,6 +62,10 @@ class TemporalSpec extends SparkTestBase {
     // 3 tokens in 4x1024 cells: no collisions, estimates are exact
     assert(est("alpha") === ((5L, 5L)) && est("beta") === ((3L, 3L)) &&
       est("gamma") === ((1L, 1L)))
+    // the weighted (pre-aggregated) construction yields the identical sketch
+    val weighted = Sketches.countMinSketchWeighted(exact, "tok", "exact_n")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(weighted === sketch.as[(Int, Long, Long)].collect().toSet)
   }
 
   test("zValue2 interleaves bits (x even, y odd) and rejects negatives") {
