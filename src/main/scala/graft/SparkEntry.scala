@@ -954,6 +954,17 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"))
   }
 
+  /** KMV distinct-vocabulary estimates per language
+    * ([[graft.operators.Sketches.kmvDistinct]]) with the exact count riding
+    * the same aggregation for calibration.
+    */
+  private def tDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("lang"), explode(
+      graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("tok"))
+    graft.operators.Sketches.kmvDistinct(toks, "lang",
+      Dedup.shingleHash(col("tok")), k = 16)
+  }
+
   /** Token-mixture sampling ([[graft.operators.Importance.mixtureSample]]):
     * a 5:3:2 token recipe over three sources, scaled to the largest total
     * the corpus supplies.
@@ -1517,7 +1528,8 @@ object SparkEntry {
     "c_mixture_sample" -> (cMixtureSample _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_merge_upsert" -> (qMergeUpsert _),
-    "t_lm_cross" -> (tLmCross _)
+    "t_lm_cross" -> (tLmCross _),
+    "t_distinct_kmv" -> (tDistinctKmv _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2679,6 +2691,21 @@ object SparkEntry {
            FROM d)
          SELECT sel.doc_id, sel.source, sel.n_tokens, sel.cum_tokens, bud.budget
          FROM sel JOIN bud USING (source) WHERE cum_tokens <= budget"""
+    },
+    "t_distinct_kmv" -> {
+      val ph = sqlPh("tok", 31L, 1000000007L)
+      val (ca, cb) = Dedup.minhashCoeffs(1).head
+      s"""WITH occ AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents WHERE trim(text) <> ''),
+         dh AS (SELECT DISTINCT lang, ($ca * ($ph) + $cb) % 1000000007 AS h FROM occ),
+         r AS (SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nd
+           FROM dh)
+         SELECT lang, CAST(max(nd) AS BIGINT) AS exact_distinct,
+           CAST(coalesce(max(CASE WHEN rn = 16 THEN (15::BIGINT * 1000000007) // h END),
+             max(nd)) AS BIGINT) AS kmv_est
+         FROM r GROUP BY lang"""
     },
     "t_dsir_weights" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)

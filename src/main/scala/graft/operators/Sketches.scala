@@ -77,6 +77,46 @@ object Sketches {
       .agg(min(col("c")).as("cms_est"))
   }
 
+  /** K-minimum-values distinct-count estimates (Bar-Yossef et al. '02) —
+    * the DETERMINISTIC alternative to HyperLogLog (no RNG, no engine-
+    * specific hash: the same 30-bit polynomial hash family as everything
+    * else, so the DuckDB oracle replays the estimate bit for bit):
+    * D̂ = (k-1)·M / h₍ₖ₎ over the k smallest distinct hash values per
+    * group, with groups under k distinct values reported exactly.
+    *
+    * Plan shape: one partial-combinable DISTINCT on (group, hash) — the
+    * shuffle is bounded by per-partition vocabulary, never occurrences —
+    * then the k-minima per group ride the bounded
+    * [[graft.functions.TopKAggregate]] (≤ k values per (group, partition)
+    * cross the agg shuffle, no per-group sort). `exact_distinct` rides the
+    * same aggregation for calibration/audit; a pure-estimate deployment
+    * drops it and keeps only the k-bounded state.
+    *
+    * The polynomial hash of SHORT strings is far from uniform (a 3-char
+    * token hashes below 31³·cp — KMV would wildly overestimate), so the
+    * hash is passed through the affine permutation (a·h + b) mod P of the
+    * minhash family first: a bijection of Z_P that scatters the small-hash
+    * cluster across the full range, deterministic and oracle-replayable.
+    *
+    * @param hashCol hash of the counted expression, in [0, MinhashP)
+    * @return (groupCol, exact_distinct, kmv_est)
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String,
+      hashCol: org.apache.spark.sql.Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val (ca, cb) = Dedup.minhashCoeffs(1).head
+    val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
+    val d = df.select(col(groupCol), mixed.as("__h")).distinct()
+    d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"),
+        graft.functions.TopKAggregate.topKByScore(
+          col("__h").cast("double") * -1, col("__h"), k).as("__mins"))
+      .withColumn("kmv_est",
+        when(size(col("__mins")) < k, col("exact_distinct"))
+          .otherwise(expr(s"${(k - 1).toLong * Dedup.MinhashP}L div element_at(__mins, $k).id")))
+      .drop("__mins")
+  }
+
   /** Distributed quantile ESTIMATES from an equi-width histogram — the
     * no-global-sort answer to "give me p50/p95/p99 of a 100 TB column":
     * one map-side-combinable count per bin (shuffle carries ≤ #bins partial

@@ -104,6 +104,20 @@ class TemporalSpec extends SparkTestBase {
     assert(kept("c") === ((200L, 200L)))
   }
 
+  test("kmvDistinct: small groups exact, large groups estimate within KMV error") {
+    val rows = (1 to 5).map(i => ("small", i.toLong)) ++
+      (1 to 5000).map(i => ("big", i.toLong))
+    val df = rows.toDF("g", "x")
+    val out = Sketches.kmvDistinct(df, "g",
+      graft.operators.Dedup.shingleHash(col("x").cast("string")), k = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("small") === ((5L, 5L)))
+    val (exact, est) = out("big")
+    assert(exact === 5000L)
+    // KMV standard error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
+    assert(math.abs(est - 5000L) < 2500, s"KMV estimate $est too far from 5000")
+  }
+
   test("dsirWeights: target-like docs outscore off-target; token-less docs score 0") {
     val docs = Seq(
       (1L, "tok_en tok_en common", true),
