@@ -1251,6 +1251,33 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** SLIDING-window streaming rollup under the oracle gate
+    * ([[graft.streaming.Streaming.slidingRollup]]): 1-hour windows hopping
+    * every 30 minutes, so each event lands in TWO windows — the oracle
+    * replays the expansion as an explicit explode + tumbling group.
+    */
+  private def sSlidingStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_w")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qn = s"s_sliding_stream_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.Streaming.slidingRollup(ev)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).select(
+      (unix_timestamp(col("win_start")) / 60).cast("long").as("win_min"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
   /** Streaming exact dedup under the oracle gate: the events table lands
     * TWICE in the stream's directory (the redelivery/duplicate-file case),
     * and the watermarked `dropDuplicates` state drops every second copy —
@@ -1529,7 +1556,8 @@ object SparkEntry {
     "q_rolling_window" -> (qRollingWindow _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "t_lm_cross" -> (tLmCross _),
-    "t_distinct_kmv" -> (tDistinctKmv _)
+    "t_distinct_kmv" -> (tDistinctKmv _),
+    "s_sliding_stream" -> (sSlidingStream _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2608,6 +2636,14 @@ object SparkEntry {
          FROM probe p JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
          GROUP BY 1, 2"""
     },
+    // the STREAMING sliding rollup must equal the batch explode + tumble
+    "s_sliding_stream" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+         x AS (SELECT (t // 1800000000 - d) * 30 AS win_min, event_type, value
+           FROM ev, unnest(range(0, 2)) AS u(d))
+         SELECT win_min, event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+         FROM x GROUP BY 1, 2""",
     "q_rolling_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
          count(*) OVER w AS n_1h, max(value) OVER w AS max_v_1h

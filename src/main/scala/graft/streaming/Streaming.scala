@@ -42,6 +42,23 @@ object Streaming {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** SLIDING (hopping) window rollup: every event lands in length/slide
+    * overlapping windows (Spark's `window(ts, length, slide)` expands the
+    * event to its covering windows before the keyed aggregation — the
+    * streaming dual of an explode + tumbling rollup). State is
+    * length/slide × the tumbling row count, bounded by the watermark as
+    * usual; the trailing edge of a dashboard's "last hour, refreshed every
+    * half hour" metric.
+    */
+  def slidingRollup(events: DataFrame, length: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Gap-based sessionization (30-minute inactivity) as custom keyed state:
     * the streaming dual of the batch lag+running-sum composition. Sessions
     * are emitted (append) when the event-time timeout fires — i.e. the

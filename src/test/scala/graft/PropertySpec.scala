@@ -177,4 +177,40 @@ class PropertySpec extends SparkTestBase {
       .as[Long].collect()
     sigs.grouped(2).foreach(g => assert(g(0) == g(1)))
   }
+
+  test("zValue2 matches a naive bit-interleave reference and is monotone per quadrant") {
+    def naive(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val cases = samples(Gen.zip(Gen.chooseNum(0L, (1L << 21) - 1),
+      Gen.chooseNum(0L, (1L << 21) - 1)), 60)
+    val got = cases.toDF("x", "y")
+      .select(graft.functions.KernelExpressions.zValue2(col("x"), col("y"), 21))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((x, y), z) =>
+      assert(z == naive(x, y, 21), s"zValue2($x, $y)")
+    }
+    // masking semantics: values beyond `bits` interleave only their low bits
+    val masked = Seq((1L << 21, 1L)).toDF("x", "y")
+      .select(graft.functions.KernelExpressions.zValue2(col("x"), col("y"), 21))
+      .as[Long].collect()(0)
+    assert(masked == naive(0L, 1L, 21))
+  }
+
+  test("histogramQuantiles error is bounded by binWidth vs exact quantiles") {
+    val valueLists = samples(Gen.listOfN(200, Gen.chooseNum(0.0, 100.0)), 10)
+    valueLists.foreach { vs =>
+      val est = graft.operators.Sketches
+        .histogramQuantiles(vs.toDF("v"), "v", 5.0, Seq(250, 500, 900))
+        .as[(Long, Double)].collect().toMap
+      val sorted = vs.sorted
+      Seq(250, 500, 900).foreach { q =>
+        // rank = ceil(q*n/1000), 1-indexed
+        val exact = sorted((q * vs.size + 999) / 1000 - 1)
+        val e = est(q.toLong)
+        assert(e <= exact && exact < e + 5.0,
+          s"q=$q est=$e exact=$exact (bin width 5)")
+      }
+    }
+  }
 }
