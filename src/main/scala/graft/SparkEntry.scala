@@ -927,17 +927,57 @@ object SparkEntry {
     * with update-beats-base ties — resolved in ONE keyed window pass, no
     * join.
     */
-  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
+  private def baseOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
         lit(0L).as("version"))
+
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val updates = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("o_totalprice"),
         lit(1L).as("version"))
       .unionByName(t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
         .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
           lit(1.0).as("o_totalprice"), lit(1L).as("version")))
-    Transforms.mergeUpsert(base, updates, Seq("o_orderkey"), "version")
+    Transforms.mergeUpsert(baseOrders(s, dir), updates, Seq("o_orderkey"), "version")
+  }
+
+  /** Snapshot versioning / time travel ([[graft.io.Versioned]]): the base
+    * orders publish as v1, the CDC-merged state as v2; the query reads BOTH
+    * snapshots back — v1 by explicit version (time travel), v2 as the
+    * published latest — and the oracle checks each against the arithmetic
+    * on the source table (so a v2 write that mutated v1's files would
+    * fail the v1 row).
+    */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_versioned").toString
+    graft.io.Versioned.write(baseOrders(s, dir), path)
+    graft.io.Versioned.write(qMergeUpsert(s, dir), path)
+    def snap(df: DataFrame, v: Long) = df.agg(
+      count(lit(1)).as("n_orders"),
+      round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(lit(v).as("snapshot"), col("n_orders"), col("total_price"))
+    snap(graft.io.Versioned.read(s, path, Some(1)), 1L)
+      .unionByName(snap(graft.io.Versioned.read(s, path), 2L))
+  }
+
+  /** Schema evolution at the landing zone: early files carry (doc_id,
+    * lang), later files add `n_chars`; a `mergeSchema` read unifies them
+    * (absent columns null) — the oracle replays the split from the source
+    * table.
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") < 250).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/part=a")
+    docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/part=b")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_evolved"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_evolved"))
   }
 
   /** CROSS-corpus LM scoring: the model trains on the first half of the
@@ -1557,7 +1597,9 @@ object SparkEntry {
     "q_merge_upsert" -> (qMergeUpsert _),
     "t_lm_cross" -> (tLmCross _),
     "t_distinct_kmv" -> (tDistinctKmv _),
-    "s_sliding_stream" -> (sSlidingStream _)
+    "s_sliding_stream" -> (sSlidingStream _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_schema_evolution" -> (qSchemaEvolution _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2650,6 +2692,30 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    // v1 must still answer like the pre-merge base after v2 publishes
+    "q_time_travel" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             0::BIGINT AS version, 0 AS src FROM orders),
+         upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2),
+             1::BIGINT, 1 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 1.0::DOUBLE, 1::BIGINT, 1
+           FROM orders WHERE o_orderkey % 97 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC, src DESC) AS rn FROM u),
+         merged AS (SELECT o_orderkey, o_totalprice FROM r WHERE rn = 1)
+         SELECT 1::BIGINT AS snapshot, count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price FROM base
+         UNION ALL
+         SELECT 2::BIGINT, count(*),
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) FROM merged""",
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+         count(CASE WHEN doc_id >= 250 THEN 1 END) AS n_evolved,
+         CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_evolved
+         FROM documents GROUP BY 1""",
     "q_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
              0::BIGINT AS version, 0 AS src FROM orders),

@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned table: immutable version directories (`path/v=N`)
+  * published by a tiny `_LATEST` manifest rewrite — snapshot reads and
+  * time travel without a table-format dependency.
+  *
+  * Properties that matter at 100 TB:
+  *  - Writers never mutate a published version; a reader holding `v=N`
+  *    keeps a consistent snapshot while `v=N+1` lands (the manifest flip
+  *    is the only publication point, and parquet files are immutable).
+  *  - Readers resolve the manifest ONCE at plan time; a concurrent
+  *    publish doesn't shift a running query.
+  *  - Single-writer, like the reference's `_uploaded` control table
+  *    (`/root/reference/megalista_dataflow/data_sources/big_query/
+  *    big_query_data_source.py:105-116` has the same property); serialize
+  *    publishers externally or per-path-lock like `UploadedLog`.
+  */
+object Versioned {
+
+  private def manifest(path: String) = new Path(s"$path/_LATEST")
+
+  private def fs(spark: SparkSession, path: String) =
+    manifest(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The currently-published version, if any. */
+  def latestVersion(spark: SparkSession, path: String): Option[Int] = {
+    val f = fs(spark, path)
+    if (!f.exists(manifest(path))) None
+    else {
+      val in = f.open(manifest(path))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.toInt)
+    }
+  }
+
+  /** Write `df` as the next version and publish it. Returns the version. */
+  def write(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val next = latestVersion(spark, path).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    val out = fs(spark, path).create(manifest(path), true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+
+  /** Snapshot read: the requested version, or the published latest. */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no published version under $path"))
+    require(version.forall(_ >= 1), s"versions are 1-based, got $version")
+    spark.read.parquet(s"$path/v=$v")
+  }
+}

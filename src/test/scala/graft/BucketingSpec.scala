@@ -109,6 +109,20 @@ class BucketingSpec extends SparkTestBase {
     assert(hit <= numFiles / 2, s"box query hits $hit of $numFiles z files")
   }
 
+  test("versioned table: snapshot isolation, explicit time travel, latest wins") {
+    import graft.io.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    assert(Versioned.latestVersion(spark, path).isEmpty)
+    assertThrows[IllegalStateException](Versioned.read(spark, path))
+    assert(Versioned.write(Seq((1L, "a")).toDF("k", "v"), path) === 1)
+    // a reader resolves v1, then v2 publishes: the held snapshot is intact
+    val v1 = Versioned.read(spark, path)
+    assert(Versioned.write(Seq((1L, "b"), (2L, "c")).toDF("k", "v"), path) === 2)
+    assert(v1.count() === 1L && Versioned.read(spark, path, Some(1)).count() === 1L)
+    assert(Versioned.read(spark, path).count() === 2L)
+    assert(Versioned.latestVersion(spark, path) === Some(2))
+  }
+
   test("salted join equals the plain join on a corpus with one hot key") {
     val left = ((1 to 900).map(i => (42L, s"hot$i")) ++
       (101 to 200).map(i => (i.toLong, s"cold$i"))).toDF("k", "payload")

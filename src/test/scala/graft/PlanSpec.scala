@@ -68,7 +68,8 @@ class PlanSpec extends SparkTestBase {
       "s_sliding_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
-      "q_orc_roundtrip", "q_jsonl_roundtrip")
+      "q_orc_roundtrip", "q_jsonl_roundtrip", "q_time_travel",
+      "q_schema_evolution")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
