@@ -1318,6 +1318,47 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming as-of enrichment under the oracle gate
+    * ([[graft.streaming.Streaming.asofEnrich]]): the event stream and the
+    * order-update stream union into one keyed stateful walk; every event
+    * must carry the latest order price as of its time, hash-equal to
+    * DuckDB's native ASOF LEFT JOIN over the same tables.
+    */
+  private def sAsofStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.Streaming.AsofIn
+    val landingE = java.nio.file.Files.createTempDirectory("graft_stream_ae")
+    val landingO = java.nio.file.Files.createTempDirectory("graft_stream_ao")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landingE.resolve("events.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+      landingO.resolve("orders.parquet"))
+    import s.implicits._
+    val ev = graft.streaming.Streaming.readParquetStream(s, landingE.toString)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
+        lit(1).as("side"), col("event_id").as("id"), lit(0.0).as("payload"))
+      .as[AsofIn]
+    val ord = graft.streaming.Streaming.readParquetStream(s, landingO.toString)
+      .select(col("o_custkey").as("key"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+        lit(0).as("side"), lit(0L).as("id"),
+        round(col("o_totalprice"), 2).as("payload"))
+      .as[AsofIn]
+    val qn = s"s_asof_stream_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.Streaming.asofEnrich(ev.unionByName(ord))
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).select(col("id").as("event_id"), col("key").as("user_id"),
+      col("ts").as("ts_us"), col("payload").as("last_order_price"))
+  }
+
   /** Streaming exact dedup under the oracle gate: the events table lands
     * TWICE in the stream's directory (the redelivery/duplicate-file case),
     * and the watermarked `dropDuplicates` state drops every second copy —
@@ -1599,7 +1640,8 @@ object SparkEntry {
     "t_distinct_kmv" -> (tDistinctKmv _),
     "s_sliding_stream" -> (sSlidingStream _),
     "q_time_travel" -> (qTimeTravel _),
-    "q_schema_evolution" -> (qSchemaEvolution _)
+    "q_schema_evolution" -> (qSchemaEvolution _),
+    "s_asof_stream" -> (sAsofStream _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2678,6 +2720,15 @@ object SparkEntry {
          FROM probe p JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
          GROUP BY 1, 2"""
     },
+    // the STREAMING as-of enrichment must equal DuckDB's native ASOF JOIN
+    "s_asof_stream" ->
+      """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS p
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.p AS last_order_price
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND epoch_us(e.ts) >= o.o_us""",
     // the STREAMING sliding rollup must equal the batch explode + tumble
     "s_sliding_stream" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),

@@ -59,6 +59,56 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** A row of either side of the streaming as-of enrichment: `side` 0 =
+    * dimension update (payload meaningful), 1 = event (id meaningful).
+    */
+  final case class AsofIn(key: Long, ts: Long, side: Int, id: Long, payload: Double)
+
+  final case class AsofState(ts: Long, payload: Double)
+
+  final case class AsofOut(key: Long, ts: Long, id: Long, payload: Option[Double])
+
+  /** Streaming as-of enrichment: events carry the LATEST dimension payload
+    * with dim.ts <= event.ts — the continuous dual of
+    * [[graft.operators.Temporal.asofJoin]] (stream enrichment against a
+    * slowly-changing dimension), as keyed state: one `AsofState` per key
+    * (the latest dim seen), with each micro-batch's rows walked in
+    * event-time order. Ties among same-timestamp dim updates resolve to
+    * the max payload — the same deterministic rule as the batch
+    * pre-aggregation.
+    *
+    * Ordering note: event-time order is exact WITHIN a micro-batch (the
+    * group's rows are sorted before the walk) and monotone across batches
+    * via the state's timestamp; a dim update arriving in a LATER batch
+    * than an event it should have enriched is missed — the standard
+    * low-latency enrichment trade. An exact-across-batches variant buffers
+    * events until the watermark passes, paying latency for order.
+    */
+  def asofEnrich(in: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import in.sparkSession.implicits._
+    def walk(key: Long, rows: Iterator[AsofIn],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.ts, r.side, r.payload))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      sorted.foreach { r =>
+        if (r.side == 0) {
+          cur match {
+            case Some(s) if s.ts > r.ts => // stale update: keep newer state
+            case Some(s) if s.ts == r.ts =>
+              cur = Some(AsofState(r.ts, math.max(s.payload, r.payload)))
+            case _ => cur = Some(AsofState(r.ts, r.payload))
+          }
+        } else out += AsofOut(key, r.ts, r.id, cur.map(_.payload))
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(walk)
+  }
+
   /** Gap-based sessionization (30-minute inactivity) as custom keyed state:
     * the streaming dual of the batch lag+running-sum composition. Sessions
     * are emitted (append) when the event-time timeout fires — i.e. the

@@ -44,11 +44,18 @@ class SqlFunctionsSpec extends SparkTestBase {
       """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
                 graft_int8_quantize(array(0.5D, -1.0D)) AS q,
                 graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d,
-                size(graft_srp_buckets(array(1.0D, 0.0D), 2, 4, 2)) AS nb""").head()
+                size(graft_srp_buckets(array(1.0D, 0.0D), 2, 4, 2)) AS nb,
+                graft_zvalue(3, 1, 6) AS z""").head()
     assert(row.getDouble(0) == 1.0)
     assert(row.getSeq[Long](1) == Seq(64L, -127L))
     assert(row.getLong(2) == 23L)
     assert(row.getInt(3) == 2)
+    assert(row.getLong(4) == 7L)
+    // mismatched dimensions fail loudly instead of truncating
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot_long(array(1L), array(1L, 2L))").collect())
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause.getMessage.contains("dimension mismatch"))
   }
 
   test("parameter arguments must be literals, arity is enforced") {

@@ -264,4 +264,31 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.table("ij").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 11L)))
   }
+
+  test("asofEnrich: in-batch event-time walk, cross-batch state, ties to max") {
+    import Streaming.{AsofIn, AsofOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofIn]
+    val query = Streaming.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: dim updates at t=10 (ties 5.0/9.0 -> 9.0), event before any
+    // dim (t=5 -> null), event at the tie ts (-> 9.0), event after (-> 9.0)
+    input.addData(
+      AsofIn(1L, 10L, 0, 0L, 5.0), AsofIn(1L, 10L, 0, 0L, 9.0),
+      AsofIn(1L, 5L, 1, 100L, 0.0), AsofIn(1L, 10L, 1, 101L, 0.0),
+      AsofIn(1L, 20L, 1, 102L, 0.0))
+    query.processAllAvailable()
+    // batch 2: the state carries the t=10 dim; a newer dim replaces it, a
+    // STALE dim (t=8) must not regress the state
+    input.addData(
+      AsofIn(1L, 30L, 0, 0L, 2.0), AsofIn(1L, 8L, 0, 0L, 7.0),
+      AsofIn(1L, 40L, 1, 103L, 0.0), AsofIn(1L, 35L, 1, 104L, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("asof").as[AsofOut].collect()
+      .map(o => o.id -> o.payload).toMap
+    assert(got === Map(100L -> None, 101L -> Some(9.0), 102L -> Some(9.0),
+      103L -> Some(2.0), 104L -> Some(2.0)))
+  }
 }
