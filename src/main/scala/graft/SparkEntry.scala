@@ -1548,6 +1548,63 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // Multidimensional OLAP surface: grouping sets and pivot
+  // ------------------------------------------------------------------
+
+  /** GROUPING SETS over lineitem — detail, per-returnflag subtotal, and
+    * grand total in ONE aggregation pass. Catalyst expands the sets into a
+    * single Expand + hash-aggregate (one shuffle for all three granularities
+    * — at 100 TB this replaces three separate scans+aggs with one), and
+    * `grouping_id()` disambiguates the subtotal rows exactly like the
+    * engine-native GROUPING() bitmask the oracle replays.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+
+  /** Pivot events into one column per event type with an EXPLICIT value
+    * list: `pivot(col, values)` compiles to a single conditional-aggregation
+    * pass (no distinct-values pre-scan, no second shuffle — the
+    * implicit-values overload would run a collect() over 100 TB first).
+    * The oracle replays it as FILTERed aggregates, the relational dual.
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 100).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+
+  // ------------------------------------------------------------------
+  // Text retrieval: TF-IDF keywords, BM25 ranked search
+  // ------------------------------------------------------------------
+
+  /** Per-language top-10 keywords by TF-IDF
+    * ([[graft.operators.Retrieval.tfidfKeywords]]): tf over (lang, term),
+    * df over distinct documents, rank window over vocabulary-sized input.
+    */
+  private def tTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfidfKeywords(
+      t(s, dir, "documents"), "doc_id", "lang", "text", k = 10)
+      .withColumnRenamed("grp", "lang")
+
+  /** BM25 top-20 for a three-term query
+    * ([[graft.operators.Retrieval.bm25TopK]]): the token stream is
+    * term-filtered before any shuffle; the oracle replays the exact
+    * floating-point formula with matching association order.
+    */
+  private def tBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("vector", "stream", "merge"), k = 20)
+      .withColumnRenamed("id", "doc_id")
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pipeline_idempotence" -> (pPipelineIdempotence _),
@@ -1641,7 +1698,11 @@ object SparkEntry {
     "s_sliding_stream" -> (sSlidingStream _),
     "q_time_travel" -> (qTimeTravel _),
     "q_schema_evolution" -> (qSchemaEvolution _),
-    "s_asof_stream" -> (sAsofStream _)
+    "s_asof_stream" -> (sAsofStream _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "t_tfidf_keywords" -> (tTfidfKeywords _),
+    "t_bm25_topk" -> (tBm25TopK _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2877,6 +2938,58 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
            coalesce(sc.s // sc.n_tokens, 0) AS dsir_score
          FROM documents d LEFT JOIN sc USING (doc_id)"""
-    }
+    },
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "q_pivot" ->
+      """SELECT user_id % 100 AS user_bucket,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
+         FROM events GROUP BY 1""",
+    "t_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, lang, unnest(tk) AS term FROM d),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         sc AS (SELECT lang, term, tf, df,
+             round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         SELECT lang, term, tf, df, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY score DESC, term) AS rank FROM sc)
+         WHERE rank <= 10""",
+    "t_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         hits AS (SELECT doc_id, term FROM toks
+           WHERE term IN ('vector', 'stream', 'merge')),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+         c AS (SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len::DOUBLE / n_docs))) AS wt
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         sc AS (SELECT doc_id, count(*) AS n_terms, round(sum(wt), 6) AS score
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_terms, score, rank FROM (
+           SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         WHERE rank <= 20"""
   )
 }

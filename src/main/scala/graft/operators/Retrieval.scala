@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-retrieval operators over a document corpus: TF-IDF keyword
+  * extraction and BM25 ranked retrieval.
+  *
+  * Both are inverted-index-shaped computations expressed as relational
+  * plans: tokenize once ([[graft.functions.KernelExpressions.wordNgramStrings]],
+  * a codegen'd kernel — no UDF), aggregate term statistics with map-side
+  * combine, and keep every join keyed (term or doc id — never text).
+  * At 100 TB the corpus-side passes are single-shuffle aggregations over
+  * (id, term) pairs; the per-query state (term list, document-frequency
+  * table, corpus scalars) is tiny and broadcast.
+  */
+object Retrieval {
+
+  /** Top-k terms per group (e.g. language or source) by TF-IDF:
+    * `score = tf(grp, term) * ln(N / df(term))` with `df` counted over
+    * distinct documents corpus-wide.
+    *
+    * Plan shape: one tokenize pass feeds two aggregations — tf on
+    * (grp, term), df on distinct (doc, term) — joined on term; N rides a
+    * 1-row broadcast. The final ranking window partitions by group over
+    * vocabulary-sized input (vocab ≪ corpus), so no global sort of
+    * document-scale data ever happens.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, k: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
+        .as("term"))
+    val nDocs = docs.filter(trim(col(textCol)) =!= "")
+      .agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("term"))
+    // 1-row corpus scalar: broadcast crossJoin IS the right plan (a
+    // map-side append of constants; Catalyst folds literal join keys, so
+    // a constant-key equi-join degrades to the same nested-loop node).
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("term"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
+
+  /** BM25 ranked retrieval: score each document against a literal term set
+    * and return the global top-k with ranks.
+    *
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))`
+    * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))` (the standard
+    * Robertson/Sparck-Jones smoothing — non-negative for any df).
+    *
+    * The token stream is filtered to the query terms BEFORE any shuffle, so
+    * the per-doc state that moves is O(matching docs × |query|), not corpus
+    * tokens; document lengths are one map-side-combined count. The final
+    * top-k is `TakeOrderedAndProject` (per-partition heads, no global
+    * sort), with ranks assigned on the k survivors.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
+        .as("term"))
+    val hits = toks.filter(col("term").isin(queryTerms: _*))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val dfreq = hits.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = hits.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wt", col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("wt")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("id"), col("n_terms"), col("score"), col("rank"))
+  }
+}

@@ -63,13 +63,16 @@ class PlanSpec extends SparkTestBase {
     // is the documented flat scan of the int8 index (tiny broadcast query
     // side × corpus), rescored via equi-joins. The roundtrip queries write
     // at plan-build time; the interval join drains a stream.
+    // t_tfidf_keywords / t_bm25_topk join q_retention_filter's exemption:
+    // their only nested-loop node is the 1-row corpus-scalar broadcast
+    // (n_docs / avgdl constants appended map-side).
     val skip = Set("p_pipeline_idempotence", "s_rollup_stream",
       "s_sessionize_stream", "s_dedup_stream", "s_interval_join_stream",
       "s_sliding_stream", "s_asof_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_time_travel",
-      "q_schema_evolution")
+      "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
