@@ -1604,6 +1604,31 @@ object SparkEntry {
       Seq("vector", "stream", "merge"), k = 20)
       .withColumnRenamed("id", "doc_id")
 
+  /** Recall@10 of the SRP multi-probe ANN against the exact brute-force
+    * ranking ([[Similarity.annRecall]]) — the parameter-tuning harness run
+    * as a query: both top-k tables come from the same operators as
+    * e_ann_srp_topk / e_cosine_topk, and the oracle replays both paths.
+    */
+  private def eAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+    val ann = Similarity.srpTopK(q, emb, "vec_id", "embedding", k = 10,
+      numPlanes = 12, dim = 64, probeRadius = 4)
+    Similarity.annRecall(exact, ann)
+  }
+
+  /** Product-quantized ADC top-10 ([[graft.operators.Pq.pqTopK]]) over the
+    * frozen sf0.01 codebooks ([[graft.operators.TrainedPq]]): the corpus
+    * scan reads 4 int codes per vector instead of 64 floats; the oracle
+    * replays encode + ADC bit-exactly (subtract/multiply/add folds only).
+    */
+  private def ePqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Pq.pqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.operators.TrainedPq.sf001, k = 10)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1702,7 +1727,9 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "t_tfidf_keywords" -> (tTfidfKeywords _),
-    "t_bm25_topk" -> (tBm25TopK _)
+    "t_bm25_topk" -> (tBm25TopK _),
+    "e_ann_recall" -> (eAnnRecall _),
+    "e_pq_topk" -> (ePqTopK _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -1798,6 +1825,13 @@ object SparkEntry {
       s"list_reduce([0.0] || list_transform(list_zip($x, $y), zz -> zz[1] * zz[2]), (cacc, cx) -> cacc + cx)"
     s"(${dotRf(a, b)} / (sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)})))"
   }
+
+  /** Squared L2 distance, matching [[graft.operators.Pq]]'s left-fold
+    * order exactly (init 0.0, add per dimension).
+    */
+  private def sqlL2sq(a: String, b: String): String =
+    s"list_reduce([0.0] || list_transform(list_zip($a, $b), " +
+      s"zz -> (zz[1] - zz[2]) * (zz[1] - zz[2])), (lacc, lx) -> lacc + lx)"
 
   /** Shared by the batch query and its streaming dual — the stream's output
     * is hash-checked against the SAME DuckDB result.
@@ -2990,6 +3024,56 @@ object SparkEntry {
          SELECT doc_id, n_terms, score, rank FROM (
            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
            FROM sc)
-         WHERE rank <= 20"""
+         WHERE rank <= 20""",
+    "e_ann_recall" ->
+      s"""WITH sgt AS (SELECT ${sqlSigns(12, 64)}::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS (SELECT vec_id, v, ${sqlSrpBucket("v", "0", 12, 64)} AS sig
+                 FROM e CROSS JOIN sgt),
+         annc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${sqlCos("q.v", "c.v")} AS cos
+           FROM sig q JOIN sig c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+             AND bit_count(xor(q.sig, c.sig)) <= 4),
+         ann AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM annc)
+           WHERE rank <= 10),
+         exc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${sqlCos("q.v", "c.v")} AS cos
+           FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM exc)
+           WHERE rank <= 10)
+         SELECT exact.query_id,
+           CAST(count(ann.neighbor_id) AS BIGINT) AS hits,
+           round(count(ann.neighbor_id)::DOUBLE / count(*), 6) AS recall
+         FROM exact LEFT JOIN ann
+           ON exact.query_id = ann.query_id
+           AND exact.neighbor_id = ann.neighbor_id
+         GROUP BY 1""",
+    "e_pq_topk" -> {
+      val flat = graft.operators.TrainedPq.sf001.flatten.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
+      def cbV(m: String, j: String) =
+        s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
+      def term(m: Int) =
+        sqlL2sq(subV("qv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
+      s"""WITH pqt AS (SELECT $flat::DOUBLE[] AS pq),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         enc AS (SELECT vec_id, list_transform(range(0, 4), m ->
+             (list_sort(list_transform(range(0, 8), j ->
+               {'d': ${sqlL2sq(subV("v", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
+           FROM e CROSS JOIN pqt),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         cand AS (SELECT query_id, enc.vec_id AS neighbor_id,
+             ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
+           FROM enc CROSS JOIN q CROSS JOIN pqt WHERE query_id <> enc.vec_id)
+         SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
+    }
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorOps
+
+/** Product quantization (PQ) for embedding columns: split each `dim`-wide
+  * vector into `numSub` contiguous subvectors, quantize each against its own
+  * `ksub`-entry codebook, and score with asymmetric distance computation
+  * (ADC — query stays full-precision, corpus is codes only).
+  *
+  * This is the storage-side compression lever for 100 TB dense retrieval:
+  * a 64-dim float vector (256 B) becomes `numSub` small code integers
+  * (4 B at 4×8), so the scan that touches every row reads ~64× less data;
+  * compose with [[Similarity.ivfTopK]] cells when a flat code scan itself
+  * outgrows one pass (IVF-PQ, the FAISS large-corpus default). All
+  * arithmetic is fold-ordered double math on expression trees — codegen'd,
+  * bit-deterministic, replayable by the DuckDB oracle.
+  *
+  * Codebooks are driver-side literals, trained once on a sample
+  * ([[trainCodebooks]], frozen via `graft.TrainPqCodebooks` like the IVF
+  * centroids) and shipped as a versioned artifact — never retrained per
+  * job.
+  */
+object Pq {
+
+  /** Squared L2 distance (no sqrt — rank-equivalent for ADC and exactly
+    * replayable: subtract/multiply/add only, left fold).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sub(vec: Column, m: Int, dsub: Int): Column =
+    slice(vec.cast("array<double>"), m * dsub + 1, dsub)
+
+  /** Argmin-by-(distance, index) of a subvector against one codebook —
+    * the same sorted-struct idiom as [[Similarity.nearestCells]], so ties
+    * resolve identically in any engine.
+    */
+  private def nearestCode(subVec: Column, codebook: Seq[Seq[Double]]): Column = {
+    val scored = codebook.zipWithIndex.map { case (ctr, j) =>
+      struct(l2sq(subVec, typedLit(ctr)).as("d"), lit(j).as("j"))
+    }
+    element_at(slice(array_sort(array(scored: _*)), 1, 1), 1).getField("j")
+  }
+
+  /** PQ code array (`array<int>`, one code per subspace) for a vector
+    * column. A narrow projection — encoding a corpus is one codegen'd scan,
+    * no shuffle.
+    */
+  def encodeExpr(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    array(codebooks.zipWithIndex.map { case (cb, m) =>
+      nearestCode(sub(vec, m, cb.head.size), cb)
+    }: _*)
+
+  /** ADC approximate squared distance between a full-precision query vector
+    * and a code array: per subspace, the distance from the query subvector
+    * to the centroid the code names, summed in subspace order.
+    */
+  def adcDistanceExpr(codes: Column, qVec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    codebooks.zipWithIndex.map { case (cb, m) =>
+      val dsub = cb.head.size
+      val luts = array(cb.map(ctr => l2sq(sub(qVec, m, dsub), typedLit(ctr))): _*)
+      element_at(luts, element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Top-k by ADC distance: encode the corpus (narrow scan), broadcast the
+    * query side under the size gate, rank ascending. The flat code scan is
+    * the documented small-query-set shape (the PQ point is that the scan
+    * reads codes, not vectors); corpus-vs-corpus retrieval should gate off
+    * the broadcast and/or add IVF cells.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int = 10,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      encodeExpr(col(vecCol), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("adist"), 6).asc, col("neighbor_id"))
+    c.join(Similarity.gatedBroadcast(q, broadcastGateBytes),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcDistanceExpr(col("codes"), col("q_vec"), codebooks))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  /** Per-subspace L2 Lloyd training, one aggregation job per iteration for
+    * ALL subspaces at once: vectors explode into (subspace, subvector)
+    * rows, assign to the current nearest centroid, average per
+    * (subspace, centroid, dimension). Only numSub × ksub × dsub doubles
+    * ever reach the driver. Train on a sample at scale, then freeze.
+    */
+  def trainCodebooks(corpus: DataFrame, vecCol: String, numSub: Int,
+      ksub: Int, dim: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val dsub = dim / numSub
+    val subs = corpus.select(explode(array((0 until numSub).map(m =>
+        struct(lit(m).as("m"), sub(col(vecCol), m, dsub).as("sub"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.sub").as("sub"))
+    var books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(numSub)(VectorOps.rademacherPlanes(ksub, dsub))
+    for (_ <- 0 until iters) {
+      val cellPerSub = (0 until numSub).map(m =>
+        when(col("m") === m, nearestCode(col("sub"), books(m))))
+      val means = subs.withColumn("cell", coalesce(cellPerSub: _*))
+        .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("cell")))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mean")).toSeq)
+        .toMap
+      books = books.zipWithIndex.map { case (book, m) =>
+        book.zipWithIndex.map { case (old, j) => means.getOrElse((m, j), old) }
+      }
+    }
+    books
+  }
+}

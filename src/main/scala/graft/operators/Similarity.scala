@@ -29,7 +29,7 @@ object Similarity {
     * to a shuffle (hash or sort-merge) join, which is the correct plan for
     * the large-query regime.
     */
-  private def gatedBroadcast(df: DataFrame, gateBytes: Long): DataFrame = {
+  private[operators] def gatedBroadcast(df: DataFrame, gateBytes: Long): DataFrame = {
     val estimatedBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estimatedBytes <= BigInt(gateBytes)) broadcast(df) else df
   }
@@ -51,6 +51,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Recall@k of an approximate top-k result against the exact one: per
+    * query, the fraction of exact neighbors the ANN result retrieved. Both
+    * inputs carry (query_id, neighbor_id) rows (ranks ignored — recall is
+    * set overlap). The evaluation harness for tuning plane/probe/nprobe
+    * parameters before a corpus-scale rollout: both sides are per-query
+    * top-k tables (tiny — queries × k rows), so the join is trivially
+    * cheap regardless of corpus size.
+    */
+  def annRecall(exact: DataFrame, ann: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / col("k"), 6))
+      .select(col("query_id"), col("hits"), col("recall"))
 
   /** SRP-LSH top-k with multi-probe.
     *

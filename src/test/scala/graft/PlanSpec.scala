@@ -72,7 +72,12 @@ class PlanSpec extends SparkTestBase {
       "d_incremental_dedup", "e_ivf_index_topk", "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_time_travel",
-      "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk")
+      "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
+      // e_ann_recall evaluates the ANN against the exact baseline, so it
+      // necessarily contains e_cosine_topk's brute-force cross join;
+      // e_pq_topk's ADC scan is the documented flat code scan (tiny
+      // broadcast query side × corpus codes), like e_quantized_topk.
+      "e_ann_recall", "e_pq_topk")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
