@@ -1629,6 +1629,15 @@ object SparkEntry {
       "vec_id", "embedding", graft.operators.TrainedPq.sf001, k = 10)
   }
 
+  /** Exact-substring duplication coverage ([[Dedup.dupSpanStats]], 5-token
+    * windows): per doc, windows shared with ANY other document and the
+    * token positions they cover — the Lee-et-al. exact-dup contamination
+    * metric as one query.
+    */
+  private def dDupSpanStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", w = 5)
+      .withColumnRenamed("id", "doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1729,7 +1738,8 @@ object SparkEntry {
     "t_tfidf_keywords" -> (tTfidfKeywords _),
     "t_bm25_topk" -> (tBm25TopK _),
     "e_ann_recall" -> (eAnnRecall _),
-    "e_pq_topk" -> (ePqTopK _)
+    "e_pq_topk" -> (ePqTopK _),
+    "d_dup_span_stats" -> (dDupSpanStats _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3074,6 +3084,30 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
+    },
+    "d_dup_span_stats" -> {
+      val h = sqlPh("array_to_string(tk[i:i+4], ' ')", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         g AS (SELECT doc_id, i - 1 AS pos, $h AS h
+           FROM d, unnest(range(1, len(tk) - 3)) AS u(i)),
+         dup AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+           WHERE nd >= 2),
+         f AS (SELECT g.* FROM g WHERE h IN (SELECT h FROM dup)),
+         tw AS (SELECT doc_id, count(*) AS total_windows FROM g GROUP BY 1),
+         dw AS (SELECT doc_id, count(*) AS dup_windows FROM f GROUP BY 1),
+         cov AS (SELECT doc_id, count(*) AS dup_tokens FROM (
+             SELECT DISTINCT doc_id, pos + x AS tp
+             FROM f, unnest(range(0, 5)) AS ux(x)) GROUP BY 1)
+         SELECT doc_id,
+           coalesce(total_windows, 0) AS total_windows,
+           coalesce(dup_windows, 0) AS dup_windows,
+           coalesce(dup_tokens, 0) AS dup_tokens
+         FROM documents
+         LEFT JOIN tw USING (doc_id)
+         LEFT JOIN dw USING (doc_id)
+         LEFT JOIN cov USING (doc_id)"""
     }
   )
 }

@@ -581,6 +581,47 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact-substring duplication coverage (the Lee-et-al.-style
+    * "Deduplicating Training Data" contamination metric, reference-free):
+    * per document, how many of its `w`-token windows also occur in at
+    * least one OTHER document, and how many token positions those
+    * duplicated windows cover.
+    *
+    * Scale shape: windows ride a position-preserving n-gram kernel and
+    * shuffle as fixed-width poly hashes (text never keys a shuffle); the
+    * duplicated-hash table is the distinct cross-document survivors only;
+    * coverage explodes positions ONLY for duplicated windows (bounded by
+    * w x dup_windows, not corpus tokens). Documents with fewer than `w`
+    * tokens report zeros.
+    *
+    * @return (id, total_windows, dup_windows, dup_tokens)
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), w))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), shingleHash(col("g")).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val flagged = grams.join(dup, Seq("h"), "left_semi")
+    val total = grams.groupBy(col("id")).agg(count(lit(1)).as("total_windows"))
+    val dups = flagged.groupBy(col("id")).agg(count(lit(1)).as("dup_windows"))
+    val cover = flagged
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_tokens"))
+    df.select(col(idCol).as("id"))
+      .join(total, Seq("id"), "left")
+      .join(dups, Seq("id"), "left")
+      .join(cover, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("total_windows"), lit(0L)).as("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected pair list by iterative

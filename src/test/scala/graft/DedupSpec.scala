@@ -383,4 +383,22 @@ class DedupSpec extends SparkTestBase {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"SRP near-dup recall too low: $recall")
   }
+
+  test("dupSpanStats counts shared windows and merges overlapping coverage") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-token run "a b c d e f": two overlapping
+    // 5-token windows each, covering 6 positions (union, not 10)
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 z1"),
+      (2L, "p q a b c d e f"),
+      (3L, "u v w only here once"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupSpanStats(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 2L, 6L)))  // 9 tokens -> 5 windows; 2 dup; pos 0-5
+    assert(out(2L) == ((4L, 2L, 6L)))  // 8 tokens -> 4 windows; 2 dup; pos 2-7
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))  // shorter than the window
+  }
 }
