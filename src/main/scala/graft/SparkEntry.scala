@@ -1638,6 +1638,18 @@ object SparkEntry {
     Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", w = 5)
       .withColumnRenamed("id", "doc_id")
 
+  /** IVF-PQ composition ([[graft.operators.Pq.ivfPqTopK]]): trained coarse
+    * cells prune the probe to an equi-join, trained PQ codes compress the
+    * scanned payload — the two frozen artifacts composed into the
+    * cell-pruned code-scan layout.
+    */
+  private def eIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.operators.TrainedCentroids.sf001,
+      graft.operators.TrainedPq.sf001, k = 10, nprobe = 2)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1739,7 +1751,8 @@ object SparkEntry {
     "t_bm25_topk" -> (tBm25TopK _),
     "e_ann_recall" -> (eAnnRecall _),
     "e_pq_topk" -> (ePqTopK _),
-    "d_dup_span_stats" -> (dDupSpanStats _)
+    "d_dup_span_stats" -> (dDupSpanStats _),
+    "e_ivfpq_topk" -> (eIvfPqTopK _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3108,6 +3121,42 @@ object SparkEntry {
          LEFT JOIN tw USING (doc_id)
          LEFT JOIN dw USING (doc_id)
          LEFT JOIN cov USING (doc_id)"""
+    },
+    "e_ivfpq_topk" -> {
+      val flatC = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val flatPq = graft.operators.TrainedPq.sf001.flatten.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
+      def cbV(m: String, j: String) =
+        s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
+      def term(m: Int) =
+        sqlL2sq(subV("qv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
+      s"""WITH sgt AS (SELECT $flatC::DOUBLE[] AS sg),
+         pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM e CROSS JOIN sgt),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell
+               FROM cells),
+         enc AS (SELECT neighbor_id, cell, list_transform(range(0, 4), m ->
+             (list_sort(list_transform(range(0, 8), j ->
+               {'d': ${sqlL2sq(subV("cv", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
+           FROM c CROSS JOIN pqt),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cells WHERE vec_id < 5),
+         cand AS (SELECT query_id, neighbor_id,
+             ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
+           FROM enc JOIN q USING (cell) CROSS JOIN pqt
+           WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
     }
   )
 }

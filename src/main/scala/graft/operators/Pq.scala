@@ -92,6 +92,38 @@ object Pq {
         round(col("adist"), 6).as("adist"))
   }
 
+  /** IVF-PQ: coarse cells prune the scan, PQ codes compress what's left —
+    * composed exactly from [[Similarity.nearestCells]] (cell assignment /
+    * nprobe probing) and [[encodeExpr]]/[[adcDistanceExpr]]. The probe is
+    * a plain cell equi-join, so the plan is hash-joinable end to end (no
+    * nested loop): at 100 TB the corpus side is a partition-pruned scan of
+    * ~nprobe/k of the cells reading 4 B codes per vector — the FAISS
+    * IVF-PQ layout as a relational plan. Codes here quantize RAW vectors
+    * (codebooks are corpus-trained literals); classic residual encoding is
+    * a drop-in swap of the encode/ADC inputs.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int = 10, nprobe: Int = 2,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(Similarity.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+      encodeExpr(col(vecCol), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        Similarity.nearestCells(col(vecCol), centroids, nprobe).as("cells"))
+      .select(col("query_id"), col("q_vec"), explode(col("cells")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("adist"), 6).asc, col("neighbor_id"))
+    c.join(Similarity.gatedBroadcast(q, broadcastGateBytes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcDistanceExpr(col("codes"), col("q_vec"), codebooks))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** Per-subspace L2 Lloyd training, one aggregation job per iteration for
     * ALL subspaces at once: vectors explode into (subspace, subvector)
     * rows, assign to the current nearest centroid, average per

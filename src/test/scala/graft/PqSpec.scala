@@ -57,4 +57,19 @@ class PqSpec extends SparkTestBase {
     }
     assert(out.toSeq.sortBy(r => (r._1, r._3)) == expected)
   }
+
+  test("ivfPqTopK stays hash-joinable and agrees with flat ADC inside the probed cells") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = graft.operators.TrainedCentroids.sf001
+    val q = emb.filter(col("vec_id") < 3)
+    val df = Pq.ivfPqTopK(q, emb, "vec_id", "embedding", centroids, books,
+      k = 5, nprobe = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // with nprobe = all cells, IVF-PQ degenerates to the flat ADC ranking
+    val flat = Pq.pqTopK(q, emb, "vec_id", "embedding", books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == flat)
+  }
 }
