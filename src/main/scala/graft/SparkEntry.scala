@@ -1650,6 +1650,35 @@ object SparkEntry {
       graft.operators.TrainedPq.sf001, k = 10, nprobe = 2)
   }
 
+  /** CSV round-trip with an explicit read schema (the third columnar/text
+    * format surface next to ORC and JSONL): quoting survives, doubles
+    * round-trip via shortest representation, and no inference scan runs.
+    */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    ev.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(ev.schema).option("header", "true").csv(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Lead/lag event-sequence features: per user, the µs gap since the
+    * previous event and the type of the next one — one sort within the
+    * user partition serves both window functions.
+    */
+  private def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(tsUs, 1).over(w))
+      .withColumn("gap_us", tsUs - col("prev_ts"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("gap_us"), col("next_type"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1752,7 +1781,9 @@ object SparkEntry {
     "e_ann_recall" -> (eAnnRecall _),
     "e_pq_topk" -> (ePqTopK _),
     "d_dup_span_stats" -> (dDupSpanStats _),
-    "e_ivfpq_topk" -> (eIvfPqTopK _)
+    "e_ivfpq_topk" -> (eIvfPqTopK _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_lead_lag" -> (qLeadLag _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3157,6 +3188,18 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
-    }
+    },
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1""",
+    "q_lead_lag" ->
+      """SELECT event_id, user_id, gap_us, next_type FROM (
+           SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             lag(epoch_us(ts)) OVER w AS prev_ts,
+             lead(event_type) OVER w AS next_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         WHERE prev_ts IS NOT NULL"""
   )
 }

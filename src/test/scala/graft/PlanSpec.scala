@@ -71,7 +71,7 @@ class PlanSpec extends SparkTestBase {
       "s_sliding_stream", "s_asof_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
-      "q_orc_roundtrip", "q_jsonl_roundtrip", "q_time_travel",
+      "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip", "q_time_travel",
       "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
       // e_ann_recall evaluates the ANN against the exact baseline, so it
       // necessarily contains e_cosine_topk's brute-force cross join;
