@@ -99,6 +99,44 @@ object KernelExpressions {
       copy(left = l, right = r)
   }
 
+  /** PQ code array of a vector against flat literal codebooks
+    * ([[Kernels.pqEncode]]) — numSub x ksub centroid scans in one static
+    * call instead of an interpreted higher-order-function argmin tree.
+    */
+  case class PqEncode(child: Expression, books: Seq[Double], numSub: Int,
+      ksub: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private lazy val booksArr = books.toArray
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.pqEncode(v.asInstanceOf[ArrayData], booksArr, numSub, ksub,
+        isFloatArr(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.Kernels.pqEncode($v, $ref, $numSub, $ksub, ${isFloatArr(child)})")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ADC distance of (codes, query vector) against the same flat codebooks
+    * ([[Kernels.pqAdc]]).
+    */
+  case class PqAdc(left: Expression, right: Expression, books: Seq[Double],
+      numSub: Int, ksub: Int) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val booksArr = books.toArray
+    override protected def nullSafeEval(codes: Any, q: Any): Any =
+      Kernels.pqAdc(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+        booksArr, numSub, ksub, isFloatArr(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[]")
+      defineCodeGen(ctx, ev, (codes, q) =>
+        s"graft.functions.Kernels.pqAdc($codes, $q, $ref, $numSub, $ksub, ${isFloatArr(right)})")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Morton z-value of two non-negative long coordinates ([[Kernels.zValue2]]). */
   case class ZValue2(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
@@ -339,6 +377,12 @@ object KernelExpressions {
   def int8Quantize(v: Column): Column = c(Int8Quantize(e(v)))
 
   def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
+
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    c(PqEncode(e(vec), books.flatten.flatten, books.size, books.head.size))
+
+  def pqAdc(codes: Column, q: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    c(PqAdc(e(codes), e(q), books.flatten.flatten, books.size, books.head.size))
 
   def zValue2(x: Column, y: Column, bits: Int = 21): Column =
     c(ZValue2(e(x), e(y), bits))

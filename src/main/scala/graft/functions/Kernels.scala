@@ -110,6 +110,65 @@ object Kernels {
     acc
   }
 
+  /** PQ encode: per contiguous subspace, the index of the L2-nearest
+    * centroid of that subspace's codebook (ties -> lowest index — the same
+    * argmin order as the sorted-struct formulation the DuckDB oracle
+    * replays). `books` is the flat numSub x ksub x dsub centroid array;
+    * per-centroid distance is a left fold of squared diffs from 0.0, so
+    * the doubles are bit-identical to the expression-tree version.
+    */
+  def pqEncode(v: ArrayData, books: Array[Double], numSub: Int, ksub: Int,
+      vFloat: Boolean): ArrayData = {
+    val dsub = v.numElements() / numSub
+    val out = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < ksub) {
+        val base = (m * ksub + j) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = getD(v, m * dsub + i, vFloat) - books(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC: sum over subspaces, in subspace order, of the squared L2 from the
+    * query subvector to the centroid its code names. 0.0 + t == t for the
+    * non-negative per-subspace terms, so the result is bit-identical to the
+    * explicit t0 + t1 + ... column sum the oracle replays.
+    */
+  def pqAdc(codes: ArrayData, q: ArrayData, books: Array[Double], numSub: Int,
+      ksub: Int, qFloat: Boolean): Double = {
+    val dsub = q.numElements() / numSub
+    var acc = 0.0
+    var m = 0
+    while (m < numSub) {
+      val base = (m * ksub + codes.getInt(m)) * dsub
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val diff = getD(q, m * dsub + i, qFloat) - books(base + i)
+        d += diff * diff
+        i += 1
+      }
+      acc += d
+      m += 1
+    }
+    acc
+  }
+
   // ------------------------------------------------------------- hashing
 
   /** Polynomial rolling hash of a code-point range: fold of

@@ -48,25 +48,22 @@ object Pq {
   }
 
   /** PQ code array (`array<int>`, one code per subspace) for a vector
-    * column. A narrow projection — encoding a corpus is one codegen'd scan,
-    * no shuffle.
+    * column. A narrow projection — encoding a corpus is one codegen'd
+    * kernel scan ([[graft.functions.Kernels.pqEncode]]; the equivalent
+    * sorted-struct argmin tree over `aggregate`/`zip_with` never enters
+    * whole-stage codegen and benched ~3× slower), no shuffle.
     */
   def encodeExpr(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    array(codebooks.zipWithIndex.map { case (cb, m) =>
-      nearestCode(sub(vec, m, cb.head.size), cb)
-    }: _*)
+    graft.functions.KernelExpressions.pqEncode(vec, codebooks)
 
   /** ADC approximate squared distance between a full-precision query vector
     * and a code array: per subspace, the distance from the query subvector
-    * to the centroid the code names, summed in subspace order.
+    * to the centroid the code names, summed in subspace order
+    * ([[graft.functions.Kernels.pqAdc]], same kernel rationale as encode).
     */
   def adcDistanceExpr(codes: Column, qVec: Column,
       codebooks: Seq[Seq[Seq[Double]]]): Column =
-    codebooks.zipWithIndex.map { case (cb, m) =>
-      val dsub = cb.head.size
-      val luts = array(cb.map(ctr => l2sq(sub(qVec, m, dsub), typedLit(ctr))): _*)
-      element_at(luts, element_at(codes, m + 1) + 1)
-    }.reduce(_ + _)
+    graft.functions.KernelExpressions.pqAdc(codes, qVec, codebooks)
 
   /** Top-k by ADC distance: encode the corpus (narrow scan), broadcast the
     * query side under the size gate, rank ascending. The flat code scan is
