@@ -1665,6 +1665,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** TPC-H-Q13-shaped customer distribution: LEFT OUTER join keeps
+    * zero-order customers (counted via the non-null key), then a second
+    * aggregation histograms the counts — the canonical outer-join +
+    * double-agg shape. Both aggs are map-side combinable; the join
+    * broadcasts nothing and shuffles on the customer key once.
+    */
+  private def q13CustDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+
   /** Lead/lag event-sequence features: per user, the µs gap since the
     * previous event and the type of the next one — one sort within the
     * user partition serves both window functions.
@@ -1783,7 +1796,8 @@ object SparkEntry {
     "d_dup_span_stats" -> (dDupSpanStats _),
     "e_ivfpq_topk" -> (eIvfPqTopK _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
-    "q_lead_lag" -> (qLeadLag _)
+    "q_lead_lag" -> (qLeadLag _),
+    "q13_cust_dist" -> (q13CustDist _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3200,6 +3214,14 @@ object SparkEntry {
              lead(event_type) OVER w AS next_type
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-         WHERE prev_ts IS NOT NULL"""
+         WHERE prev_ts IS NOT NULL""",
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN
+             (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+             ON c_custkey = o.o_custkey
+           GROUP BY 1)
+         GROUP BY 1"""
   )
 }
