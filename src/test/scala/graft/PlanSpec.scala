@@ -164,4 +164,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       p.linesIterator.take(8).mkString("\n"))
   }
+
+  test("PQ encode kernel stays inside whole-stage codegen") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val enc = emb.select(graft.operators.Pq.encodeExpr(
+      org.apache.spark.sql.functions.col("embedding"),
+      graft.operators.TrainedPq.sf001).as("codes"))
+    enc.collect()
+    val p = enc.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      p.linesIterator.take(8).mkString("\n"))
+  }
 }
