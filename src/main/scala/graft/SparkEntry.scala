@@ -1692,6 +1692,26 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("gap_us"), col("next_type"))
   }
 
+  /** End-to-end EMBEDDING pipeline composed in one plan — the vector-side
+    * dual of `c_curation_pipeline`: SemDeDup drops semantic duplicates
+    * ([[Dedup.semDedupKeep]], trained cells → within-cell cosine pairs →
+    * components → min-id representative), the surviving corpus is PQ-coded
+    * and searched cell-pruned ([[graft.operators.Pq.ivfPqTopK]]) by raw
+    * queries. Proves the dedup keep-set, coarse quantizer, and sub-
+    * quantizer compose without a plan blowup; the oracle replays every
+    * stage (recursive reachability + encode + ADC) in one statement.
+    */
+  private def cEmbeddingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val kept = Dedup.semDedupKeep(emb, "vec_id", "embedding",
+      centroids = graft.operators.TrainedCentroids.sf001, threshold = 0.45)
+      .select(col("id").as("vec_id"))
+    val corpus = emb.join(kept, Seq("vec_id"), "left_semi")
+    graft.operators.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), corpus,
+      "vec_id", "embedding", graft.operators.TrainedCentroids.sf001,
+      graft.operators.TrainedPq.sf001, k = 10, nprobe = 2)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1797,7 +1817,8 @@ object SparkEntry {
     "e_ivfpq_topk" -> (eIvfPqTopK _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_lead_lag" -> (qLeadLag _),
-    "q13_cust_dist" -> (q13CustDist _)
+    "q13_cust_dist" -> (q13CustDist _),
+    "c_embedding_pipeline" -> (cEmbeddingPipeline _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3222,6 +3243,55 @@ object SparkEntry {
              (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
              ON c_custkey = o.o_custkey
            GROUP BY 1)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "c_embedding_pipeline" -> {
+      val flatC = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val flatPq = graft.operators.TrainedPq.sf001.flatten.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
+      def cbV(m: String, j: String) =
+        s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
+      def term(m: Int) =
+        sqlL2sq(subV("qv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
+      s"""WITH RECURSIVE sgt AS (SELECT $flatC::DOUBLE[] AS sg),
+         pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM e CROSS JOIN sgt),
+         cl AS (SELECT vec_id, v, sorted_cells[1] AS cell FROM cells),
+         mp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM cl a JOIN cl b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${sqlCos("a.v", "b.v")} >= 0.45),
+         sd_edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                      UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         sd_reach(a, b) AS (
+           SELECT vec_id, vec_id FROM cl
+           UNION
+           SELECT r.a, e2.d FROM sd_reach r JOIN sd_edges e2 ON e2.s = r.b),
+         sd_comp AS (SELECT a AS vec_id, min(b) AS comp FROM sd_reach GROUP BY a),
+         keep AS (SELECT vec_id FROM sd_comp WHERE comp = vec_id),
+         cc AS (SELECT cl.vec_id AS neighbor_id, cl.v AS cv, cl.cell
+                FROM cl JOIN keep USING (vec_id)),
+         enc AS (SELECT neighbor_id, cell, list_transform(range(0, 4), m ->
+             (list_sort(list_transform(range(0, 8), j ->
+               {'d': ${sqlL2sq(subV("cv", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
+           FROM cc CROSS JOIN pqt),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cells WHERE vec_id < 5),
+         cand AS (SELECT query_id, neighbor_id,
+             ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
+           FROM enc JOIN q USING (cell) CROSS JOIN pqt
+           WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
+    }
   )
 }
