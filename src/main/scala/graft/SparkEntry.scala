@@ -1712,6 +1712,21 @@ object SparkEntry {
       graft.operators.TrainedPq.sf001, k = 10, nprobe = 2)
   }
 
+  /** Materialized IVF-PQ index variant ([[graft.operators.Pq.writePqIndex]]
+    * / [[graft.operators.Pq.pqIndexTopK]]): semantically identical to
+    * e_ivfpq_topk — same oracle — with cell + codes read back from the
+    * cell-partitioned files instead of recomputed.
+    */
+  private def ePqIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString + "/index"
+    graft.operators.Pq.writePqIndex(emb, "vec_id", "embedding",
+      graft.operators.TrainedCentroids.sf001, graft.operators.TrainedPq.sf001, path)
+    graft.operators.Pq.pqIndexTopK(s, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", graft.operators.TrainedCentroids.sf001,
+      graft.operators.TrainedPq.sf001, path, k = 10, nprobe = 2)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1818,7 +1833,8 @@ object SparkEntry {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_lead_lag" -> (qLeadLag _),
     "q13_cust_dist" -> (q13CustDist _),
-    "c_embedding_pipeline" -> (cEmbeddingPipeline _)
+    "c_embedding_pipeline" -> (cEmbeddingPipeline _),
+    "e_pq_index_topk" -> (ePqIndexTopK _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -1942,6 +1958,47 @@ object SparkEntry {
     """SELECT epoch_us(ts) // 3600000000 AS hour_id,
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1, 2"""
+
+  /** The trained-cells IVF-PQ search oracle, shared by the recompute
+    * (e_ivfpq_topk) and materialized-index (e_pq_index_topk) variants —
+    * identical semantics by construction.
+    */
+  private lazy val sqlIvfPqTopK: String = {
+    val flatC = graft.operators.TrainedCentroids.sf001.flatten
+      .map(_.toString).mkString("[", ", ", "]")
+    val flatPq = graft.operators.TrainedPq.sf001.flatten.flatten
+      .map(_.toString).mkString("[", ", ", "]")
+    val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+    def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
+    def cbV(m: String, j: String) =
+      s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
+    def term(m: Int) =
+      sqlL2sq(subV("qv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
+    s"""WITH sgt AS (SELECT $flatC::DOUBLE[] AS sg),
+       pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cells AS (SELECT vec_id, v,
+           list_transform(list_sort(list_transform(range(0, 8), ci ->
+             {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+             st -> st.cell) AS sorted_cells
+         FROM e CROSS JOIN sgt),
+       c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell
+             FROM cells),
+       enc AS (SELECT neighbor_id, cell, list_transform(range(0, 4), m ->
+           (list_sort(list_transform(range(0, 8), j ->
+             {'d': ${sqlL2sq(subV("cv", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
+         FROM c CROSS JOIN pqt),
+       q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+             FROM cells WHERE vec_id < 5),
+       cand AS (SELECT query_id, neighbor_id,
+           ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
+         FROM enc JOIN q USING (cell) CROSS JOIN pqt
+         WHERE query_id <> neighbor_id)
+       SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 10"""
+  }
 
   /** The untrained-centroid IVF search oracle, shared by the recompute
     * (e_ivf_topk) and materialized-index (e_ivf_index_topk) variants —
@@ -3188,42 +3245,9 @@ object SparkEntry {
          LEFT JOIN dw USING (doc_id)
          LEFT JOIN cov USING (doc_id)"""
     },
-    "e_ivfpq_topk" -> {
-      val flatC = graft.operators.TrainedCentroids.sf001.flatten
-        .map(_.toString).mkString("[", ", ", "]")
-      val flatPq = graft.operators.TrainedPq.sf001.flatten.flatten
-        .map(_.toString).mkString("[", ", ", "]")
-      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
-      def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
-      def cbV(m: String, j: String) =
-        s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
-      def term(m: Int) =
-        sqlL2sq(subV("qv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
-      s"""WITH sgt AS (SELECT $flatC::DOUBLE[] AS sg),
-         pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
-             list_transform(list_sort(list_transform(range(0, 8), ci ->
-               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
-               st -> st.cell) AS sorted_cells
-           FROM e CROSS JOIN sgt),
-         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell
-               FROM cells),
-         enc AS (SELECT neighbor_id, cell, list_transform(range(0, 4), m ->
-             (list_sort(list_transform(range(0, 8), j ->
-               {'d': ${sqlL2sq(subV("cv", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
-           FROM c CROSS JOIN pqt),
-         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
-               FROM cells WHERE vec_id < 5),
-         cand AS (SELECT query_id, neighbor_id,
-             ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
-           FROM enc JOIN q USING (cell) CROSS JOIN pqt
-           WHERE query_id <> neighbor_id)
-         SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 10"""
-    },
+    "e_ivfpq_topk" -> sqlIvfPqTopK,
+    // the materialized-index variant is semantically identical — same oracle
+    "e_pq_index_topk" -> sqlIvfPqTopK,
     "q_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1""",

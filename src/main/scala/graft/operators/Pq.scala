@@ -106,6 +106,17 @@ object Pq {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       element_at(Similarity.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
       encodeExpr(col(vecCol), codebooks).as("codes"))
+    rankCoded(c, queries, idCol, vecCol, centroids, codebooks, k, nprobe,
+      broadcastGateBytes)
+  }
+
+  /** Probe + ADC-rank a (neighbor_id, cell, codes) corpus — shared by the
+    * recompute and materialized-index paths.
+    */
+  private def rankCoded(c: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int,
+      broadcastGateBytes: Long): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"),
         Similarity.nearestCells(col(vecCol), centroids, nprobe).as("cells"))
@@ -119,6 +130,36 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adist"), 6).as("adist"))
+  }
+
+  /** Materialized IVF-PQ index: codes + coarse cell written ONCE,
+    * partitioned by cell. The 100 TB layout in full: searches prune to
+    * ~nprobe/k of the directories (the cell equi-join drives dynamic
+    * partition pruning, like [[Similarity.writeIvfIndex]]) and the files
+    * they read hold 4-byte code arrays, not vectors — the corpus is never
+    * re-encoded per query batch.
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      path: String): Unit =
+    corpus.select(col(idCol).as("neighbor_id"),
+        element_at(Similarity.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+        encodeExpr(col(vecCol), codebooks).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Search an index written by [[writePqIndex]] with the SAME centroids
+    * and codebooks. Identical results to [[ivfPqTopK]]; the corpus-side
+    * cell and codes are read back, never recomputed.
+    */
+  def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], path: String, k: Int = 10,
+      nprobe: Int = 2,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    val c = spark.read.parquet(path)
+      .select(col("neighbor_id"), col("codes"), col("cell").cast("int").as("cell"))
+    rankCoded(c, queries, idCol, vecCol, centroids, codebooks, k, nprobe,
+      broadcastGateBytes)
   }
 
   /** Per-subspace L2 Lloyd training, one aggregation job per iteration for

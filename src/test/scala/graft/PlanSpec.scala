@@ -69,7 +69,8 @@ class PlanSpec extends SparkTestBase {
     val skip = Set("p_pipeline_idempotence", "s_rollup_stream",
       "s_sessionize_stream", "s_dedup_stream", "s_interval_join_stream",
       "s_sliding_stream", "s_asof_stream",
-      "d_incremental_dedup", "e_ivf_index_topk", "d_lsh_index_pairs",
+      "d_incremental_dedup", "e_ivf_index_topk", "e_pq_index_topk",
+      "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip", "q_time_travel",
       "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
