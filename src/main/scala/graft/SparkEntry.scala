@@ -1727,6 +1727,30 @@ object SparkEntry {
       graft.operators.TrainedPq.sf001, path, k = 10, nprobe = 2)
   }
 
+  /** Span-level contamination scrub ([[Dedup.dupSpanScrub]], 5-token
+    * windows): duplicated spans removed, documents rebuilt in token order.
+    */
+  private def dDupSpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanScrub(t(s, dir, "documents"), "doc_id", "text", w = 5)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Deterministic epoch shuffle + sharding for training-data serving:
+    * every document hash-ordered into one of 8 shards with a stable
+    * within-shard position. Reshuffling an epoch = changing the hash salt;
+    * no RNG state, so any engine (and any rerun) produces the same order.
+    * The window ranks within shards only — 1/8th of the corpus per
+    * partition, never a global sort.
+    */
+  private def cEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.shingleHash(concat(lit("epoch0:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % 8)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1834,7 +1858,9 @@ object SparkEntry {
     "q_lead_lag" -> (qLeadLag _),
     "q13_cust_dist" -> (q13CustDist _),
     "c_embedding_pipeline" -> (cEmbeddingPipeline _),
-    "e_pq_index_topk" -> (ePqIndexTopK _)
+    "e_pq_index_topk" -> (ePqIndexTopK _),
+    "d_dup_span_scrub" -> (dDupSpanScrub _),
+    "c_epoch_shuffle" -> (cEpochShuffle _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3260,6 +3286,37 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE prev_ts IS NOT NULL""",
+    "d_dup_span_scrub" -> {
+      val h = sqlPh("array_to_string(tk[i:i+4], ' ')", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         g AS (SELECT doc_id, i - 1 AS pos, $h AS h
+           FROM d, unnest(range(1, len(tk) - 3)) AS u(i)),
+         dup AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+           WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos + x AS pos
+           FROM (SELECT g.* FROM g WHERE h IN (SELECT h FROM dup)) f,
+             unnest(range(0, 5)) AS ux(x)),
+         toks AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+           FROM d, unnest(range(1, len(tk) + 1)) AS u(i)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+           LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+           WHERE cov.pos IS NULL),
+         res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+           coalesce(n_kept, 0) AS n_kept
+         FROM documents LEFT JOIN res USING (doc_id)"""
+    },
+    "c_epoch_shuffle" -> {
+      val h = sqlPh("'epoch0:' || doc_id::VARCHAR", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, $h AS h FROM documents)
+         SELECT doc_id, h % 8 AS shard,
+           row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         FROM d"""
+    },
     "q13_cust_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

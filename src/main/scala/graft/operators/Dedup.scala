@@ -622,6 +622,44 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Exact-substring REMOVAL (the scrub dual of [[dupSpanStats]]): rebuild
+    * each document keeping only token positions NOT covered by a
+    * cross-document duplicated `w`-token window — the Lee-et-al. "dedup the
+    * span, not the document" treatment for boilerplate that exact/near
+    * whole-doc dedup leaves behind.
+    *
+    * Same scale shape as the stats pass (hash-keyed windows, dup-only
+    * position explode); the rebuild groups tokens by id and restores order
+    * via the carried position, exactly like [[lineDedup]]'s reassembly.
+    *
+    * @return (id, clean_text, n_kept) — fully-duplicated documents come
+    *         back with an empty clean_text.
+    */
+  def dupSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
+        .as(Seq("pos", "tok")))
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), w))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), shingleHash(col("g")).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val covered = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id")).agg(
+      concat_ws(" ", transform(array_sort(collect_list(
+        struct(col("pos"), col("tok")))), s => s.getField("tok"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected pair list by iterative

@@ -401,4 +401,22 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0L, 0L)))
     assert(out(4L) == ((0L, 0L, 0L)))  // shorter than the window
   }
+
+  test("dupSpanScrub removes exactly the covered positions, preserving order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 z1"),
+      (2L, "p q a b c d e f"),
+      (3L, "u v w only here once")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupSpanScrub(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("x1 y1 z1", 3L)))   // pos 0-5 scrubbed
+    assert(out(2L) == (("p q", 2L)))        // pos 2-7 scrubbed
+    assert(out(3L) == (("u v w only here once", 6L)))
+    // kept = total tokens − covered positions from dupSpanStats
+    val stats = graft.operators.Dedup.dupSpanStats(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val totals = Map(1L -> 9L, 2L -> 8L, 3L -> 6L)
+    totals.foreach { case (id, n) => assert(out(id)._2 == n - stats(id)) }
+  }
 }
