@@ -1751,6 +1751,15 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Language-ID confusion matrix: the n-gram heuristic's prediction
+    * cross-tabulated against the labeled language — the evaluation query a
+    * curation run uses before trusting langid-gated filters.
+    */
+  private def tLangidEval(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1860,7 +1869,8 @@ object SparkEntry {
     "c_embedding_pipeline" -> (cEmbeddingPipeline _),
     "e_pq_index_topk" -> (ePqIndexTopK _),
     "d_dup_span_scrub" -> (dDupSpanScrub _),
-    "c_epoch_shuffle" -> (cEpochShuffle _)
+    "c_epoch_shuffle" -> (cEpochShuffle _),
+    "t_langid_eval" -> (tLangidEval _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2630,6 +2640,12 @@ object SparkEntry {
       s"""SELECT doc_id, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
                FROM documents)""",
+    "t_langid_eval" ->
+      s"""SELECT lang, lang_pred, count(*) AS n FROM (
+           SELECT lang, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
+           FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                 FROM documents))
+         GROUP BY 1, 2""",
     "t_fingerprint" ->
       """SELECT doc_id,
          list_reduce([0::BIGINT] || list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),

@@ -197,6 +197,24 @@ class PropertySpec extends SparkTestBase {
     assert(masked == naive(0L, 1L, 21))
   }
 
+  test("dup-span scrub and stats agree on random corpora: kept + covered = total") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g")
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(doc, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val stats = graft.operators.Dedup.dupSpanStats(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val scrub = graft.operators.Dedup.dupSpanScrub(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    docs.foreach { case (id, text) =>
+      val total = if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong
+      val (clean, kept) = scrub(id)
+      assert(kept == total - stats(id), s"doc $id")
+      val cleanToks = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+      assert(cleanToks == kept, s"doc $id rebuild")
+    }
+  }
+
   test("histogramQuantiles error is bounded by binWidth vs exact quantiles") {
     val valueLists = samples(Gen.listOfN(200, Gen.chooseNum(0.0, 100.0)), 10)
     valueLists.foreach { vs =>
