@@ -615,6 +615,34 @@ object SparkEntry {
         col("f.channels").as("channels"), col("f.bits").as("bits"))
   }
 
+  /** MP4 movie-header recovery through the ISO-BMFF box walk: payloads are
+    * planted with a variable layout (an optional `free` sibling before
+    * `mvhd` inside `moov`, like m_wav_format's optional LIST chunk) so the
+    * kernel must actually hop box headers; the oracle states the planting
+    * formulas as ground truth.
+    */
+  private def mMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    def be32(c: Column) = unhex(lpad(hex(c.bitwiseAND(0xFFFFFFFFL)), 8, "0"))
+    val timescale = element_at(
+      typedLit(Seq(600L, 1000L, 24000L, 90000L)), (col("doc_id") % 4 + 1).cast("int"))
+    val duration = (col("n_chars") % 10000L) * 100L + col("doc_id") % 100L
+    val ftyp = concat(be32(lit(16L)), lit("ftyp".getBytes), lit("isom".getBytes),
+      be32(lit(0L)))
+    val mvhd = concat(be32(lit(28L)), lit("mvhd".getBytes), be32(lit(0L)),
+      be32(lit(0L)), be32(lit(0L)), be32(timescale), be32(duration))
+    val free = when(col("doc_id") % 2 === 0,
+      concat(be32(lit(12L)), lit("free".getBytes), be32(lit(0L))))
+      .otherwise(lit(Array.empty[Byte]))
+    val moovSize = lit(8L) + when(col("doc_id") % 2 === 0, 12L).otherwise(0L) + lit(28L)
+    val data = encode(col("text"), "UTF-8")
+    val mdat = concat(be32(length(data).cast("long") + 8L), lit("mdat".getBytes), data)
+    val payload = concat(ftyp, be32(moovSize), lit("moov".getBytes), free, mvhd, mdat)
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"), payload.as("payload"))
+      .withColumn("m", Multimodal.mp4Meta(col("payload")))
+      .select(col("doc_id"), col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"))
+  }
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1870,7 +1898,8 @@ object SparkEntry {
     "e_pq_index_topk" -> (ePqIndexTopK _),
     "d_dup_span_scrub" -> (dDupSpanScrub _),
     "c_epoch_shuffle" -> (cEpochShuffle _),
-    "t_langid_eval" -> (tLangidEval _)
+    "t_langid_eval" -> (tLangidEval _),
+    "m_mp4_meta" -> (mMp4Meta _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2589,6 +2618,14 @@ object SparkEntry {
               WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
          CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS bits
+         FROM documents""",
+    "m_mp4_meta" ->
+      // ground truth stated from the planting formulas — the box walk must
+      // recover them through the variable (optional-free-box) layout
+      """SELECT doc_id,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              WHEN 2 THEN 24000 ELSE 90000 END AS BIGINT) AS timescale,
+         CAST((n_chars % 10000) * 100 + doc_id % 100 AS BIGINT) AS duration
          FROM documents""",
     "m_audio_energy" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx

@@ -296,6 +296,16 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** MP4/ISO-BMFF mvhd metadata packed long ([[Kernels.mp4Meta]]). */
+  case class Mp4Meta(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.mp4Meta(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.mp4Meta($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Bloom-filter membership probe of a long column against a driver-built
     * filter (`df.stat.bloomFilter` — Spark's public sketch, built
     * distributed via treeAggregate). The filter rides to executors as a
@@ -367,6 +377,8 @@ object KernelExpressions {
   def resizeStub(bin: Column, factor: Int): Column = c(ResizeStub(e(bin), factor))
 
   def wavFormat(bin: Column): Column = c(WavFormat(e(bin)))
+
+  def mp4Meta(bin: Column): Column = c(Mp4Meta(e(bin)))
 
   def bpeTokenCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     c(BpeTokenCount(e(text), lefts, rights))

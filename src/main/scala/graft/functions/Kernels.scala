@@ -489,6 +489,50 @@ object Kernels {
     -1L
   }
 
+  /** MP4/ISO-BMFF movie-header metadata via the box walk (ISO 14496-12
+    * §4.2): top-level boxes are (u32 BE size, 4-byte type, body); the file
+    * must open with `ftyp`, and `moov`'s children include `mvhd` whose v0
+    * body is [version u8][flags u24][ctime u32][mtime u32][timescale u32]
+    * [duration u32]. Returns `(timescale << 24) | duration`, or -1 when
+    * the buffer is not BMFF, a box size is implausible, mvhd is missing /
+    * not v0, or duration overflows its 24-bit slot. Bounded: hops box
+    * headers only, never scans media samples.
+    */
+  def mp4Meta(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    @inline def typ(i: Int): Long = be32(i + 4)
+    val FTYP = 0x66747970L; val MOOV = 0x6D6F6F76L; val MVHD = 0x6D766864L
+    if (n < 8 || typ(0) != FTYP) return -1L
+    var p = 0L // Long cursor — see wavFormat's 2 GB note
+    while (p + 8 <= n) {
+      val pi = p.toInt
+      val size = be32(pi)
+      if (size < 8L || p + size > n) return -1L
+      if (typ(pi) == MOOV) {
+        var q = p + 8
+        while (q + 8 <= p + size) {
+          val qi = q.toInt
+          val s2 = be32(qi)
+          if (s2 < 8L || q + s2 > p + size) return -1L
+          if (typ(qi) == MVHD) {
+            if (s2 < 28L || u8(qi + 8) != 0) return -1L
+            val timescale = be32(qi + 20)
+            val duration = be32(qi + 24)
+            if (duration >= (1L << 24)) return -1L
+            return (timescale << 24) | duration
+          }
+          q += s2
+        }
+        return -1L
+      }
+      p += size
+    }
+    -1L
+  }
+
   /** JPEG frame dimensions via the marker-segment walk (ITU T.81 §B): after
     * the FFD8 SOI, each segment is 0xFF, a type byte, then a 2-byte
     * big-endian length (counting itself) — except standalone markers

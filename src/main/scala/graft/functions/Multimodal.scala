@@ -82,6 +82,19 @@ object Multimodal {
         .cast("struct<sample_rate:bigint,channels:bigint,bits:bigint>"))
   }
 
+  /** MP4/ISO-BMFF movie-header metadata (timescale / duration in
+    * timescale units) via the box walk (kernel expression — boxes are
+    * variable-length with optional siblings before mvhd, so fixed offsets
+    * don't work); null when the payload is not BMFF or carries no v0 mvhd.
+    */
+  def mp4Meta(bin: Column): Column = {
+    val packed = KernelExpressions.mp4Meta(bin)
+    when(packed >= 0,
+      struct(shiftright(packed, 24).as("timescale"),
+        packed.bitwiseAND(lit(0xFFFFFFL)).as("duration")))
+      .otherwise(lit(null).cast("struct<timescale:bigint,duration:bigint>"))
+  }
+
   /** Content fingerprint: poly-hash over the payload's hex rendering —
     * engine-reproducible (DuckDB mirrors via to_hex + the same fold).
     */

@@ -155,6 +155,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3).getInt(2) == 25 + 3) // headers intact + ceil(5/2) body
   }
 
+  test("mp4Meta walks the box tree and rejects malformed payloads") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes ++ body
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(90000) ++ be32(1234))
+    val good = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", box("free", be32(0)) ++ mvhd) ++ box("mdat", "xx".getBytes)
+    assert(graft.functions.Kernels.mp4Meta(good) == (90000L << 24 | 1234L))
+    // no ftyp leader
+    assert(graft.functions.Kernels.mp4Meta(box("moov", mvhd)) == -1L)
+    // child box overruns its parent
+    val bad = box("ftyp", be32(0)) ++
+      (be32(24L) ++ "moov".getBytes ++ be32(100L) ++ "mvhd".getBytes ++ be32(0))
+    assert(graft.functions.Kernels.mp4Meta(bad) == -1L)
+    // v1 mvhd (64-bit times) is out of contract
+    val v1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(1))
+    assert(graft.functions.Kernels.mp4Meta(
+      box("ftyp", be32(0)) ++ box("moov", v1)) == -1L)
+  }
+
   test("fake embedding is deterministic, dim-sized, in [0,1)") {
     val df = Seq("CAFEBABE").toDF("hx").select(unhex(col("hx")).as("bin"))
     val e1 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()
