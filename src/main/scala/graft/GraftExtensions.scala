@@ -109,6 +109,9 @@ object GraftFunctions {
     fd("graft_wav_format",
       "graft_wav_format(bin) - packed (rate << 16) | (channels << 8) | bits from the fmt chunk",
       args => { arity("graft_wav_format", args, 1); K.WavFormat(args(0)) }),
+    fd("graft_mp4_meta",
+      "graft_mp4_meta(bin) - packed (timescale << 24) | duration from the ISO-BMFF mvhd walk",
+      args => { arity("graft_mp4_meta", args, 1); K.Mp4Meta(args(0)) }),
     fd("graft_zvalue",
       "graft_zvalue(x, y, bits) - Morton z-value interleaving the low `bits` bits of two non-negative coords",
       args => { arity("graft_zvalue", args, 3)

@@ -100,5 +100,13 @@ class SqlFunctionsSpec extends SparkTestBase {
     val out = spark.sql(
       s"SELECT graft_image_dims(unhex('$png')) AS d").head().getLong(0)
     assert(out == ((3L << 32) | 2L))
+    // minimal BMFF: ftyp(16) + moov(36) { mvhd(28) v0 ts=1000 dur=7 }
+    val mp4 = "000000106674797069736F6D00000000" +
+      "00000024" + "6D6F6F76" +
+      "0000001C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00000007"
+    val m = spark.sql(
+      s"SELECT graft_mp4_meta(unhex('$mp4')) AS m").head().getLong(0)
+    assert(m == ((1000L << 24) | 7L))
   }
 }
