@@ -1418,6 +1418,35 @@ object SparkEntry {
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
   }
 
+  /** Stream-static ANTI-JOIN under the oracle gate
+    * ([[graft.streaming.Streaming.antiJoinUploaded]]): the transactional
+    * activation dedup as a stream — events whose ids are already in the
+    * static uploaded set are dropped per micro-batch, state-free. The
+    * drained output must equal the batch NOT-EXISTS the oracle runs.
+    */
+  private def sAntiJoinStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_a")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val uploaded = t(s, dir, "events")
+      .filter(col("event_id") % 3 === 0).select(col("event_id"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val qn = s"s_anti_join_${System.nanoTime()}"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      val query = graft.streaming.Streaming
+        .antiJoinUploaded(ev, uploaded, Seq("event_id"))
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
   /** Watermarked stream-stream INTERVAL join under the oracle gate
     * ([[graft.streaming.Streaming.intervalJoin]]): click→purchase
     * attribution within 30 minutes per user, both sides of the self-join
@@ -1899,7 +1928,8 @@ object SparkEntry {
     "d_dup_span_scrub" -> (dDupSpanScrub _),
     "c_epoch_shuffle" -> (cEpochShuffle _),
     "t_langid_eval" -> (tLangidEval _),
-    "m_mp4_meta" -> (mMp4Meta _)
+    "m_mp4_meta" -> (mMp4Meta _),
+    "s_anti_join_stream" -> (sAntiJoinStream _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2234,6 +2264,9 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY user_id
          ORDER BY n_events DESC, user_id LIMIT 20""",
+    "s_anti_join_stream" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_id % 3 <> 0 GROUP BY 1""",
     "q_anti_join_key" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          round(l_quantity, 2) AS l_quantity

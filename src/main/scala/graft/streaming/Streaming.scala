@@ -211,6 +211,18 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Stream-static anti-join: the activation-side transactional dedup
+    * ([[graft.transform.Transforms.antiJoinUploaded]]) as a stream — each
+    * micro-batch drops rows whose keys already sit in the static uploaded /
+    * control table. State-FREE (no watermark, no join state): the static
+    * side is re-planned per batch, so a nightly-refreshed control table is
+    * picked up without a restart, and the lookup is a broadcast or hash
+    * join sized by the control table alone.
+    */
+  def antiJoinUploaded(stream: DataFrame, uploaded: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(uploaded, keys, "left_anti")
+
   /** Watermarked stream-stream interval join (click→conversion attribution):
     * left rows match right rows of the same key whose event time falls in
     * [left.ts, left.ts + windowSeconds]. Both sides carry watermarks and the
