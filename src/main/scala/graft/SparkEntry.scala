@@ -970,6 +970,24 @@ object SparkEntry {
     Transforms.mergeUpsert(baseOrders(s, dir), updates, Seq("o_orderkey"), "version")
   }
 
+  /** Full-CDC merge ([[Transforms.mergeCdc]]): upserts AND deletes in one
+    * change batch — a key whose latest change is a delete vanishes even if
+    * an older update also touched it (keys divisible by 130 exercise
+    * exactly that collision). Same join-free single-shuffle plan as the
+    * upsert merge.
+    */
+  private def qMergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val ups = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") + 1000, 2).as("o_totalprice"),
+        lit(1L).as("version"), lit("U").as("op"))
+    val dels = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(0.0).as("o_totalprice"),
+        lit(2L).as("version"), lit("D").as("op"))
+    Transforms.mergeCdc(baseOrders(s, dir), ups.unionByName(dels),
+      Seq("o_orderkey"), "version", "op")
+  }
+
   /** Snapshot versioning / time travel ([[graft.io.Versioned]]): the base
     * orders publish as v1, the CDC-merged state as v2; the query reads BOTH
     * snapshots back — v1 by explicit version (time travel), v2 as the
@@ -1929,7 +1947,8 @@ object SparkEntry {
     "c_epoch_shuffle" -> (cEpochShuffle _),
     "t_langid_eval" -> (tLangidEval _),
     "m_mp4_meta" -> (mMp4Meta _),
-    "s_anti_join_stream" -> (sAntiJoinStream _)
+    "s_anti_join_stream" -> (sAntiJoinStream _),
+    "q_merge_cdc" -> (qMergeCdc _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3132,6 +3151,19 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
              ORDER BY version DESC, src DESC) AS rn FROM u)
          SELECT o_orderkey, o_totalprice, version FROM r WHERE rn = 1""",
+    "q_merge_cdc" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             0::BIGINT AS version, 0 AS src, 'U' AS op FROM orders),
+         upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2),
+             1::BIGINT, 1, 'U' FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 0.0::DOUBLE, 2::BIGINT, 1, 'D'
+           FROM orders WHERE o_orderkey % 13 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC, src DESC) AS rn FROM u)
+         SELECT o_orderkey, o_totalprice, version FROM r
+         WHERE rn = 1 AND op <> 'D'""",
     "t_lm_cross" -> {
       val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
       val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)

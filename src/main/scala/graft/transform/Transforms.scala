@@ -161,4 +161,24 @@ object Transforms {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** Full-CDC merge: like [[mergeUpsert]] but the update batch carries an
+    * op column ('U' upsert / 'D' delete). The latest row per key wins
+    * exactly as in the upsert merge; if the winner is a delete, the key
+    * vanishes from the output (MERGE ... WHEN MATCHED AND op = 'D' THEN
+    * DELETE). Same single-hash-shuffle shape — deletion is a post-window
+    * filter, not another join.
+    */
+  def mergeCdc(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String): DataFrame = {
+    val u = base.withColumn("__src", lit(0)).withColumn("__op", lit("U"))
+      .unionByName(updates.withColumn("__src", lit(1))
+        .withColumn("__op", col(opCol)).drop(opCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__rn", "__src", "__op")
+  }
 }

@@ -135,4 +135,20 @@ class TransformsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"mergeUpsert should not plan a join:\n$p")
   }
+
+  test("mergeCdc: delete wins when latest, loses to a newer update, base survives") {
+    val base = Seq((1L, "b1", 5L), (2L, "b2", 5L), (3L, "b3", 5L))
+      .toDF("k", "v", "version")
+    val changes = Seq(
+      (1L, "u1", 6L, "U"), (1L, "x", 7L, "D"),  // delete is latest -> gone
+      (2L, "x", 6L, "D"), (2L, "u2", 7L, "U"),  // update is latest -> survives
+      (4L, "x", 1L, "D"))                        // delete of an absent key -> no row
+      .toDF("k", "v", "version", "op")
+    val out = Transforms.mergeCdc(base, changes, Seq("k"), "version", "op")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map(2L -> "u2", 3L -> "b3"))
+    val p = Transforms.mergeCdc(base, changes, Seq("k"), "version", "op")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"mergeCdc should not plan a join:\n$p")
+  }
 }
