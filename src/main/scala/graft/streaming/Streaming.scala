@@ -214,10 +214,19 @@ object Streaming {
   /** Stream-static anti-join: the activation-side transactional dedup
     * ([[graft.transform.Transforms.antiJoinUploaded]]) as a stream — each
     * micro-batch drops rows whose keys already sit in the static uploaded /
-    * control table. State-FREE (no watermark, no join state): the static
-    * side is re-planned per batch, so a nightly-refreshed control table is
-    * picked up without a restart, and the lookup is a broadcast or hash
-    * join sized by the control table alone.
+    * control table. State-FREE (no watermark, no join state): the lookup
+    * is a broadcast or hash join sized by the control table alone.
+    *
+    * Refresh contract (spec-pinned): the static side is a SNAPSHOT for the
+    * lifetime of the streaming query — its file listing is captured in the
+    * query's analyzed plan at start, so control rows appended later are
+    * invisible to every subsequent micro-batch (and an in-place overwrite
+    * breaks the running query outright; writebacks must append, as
+    * [[graft.io.DataReaders]]'s uploaded log does). To pick up a
+    * refreshed control table: restart the query (checkpointed restarts
+    * resume exactly), or move the anti-join into `foreachBatch`, where the
+    * uploaded-side DataFrame is re-created — and its files re-listed — per
+    * batch.
     */
   def antiJoinUploaded(stream: DataFrame, uploaded: DataFrame,
       keys: Seq[String]): DataFrame =

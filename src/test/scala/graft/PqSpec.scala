@@ -58,6 +58,20 @@ class PqSpec extends SparkTestBase {
     assert(out.toSeq.sortBy(r => (r._1, r._3)) == expected)
   }
 
+  test("materialized PQ index returns exactly the recompute path's rows") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = graft.operators.TrainedCentroids.sf001
+    val q = emb.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString + "/idx"
+    Pq.writePqIndex(emb, "vec_id", "embedding", centroids, books, path)
+    val viaIndex = Pq.pqIndexTopK(spark, q, "vec_id", "embedding", centroids,
+      books, path, k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    val recompute = Pq.ivfPqTopK(q, emb, "vec_id", "embedding", centroids,
+      books, k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(viaIndex == recompute)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("ivfPqTopK stays hash-joinable and agrees with flat ADC inside the probed cells") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val centroids = graft.operators.TrainedCentroids.sf001

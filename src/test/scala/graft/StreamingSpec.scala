@@ -291,4 +291,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Map(100L -> None, 101L -> Some(9.0), 102L -> Some(9.0),
       103L -> Some(2.0), 104L -> Some(2.0)))
   }
+
+  test("stream-static anti-join: the uploaded side is a SNAPSHOT until restart") {
+    val dir = java.nio.file.Files.createTempDirectory("uploaded_ctl").toString
+    Seq(1L).toDF("event_id").write.mode("overwrite").parquet(dir)
+    val uploaded = spark.read.parquet(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val qn = s"anti_refresh_${System.nanoTime()}"
+    val query = Streaming.antiJoinUploaded(
+        input.toDF.withColumnRenamed("value", "event_id"), uploaded, Seq("event_id"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    input.addData(1L, 2L, 3L)
+    query.processAllAvailable()
+    // batch 1: id 1 blocked
+    assert(spark.table(qn).as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // a writeback APPENDS id 2 mid-query: the documented snapshot contract
+    // means the RUNNING query must still pass it (file listing captured at
+    // start; even refreshByPath does not reach inside the analyzed plan)
+    Seq(2L).toDF("event_id").write.mode("append").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    input.addData(2L, 4L)
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table(qn).as[Long].collect().sorted.toSeq == Seq(2L, 2L, 3L, 4L))
+    // a RESTARTED query (fresh static DataFrame) sees the appended row
+    val input2 = MemoryStream[Long]
+    val qn2 = s"anti_refresh2_${System.nanoTime()}"
+    val q2 = Streaming.antiJoinUploaded(
+        input2.toDF.withColumnRenamed("value", "event_id"),
+        spark.read.parquet(dir), Seq("event_id"))
+      .writeStream.format("memory").queryName(qn2)
+      .outputMode("append").start()
+    input2.addData(1L, 2L, 5L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table(qn2).as[Long].collect().sorted.toSeq == Seq(5L))
+  }
 }
