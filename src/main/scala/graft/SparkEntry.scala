@@ -1835,6 +1835,28 @@ object SparkEntry {
       .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
 
+  /** Quality-ranked cluster representatives: near-dup clusters keep their
+    * BEST-quality document (ties to the lower id) instead of the min-id
+    * default — the curation policy real pipelines want (the canonical copy
+    * survives, not the lexicographically first). Ranking happens on the
+    * cluster table (one row per doc, ids + scores only).
+    */
+  private def dClusterBestKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+    val comps = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    comps.select(col("id").as("doc_id"), col("comp"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("comp"), col("quality"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1948,7 +1970,8 @@ object SparkEntry {
     "t_langid_eval" -> (tLangidEval _),
     "m_mp4_meta" -> (mMp4Meta _),
     "s_anti_join_stream" -> (sAntiJoinStream _),
-    "q_merge_cdc" -> (qMergeCdc _)
+    "q_merge_cdc" -> (qMergeCdc _),
+    "d_cluster_best_keep" -> (dClusterBestKeep _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -2459,6 +2482,33 @@ object SparkEntry {
            UNION
            SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)
          SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""",
+    "d_cluster_best_keep" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                   UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+         comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+         qr AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             (length(text) - length(regexp_replace(text,
+               '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x IN ($stopwordsSql)))::DOUBLE /
+               len(string_split_regex(trim(text), '\\s+')) AS sr
+           FROM documents),
+         q AS (SELECT doc_id, round(least(n_tokens::DOUBLE / 100.0, 1.0)
+             * (1.0 - pr) * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality
+           FROM qr),
+         sel AS (SELECT c.doc_id, c.comp, q.quality
+           FROM comp c JOIN q ON c.doc_id = q.doc_id)
+         SELECT doc_id, comp, quality FROM (
+           SELECT *, row_number() OVER (PARTITION BY comp
+             ORDER BY quality DESC, doc_id) AS rn FROM sel)
+         WHERE rn = 1""",
     "d_simhash_pairs" ->
       s"""WITH toks AS (
            SELECT doc_id,
