@@ -1858,6 +1858,152 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // Round-6 continuation: OLAP breadth, incremental-aggregate
+  // maintenance, behavioral funnels, SCD2 dims, corpus data card
+  // ------------------------------------------------------------------
+
+  /** TPC-H-Q5-shaped regional supplier volume: revenue per nation for
+    * 1996 orders where the ordering customer and the line's supplier sit
+    * in the SAME nation of one region. The two fact tables join on
+    * orderkey (one shuffle), customer on custkey (second shuffle);
+    * supplier enriched with region-filtered nations is a genuine
+    * dimension and broadcasts, with the same-nation predicate riding the
+    * join condition so mismatched rows never materialize.
+    */
+  private def q5SupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val natInRegion = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(s, dir, "supplier")
+      .join(natInRegion, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H-Q18-shaped large-order detail: orders whose line quantities
+    * sum past a threshold, joined back to order and customer detail. The
+    * HAVING-filtered key set is tiny relative to the fact table (46 of
+    * ~15k orders at sf0.01), so the join back is left unhinted — AQE sees
+    * the post-aggregation size at runtime and picks a broadcast, which is
+    * exactly the 100 TB plan (never broadcast on a static guess about a
+    * data-dependent aggregate).
+    */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Incremental materialized-aggregate maintenance: the base aggregate
+    * (orders before the cutover date) merges with the delta batch's
+    * partial aggregate by re-aggregating the two partials — count and sum
+    * are commutative monoids, so merge = sum-of-partials, never a rescan
+    * of the base facts. At 100 TB the base side is a STORED aggregate
+    * (key-space-sized, not fact-sized) and the daily delta is the only
+    * scan; the oracle recomputes from scratch, so the row is green only
+    * if merge(partials) == recompute(all).
+    */
+  private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2000-01-01").cast("date")
+    val ord = t(s, dir, "orders")
+    def part(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    part(ord.filter(col("o_orderdate") < cut))
+      .unionByName(part(ord.filter(col("o_orderdate") >= cut)))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        round(sum(col("total")), 2).as("total_price"))
+  }
+
+  /** Click-funnel stage counts over the event stream: users who viewed,
+    * then clicked strictly after their first view, then purchased
+    * strictly after their first qualifying click — all comparisons at µs
+    * resolution (the [[tsUs]] engine-parity contract). Each stage is one
+    * aggregation keyed by user_id, and every stage→stage join reuses the
+    * hash partitioning the previous aggregation just produced — the
+    * funnel costs one shuffle per stage, not one per join, and stage sets
+    * only shrink.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(name).as("stage"), col("users"))
+    stage("1_view", v).unionByName(stage("2_click", c))
+      .unionByName(stage("3_purchase", p))
+  }
+
+  /** Type-2 slowly-changing dimension built from an ordered change log:
+    * each customer's order stream is change-detected on o_orderstatus
+    * (lag over the per-customer sort); surviving change rows become
+    * versioned dimension rows with [effective_from, effective_to) ranges
+    * (lead over the same sort) and an is_current flag. The filter between
+    * the two windows preserves partitioning AND order, so the second
+    * window reuses the first's sort — one shuffle, one sort, total.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev_status").isNull ||
+        col("prev_status") =!= col("o_orderstatus"))
+      .withColumn("effective_to_ts", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("effective_from"),
+        col("effective_to_ts").cast("date").as("effective_to"),
+        col("effective_to_ts").isNull.as("is_current"))
+  }
+
+  /** Training-corpus data card: the (source × lang), per-source,
+    * per-lang, and global rollup rows of a run report — docs, whitespace
+    * tokens (kernel), chars — in ONE Expand + aggregation pass. The text
+    * column is reduced to an integer BEFORE the grouping-sets Expand, so
+    * the 4× row multiplication replicates longs, not document bodies.
+    */
+  private def cDataCard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+          Seq(col("lang")), Seq()),
+        col("source"), col("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pipeline_idempotence" -> (pPipelineIdempotence _),
@@ -1971,7 +2117,13 @@ object SparkEntry {
     "m_mp4_meta" -> (mMp4Meta _),
     "s_anti_join_stream" -> (sAntiJoinStream _),
     "q_merge_cdc" -> (qMergeCdc _),
-    "d_cluster_best_keep" -> (dClusterBestKeep _)
+    "d_cluster_best_keep" -> (dClusterBestKeep _),
+    "q5_supplier_volume" -> (q5SupplierVolume _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_funnel" -> (qFunnel _),
+    "q_scd2" -> (qScd2 _),
+    "c_data_card" -> (cDataCard _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3541,6 +3693,63 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10"""
-    }
+    },
+    "q5_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY 1""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300)
+         SELECT c_custkey, c_name, o_orderkey,
+           o_orderdate::DATE AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, sum_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "q_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY 1""",
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE event_type = 'click' AND epoch_us(ts) > t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1)
+         SELECT '1_view' AS stage, count(*) AS users FROM v
+         UNION ALL SELECT '2_click', count(*) FROM c
+         UNION ALL SELECT '3_purchase', count(*) FROM p""",
+    "q_scd2" ->
+      """WITH s AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         ch AS (SELECT * FROM s WHERE prev IS NULL OR prev <> o_orderstatus)
+         SELECT o_custkey, o_orderstatus,
+           o_orderdate::DATE AS effective_from,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))::DATE AS effective_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
+         FROM ch""",
+    "c_data_card" ->
+      """SELECT source, lang,
+           CASE WHEN grouping(source) = 0 AND grouping(lang) = 0 THEN 0
+                WHEN grouping(source) = 0 THEN 1
+                WHEN grouping(lang) = 0 THEN 2 ELSE 3 END AS gid,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+           sum(n_chars) AS total_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
   )
 }
