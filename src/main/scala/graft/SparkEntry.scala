@@ -2003,6 +2003,155 @@ object SparkEntry {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"))
 
+  /** Nation-level trade graph: customer-nation → supplier-nation edges
+    * weighted by line revenue — the shared edge derivation of
+    * [[qPagerank]] and its oracle. Supplier is the genuine small
+    * dimension (broadcast); the fact-side joins shuffle on their keys.
+    */
+  private def nationTradeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("w"))
+
+  /** Weighted PageRank over the nation trade graph — 5 power iterations
+    * via [[graft.operators.Graph.pageRank]], ranks joined back to nation
+    * names. The oracle unrolls the same fixed-point arithmetic as one
+    * generated CTE chain; both engines round the converged double to 8
+    * decimals (iteration arithmetic is identical, only summation order
+    * differs — error ~1e-15).
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+    val pr = graft.operators.Graph.pageRank(
+      nat.select(col("n_nationkey")), "n_nationkey",
+      nationTradeEdges(s, dir), "src", "dst", "w", iterations = 5)
+    pr.join(broadcast(nat), pr("id") === nat("n_nationkey"))
+      .select(col("n_name"), round(col("rank"), 8).as("pr"))
+  }
+
+  /** Day-granularity cohort retention over the event stream: users are
+    * cohorted by the day of their FIRST event; every later event counts
+    * them active at `offset = event day - cohort day`. Two aggregations
+    * keyed by user_id (first-day, then the join back) reuse one hash
+    * partitioning; the final (cohort, offset) rollup is the only
+    * re-shuffle — the standard retention-matrix plan.
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(timestamp_micros(tsUs)).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Per-nation linear trend of order value over time: closed-form OLS
+    * (slope = covar_pop/var_pop, intercept from the means) per customer
+    * nation — regression as ONE aggregation pass over the fact join, no
+    * iterative fitting. The 100 TB shape for per-group model fitting:
+    * sufficient statistics are map-side-combinable monoids.
+    */
+  private def qTrendFit(s: SparkSession, dir: String): DataFrame = {
+    val x = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("double")
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), x.as("x"), col("o_totalprice").as("y"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round((covar_pop(col("x"), col("y")) / var_pop(col("x"))), 4).as("slope"),
+        round(avg(col("y")) - (covar_pop(col("x"), col("y")) / var_pop(col("x"))) * avg(col("x")), 2)
+          .as("intercept"))
+  }
+
+  /** Nested-data processing with higher-order functions: each order's
+    * lines are collected into a linenumber-sorted array of structs, then
+    * revenue and counts are computed INSIDE the array with
+    * `aggregate`/`filter` lambdas — no explode, no second shuffle, and
+    * the lambdas run in whole-stage codegen. Array size is bounded by
+    * lines-per-order (single-digit), so grouped collection is safe at any
+    * corpus scale. Revenue accumulates in EXACT integer ten-thousandths
+    * (cents × remaining-discount-percent) — per-line products have 4
+    * decimal digits, so ~1% of rounded double sums would land on a .xx5
+    * half-way point where the two engines' rounding modes disagree; the
+    * integer form hashes identically by construction. The oracle replays
+    * the relational dual.
+    */
+  private def qArrayHof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")))).as("lines"))
+      .select(col("l_orderkey"),
+        size(col("lines")).cast("long").as("n_lines"),
+        aggregate(col("lines"), lit(0L),
+          (acc, x) => acc +
+            round(x.getField("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(x.getField("l_discount") * 100, 0).cast("long")))
+          .as("revenue_e4"),
+        size(filter(col("lines"),
+          x => x.getField("l_quantity") > lit(40.0d))).cast("long").as("n_big"))
+
+  /** Per-nation triangle counts over the (undirected, thresholded) trade
+    * graph — [[graft.operators.Graph.triangleCounts]] does the
+    * degree-oriented compact-forward enumeration, so wedge fan-out is
+    * bounded by oriented out-degree even if one nation traded with all
+    * others. The revenue threshold keeps the graph non-complete so the
+    * count distribution is informative. The oracle enumerates the same
+    * triangles canonically (a < b < c); the triangle SET is
+    * orientation-invariant, so both formulations agree row-for-row.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = nationTradeEdges(s, dir).where(col("w") >= 3000000.0)
+    val nat = t(s, dir, "nation")
+    val tc = graft.operators.Graph.triangleCounts(e, "src", "dst")
+    tc.join(broadcast(nat), tc("id") === nat("n_nationkey"))
+      .select(col("n_name"), col("n_triangles"))
+  }
+
+  /** BFS hop distance from part 1 over the parts-co-ordered-together
+    * graph (edge iff two parts share an order). Frontier BFS via
+    * [[graft.operators.Graph.shortestHops]]: per round only the newly
+    * reached frontier joins the edge list, and the settled set is
+    * checkpointed — cost tracks frontier out-edges, not |V|·rounds. The
+    * co-order self-join is per-order quadratic, safe because TPC-H
+    * orders have ≤7 lines (bounded group size, like [[qArrayHof]]'s
+    * arrays). The oracle is DuckDB's recursive CTE with an outer
+    * min-per-node — same fixpoint, path-enumeration strategy instead of
+    * frontier, identical minima.
+    */
+  private def qReachHops(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val src = t(s, dir, "part").where(col("p_partkey") === 1)
+    graft.operators.Graph.shortestHops(e, "src", "dst", src, "p_partkey", maxHops = 3)
+      .select(col("id"), col("hops").cast("long").as("hops"))
+  }
+
+  /** Per-nation argmax as a SINGLE aggregation pass: the richest
+    * customer per nation via `max(struct(acctbal, -custkey))` — struct
+    * ordering is lexicographic, so the negated key breaks acctbal ties
+    * toward the smallest custkey deterministically. This is the
+    * scale-correct alternative to the row_number window ([[qWindowRank]]):
+    * partial max is map-side-combinable, so no per-group sort and no
+    * skew sensitivity — a nation with 10⁹ customers costs the same
+    * per-row work as one with 10. The oracle replays it as a window
+    * with the matching ORDER BY.
+    */
+  private def qArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("c_acctbal"), (-col("c_custkey")).as("nk"))).as("m"))
+      .select(col("c_nationkey"), col("m.c_acctbal").as("top_acctbal"),
+        (-col("m.nk")).as("top_custkey"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2123,7 +2272,14 @@ object SparkEntry {
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
-    "c_data_card" -> (cDataCard _)
+    "c_data_card" -> (cDataCard _),
+    "g_pagerank" -> (qPagerank _),
+    "g_triangles" -> (qTriangles _),
+    "g_reach_hops" -> (qReachHops _),
+    "q_argmax" -> (qArgmax _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_trend_fit" -> (qTrendFit _),
+    "q_array_hof" -> (qArrayHof _)
   )
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -3750,6 +3906,87 @@ object SparkEntry {
            sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
            sum(n_chars) AS total_chars
          FROM documents
-         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
+         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""",
+    "g_pagerank" -> {
+      // unrolled power iteration: one generated CTE per round, identical
+      // arithmetic to Graph.pageRank (GraphX static convention)
+      val iters = 5
+      val rk = (1 to iters).map { k =>
+        s"""r$k AS (SELECT n.id,
+             (SELECT 0.15::DOUBLE / count(*) FROM n) +
+             0.85::DOUBLE * coalesce(c.s, 0) AS r
+           FROM n LEFT JOIN (
+             SELECT tr.dst AS id, sum(tr.p * p.r) AS s
+             FROM tr JOIN r${k - 1} p ON tr.src = p.id GROUP BY 1) c
+           ON n.id = c.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+             sum(l_extendedprice * (1 - l_discount)) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+         n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         r0 AS (SELECT id, 1.0::DOUBLE / (SELECT count(*) FROM n) AS r FROM n),
+         $rk
+         SELECT n.n_name, round(r$iters.r, 8) AS pr
+         FROM r$iters JOIN n ON r$iters.id = n.id"""
+    },
+    "g_triangles" ->
+      """WITH e0 AS (SELECT c_nationkey AS s, s_nationkey AS d,
+             sum(l_extendedprice * (1 - l_discount)) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 3000000),
+         und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+           FROM e0 WHERE s <> d),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         corners AS (SELECT x AS id FROM tri
+           UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM corners JOIN nation ON id = n_nationkey GROUP BY 1""",
+    "g_reach_hops" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         r AS (SELECT p_partkey AS id, 0 AS h FROM part WHERE p_partkey = 1
+           UNION
+           SELECT e.dst AS id, r.h + 1 AS h
+           FROM r JOIN e ON e.src = r.id WHERE r.h < 3)
+         SELECT id, CAST(min(h) AS BIGINT) AS hops FROM r GROUP BY 1""",
+    "q_argmax" ->
+      """SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey
+         FROM (SELECT c_nationkey, c_acctbal, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+           FROM customer)
+         WHERE rn = 1""",
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           count(DISTINCT ev.user_id) AS users
+         FROM ev JOIN f ON ev.user_id = f.user_id
+         GROUP BY 1, 2""",
+    "q_trend_fit" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+           round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+           round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 2) AS intercept
+         FROM (SELECT c_nationkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::DOUBLE AS x,
+             o_totalprice AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         GROUP BY 1""",
+    "q_array_hof" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+           sum(round(l_extendedprice * 100)::BIGINT *
+               (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4,
+           sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END)::BIGINT AS n_big
+         FROM lineitem GROUP BY 1"""
   )
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Iterative graph analytics over edge DataFrames — the Pregel-shaped
+  * complement to [[Dedup.connectedComponents]]' label propagation.
+  */
+object Graph {
+
+  /** Weighted PageRank by fixed-iteration power iteration.
+    *
+    * Semantics (GraphX `staticPageRank` convention): each node starts at
+    * `1/N`; per iteration
+    * `r'(v) = (1-d)/N + d * Σ_{u→v} r(u) · w(u,v)/W(u)` where `W(u)` is
+    * u's total out-weight. Mass at dangling nodes (no out-edges) is NOT
+    * redistributed — the convention Spark's own GraphX uses, chosen here
+    * because redistribution needs a per-iteration global scalar (a 1-row
+    * aggregate crossed back into the plan), which forces either an action
+    * per iteration or a nested-loop join; callers that need sum-to-1
+    * ranks can renormalize the output in one extra aggregation.
+    *
+    * Scale shape: the normalized transition table (`src, dst, p`) is the
+    * loop invariant — built once with a per-src window, it carries the
+    * hash partitioning on `src` across every iteration, so each round
+    * costs exactly two shuffles (ranks → src for the join, contributions
+    * → dst for the aggregation) regardless of iteration count. Lineage is
+    * cut with an eager `localCheckpoint` every `checkpointEvery` rounds,
+    * the same guard [[Dedup.connectedComponents]] uses — without it the
+    * plan doubles per round and the optimizer, not the data, becomes the
+    * bottleneck past ~20 iterations.
+    *
+    * @return (id, rank) — one row per node in `nodes`
+    */
+  def pageRank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val n = nodes.select(col(idCol).as("id")).distinct()
+    // driver-side scalar: node count is metadata (like the centroid
+    // collects in Similarity), not row data
+    val nCount = n.count().toDouble
+    val trans = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("p"))
+    var r = n.select(col("id"), lit(1.0 / nCount).as("r"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = trans.join(r, trans("src") === r("id"))
+        .groupBy(trans("dst").as("id"))
+        .agg(sum(col("p") * col("r")).as("c"))
+      r = n.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1.0 - damping) / nCount) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations)
+        r = r.localCheckpoint(true)
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED graph given as a
+    * directed edge list (direction and duplicates are erased first).
+    *
+    * Scale shape: edges are oriented from the lower-(degree, id) endpoint
+    * to the higher one before the two-hop join — the classic compact-
+    * forward trick. Every wedge is then enumerated at its lowest-degree
+    * apex, so join fan-out per node is bounded by its ORIENTED out-degree
+    * (≤ √(2|E|) for any graph), not its raw degree; a celebrity node with
+    * 10⁸ followers contributes no wedges at all. The closing edge lookup
+    * is a join back against the same oriented list, and per-node counts
+    * come from exploding each found triangle's three corners — three
+    * shuffles total, none quadratic in max degree.
+    *
+    * @return (id, n_triangles) for nodes in ≥1 triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val a = col(srcCol); val b = col(dstCol)
+    // canonical undirected edges: a < b, self-loops dropped, deduped
+    val und = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, id) endpoint
+    val withDeg = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // wedges at the lowest apex, closed against the oriented list
+    val w = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val tri = w.join(oriented.as("c"),
+      (col("y") === col("c.lo") && col("z") === col("c.hi")) ||
+        (col("z") === col("c.lo") && col("y") === col("c.hi")))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Minimum hop count from a set of source nodes by frontier BFS.
+    *
+    * Scale shape: only the FRONTIER (nodes first reached last round)
+    * joins the edge list each iteration, and already-settled nodes are
+    * removed with a left-anti join before the union — per-round cost is
+    * proportional to the frontier's out-edge count, not |V|·rounds. The
+    * settled set is eagerly checkpointed so lineage stays flat across
+    * rounds (same guard as [[pageRank]]).
+    *
+    * @return (id, hops) for every node reachable within `maxHops`
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceIdCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    var settled = sources.select(col(sourceIdCol).as("id")).distinct()
+      .withColumn("hops", lit(0))
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+      settled = settled.union(next).localCheckpoint(true)
+      // re-derive the frontier from the checkpointed set so BOTH loop
+      // variables have flat lineage
+      frontier = settled.where(col("hops") === h)
+      h += 1
+    }
+    settled
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PageRank against hand-computed fixed points. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(nodes: Seq[Int], edges: Seq[(Int, Int, Double)],
+      iterations: Int): Map[Int, Double] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst", "w")
+    Graph.pageRank(n, "id", e, "src", "dst", "w", iterations = iterations)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  test("two-node cycle converges to the uniform fixed point") {
+    // symmetric 2-cycle: the uniform vector IS the fixed point, so any
+    // iteration count returns exactly 0.5 / 0.5
+    val r = ranks(Seq(1, 2), Seq((1, 2, 1.0), (2, 1, 1.0)), 7)
+    assert(math.abs(r(1) - 0.5) < 1e-12)
+    assert(math.abs(r(2) - 0.5) < 1e-12)
+  }
+
+  test("one iteration matches the hand-computed update") {
+    // 1 -> 2 (only edge); N=3, d=0.85, r0 = 1/3 each:
+    //   r1(1) = 0.15/3                 = 0.05
+    //   r1(2) = 0.15/3 + 0.85 * (1/3) = 0.33333...
+    //   r1(3) = 0.15/3                 = 0.05
+    val r = ranks(Seq(1, 2, 3), Seq((1, 2, 1.0)), 1)
+    assert(math.abs(r(1) - 0.05) < 1e-12)
+    assert(math.abs(r(2) - (0.05 + 0.85 / 3.0)) < 1e-12)
+    assert(math.abs(r(3) - 0.05) < 1e-12)
+  }
+
+  test("out-weight normalization splits contribution by edge weight") {
+    // 1 splits 3:1 between 2 and 3; after one round the receivers get
+    // damping * r0 * (0.75 | 0.25) on top of the teleport term
+    val r = ranks(Seq(1, 2, 3), Seq((1, 2, 3.0), (1, 3, 1.0)), 1)
+    assert(math.abs(r(2) - (0.05 + 0.85 * (1.0 / 3) * 0.75)) < 1e-12)
+    assert(math.abs(r(3) - (0.05 + 0.85 * (1.0 / 3) * 0.25)) < 1e-12)
+  }
+
+  test("triangle counts: degree-oriented enumeration finds each triangle once") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4};
+    // edges given in mixed directions with a duplicate and a self-loop
+    val e = Seq((1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (2, 1), (3, 3))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(e, "src", "dst")
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r === Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("shortest hops: frontier BFS settles minimum distance") {
+    // 1→2→3→4 chain plus shortcut 1→3; 5 unreachable
+    val e = Seq((1, 2), (2, 3), (3, 4), (1, 3), (5, 1)).toDF("src", "dst")
+    val src = Seq(1).toDF("nid")
+    val r = Graph.shortestHops(e, "src", "dst", src, "nid", maxHops = 3)
+      .collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(r === Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 2))
+  }
+
+  test("shortest hops: maxHops bounds the wavefront") {
+    val e = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val src = Seq(1).toDF("nid")
+    val r = Graph.shortestHops(e, "src", "dst", src, "nid", maxHops = 1)
+      .collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(r === Map(1 -> 0, 2 -> 1))
+  }
+
+  test("strongly connected weighted graph conserves total mass") {
+    // every node has out-edges -> no dangling leakage: sum stays 1
+    val edges = Seq((1, 2, 2.0), (2, 3, 1.0), (3, 1, 5.0), (2, 1, 3.0))
+    val r = ranks(Seq(1, 2, 3), edges, 12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // 3 funnels everything to 1, and 2 sends 3/4 of its mass to 1 too:
+    // node 1 must dominate
+    assert(r(1) > r(2) && r(1) > r(3))
+  }
+}
