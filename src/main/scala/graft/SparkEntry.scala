@@ -2140,10 +2140,13 @@ object SparkEntry {
     * ordering is lexicographic, so the negated key breaks acctbal ties
     * toward the smallest custkey deterministically. This is the
     * scale-correct alternative to the row_number window ([[qWindowRank]]):
-    * partial max is map-side-combinable, so no per-group sort and no
-    * skew sensitivity — a nation with 10⁹ customers costs the same
-    * per-row work as one with 10. The oracle replays it as a window
-    * with the matching ORDER BY.
+    * the partial max combines map-side, so the shuffle carries one struct
+    * per (nation, partition) and no group is ever value-sorted — a nation
+    * with 10⁹ customers costs the same shuffled bytes as one with 10
+    * (struct buffers plan as SortAggregate — sorted by the GROUP key
+    * only — since they aren't hash-aggregable; `PlanSpec` pins the
+    * partial phase). The oracle replays it as a window with the matching
+    * ORDER BY.
     */
   private def qArgmax(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")

@@ -95,13 +95,13 @@ object Graph {
         struct(col("a").as("lo"), col("b").as("hi")))
         .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-    // wedges at the lowest apex, closed against the oriented list
+    // wedges at the lowest apex; y < z by id, so the closing edge can be
+    // looked up in the CANONICAL (a < b) list with a plain two-column
+    // equi-join — an OR over the oriented list would plan as a nested loop
     val w = oriented.as("e1").join(oriented.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
-    val tri = w.join(oriented.as("c"),
-      (col("y") === col("c.lo") && col("z") === col("c.hi")) ||
-        (col("z") === col("c.lo") && col("y") === col("c.hi")))
+    val tri = w.join(und, col("y") === und("a") && col("z") === und("b"))
       .select(col("x"), col("y"), col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))

@@ -156,6 +156,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "top-k agg plan must not fall back to a window sort")
   }
 
+  test("argmax runs as a partial hash aggregation, never a window sort") {
+    // max(struct(...)) must keep the map-side-combinable shape that makes
+    // it the scale-correct alternative to row_number
+    // struct-typed buffers aren't hash-aggregable, so Spark picks
+    // SortAggregate (sorted by the GROUP key only — never a per-group
+    // value sort); the load-bearing property is the partial phase
+    val p = planOf("q_argmax")
+    assert(p.contains("partial_max"),
+      "no partial (map-side) max phase in the argmax plan:\n" +
+        p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window"), "argmax plan must not fall back to a window sort")
+  }
+
   test("kernel expressions stay inside whole-stage codegen") {
     val df = analyzed("d_simhash_pairs")
     df.collect() // finalize the adaptive plan
