@@ -2155,6 +2155,72 @@ object SparkEntry {
       .select(col("c_nationkey"), col("m.c_acctbal").as("top_acctbal"),
         (-col("m.nk")).as("top_custkey"))
 
+  /** Market-basket association rules over parts co-ordered together:
+    * pair support by a within-order self-join (bounded — TPC-H orders
+    * have ≤7 lines, so the per-order quadratic is a constant), then
+    * confidence and lift from the per-item order counts. Item counts
+    * arrive by plain equi-joins (AQE broadcasts them when small); the
+    * single corpus scalar (order count) rides a 1-row broadcast
+    * crossJoin, the same shape as [[Retrieval.bm25TopK]]'s corpus stats.
+    * Lift/confidence are single IEEE divisions of exact integer counts —
+    * association-order-free, so cross-engine doubles match bit for bit.
+    */
+  private def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(item.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(item.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab") * col("n_orders") / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Per-nation z-score outliers on order value: one stats aggregation
+    * (avg + stddev_pop — map-side-combinable moments), joined back to the
+    * facts, |z| filtered on the ROUNDED score so the last-ulp summation
+    * noise between engines can't flip the cut. Two shuffles total on the
+    * same key; the stats side is group-count-sized, so AQE broadcasts it.
+    * The 1.65 cut suits the synthetic uniform totalprice (max |z| ≈ 1.83
+    * for a uniform distribution — no 3σ tail exists to ask for).
+    */
+  private def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_orderkey"), col("o_totalprice"))
+    val stats = j.groupBy(col("c_nationkey"))
+      .agg(avg(col("o_totalprice")).as("m"), stddev_pop(col("o_totalprice")).as("sd"))
+    j.join(stats, "c_nationkey")
+      .select(col("c_nationkey"), col("o_orderkey"),
+        round((col("o_totalprice") - col("m")) / col("sd"), 4).as("z"))
+      .where(abs(col("z")) >= 1.65)
+  }
+
+  /** Fuzzy record linkage with blocking: part-name pairs within the same
+    * brand block at edit distance ≤ 2. Blocking turns the quadratic
+    * all-pairs comparison into a per-block one (the same cap-the-bucket
+    * discipline as the LSH joins — a block IS a candidate bucket), and
+    * `levenshtein` evaluates only inside blocks. Integer distances, so
+    * the DuckDB oracle matches exactly.
+    */
+  private def qFuzzyBlock(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .where(col("dist") <= 2)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2280,6 +2346,9 @@ object SparkEntry {
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "q_argmax" -> (qArgmax _),
+    "q_market_basket" -> (qMarketBasket _),
+    "q_zscore_outliers" -> (qZscoreOutliers _),
+    "q_fuzzy_block" -> (qFuzzyBlock _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
     "q_array_hof" -> (qArrayHof _)
@@ -3962,6 +4031,39 @@ object SparkEntry {
            SELECT e.dst AS id, r.h + 1 AS h
            FROM r JOIN e ON e.src = r.id WHERE r.h < 3)
          SELECT id, CAST(min(h) AS BIGINT) AS hops FROM r GROUP BY 1""",
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+           FROM li GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+         SELECT part_a, part_b, n_ab,
+           round(n_ab / ia.n_item, 6) AS confidence,
+           round(n_ab * n.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+         FROM pairs
+         JOIN item ia ON ia.l_partkey = part_a
+         JOIN item ib ON ib.l_partkey = part_b
+         CROSS JOIN n""",
+    "q_zscore_outliers" ->
+      """WITH j AS (SELECT c_nationkey, o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         s AS (SELECT c_nationkey, avg(o_totalprice) AS m,
+             stddev_pop(o_totalprice) AS sd
+           FROM j GROUP BY 1)
+         SELECT c_nationkey, o_orderkey,
+           round((o_totalprice - m) / sd, 4) AS z
+         FROM j JOIN s USING (c_nationkey)
+         WHERE abs(round((o_totalprice - m) / sd, 4)) >= 1.65""",
+    "q_fuzzy_block" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q_argmax" ->
       """SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey
          FROM (SELECT c_nationkey, c_acctbal, c_custkey,

@@ -78,7 +78,10 @@ class PlanSpec extends SparkTestBase {
       // necessarily contains e_cosine_topk's brute-force cross join;
       // e_pq_topk's ADC scan is the documented flat code scan (tiny
       // broadcast query side × corpus codes), like e_quantized_topk.
-      "e_ann_recall", "e_pq_topk")
+      "e_ann_recall", "e_pq_topk",
+      // q_market_basket's only nested-loop node is the 1-row order-count
+      // scalar broadcast (the bm25 corpus-stats shape)
+      "q_market_basket")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
