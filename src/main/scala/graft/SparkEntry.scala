@@ -2205,20 +2205,35 @@ object SparkEntry {
   }
 
   /** Fuzzy record linkage with blocking: part-name pairs within the same
-    * brand block at edit distance ≤ 2. Blocking turns the quadratic
-    * all-pairs comparison into a per-block one (the same cap-the-bucket
-    * discipline as the LSH joins — a block IS a candidate bucket), and
-    * `levenshtein` evaluates only inside blocks. Integer distances, so
-    * the DuckDB oracle matches exactly.
+    * brand block at edit distance ≤ 2. Two scale disciplines compose:
+    * blocking bounds which pairs are candidates at all (a block IS a
+    * candidate bucket, the LSH cap discipline), and the edit distance is
+    * computed over DISTINCT (brand, name) values — never row pairs — so
+    * the quadratic term is in distinct names per block, not records per
+    * block (10⁸ records with 10⁴ distinct names cost 10⁴², not 10⁸²·…).
+    * Matching name pairs then expand back to id pairs by two equi-joins,
+    * output-sized by construction. Integer distances, so the DuckDB
+    * oracle (the naive row-pair formulation) matches exactly.
     */
   private def qFuzzyBlock(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-    p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+    val dn = p.select(col("p_brand"), col("p_name")).distinct()
+    val nameP = dn.as("x").join(dn.as("y"),
+        col("x.p_brand") === col("y.p_brand") && col("x.p_name") <= col("y.p_name"))
+      .select(col("x.p_brand").as("brand"), col("x.p_name").as("na"),
+        col("y.p_name").as("nb"),
+        levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
       .where(col("dist") <= 2)
+    nameP
+      .join(p.select(col("p_brand").as("brand"), col("p_name").as("na"),
+        col("p_partkey").as("ida")), Seq("brand", "na"))
+      .join(p.select(col("p_brand").as("brand"), col("p_name").as("nb"),
+        col("p_partkey").as("idb")), Seq("brand", "nb"))
+      // same-name pairs appear once per unordered id pair; cross-name
+      // pairs appear once per name pair, in either id order
+      .where(col("na") < col("nb") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("part_a"),
+        greatest(col("ida"), col("idb")).as("part_b"), col("dist"))
   }
 
   // ------------------------------------------------------------------

@@ -38,7 +38,11 @@ object Graph {
       iterations: Int = 5, damping: Double = 0.85,
       checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    val n = nodes.select(col(idCol).as("id")).distinct()
+    // loop invariants are MATERIALIZED once — without this every
+    // iteration's plan re-derives the node set and the normalized
+    // transition table from source (ReuseExchange may or may not
+    // collapse the copies; at 5+ rounds the rebuild dominates)
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
     // driver-side scalar: node count is metadata (like the centroid
     // collects in Similarity), not row data
     val nCount = n.count().toDouble
@@ -47,6 +51,7 @@ object Graph {
         col(wCol).cast("double").as("w"))
       .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint(true)
     var r = n.select(col("id"), lit(1.0 / nCount).as("r"))
     var i = 0
     while (i < iterations) {
@@ -121,7 +126,10 @@ object Graph {
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceIdCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // the edge list is the loop invariant — materialize once (see
+    // pageRank) instead of re-deriving it for every frontier expansion
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
     var settled = sources.select(col(sourceIdCol).as("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = settled
