@@ -2236,6 +2236,44 @@ object SparkEntry {
         greatest(col("ida"), col("idb")).as("part_b"), col("dist"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * next-event lookup by one window pass (the [[qLeadLag]] sort, reused
+    * discipline — a single per-user partition sort serves the lead), then
+    * transition counts and row-normalized probabilities. The transition
+    * table is (event types)² — KBs at any corpus size — so the
+    * normalizing window runs over a trivially small input; all heavy work
+    * is the one keyed sort.
+    */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val c = t(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    c.select(col("src_type"), col("dst_type"), col("n"),
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("src_type"))), 6)
+        .as("p"))
+  }
+
+  /** Relational data profiling — the per-column audit a warehouse runs
+    * before trusting a feed: row/null/distinct counts, value ranges, and
+    * date coverage for `orders`, in ONE aggregation job. The two exact
+    * distinct counts expand the input ×2 (Spark's Expand for multi-
+    * distinct) — the documented cost of exactness; swap in
+    * [[graft.operators.Sketches.kmvDistinct]] when approximate is enough.
+    */
+  private def qProfileStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"),
+      round(min(col("o_totalprice")), 2).as("min_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"),
+      min(col("o_orderdate").cast("date")).as("first_date"),
+      max(col("o_orderdate").cast("date")).as("last_date"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2364,6 +2402,8 @@ object SparkEntry {
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_fuzzy_block" -> (qFuzzyBlock _),
+    "q_markov" -> (qMarkov _),
+    "q_profile_stats" -> (qProfileStats _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
     "q_array_hof" -> (qArrayHof _)
@@ -4073,6 +4113,28 @@ object SparkEntry {
            round((o_totalprice - m) / sd, 4) AS z
          FROM j JOIN s USING (c_nationkey)
          WHERE abs(round((o_totalprice - m) / sd, 4)) >= 1.65""",
+    "q_markov" ->
+      """WITH seq AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+           FROM events),
+         c AS (SELECT event_type AS src_type, next_type AS dst_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT src_type, dst_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
+         FROM c""",
+    "q_profile_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkey,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           min(o_orderdate::DATE) AS first_date,
+           max(o_orderdate::DATE) AS last_date
+         FROM orders""",
     "q_fuzzy_block" ->
       """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
            levenshtein(a.p_name, b.p_name) AS dist
