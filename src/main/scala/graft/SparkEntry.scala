@@ -1277,6 +1277,14 @@ object SparkEntry {
     Similarity.clusterProfile(t(s, dir, "embeddings"), "embedding",
       graft.operators.TrainedCentroids.sf001)
 
+  /** Clustering-quality audit: centroid-based silhouette per trained
+    * cell — [[Similarity.silhouetteProfile]]'s one-pass sorted centroid
+    * scan (own and nearest-other distance from array positions 1 and 2).
+    */
+  private def eSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteProfile(t(s, dir, "embeddings"), "embedding",
+      graft.operators.TrainedCentroids.sf001)
+
   /** ORC round-trip: the events table written to ORC and read back through
     * the ORC scan path, aggregated. Proves the columnar-format surface
     * beyond parquet (same Catalyst pruning/pushdown contract).
@@ -2274,6 +2282,46 @@ object SparkEntry {
       min(col("o_orderdate").cast("date")).as("first_date"),
       max(col("o_orderdate").cast("date")).as("last_date"))
 
+  /** TPC-H-Q7-shaped shipping volume: line revenue between (supplier
+    * nation, customer nation) pairs by ship year. The fact chain shuffles
+    * on its join keys; supplier and nation are broadcast dimensions.
+    * Revenue sums as exact integer ten-thousandths ([[qArrayHof]]'s
+    * device) so the cross-engine hash can't hit a rounding boundary.
+    */
+  private def qNationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+    val revE4 = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("ck"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(revE4).as("revenue_e4"))
+  }
+
+  /** TPC-H-Q4-shaped priority audit: orders with at least one line
+    * shipped more than 60 days after the order date, counted by
+    * priority. The EXISTS compiles to a LEFT SEMI hash join on the order
+    * key (the date bound rides as a join residual) — each order emits at
+    * most once regardless of how many lines qualify, so no
+    * distinct-after-join is ever needed.
+    */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+    t(s, dir, "orders")
+      .join(late, col("o_orderkey") === late("l_orderkey") &&
+        col("ship") > date_add(col("o_orderdate").cast("date"), 60), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2351,6 +2399,7 @@ object SparkEntry {
     "d_winnow_pairs" -> (dWinnowPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
+    "e_silhouette" -> (eSilhouette _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "s_interval_join_stream" -> (sIntervalJoinStream _),
@@ -2403,6 +2452,8 @@ object SparkEntry {
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_fuzzy_block" -> (qFuzzyBlock _),
     "q_markov" -> (qMarkov _),
+    "q_nation_volume" -> (qNationVolume _),
+    "q_semi_join" -> (qSemiJoin _),
     "q_profile_stats" -> (qProfileStats _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
@@ -3527,6 +3578,27 @@ object SparkEntry {
              / count(*) / 1000000.0, 6) AS avg_cos
          FROM p GROUP BY cell"""
     },
+    "e_silhouette" -> {
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT $flat::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         arr AS (SELECT vec_id,
+             list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})) AS ar
+           FROM e CROSS JOIN sgt),
+         p AS (SELECT CAST(ar[1].cell AS BIGINT) AS cell,
+                      1.0 + ar[1].negCos AS a, 1.0 + ar[2].negCos AS b FROM arr),
+         q AS (SELECT cell,
+             CASE WHEN b <= 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END AS sil
+           FROM p)
+         SELECT cell, count(*) AS n,
+           round(CAST(sum(CAST(round(sil * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS avg_silhouette
+         FROM q GROUP BY cell"""
+    },
     "q_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1""",
@@ -4113,6 +4185,25 @@ object SparkEntry {
            round((o_totalprice - m) / sd, 4) AS z
          FROM j JOIN s USING (c_nationkey)
          WHERE abs(round((o_totalprice - m) / sd, 4)) >= 1.65""",
+    "q_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate::DATE) AS ship_year,
+           CAST(sum(round(l_extendedprice * 100)::BIGINT *
+             (100 - round(l_discount * 100)::BIGINT)) AS BIGINT) AS revenue_e4
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         GROUP BY 1, 2, 3""",
+    "q_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate::DATE > o.o_orderdate::DATE + 60)
+         GROUP BY 1""",
     "q_markov" ->
       """WITH seq AS (SELECT event_type,
              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -280,6 +280,37 @@ object Similarity {
         round(col("cos_e6") / col("n") / 1000000.0, 6).as("avg_cos"))
   }
 
+  /** Centroid-based silhouette score per cluster — the clustering-quality
+    * audit: for each vector, `a` = cosine distance to its own (max-cos)
+    * centroid, `b` = distance to the nearest OTHER centroid, and
+    * `s = (b - a) / max(a, b)` (0 when degenerate). Both distances fall
+    * out of ONE sorted per-row centroid scan (positions 1 and 2 of the
+    * k-length array — k cosine kernels per row, no joins, no shuffle
+    * until the k-cell rollup), so the audit costs the same single pass
+    * as [[clusterProfile]]. Per-point silhouettes are rounded to 1e-6
+    * and summed as integers — cluster means bit-stable under any
+    * partitioning, same device as clusterProfile.
+    */
+  def silhouetteProfile(corpus: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val sorted = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct((vecCosine(col("v"), typedLit(ctr)) * -1).as("negCos"),
+        lit(i).as("cell"))
+    }: _*))
+    corpus.select(col(vecCol).as("v"))
+      .withColumn("arr", sorted)
+      .select(element_at(col("arr"), 1).getField("cell").cast("long").as("cell"),
+        (lit(1.0) + element_at(col("arr"), 1).getField("negCos")).as("a"),
+        (lit(1.0) + element_at(col("arr"), 2).getField("negCos")).as("b"))
+      .withColumn("s", when(col("b") <= 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("s") * 1000000, 0).cast("long")).as("s_e6"))
+      .select(col("cell"), col("n"),
+        round(col("s_e6") / col("n") / 1000000.0, 6).as("avg_silhouette"))
+  }
+
   private def rankCells(queries: DataFrame, cellsCorpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
       broadcastGateBytes: Long): DataFrame = {

@@ -172,6 +172,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "argmax plan must not fall back to a window sort")
   }
 
+  test("EXISTS audit plans as a LEFT SEMI hash join with no post-join distinct") {
+    val p = planOf("q_semi_join")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("kernel expressions stay inside whole-stage codegen") {
     val df = analyzed("d_simhash_pairs")
     df.collect() // finalize the adaptive plan
