@@ -1413,6 +1413,39 @@ object SparkEntry {
       col("ts").as("ts_us"), col("payload").as("last_order_price"))
   }
 
+  /** Streaming Markov transitions under the oracle gate: the events table
+    * streams through [[graft.streaming.Streaming.transitionsStream]]'s
+    * last-event-per-user keyed state, and the drained transition rows are
+    * counted per (src, dst) — which must equal the batch lead-window
+    * derivation the oracle runs. Constant state per user, append-only
+    * emission.
+    */
+  private def sTransitionsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.Streaming.TransIn
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_t")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    import s.implicits._
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .select(col("user_id"), tsUs.as("ts"), col("event_id"), col("event_type"))
+      .as[TransIn]
+    val qn = s"s_transitions_stream_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.Streaming.transitionsStream(ev)
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn)
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming exact dedup under the oracle gate: the events table lands
     * TWICE in the stream's directory (the redelivery/duplicate-file case),
     * and the watermarked `dropDuplicates` state drops every second copy —
@@ -2418,6 +2451,7 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "s_asof_stream" -> (sAsofStream _),
+    "s_transitions_stream" -> (sTransitionsStream _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "t_tfidf_keywords" -> (tTfidfKeywords _),
@@ -3650,6 +3684,14 @@ object SparkEntry {
          GROUP BY 1, 2"""
     },
     // the STREAMING as-of enrichment must equal DuckDB's native ASOF JOIN
+    "s_transitions_stream" ->
+      """WITH seq AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+           FROM events)
+         SELECT event_type AS src_type, next_type AS dst_type,
+           CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2""",
     "s_asof_stream" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
              round(max(o_totalprice), 2) AS p

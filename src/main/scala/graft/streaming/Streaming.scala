@@ -161,6 +161,45 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class TransIn(user_id: Long, ts: Long, event_id: Long,
+      event_type: String)
+  final case class TransState(ts: Long, eventId: Long, eventType: String)
+  final case class Transition(user_id: Long, src_type: String, dst_type: String)
+
+  /** First-order event transitions as keyed streaming state — the
+    * streaming dual of the batch lead-window Markov derivation
+    * (`q_markov`): per user the state is ONLY the last event seen
+    * (constant per key — the minimal-state shape), and each arriving
+    * event emits one (previous type → this type) transition row.
+    * In-batch events walk in (ts, event_id) order; an event older than
+    * the held state is LATE and is dropped rather than allowed to emit a
+    * time-reversed transition (the asofEnrich stale-guard discipline).
+    * Downstream, transition counts/probabilities are a plain streaming
+    * aggregation over the emitted rows.
+    */
+  def transitionsStream(in: Dataset[TransIn]): Dataset[Transition] = {
+    import in.sparkSession.implicits._
+    def walk(key: Long, rows: Iterator[TransIn],
+        state: GroupState[TransState]): Iterator[Transition] = {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.ts, r.event_id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      sorted.foreach { r =>
+        cur match {
+          case Some(c) if r.ts < c.ts => // late arrival: never emit backwards
+          case _ =>
+            cur.foreach(c => out += Transition(key, c.eventType, r.event_type))
+            cur = Some(TransState(r.ts, r.event_id, r.event_type))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(walk)
+  }
+
   /** State-store scale configuration, applied BEFORE the first query
     * starts (the stateful shuffle width is frozen into the checkpoint):
     * RocksDB-backed state keeps large keyed state (hundreds of millions of

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkTestBase {
     assert(out.contains((0L, "view", 1L, 1.0)))
   }
 
+  test("transitions state carries across batches and drops late arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{TransIn, Transition}
+    val input = MemoryStream[TransIn]
+    val query = Streaming.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode(OutputMode.Append()).start()
+
+    // batch 1: user 1 view -> click (one transition inside the batch)
+    input.addData(TransIn(1L, 100L, 1L, "view"), TransIn(1L, 200L, 2L, "click"))
+    query.processAllAvailable()
+    // batch 2: cross-batch transition click -> buy, plus a LATE event
+    // (ts 50 < held state ts 200) that must emit nothing
+    input.addData(TransIn(1L, 300L, 3L, "buy"), TransIn(1L, 50L, 4L, "view"))
+    query.processAllAvailable()
+    val out = spark.table("trans").as[Transition].collect().toSet
+    query.stop()
+    assert(out === Set(
+      Transition(1L, "view", "click"),
+      Transition(1L, "click", "buy")))
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
