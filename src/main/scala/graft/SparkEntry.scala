@@ -288,6 +288,13 @@ object SparkEntry {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
 
+  /** LSH recall harness: banded-LSH pairs vs the exact all-pairs shingle
+    * jaccard ground truth at the same 0.5 threshold ([[Dedup.lshRecall]]).
+    */
+  private def dLshRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+
   private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
 
@@ -2386,6 +2393,7 @@ object SparkEntry {
     "d_exact_dedup_keep" -> (dExactDedupKeep _),
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
     "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
+    "d_lsh_recall" -> (dLshRecall _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lsh_skew_guard" -> (dLshSkewGuard _),
     "d_line_dedup" -> (dLineDedup _),
@@ -2911,6 +2919,21 @@ object SparkEntry {
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
+    "d_lsh_recall" ->
+      s"""WITH $sqlMinhashCtes,
+         lsh AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         ex AS (SELECT id_a, id_b FROM (
+             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CASE WHEN len(list_distinct(x.phs || y.phs)) = 0 THEN 0.0
+                    ELSE len(list_intersect(x.phs, y.phs))::DOUBLE /
+                         len(list_distinct(x.phs || y.phs)) END AS jac
+             FROM ph x JOIN ph y ON x.doc_id < y.doc_id)
+           WHERE jac >= 0.5),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lsh
+           FROM ex LEFT JOIN lsh l USING (id_a, id_b))
+         SELECT n_exact, n_lsh, round(n_lsh / n_exact, 6) AS recall FROM c""",
     "d_lsh_index_pairs" ->
       s"""WITH ${sqlMinhashSigCtes("documents")},
          cand AS (

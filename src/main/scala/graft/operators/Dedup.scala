@@ -312,6 +312,37 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** Recall of the banded-LSH pair set against the EXACT shingle-jaccard
+    * ground truth at the same threshold — the parameter-tuning harness
+    * for (numHashes, numBands), the text-side dual of
+    * [[Similarity.annRecall]]. LSH output is a SUBSET of the exact pairs
+    * by construction (every candidate is exact-verified), so recall is a
+    * pure count ratio and precision is 1. The all-pairs exact side is the
+    * evaluation baseline only (quadratic — run it on a sampled slice,
+    * never the corpus; same role as the brute-force cosine baseline).
+    *
+    * @return one row: (n_exact, n_lsh, recall)
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val allPairs = ids.select(col("id").as("id_a"))
+      .crossJoin(ids.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+    val exact = verifyJaccard(allPairs, shingled, threshold).select("id_a", "id_b")
+    val lsh = minhashLshPairs(df, idCol, textCol, numHashes, numBands,
+        shingleSize, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Banded minhash signatures — (id, bk = struct(band, key)) rows, the
     * LSH blocking unit shared by the self-join pairs path and the
     * materialized index. Shingle-less docs (sentinel signature) are

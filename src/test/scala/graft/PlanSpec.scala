@@ -80,6 +80,9 @@ class PlanSpec extends SparkTestBase {
       // e_pq_topk's ADC scan is the documented flat code scan (tiny
       // broadcast query side × corpus codes), like e_quantized_topk.
       "e_ann_recall", "e_pq_topk",
+      // d_lsh_recall contains the all-pairs exact GROUND TRUTH cross join
+      // by design (the text dual of e_ann_recall's brute-force baseline)
+      "d_lsh_recall",
       // q_market_basket's only nested-loop node is the 1-row order-count
       // scalar broadcast (the bm25 corpus-stats shape)
       "q_market_basket")
