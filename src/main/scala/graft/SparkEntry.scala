@@ -2172,16 +2172,36 @@ object SparkEntry {
     * min-per-node — same fixpoint, path-enumeration strategy instead of
     * frontier, identical minima.
     */
-  private def qReachHops(s: SparkSession, dir: String): DataFrame = {
+  /** Parts-co-ordered-together edges (both directions — symmetric by
+    * construction): the shared graph of [[qReachHops]] and
+    * [[qCommunities]]. Per-order quadratic, safe because TPC-H orders
+    * have ≤7 lines.
+    */
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
+  private def qReachHops(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "part").where(col("p_partkey") === 1)
-    graft.operators.Graph.shortestHops(e, "src", "dst", src, "p_partkey", maxHops = 3)
+    graft.operators.Graph.shortestHops(coOrderEdges(s, dir), "src", "dst",
+        src, "p_partkey", maxHops = 3)
       .select(col("id"), col("hops").cast("long").as("hops"))
   }
+
+  /** Deterministic label-propagation communities over the co-order part
+    * graph — [[graft.operators.Graph.labelPropagation]], 3 synchronous
+    * rounds, most-frequent-then-smallest label. The oracle unrolls the
+    * identical update (row_number over (count DESC, label ASC)) one CTE
+    * per round.
+    */
+  private def qCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      t(s, dir, "part"), "p_partkey",
+      coOrderEdges(s, dir), "src", "dst", rounds = 3)
 
   /** Per-nation argmax as a SINGLE aggregation pass: the richest
     * customer per nation via `max(struct(acctbal, -custkey))` — struct
@@ -2489,6 +2509,7 @@ object SparkEntry {
     "g_pagerank" -> (qPagerank _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
+    "g_communities" -> (qCommunities _),
     "q_argmax" -> (qArgmax _),
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
@@ -4297,6 +4318,29 @@ object SparkEntry {
          FROM part a JOIN part b
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+    "g_communities" -> {
+      // unrolled synchronous LPA: one (count, pick, relabel) CTE triple
+      // per round, identical deterministic tie-break to labelPropagation
+      val rounds = 3
+      val rk = (1 to rounds).map { k =>
+        s"""c$k AS (SELECT e.dst AS nid, p.label, count(*) AS c
+             FROM e JOIN r${k - 1} p ON e.src = p.id GROUP BY 1, 2),
+           p$k AS (SELECT nid AS id, label FROM (
+               SELECT nid, label,
+                 row_number() OVER (PARTITION BY nid
+                   ORDER BY c DESC, label ASC) AS rn
+               FROM c$k) WHERE rn = 1),
+           r$k AS (SELECT n.id, coalesce(p.label, n.id) AS label
+             FROM n LEFT JOIN p$k p USING (id))"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         n AS (SELECT DISTINCT p_partkey AS id FROM part),
+         r0 AS (SELECT id, id AS label FROM n),
+         $rk
+         SELECT id, label FROM r$rounds"""
+    },
     "q_argmax" ->
       """SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey
          FROM (SELECT c_nationkey, c_acctbal, c_custkey,

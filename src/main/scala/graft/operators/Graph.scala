@@ -112,6 +112,50 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label-propagation communities, made DETERMINISTIC: each
+    * round every node adopts the most frequent label among its neighbors,
+    * ties broken toward the smallest label (classic LPA is tie-random and
+    * irreproducible — useless under a correctness gate). Isolated nodes
+    * keep their own id as label.
+    *
+    * Scale shape: one round = the label join (shuffles on `src` — the
+    * symmetrized edge list is the checkpointed loop invariant carrying
+    * that partitioning) + a (node, label) count + a per-node argmax via
+    * `max(struct(count, -label))`, which combines MAP-SIDE — no per-node
+    * sort, no skew sensitivity for celebrity nodes. Lineage is cut every
+    * `checkpointEvery` rounds like [[pageRank]].
+    *
+    * @return (id, label) — community label per node after `rounds` rounds
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
+    var lab = n.select(col("id"), col("id").as("label"))
+    var i = 0
+    while (i < rounds) {
+      val counts = sym.join(lab, sym("src") === lab("id"))
+        .groupBy(sym("dst").as("nid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = counts.groupBy(col("nid").as("id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("newLabel"))
+      lab = n.join(pick, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("newLabel"), col("id")).as("label"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds)
+        lab = lab.localCheckpoint(true)
+    }
+    lab
+  }
+
   /** Minimum hop count from a set of source nodes by frontier BFS.
     *
     * Scale shape: only the FRONTIER (nodes first reached last round)

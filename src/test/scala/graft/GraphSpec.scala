@@ -69,6 +69,27 @@ class GraphSpec extends SparkTestBase {
     assert(r === Map(1 -> 0, 2 -> 1))
   }
 
+  test("label propagation: two cliques with a bridge settle to two communities") {
+    // cliques {1,2,3} and {4,5,6} joined by bridge 3-4; after 3 rounds
+    // each clique agrees on its minimum id; isolated 7 keeps its own
+    val clique = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+    val n = Seq(1, 2, 3, 4, 5, 6, 7).toDF("id")
+    val e = clique.toDF("src", "dst")
+    val r = Graph.labelPropagation(n, "id", e, "src", "dst", rounds = 3)
+      .collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(r(7) === 7)
+    // labels are identifiers, not members: each clique must agree
+    // internally and differ from the other (hand-traced: left settles on
+    // 1, right on 3 — the bridge node's round-1 label floods the right)
+    assert(r(1) === r(2) && r(2) === r(3))
+    assert(r(4) === r(5) && r(5) === r(6))
+    assert(r(1) !== r(4))
+    // deterministic: rerun must give the identical labeling
+    val r2 = Graph.labelPropagation(n, "id", e, "src", "dst", rounds = 3)
+      .collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(r === r2)
+  }
+
   test("strongly connected weighted graph conserves total mass") {
     // every node has out-edges -> no dangling leakage: sum stays 1
     val edges = Seq((1, 2, 2.0), (2, 3, 1.0), (3, 1, 5.0), (2, 1, 3.0))
