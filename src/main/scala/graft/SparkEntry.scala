@@ -2382,6 +2382,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_late_orders"))
   }
 
+  /** Wide→long reshape (unpivot/melt): the per-flag pricing sums rotated
+    * into (measure, value) rows with `stack` — one Generate over the
+    * already-aggregated (tiny) table, so the reshape costs nothing at any
+    * scale; the dual of [[q_pivot]]'s conditional aggregation.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (measure, value)"))
+
+  /** Ratio-to-report WITHOUT the global window: each nation's share of
+    * total revenue. `sum() OVER ()` would funnel every row through ONE
+    * partition — the classic scale trap; here the total is a 1-row
+    * aggregate of the already-grouped (group-count-sized) table riding a
+    * broadcast crossJoin, so nothing ever single-partitions. Revenue in
+    * exact integer ten-thousandths; the share is one IEEE division.
+    */
+  private def qRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val revE4 = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+    val byNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(revE4).as("revenue_e4"))
+    val total = byNation.agg(sum(col("revenue_e4")).as("total_e4"))
+    byNation.crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("revenue_e4"),
+        round(col("revenue_e4") / col("total_e4"), 6).as("share"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2518,6 +2552,8 @@ object SparkEntry {
     "q_nation_volume" -> (qNationVolume _),
     "q_semi_join" -> (qSemiJoin _),
     "q_profile_stats" -> (qProfileStats _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
     "q_array_hof" -> (qArrayHof _)
@@ -4301,6 +4337,28 @@ object SparkEntry {
          SELECT src_type, dst_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
          FROM c""",
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure,
+           sum_qty AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'sum_price' AS measure,
+           sum_price AS value FROM w""",
+    "q_revenue_share" ->
+      """WITH bn AS (SELECT c_nationkey,
+             CAST(sum(round(l_extendedprice * 100)::BIGINT *
+               (100 - round(l_discount * 100)::BIGINT)) AS BIGINT) AS revenue_e4
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(revenue_e4) AS BIGINT) AS total_e4 FROM bn)
+         SELECT c_nationkey, revenue_e4,
+           round(revenue_e4 / total_e4, 6) AS share
+         FROM bn CROSS JOIN tot""",
     "q_profile_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)

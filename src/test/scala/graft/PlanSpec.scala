@@ -83,9 +83,9 @@ class PlanSpec extends SparkTestBase {
       // d_lsh_recall contains the all-pairs exact GROUND TRUTH cross join
       // by design (the text dual of e_ann_recall's brute-force baseline)
       "d_lsh_recall",
-      // q_market_basket's only nested-loop node is the 1-row order-count
-      // scalar broadcast (the bm25 corpus-stats shape)
-      "q_market_basket")
+      // q_market_basket / q_revenue_share: the only nested-loop node is a
+      // 1-row corpus-scalar broadcast (the bm25 corpus-stats shape)
+      "q_market_basket", "q_revenue_share")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -174,6 +174,12 @@ class PlanSpec extends SparkTestBase {
       "no partial (map-side) max phase in the argmax plan:\n" +
         p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("Window"), "argmax plan must not fall back to a window sort")
+  }
+
+  test("ratio-to-report never single-partitions: no global window in the plan") {
+    val p = planOf("q_revenue_share")
+    assert(!p.contains("Window"), "q_revenue_share must use the 1-row " +
+      "scalar broadcast, not sum() OVER () through one partition")
   }
 
   test("EXISTS audit plans as a LEFT SEMI hash join with no post-join distinct") {
