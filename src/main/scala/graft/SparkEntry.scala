@@ -289,10 +289,15 @@ object SparkEntry {
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
 
   /** LSH recall harness: banded-LSH pairs vs the exact all-pairs shingle
-    * jaccard ground truth at the same 0.5 threshold ([[Dedup.lshRecall]]).
+    * jaccard ground truth at the same 0.5 threshold ([[Dedup.lshRecall]])
+    * over a FIXED-SIZE evaluation slice (first 1000 ids — the whole
+    * corpus at sf0.01): a recall estimate doesn't sharpen with corpus
+    * size, and the slice keeps the quadratic ground-truth side bounded
+    * at any scale factor.
     */
   private def dLshRecall(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.lshRecall(t(s, dir, "documents").where(col("doc_id") < 1000),
+      "doc_id", "text",
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
 
   private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -2977,7 +2982,16 @@ object SparkEntry {
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
     "d_lsh_recall" ->
-      s"""WITH $sqlMinhashCtes,
+      s"""WITH ${sqlMinhashSigCtes("(SELECT * FROM documents WHERE doc_id < 1000) AS documents")},
+         cand AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+           WHERE len(list_filter(range(0, 8), bd ->
+             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         j AS (SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+                  ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
+           FROM cand),
          lsh AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
          ex AS (SELECT id_a, id_b FROM (
              SELECT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -326,12 +326,20 @@ object Dedup {
   def lshRecall(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
       threshold: Double = 0.5): DataFrame = {
-    val ids = df.select(col(idCol).as("id"))
-    val allPairs = ids.select(col("id").as("id_a"))
-      .crossJoin(ids.select(col("id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+    // AllPairs-style size filter, LOSSLESS at the threshold: jac(A,B) <=
+    // min(|A|,|B|) / max(|A|,|B|), so any pair clearing `threshold` must
+    // have size ratio >= threshold — candidate volume drops before a
+    // single intersection is computed, recall of the ground truth is
+    // untouched
+    val sized = shingled.select(col("id"), size(col("shingles")).as("sz"))
+    val allPairs = sized.select(col("id").as("id_a"), col("sz").as("sz_a"))
+      .crossJoin(sized.select(col("id").as("id_b"), col("sz").as("sz_b")))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= lit(threshold) * col("sz_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a"))
+      .select("id_a", "id_b")
     val exact = verifyJaccard(allPairs, shingled, threshold).select("id_a", "id_b")
     val lsh = minhashLshPairs(df, idCol, textCol, numHashes, numBands,
         shingleSize, threshold)
