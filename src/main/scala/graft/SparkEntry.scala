@@ -2421,6 +2421,46 @@ object SparkEntry {
         round(col("revenue_e4") / col("total_e4"), 6).as("share"))
   }
 
+  /** Gap-filled hourly resampling: purchase counts on a COMPLETE hour
+    * spine. The spine generates distributively — a 1-row (min, max)
+    * aggregate rides a broadcast crossJoin into `explode(sequence(...))`
+    * — never a driver-side range loop; missing hours join to zero. The
+    * spine is time-span-sized (metadata scale), so the left join
+    * broadcasts the actuals... or the spine; either side is tiny
+    * relative to the event scan that built them.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", timestamp_micros(tsUs)).as("hour"),
+        col("event_type"))
+    val actual = ev.where(col("event_type") === "purchase")
+      .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    spine.join(actual, Seq("hour"), "left_outer")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+  }
+
+  /** Cumulative distinct users by day, decomposed scale-correctly: a
+    * naive `count(DISTINCT user) OVER (ORDER BY day)` carries unbounded
+    * distinct state through one partition; instead each user reduces to
+    * their FIRST day (one keyed aggregation over the full stream), and
+    * the cumulative sum runs over the day-grain table — bounded,
+    * metadata-sized input where a global window is fine (contrast
+    * [[qRevenueShare]], which avoids one over row-scale data).
+    */
+  private def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .select(col("user_id"), to_date(timestamp_micros(tsUs)).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2558,6 +2598,8 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin _),
     "q_profile_stats" -> (qProfileStats _),
     "q_unpivot" -> (qUnpivot _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_cumulative_users" -> (qCumulativeUsers _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
@@ -4351,6 +4393,23 @@ object SparkEntry {
          SELECT src_type, dst_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
          FROM c""",
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+         actual AS (SELECT hour, CAST(count(*) AS BIGINT) AS n
+           FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+         spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+           FROM bounds)
+         SELECT spine.hour, coalesce(actual.n, 0) AS n_purchases
+         FROM spine LEFT JOIN actual ON spine.hour = actual.hour""",
+    "q_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+         d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+         SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM d""",
     "q_unpivot" ->
       """WITH w AS (SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
