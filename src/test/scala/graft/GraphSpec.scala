@@ -90,6 +90,55 @@ class GraphSpec extends SparkTestBase {
     assert(r === r2)
   }
 
+  test("triangle counts match naive enumeration on random graphs") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rng.nextInt(9)
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rng.nextDouble() < 0.45
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        // naive reference: count triangles over the canonical undirected set
+        val und = edges.map { case (a, b) => (a min b, a max b) }.toSet
+        val naive = (for {
+          x <- 1 to n; y <- x + 1 to n; z <- y + 1 to n
+          if und((x, y)) && und((x, z)) && und((y, z))
+        } yield Seq(x, y, z)).flatten
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(got === naive, s"edges=$edges")
+      }
+    }
+  }
+
+  test("shortest hops match Floyd-Warshall on random graphs") {
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val n = 2 + rng.nextInt(7)
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rng.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val inf = Int.MaxValue / 2
+      val d = Array.tabulate(n + 1, n + 1)((i, j) => if (i == j) 0 else inf)
+      edges.foreach { case (a, b) => d(a)(b) = 1 }
+      for (k <- 1 to n; i <- 1 to n; j <- 1 to n)
+        if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+      val maxHops = n // enough to settle everything reachable
+      val expected = (1 to n).collect {
+        case v if d(1)(v) <= maxHops => v -> d(1)(v)
+      }.toMap
+      val e = if (edges.isEmpty) Seq((1, 1)).toDF("src", "dst")
+        else edges.toDF("src", "dst")
+      val got = Graph.shortestHops(e, "src", "dst",
+          Seq(1).toDF("nid"), "nid", maxHops)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+
   test("strongly connected weighted graph conserves total mass") {
     // every node has out-edges -> no dangling leakage: sum stays 1
     val edges = Seq((1, 2, 2.0), (2, 3, 1.0), (3, 1, 5.0), (2, 1, 3.0))
