@@ -2461,6 +2461,52 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Pairwise Pearson correlations between lineitem measures in ONE
+    * aggregation pass (all `corr` sufficient statistics are map-side-
+    * combinable moments — no per-pair scans), unpivoted to long form.
+    * Rounded to 6 decimals: the moment sums differ between engines only
+    * in the last ulp.
+    */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("price_disc"))
+      .select(expr("stack(3, 'qty_price', qty_price, 'qty_disc', qty_disc, " +
+        "'price_disc', price_disc) AS (pair, r)"))
+
+  /** Corpus-drift audit: Jensen-Shannon divergence of each source's
+    * language distribution from the corpus-wide one. The heavy pass is a
+    * single (source, lang) count; everything after runs on
+    * sources×languages rows (metadata scale) — per-source totals and the
+    * corpus mixture ride group-count-sized joins, and the JS sum is a
+    * groupBy over the same tiny table. Base-2 logs, round(6): per-row
+    * arithmetic is identical cross-engine; only the final small sum can
+    * wobble in the last ulp.
+    */
+  private def tJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val bySource = cnt.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val byLang = cnt.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val total = cnt.agg(sum(col("n")).as("n_tot"))
+    val log2 = (c: Column) => log(c) / log(lit(2.0))
+    val p = col("n") / col("n_src")
+    val q = col("n_lang") / col("n_tot")
+    val m = (p + q) / 2
+    // languages a source NEVER saw (p = 0) contribute q·log2(q/(q/2))/2 =
+    // q/2 each; folded in closed form as (1 − Σ_present q)/2 so no
+    // source×lang grid (and no cross join) is ever built
+    cnt.join(bySource, "source").join(byLang, "lang")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        (p * log2(p / m) / 2 + q * log2(q / m) / 2).as("term"),
+        q.as("q"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("term")) + (lit(1.0) - sum(col("q"))) / 2, 6)
+        .as("js_divergence"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2600,6 +2646,8 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_gap_fill" -> (qGapFill _),
     "q_cumulative_users" -> (qCumulativeUsers _),
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
@@ -4393,6 +4441,29 @@ object SparkEntry {
          SELECT src_type, dst_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
          FROM c""",
+    "q_corr_matrix" ->
+      """WITH a AS (SELECT
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6) AS qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc
+         FROM lineitem)
+         SELECT 'qty_price' AS pair, qty_price AS r FROM a
+         UNION ALL SELECT 'qty_disc' AS pair, qty_disc AS r FROM a
+         UNION ALL SELECT 'price_disc' AS pair, price_disc AS r FROM a""",
+    "t_js_divergence" ->
+      """WITH cnt AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         bs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM cnt GROUP BY 1),
+         bl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cnt GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cnt),
+         terms AS (SELECT source,
+             (n / n_src) * log2((n / n_src) / (((n / n_src) + (n_lang / n_tot)) / 2)) / 2
+               + (n_lang / n_tot) * log2((n_lang / n_tot) / (((n / n_src) + (n_lang / n_tot)) / 2)) / 2
+               AS term,
+             n_lang / n_tot AS q
+           FROM cnt JOIN bs USING (source) JOIN bl USING (lang) CROSS JOIN tot)
+         SELECT source, round(sum(term) + (1.0 - sum(q)) / 2, 6) AS js_divergence
+         FROM terms GROUP BY 1""",
     "q_gap_fill" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
          actual AS (SELECT hour, CAST(count(*) AS BIGINT) AS n

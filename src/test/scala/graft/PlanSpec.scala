@@ -85,7 +85,7 @@ class PlanSpec extends SparkTestBase {
       "d_lsh_recall",
       // q_market_basket / q_revenue_share: the only nested-loop node is a
       // 1-row corpus-scalar broadcast (the bm25 corpus-stats shape)
-      "q_market_basket", "q_revenue_share")
+      "q_market_basket", "q_revenue_share", "t_js_divergence")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
