@@ -2507,6 +2507,43 @@ object SparkEntry {
         .as("js_divergence"))
   }
 
+  /** Exact 2-D skyline (Pareto front): orders not strictly dominated on
+    * (price, order date). Decomposed so NO row-scale global window
+    * exists: domination splits into (a) rows in strictly HIGHER price
+    * buckets — covered by a per-bucket max-date prefix over the
+    * bucket-count-sized table — and (b) same-bucket rows with strictly
+    * higher price — covered by a window PARTITIONED by bucket (each
+    * partition sorts independently). Prices are exact integer cents, so
+    * "strictly higher" is a RANGE frame offset of 1; dates at day grain.
+    * An order survives iff neither component produced a strictly later
+    * date. The oracle is the quadratic NOT EXISTS formulation.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val priceE2 = round(col("o_totalprice") * 100, 0).cast("long")
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), priceE2.as("price_e2"),
+        col("o_orderdate").cast("date").as("d"))
+      .withColumn("bucket", (col("price_e2") / 100000L).cast("long"))
+    // (a) cross-bucket: max date per bucket, then the running max over all
+    // STRICTLY higher buckets — a window over ~price-range/1000 rows
+    val bmax = base.groupBy(col("bucket")).agg(max(col("d")).as("bd"))
+      .withColumn("hi_d",
+        max(col("bd")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("hi_d"))
+    // (b) same-bucket: running max date over strictly higher price,
+    // partitioned by bucket — no global sort anywhere
+    val sameBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("price_e2").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("same_d", max(col("d")).over(sameBucket))
+      .join(broadcast(bmax), Seq("bucket"), "left_outer")
+      .where((col("same_d").isNull || col("same_d") <= col("d")) &&
+        (col("hi_d").isNull || col("hi_d") <= col("d")))
+      .select(col("o_orderkey"), col("price_e2"), col("d"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2647,6 +2684,7 @@ object SparkEntry {
     "q_gap_fill" -> (qGapFill _),
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_corr_matrix" -> (qCorrMatrix _),
+    "q_skyline" -> (qSkyline _),
     "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4441,6 +4479,14 @@ object SparkEntry {
          SELECT src_type, dst_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
          FROM c""",
+    "q_skyline" ->
+      """WITH b AS (SELECT o_orderkey,
+             round(o_totalprice * 100)::BIGINT AS price_e2,
+             o_orderdate::DATE AS d
+           FROM orders)
+         SELECT o_orderkey, price_e2, d FROM b o
+         WHERE NOT EXISTS (SELECT 1 FROM b x
+           WHERE x.price_e2 > o.price_e2 AND x.d > o.d)""",
     "q_corr_matrix" ->
       """WITH a AS (SELECT
            round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
