@@ -1309,6 +1309,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Hive-style partitioned layout round-trip: events written
+    * `partitionBy(event_type)` and read back filtered to ONE type — the
+    * filter must resolve at PLANNING time against the directory structure
+    * (PartitionFilters, zero data files of other types opened; asserted
+    * in `PlanSpec`). The directory-per-value layout is the third
+    * data-skipping device next to `Bucketing`'s min/max footers and the
+    * z-order rewrite: coarse categorical pruning before any footer is
+    * read.
+    */
+  private def qPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partp").toString
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("etype"))
+      .write.mode("overwrite").partitionBy("etype").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("etype") === "purchase")
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
   /** JSON-lines round-trip with an EXPLICIT read schema (inference would
     * scan the input twice — never at 100 TB). Doubles survive exactly:
     * Spark writes shortest-round-trip representations.
@@ -2625,6 +2646,7 @@ object SparkEntry {
     "e_silhouette" -> (eSilhouette _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_partitioned_prune" -> (qPartitionedPrune _),
     "s_interval_join_stream" -> (sIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -4479,6 +4501,10 @@ object SparkEntry {
          SELECT src_type, dst_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT), 6) AS p
          FROM c""",
+    "q_partitioned_prune" ->
+      """SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q_skyline" ->
       """WITH b AS (SELECT o_orderkey,
              round(o_totalprice * 100)::BIGINT AS price_e2,

@@ -73,7 +73,8 @@ class PlanSpec extends SparkTestBase {
       "d_incremental_dedup", "e_ivf_index_topk", "e_pq_index_topk",
       "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
-      "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip", "q_time_travel",
+      "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip",
+      "q_partitioned_prune", "q_time_travel",
       "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
       // e_ann_recall evaluates the ANN against the exact baseline, so it
       // necessarily contains e_cosine_topk's brute-force cross join;
@@ -174,6 +175,13 @@ class PlanSpec extends SparkTestBase {
       "no partial (map-side) max phase in the argmax plan:\n" +
         p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("Window"), "argmax plan must not fall back to a window sort")
+  }
+
+  test("hive-layout read prunes at planning time (PartitionFilters on etype)") {
+    val p = planOf("q_partitioned_prune")
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(etype"),
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
   test("ratio-to-report never single-partitions: no global window in the plan") {
