@@ -1019,6 +1019,33 @@ object SparkEntry {
       .unionByName(snap(graft.io.Versioned.read(s, path), 2L))
   }
 
+  /** Snapshot DIFF between two published versions — the lakehouse
+    * change-audit: base publishes as v1, the CDC-merged state as v2, and
+    * the diff is ONE full outer join on the key classifying each row as
+    * added / removed / changed (unchanged rows drop out). Output is
+    * change-sized, not table-sized; at 100 TB the join is the only
+    * table-scale work and shuffles on the same key both snapshots
+    * already carry. The oracle reruns the merge arithmetic relationally
+    * and diffs against the source.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_vdiff").toString
+    graft.io.Versioned.write(baseOrders(s, dir), path)
+    graft.io.Versioned.write(qMergeCdc(s, dir), path)
+    val v1 = graft.io.Versioned.read(s, path, Some(1))
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+    val v2 = graft.io.Versioned.read(s, path)
+      .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col("o_orderkey"), col("status"), col("old_price"), col("new_price"))
+  }
+
   /** Schema evolution at the landing zone: early files carry (doc_id,
     * lang), later files add `n_chars`; a `mergeSchema` read unifies them
     * (absent columns null) — the oracle replays the split from the source
@@ -2661,6 +2688,7 @@ object SparkEntry {
     "t_distinct_kmv" -> (tDistinctKmv _),
     "s_sliding_stream" -> (sSlidingStream _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "s_asof_stream" -> (sAsofStream _),
     "s_transitions_stream" -> (sTransitionsStream _),
@@ -4007,6 +4035,29 @@ object SparkEntry {
              ORDER BY version DESC, src DESC) AS rn FROM u)
          SELECT o_orderkey, o_totalprice, version FROM r
          WHERE rn = 1 AND op <> 'D'""",
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             0::BIGINT AS version, 0 AS src, 'U' AS op FROM orders),
+         upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2),
+             1::BIGINT, 1, 'U' FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 0.0::DOUBLE, 2::BIGINT, 1, 'D'
+           FROM orders WHERE o_orderkey % 13 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC, src DESC) AS rn FROM u),
+         merged AS (SELECT o_orderkey, o_totalprice FROM r
+           WHERE rn = 1 AND op <> 'D'),
+         v1 AS (SELECT o_orderkey, round(o_totalprice, 2) AS old_price FROM orders),
+         d AS (SELECT coalesce(v1.o_orderkey, m.o_orderkey) AS o_orderkey,
+             v1.old_price, m.o_totalprice AS new_price,
+             CASE WHEN v1.old_price IS NULL THEN 'added'
+                  WHEN m.o_totalprice IS NULL THEN 'removed'
+                  WHEN v1.old_price <> m.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM v1 FULL OUTER JOIN merged m ON v1.o_orderkey = m.o_orderkey)
+         SELECT o_orderkey, status, old_price, new_price
+         FROM d WHERE status <> 'unchanged'""",
     "t_lm_cross" -> {
       val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
       val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)

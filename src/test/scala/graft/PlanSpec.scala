@@ -74,7 +74,7 @@ class PlanSpec extends SparkTestBase {
       "d_lsh_index_pairs",
       "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip",
-      "q_partitioned_prune", "q_time_travel",
+      "q_partitioned_prune", "q_time_travel", "q_snapshot_diff",
       "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
       // e_ann_recall evaluates the ANN against the exact baseline, so it
       // necessarily contains e_cosine_topk's brute-force cross join;
