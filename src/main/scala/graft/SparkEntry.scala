@@ -2256,6 +2256,25 @@ object SparkEntry {
       t(s, dir, "part"), "p_partkey",
       coOrderEdges(s, dir), "src", "dst", rounds = 3)
 
+  /** Graph × relational composition: line revenue rolled up per LPA
+    * community (≥5 members) — the community labels from [[qCommunities]]
+    * join the per-part revenue aggregate on the part key both sides
+    * already shuffle on. The kind of "aggregate by graph-derived
+    * grouping" a catalog/taxonomy pipeline runs; revenue in exact
+    * integer ten-thousandths as everywhere.
+    */
+  private def qCommunityRollup(s: SparkSession, dir: String): DataFrame = {
+    val revE4 = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("id")).agg(sum(revE4).as("rev_e4"))
+    qCommunities(s, dir).join(rev, Seq("id"), "left_outer")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(coalesce(col("rev_e4"), lit(0L))).as("revenue_e4"))
+      .where(col("n_parts") >= 5)
+  }
+
   /** Per-nation argmax as a SINGLE aggregation pass: the richest
     * customer per nation via `max(struct(acctbal, -custkey))` — struct
     * ordering is lexicographic, so the negated key breaks acctbal ties
@@ -2722,6 +2741,7 @@ object SparkEntry {
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_communities" -> (qCommunities _),
+    "g_community_rollup" -> (qCommunityRollup _),
     "q_argmax" -> (qArgmax _),
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
@@ -2741,6 +2761,33 @@ object SparkEntry {
     "q_trend_fit" -> (qTrendFit _),
     "q_array_hof" -> (qArrayHof _)
   )
+
+  /** Unrolled synchronous LPA over the co-order part graph as a CTE
+    * chain ending in `r$LpaRounds(id, label)` — one (count, pick,
+    * relabel) triple per round, identical deterministic tie-break to
+    * [[graft.operators.Graph.labelPropagation]]; shared by the
+    * `g_communities` and `g_community_rollup` oracles.
+    */
+  private val LpaRounds = 3
+  private lazy val sqlLpaCtes: String = {
+    val rk = (1 to LpaRounds).map { k =>
+      s"""c$k AS (SELECT e.dst AS nid, p.label, count(*) AS c
+             FROM e JOIN r${k - 1} p ON e.src = p.id GROUP BY 1, 2),
+           p$k AS (SELECT nid AS id, label FROM (
+               SELECT nid, label,
+                 row_number() OVER (PARTITION BY nid
+                   ORDER BY c DESC, label ASC) AS rn
+               FROM c$k) WHERE rn = 1),
+           r$k AS (SELECT n.id, coalesce(p.label, n.id) AS label
+             FROM n LEFT JOIN p$k p USING (id))"""
+    }.mkString(",\n")
+    s"""e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         n AS (SELECT DISTINCT p_partkey AS id FROM part),
+         r0 AS (SELECT id, id AS label FROM n),
+         $rk"""
+  }
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -4643,29 +4690,19 @@ object SparkEntry {
          FROM part a JOIN part b
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
-    "g_communities" -> {
-      // unrolled synchronous LPA: one (count, pick, relabel) CTE triple
-      // per round, identical deterministic tie-break to labelPropagation
-      val rounds = 3
-      val rk = (1 to rounds).map { k =>
-        s"""c$k AS (SELECT e.dst AS nid, p.label, count(*) AS c
-             FROM e JOIN r${k - 1} p ON e.src = p.id GROUP BY 1, 2),
-           p$k AS (SELECT nid AS id, label FROM (
-               SELECT nid, label,
-                 row_number() OVER (PARTITION BY nid
-                   ORDER BY c DESC, label ASC) AS rn
-               FROM c$k) WHERE rn = 1),
-           r$k AS (SELECT n.id, coalesce(p.label, n.id) AS label
-             FROM n LEFT JOIN p$k p USING (id))"""
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         n AS (SELECT DISTINCT p_partkey AS id FROM part),
-         r0 AS (SELECT id, id AS label FROM n),
-         $rk
-         SELECT id, label FROM r$rounds"""
-    },
+    "g_communities" ->
+      s"""WITH $sqlLpaCtes
+         SELECT id, label FROM r$LpaRounds""",
+    "g_community_rollup" ->
+      s"""WITH $sqlLpaCtes,
+         rev AS (SELECT l_partkey AS id,
+             CAST(sum(round(l_extendedprice * 100)::BIGINT *
+               (100 - round(l_discount * 100)::BIGINT)) AS BIGINT) AS rev_e4
+           FROM lineitem GROUP BY 1)
+         SELECT label AS community, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(coalesce(rev.rev_e4, 0)) AS BIGINT) AS revenue_e4
+         FROM r$LpaRounds r LEFT JOIN rev USING (id)
+         GROUP BY 1 HAVING count(*) >= 5""",
     "q_argmax" ->
       """SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey
          FROM (SELECT c_nationkey, c_acctbal, c_custkey,
