@@ -153,7 +153,10 @@ object Graph {
       if (i % checkpointEvery == 0 && i < rounds)
         lab = lab.localCheckpoint(true)
     }
-    lab
+    // the RESULT is checkpointed too (V rows — cheap): callers compose it
+    // into further joins/aggregations, and without this every downstream
+    // reference replays the whole round chain
+    if (rounds > 0) lab.localCheckpoint(true) else lab
   }
 
   /** Minimum hop count from a set of source nodes by frontier BFS.
