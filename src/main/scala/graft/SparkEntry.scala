@@ -2611,6 +2611,43 @@ object SparkEntry {
       .select(col("o_orderkey"), col("price_e2"), col("d"))
   }
 
+  /** Seasonality profile: event volume and mean value by (day-of-week,
+    * hour-of-day) — the activity heatmap behind load forecasting and
+    * anomaly baselines. One aggregation to a 7×24-bounded table; the
+    * mean is integer-stabilized (micro-unit sums) like the cluster
+    * profiles so the hash can't wobble with partitioning.
+    */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(timestamp_micros(tsUs).as("t"), col("value"))
+      .groupBy(dayofweek(col("t")).as("dow"), hour(col("t")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000, 0).cast("long")).as("v_e6"))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("v_e6") / col("n") / 1000000.0, 6).as("avg_value"))
+
+  /** Flesch-style readability per document: words, sentence marks, and
+    * vowel-group syllable proxies all come from `regexp_count` — one
+    * codegen'd scan, integer counts, the score a single per-row double
+    * expression (identical IEEE arithmetic cross-engine). The standard
+    * text-quality signal next to [[TextAnalysis]]'s stopword/length
+    * heuristics.
+    */
+  private def tReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = regexp_count(col("text"), lit("[A-Za-z0-9]+"))
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+    val sylls = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    t(s, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        sylls.as("n_sylls"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+          lit(84.6) * (col("n_sylls").cast("double") / col("n_words")), 4)
+          .as("flesch"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2755,6 +2792,8 @@ object SparkEntry {
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_skyline" -> (qSkyline _),
+    "q_seasonality" -> (qSeasonality _),
+    "t_readability" -> (tReadability _),
     "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4603,6 +4642,22 @@ object SparkEntry {
       """SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total_value
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_seasonality" ->
+      """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS avg_value
+         FROM events GROUP BY 1, 2""",
+    "t_readability" ->
+      """WITH c AS (SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sents,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_sylls
+         FROM documents)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(206.835 - 1.015 * (n_words::DOUBLE / n_sents)
+             - 84.6 * (n_sylls::DOUBLE / n_words), 4) AS flesch
+         FROM c WHERE n_words > 0""",
     "q_skyline" ->
       """WITH b AS (SELECT o_orderkey,
              round(o_totalprice * 100)::BIGINT AS price_e2,
