@@ -2648,6 +2648,28 @@ object SparkEntry {
           .as("flesch"))
   }
 
+  /** N-gram novelty per document: the fraction of a doc's distinct word
+    * 3-grams that appear NOWHERE else in the corpus — high novelty
+    * flags original content, low novelty flags boilerplate/near-dups
+    * (the memorization-risk signal, dual of the df-based line dedup).
+    * Same two-pass inverted-index shape as [[Dedup.ngramJaccardPairs]]:
+    * distinct gram hashes explode to (gram, id) rows, one df count, one
+    * join back — text never shuffles.
+    */
+  private def tNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3))
+          .as("g"))
+    val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    ex.join(dfs, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_unique") / col("n_grams"), 6).as("novelty"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2794,6 +2816,7 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_seasonality" -> (qSeasonality _),
     "t_readability" -> (tReadability _),
+    "t_ngram_novelty" -> (tNgramNovelty _),
     "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4648,6 +4671,22 @@ object SparkEntry {
            round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / count(*) / 1000000.0, 6) AS avg_value
          FROM events GROUP BY 1, 2""",
+    "t_ngram_novelty" -> {
+      val ph = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
+      s"""WITH sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> $ph)) END AS g3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         ex AS (SELECT doc_id, unnest(g3) AS g FROM sh),
+         dfs AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+         per AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           FROM ex JOIN dfs USING (g) GROUP BY 1)
+         SELECT doc_id, n_grams, round(n_unique / n_grams, 6) AS novelty
+         FROM per"""
+    },
     "t_readability" ->
       """WITH c AS (SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
