@@ -2670,6 +2670,31 @@ object SparkEntry {
         round(col("n_unique") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** One-row dedup audit — the report a curation run publishes next to
+    * its output: corpus size, exact-duplicate footprint (docs in >1-copy
+    * groups, group count), and the near-dup surface (verified LSH pairs
+    * and the distinct docs they touch). Composes the exact and LSH
+    * derivations already under the gate; every count is a scalar
+    * aggregate of those plans, so the report costs one pass over each.
+    */
+  private def cDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val ex = groups.agg(
+      coalesce(sum(col("dup_count")), lit(0L)).as("n_exact_dup_docs"),
+      count(lit(1)).as("n_exact_groups"))
+    val nd = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .agg(count(lit(1)).as("pair_ends"),
+        countDistinct(col("id")).as("n_neardup_docs"))
+      .select((col("pair_ends") / 2).cast("long").as("n_lsh_pairs"),
+        col("n_neardup_docs"))
+    nDocs.crossJoin(broadcast(ex)).crossJoin(broadcast(nd))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2817,6 +2842,7 @@ object SparkEntry {
     "q_seasonality" -> (qSeasonality _),
     "t_readability" -> (tReadability _),
     "t_ngram_novelty" -> (tNgramNovelty _),
+    "c_dedup_report" -> (cDedupReport _),
     "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4671,6 +4697,20 @@ object SparkEntry {
            round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / count(*) / 1000000.0, 6) AS avg_value
          FROM events GROUP BY 1, 2""",
+    "c_dedup_report" ->
+      s"""WITH $sqlMinhashCtes,
+         lsh AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         ex AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_exact_dup_docs,
+             CAST(count(*) AS BIGINT) AS n_exact_groups
+           FROM (SELECT count(*) AS c FROM documents
+                 GROUP BY text HAVING count(*) > 1))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           ex.n_exact_dup_docs, ex.n_exact_groups,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh_pairs,
+           (SELECT CAST(count(DISTINCT i.id) AS BIGINT)
+            FROM (SELECT id_a AS id FROM lsh
+                  UNION ALL SELECT id_b FROM lsh) i) AS n_neardup_docs
+         FROM ex""",
     "t_ngram_novelty" -> {
       val ph = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
       s"""WITH sh AS (SELECT doc_id,

@@ -86,7 +86,10 @@ class PlanSpec extends SparkTestBase {
       "d_lsh_recall",
       // q_market_basket / q_revenue_share: the only nested-loop node is a
       // 1-row corpus-scalar broadcast (the bm25 corpus-stats shape)
-      "q_market_basket", "q_revenue_share", "t_js_divergence")
+      "q_market_basket", "q_revenue_share", "t_js_divergence",
+      // c_dedup_report: three 1-row scalar aggregates cross-joined into
+      // the report row
+      "c_dedup_report")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
