@@ -2695,6 +2695,48 @@ object SparkEntry {
     nDocs.crossJoin(broadcast(ex)).crossJoin(broadcast(nd))
   }
 
+  /** Funnel latency distribution: hours from a user's FIRST view to
+    * their first purchase AFTER it, bucketed — the conversion-time
+    * histogram behind funnel SLAs. Three aggregations all keyed on
+    * user_id reuse one hash partitioning; the bucket rollup is
+    * bucket-count-sized.
+    */
+  private def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), tsUs.as("us"), col("event_type"))
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .where(col("us") >= col("view_us"))
+      .groupBy(col("user_id"), col("view_us")).agg(min(col("us")).as("buy_us"))
+    conv.groupBy(((col("buy_us") - col("view_us")) / lit(3600000000L))
+        .cast("long").as("hours_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Global clustering coefficient of the thresholded trade graph:
+    * `3·triangles / wedges`, with triangles from the degree-oriented
+    * enumeration ([[graft.operators.Graph.triangleCounts]] — per-node
+    * counts sum to 3 per triangle) and wedges from the closed form
+    * Σ deg·(deg−1)/2 over the canonical undirected degrees — both sides
+    * one aggregation, no new joins.
+    */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = nationTradeEdges(s, dir).where(col("w") >= 3000000.0)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
+      .as("n_wedges"))
+    val tri = graft.operators.Graph.triangleCounts(e, "src", "dst")
+      .agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2843,6 +2885,8 @@ object SparkEntry {
     "t_readability" -> (tReadability _),
     "t_ngram_novelty" -> (tNgramNovelty _),
     "c_dedup_report" -> (cDedupReport _),
+    "q_funnel_time" -> (qFunnelTime _),
+    "g_clustering_coeff" -> (qClusteringCoeff _),
     "t_js_divergence" -> (tJsDivergence _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4697,6 +4741,35 @@ object SparkEntry {
            round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / count(*) / 1000000.0, 6) AS avg_value
          FROM events GROUP BY 1, 2""",
+    "q_funnel_time" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         fv AS (SELECT user_id, min(us) AS view_us FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         conv AS (SELECT ev.user_id, fv.view_us, min(ev.us) AS buy_us
+           FROM ev JOIN fv USING (user_id)
+           WHERE ev.event_type = 'purchase' AND ev.us >= fv.view_us
+           GROUP BY 1, 2)
+         SELECT CAST((buy_us - view_us) // 3600000000 AS BIGINT) AS hours_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM conv GROUP BY 1""",
+    "g_clustering_coeff" ->
+      """WITH e0 AS (SELECT c_nationkey AS s, s_nationkey AS d
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 3000000),
+         und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+           FROM e0 WHERE s <> d),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+           (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+         SELECT tri.n_triangles, w.n_wedges,
+           round(3.0 * tri.n_triangles / w.n_wedges, 6) AS global_cc
+         FROM tri CROSS JOIN w""",
     "c_dedup_report" ->
       s"""WITH $sqlMinhashCtes,
          lsh AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),

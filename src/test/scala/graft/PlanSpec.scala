@@ -87,9 +87,9 @@ class PlanSpec extends SparkTestBase {
       // q_market_basket / q_revenue_share: the only nested-loop node is a
       // 1-row corpus-scalar broadcast (the bm25 corpus-stats shape)
       "q_market_basket", "q_revenue_share", "t_js_divergence",
-      // c_dedup_report: three 1-row scalar aggregates cross-joined into
-      // the report row
-      "c_dedup_report")
+      // c_dedup_report / g_clustering_coeff: 1-row scalar aggregates
+      // cross-joined into the report row
+      "c_dedup_report", "g_clustering_coeff")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
