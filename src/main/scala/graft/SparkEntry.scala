@@ -18,8 +18,13 @@ import graft.operators.{Dedup, Similarity}
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts has shipped as both TIMESTAMP(NANOS)→ns-long and plain µs
+    // TIMESTAMP across testdata regenerations; normalize to the internal
+    // ns-epoch-long convention here so no query sees the difference.
+    if (name == "events") graft.io.EventTs.toNsLong(raw) else raw
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1387,7 +1392,7 @@ object SparkEntry {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_rollup_stream_${System.nanoTime()}"
     // Narrowed stateful shuffle for the single-batch drain (fixed per-
     // partition state-store cost; see s_sessionize_stream's note).
@@ -1416,7 +1421,7 @@ object SparkEntry {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_sliding_stream_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -1449,6 +1454,7 @@ object SparkEntry {
       landingO.resolve("orders.parquet"))
     import s.implicits._
     val ev = graft.streaming.Streaming.readParquetStream(s, landingE.toString)
+      .transform(graft.io.EventTs.toNsLong)
       .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
         lit(1).as("side"), col("event_id").as("id"), lit(0.0).as("payload"))
       .as[AsofIn]
@@ -1488,6 +1494,7 @@ object SparkEntry {
       landing.resolve("events.parquet"))
     import s.implicits._
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .transform(graft.io.EventTs.toNsLong)
       .select(col("user_id"), tsUs.as("ts"), col("event_id"), col("event_type"))
       .as[TransIn]
     val qn = s"s_transitions_stream_${System.nanoTime()}"
@@ -1526,7 +1533,7 @@ object SparkEntry {
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.io.EventTs.toTimestamp)
       val query = graft.streaming.Streaming
         .dedupStream(ev, Seq("event_id"), "ts", "1 day")
         .writeStream.format("memory").queryName(qn)
@@ -1584,7 +1591,7 @@ object SparkEntry {
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.io.EventTs.toTimestamp)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1625,13 +1632,16 @@ object SparkEntry {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
     val base = s.read.parquet(landing.toString)
-    val maxTsNs = base.agg(max(col("ts"))).head().getLong(0)
+    val maxTsNs = graft.io.EventTs.toNsLong(base).agg(max(col("ts"))).head().getLong(0)
+    // Sentinels must land in the SAME physical ts encoding as the real
+    // events file (the stream's inferred schema covers both).
     def writeSentinel(name: String, tsNs: Long, eid: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
       base.limit(1).select(base.schema.fields.map { f =>
         (f.name match {
           case "event_id"   => lit(eid)
-          case "ts"         => lit(tsNs)
+          case "ts" if f.dataType == org.apache.spark.sql.types.LongType => lit(tsNs)
+          case "ts"         => timestamp_micros(lit(tsNs / 1000L))
           case "user_id"    => lit(-1L)
           case "event_type" => lit("z")
           case "value"      => lit(0.0)
@@ -1658,7 +1668,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = Streaming.readParquetStream(s, landing.toString,
           Map("maxFilesPerTrigger" -> "2"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.io.EventTs.toTimestamp)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
       val query = Streaming.sessionize(ev.as[Streaming.Event],
           gapMinutes = 30, watermark = "0 minutes")

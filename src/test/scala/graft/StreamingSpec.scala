@@ -147,7 +147,7 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
     val evStream = Streaming.readParquetStream(spark, landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.io.EventTs.toTimestamp)
     val query = Streaming.hourlyRollup(evStream, watermark = "2 hours")
       .writeStream.format("memory").queryName("rollup_file")
       .outputMode(OutputMode.Complete())
@@ -170,9 +170,8 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     implicit val sqlCtx = spark.sqlContext
     val dir = sf("sf0.001")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select($"event_id", $"user_id", timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"event_type", $"value")
+    val events = graft.io.EventTs.toTimestamp(spark.read.parquet(s"$dir/events.parquet"))
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
       .as[Event].collect().toSeq
     val input = MemoryStream[Event]
     val query = Streaming.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
