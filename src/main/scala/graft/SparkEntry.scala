@@ -271,9 +271,19 @@ object SparkEntry {
   // Training-data pipeline: dedup / text / similarity
   // ------------------------------------------------------------------
 
-  private def dExactDupGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactDuplicateGroups(t(s, dir, "documents"), "text", "doc_id")
+  /** Exact-dup grouping over the corpus UNION a re-ingested slice (every
+    * 7th doc re-keyed past the id range) — the re-crawl shape. The union
+    * guarantees duplicate groups exist whatever the generated corpus
+    * looks like, so the query exercises the operator non-degenerately at
+    * every scale/regeneration.
+    */
+  private def dExactDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val reingest = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Dedup.exactDuplicateGroups(docs.unionByName(reingest), "text", "doc_id")
       .select(col("canonical_id"), col("dup_count"))
+  }
 
   private def dExactDedupKeep(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -2217,7 +2227,7 @@ object SparkEntry {
     * orientation-invariant, so both formulations agree row-for-row.
     */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = nationTradeEdges(s, dir).where(col("w") >= 3000000.0)
+    val e = nationTradeEdges(s, dir).where(col("w") >= 1500000.0)
     val nat = t(s, dir, "nation")
     val tc = graft.operators.Graph.triangleCounts(e, "src", "dst")
     tc.join(broadcast(nat), tc("id") === nat("n_nationkey"))
@@ -2732,7 +2742,7 @@ object SparkEntry {
     * one aggregation, no new joins.
     */
   private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = nationTradeEdges(s, dir).where(col("w") >= 3000000.0)
+    val e = nationTradeEdges(s, dir).where(col("w") >= 1500000.0)
     val und = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
@@ -3322,8 +3332,12 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
          FROM ev JOIN dim USING (k) GROUP BY k""",
     "d_exact_dup_groups" ->
-      """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
-         FROM documents GROUP BY text HAVING count(*) > 1""",
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+         SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM all_docs GROUP BY text HAVING count(*) > 1""",
     "d_exact_dedup_keep" ->
       """SELECT source, count(*) AS n_kept FROM (
            SELECT * FROM documents
@@ -4664,7 +4678,7 @@ object SparkEntry {
            FROM lineitem, orders, customer, supplier
            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              AND l_suppkey = s_suppkey
-           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 3000000),
+           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 1500000),
          und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
            FROM e0 WHERE s <> d),
          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -4767,7 +4781,7 @@ object SparkEntry {
            FROM lineitem, orders, customer, supplier
            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              AND l_suppkey = s_suppkey
-           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 3000000),
+           GROUP BY 1, 2 HAVING sum(l_extendedprice * (1 - l_discount)) >= 1500000),
          und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
            FROM e0 WHERE s <> d),
          deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
