@@ -2274,7 +2274,9 @@ object SparkEntry {
   private def qCommunities(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.labelPropagation(
       t(s, dir, "part"), "p_partkey",
-      coOrderEdges(s, dir), "src", "dst", rounds = 3)
+      coOrderEdges(s, dir), "src", "dst", rounds = 3,
+      // coOrderEdges emits both directions by construction
+      symmetric = true)
 
   /** Graph × relational composition: line revenue rolled up per LPA
     * community (≥5 members) — the community labels from [[qCommunities]]

@@ -129,20 +129,37 @@ object Graph {
     */
   def labelPropagation(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 5,
+      symmetric: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
-    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    // `symmetric = true`: the caller guarantees every edge already appears
+    // in both directions (e.g. a self-join with a symmetric predicate).
+    // The undirected graph is then materialized as CANONICAL a<b pairs —
+    // half the rows through the dedup shuffle and half the checkpointed
+    // bytes of the both-directions form — and each round counts votes
+    // from both endpoints of every canonical edge. For directed input the
+    // edge list is kept as-is and votes flow src→dst only.
+    val sym = (if (symmetric) und.where(col("a") < col("b"))
+       else und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint(true)
     var lab = n.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < rounds) {
-      val counts = sym.join(lab, sym("src") === lab("id"))
-        .groupBy(sym("dst").as("nid"), col("label"))
+      val votes =
+        if (symmetric)
+          sym.join(lab, sym("src") === lab("id"))
+            .select(sym("dst").as("nid"), col("label"))
+            .union(sym.join(lab, sym("dst") === lab("id"))
+              .select(sym("src").as("nid"), col("label")))
+        else
+          sym.join(lab, sym("src") === lab("id"))
+            .select(sym("dst").as("nid"), col("label"))
+      val counts = votes.groupBy(col("nid"), col("label"))
         .agg(count(lit(1)).as("c"))
       val pick = counts.groupBy(col("nid").as("id"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
