@@ -62,6 +62,8 @@ object GraftFunctions {
       "graft_int8_quantize(v) - symmetric per-vector int8 quantization",
       args => { arity("graft_int8_quantize", args, 1)
         K.Int8Quantize(castArr(args(0), D)) }),
+    fd("graft_vec_dot", "graft_vec_dot(a, b) - dot product of two numeric arrays",
+      args => { arity("graft_vec_dot", args, 2); K.VecDot(args(0), args(1)) }),
     fd("graft_dot_long", "graft_dot_long(a, b) - integer dot product of long arrays",
       args => { arity("graft_dot_long", args, 2)
         K.DotLong(castArr(args(0), L), castArr(args(1), L)) }),

@@ -299,6 +299,27 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.2)
 
+  /** Contamination-detection shape for [[Dedup.containmentPairs]]: every
+    * 11th document yields a PROBE (its first half, word-boundary-safe,
+    * re-keyed past the id range — the "eval excerpt" side), and the query
+    * reports which corpus documents contain each probe at ≥ 0.5 shingle
+    * containment. The probe construction tokenizes exactly like the
+    * shingle kernel (split on `\s+`, re-joined with single spaces), so
+    * the probe's 3-gram set is a true subset of its source's and the
+    * all-pairs DuckDB oracle reproduces it verbatim.
+    */
+  private def dContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val probes = docs.where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(lit(3), (size(toks) / 2).cast("int"))), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(probes), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .where(col("src_id") >= 2000000L && col("dst_id") < 2000000L)
+  }
+
   private def dMinhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, numBands = 8, shingleSize = 5, threshold = 0.5)
@@ -404,6 +425,18 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Prefix-dimension rerank ([[Similarity.truncatedTopK]]): coarse top-30
+    * by first-16-dim dot product, exact cosine rescoring to top-10 — the
+    * Matryoshka/truncation ANN path whose coarse scan reads 1/4 of the
+    * vector bytes. Fully deterministic, so the oracle replays both stages.
+    */
+  private def eTruncRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.truncatedTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", prefixDim = 16, k = 10, candidates = 30)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -2789,6 +2822,7 @@ object SparkEntry {
     "d_exact_dup_groups" -> (dExactDupGroups _),
     "d_exact_dedup_keep" -> (dExactDedupKeep _),
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
+    "d_containment_pairs" -> (dContainmentPairs _),
     "d_minhash_lsh_pairs" -> (dMinhashLshPairs _),
     "d_lsh_recall" -> (dLshRecall _),
     "d_simhash_pairs" -> (dSimhashPairs _),
@@ -2798,6 +2832,7 @@ object SparkEntry {
     "t_token_budget" -> (tTokenBudget _),
     "d_neardup_components" -> (dNeardupComponents _),
     "e_cosine_topk" -> (eCosineTopK _),
+    "e_trunc_rerank" -> (eTruncRerank _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
@@ -3361,6 +3396,25 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.2"""
     },
+    "d_containment_pairs" -> {
+      s"""WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+         probes AS (SELECT doc_id + 2000000 AS doc_id,
+             toks[1:greatest(3, len(toks) // 2)] AS toks
+           FROM base WHERE doc_id % 11 = 0),
+         allt AS (SELECT * FROM base UNION ALL SELECT * FROM probes),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> ${sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)})) END AS g3
+           FROM allt)
+         SELECT p.doc_id AS src_id, c.doc_id AS dst_id,
+           round(len(list_intersect(p.g3, c.g3))::DOUBLE / len(p.g3), 6) AS containment
+         FROM sh p JOIN sh c ON p.doc_id >= 2000000 AND c.doc_id < 2000000
+         WHERE len(p.g3) > 0
+           AND len(list_intersect(p.g3, c.g3))::DOUBLE / len(p.g3) >= 0.5"""
+    },
     "d_minhash_lsh_pairs" ->
       s"""WITH $sqlMinhashCtes
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
@@ -3533,6 +3587,27 @@ object SparkEntry {
              (sqrt(list_sum(list_transform(qv, x -> x * x))) *
               sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
            FROM q, c WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "e_trunc_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         coarse AS (SELECT query_id, neighbor_id, qv, cv,
+             list_sum(list_transform(list_zip(qv[1:16], cv[1:16]),
+               x -> x[1] * x[2])) AS pdot
+           FROM q, c WHERE query_id <> neighbor_id),
+         cand AS (SELECT query_id, neighbor_id, qv, cv FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(pdot, 6) DESC, neighbor_id) AS crank FROM coarse)
+           WHERE crank <= 30),
+         s AS (SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+             (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+              sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+           FROM cand)
          SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)

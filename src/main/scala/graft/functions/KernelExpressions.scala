@@ -42,6 +42,20 @@ object KernelExpressions {
       copy(left = l, right = r)
   }
 
+  /** Dot product of two numeric array columns (strict on dimensions). */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloatArr(left), isFloatArr(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Kernels.dot($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Per-table SRP bucket keys (t*2^bits | bucket) over a ±1 plane matrix. */
   case class SrpBucketKeys(child: Expression, planes: Seq[Double],
       numTables: Int, bits: Int) extends UnaryExpression {
@@ -342,6 +356,7 @@ object KernelExpressions {
   private def c(x: Expression): Column = GraftExpressionBridge.column(x)
 
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
+  def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
 
   def srpBucketKeys(v: Column, planes: Seq[Seq[Double]], numTables: Int,
       bits: Int): Column =

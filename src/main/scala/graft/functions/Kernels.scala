@@ -99,6 +99,22 @@ object Kernels {
     * score is worse than a failure (the float kernels null-propagate the
     * same condition via `zip_with`).
     */
+  /** Double dot product of two numeric arrays (ascending-index fold, so
+    * doubles are bit-identical to a sequential list_sum/zip formulation in
+    * the oracle engine). Mismatched dimensions are an error, matching
+    * [[dotLong]]'s strictness.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_vec_dot: dimension mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += getD(a, i, aFloat) * getD(b, i, bFloat); i += 1 }
+    acc
+  }
+
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     if (b.numElements() != n)

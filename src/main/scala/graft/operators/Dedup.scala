@@ -222,6 +222,68 @@ object Dedup {
     exactByCount.unionByName(verified)
   }
 
+  /** Directional n-gram CONTAINMENT pairs: containment(src→dst) =
+    * |S(src) ∩ S(dst)| / |S(src)| over distinct word-n-gram shingle sets.
+    * The asymmetric near-dup measure — an excerpt quoted inside a much
+    * larger document scores ~1.0 here while its Jaccard is tiny, which is
+    * exactly the eval-contamination / quote-detection shape
+    * ([[ngramJaccardPairs]] covers the symmetric case).
+    *
+    * Same inverted-index blocking and skew cap as [[ngramJaccardPairs]]:
+    * pairs are candidates iff they share an indexed shingle (containment ≥
+    * t > 0 implies a nonempty intersection, so recall is exact while no
+    * shingle exceeds `maxShingleDf`); the per-shared-shingle count IS the
+    * intersection; pairs where both sides carry an over-cap shingle are
+    * re-verified on the full arrays. Emits one row per DIRECTION that
+    * clears the threshold: (src_id, dst_id, containment of src in dst).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
+    val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("shingle"))
+    val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val indexable = dfs.filter(col("df").between(2, maxShingleDf)).select("shingle")
+    val hotDocs = exploded
+      .join(dfs.filter(col("df") > maxShingleDf).select("shingle"), "shingle")
+      .select("id").distinct()
+    val posting = exploded.join(indexable, "shingle")
+    val inter = posting.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(posting.select(col("shingle").as("shingle_b"), col("id").as("id_b"),
+          col("sz").as("sz_b")),
+        col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+    val marked = inter
+      .join(hotDocs.select(col("id").as("id_a"), lit(true).as("hot_a")), Seq("id_a"), "left")
+      .join(hotDocs.select(col("id").as("id_b"), lit(true).as("hot_b")), Seq("id_b"), "left")
+      .withColumn("undercounted",
+        coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false)))
+    // Exact pairs: fan each into its two directions (a posting row exists,
+    // so sz > 0 on both sides — the division is safe by construction).
+    def directions(pairs: DataFrame): DataFrame =
+      pairs.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+          (col("inter").cast("double") / col("sz_a")).as("containment"))
+        .unionByName(pairs.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          (col("inter").cast("double") / col("sz_b")).as("containment")))
+        .filter(col("containment") >= threshold)
+        .select(col("src_id"), col("dst_id"), round(col("containment"), 6).as("containment"))
+    val exactByCount = directions(marked.filter(!col("undercounted")))
+    // Cap-affected pairs: recount on the full sorted arrays (zero rows
+    // while no shingle hits the cap).
+    val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val verified = directions(
+      marked.filter(col("undercounted")).select("id_a", "id_b")
+        .join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter",
+          graft.functions.KernelExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("sz_a", size(col("sh_a"))).withColumn("sz_b", size(col("sh_b")))
+        .filter(col("sz_a") > 0 && col("sz_b") > 0))
+    exactByCount.unionByName(verified)
+  }
+
   // ------------------------------------------------------- bucket skew cap
 
   /** Guard for LSH candidate self-joins: a degenerate key (every empty doc

@@ -254,6 +254,46 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Prefix-dimension (Matryoshka-style) two-stage retrieval: candidates
+    * ranked by dot product over only the FIRST `prefixDim` dimensions —
+    * the cheap coarse pass when embeddings are trained front-loaded (MRL)
+    * or simply truncated — then exact full-dimension cosine rescoring of
+    * the survivors. The scale shape mirrors [[quantizedTopK]]: the coarse
+    * scan touches prefixDim/dim of the vector bytes (a 4× read reduction
+    * at 16/64 here; far more at production 1536-dim), and only `candidates`
+    * ids per query rejoin the full-precision vectors. Prefix scores round
+    * to 1e-6 before ranking (neighbor-id tiebreak) so candidate sets are
+    * bit-stable cross-engine, like every float ranking in this module.
+    */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, prefixDim: Int, k: Int = 10, candidates: Int = 30,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    import graft.functions.KernelExpressions.vecDot
+    val qp = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDim).as("qp"))
+    val cp = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, prefixDim).as("cp"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("pdot"), 6).desc, col("neighbor_id"))
+    val cand = cp.crossJoin(gatedBroadcast(qp, broadcastGateBytes))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pdot", vecDot(col("qp"), col("cp")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(gatedBroadcast(qv, broadcastGateBytes), Seq("query_id"))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Per-cluster profile of a coarse quantization (corpus mixture audit /
     * IVF balance check): each vector assigns to its max-cosine centroid —
     * the same narrow kernel projection as [[ivfTopK]]'s corpus side — and

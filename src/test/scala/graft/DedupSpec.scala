@@ -419,4 +419,19 @@ class DedupSpec extends SparkTestBase {
     val totals = Map(1L -> 9L, 2L -> 8L, 3L -> 6L)
     totals.foreach { case (id, n) => assert(out(id)._2 == n - stats(id)) }
   }
+
+  test("containment pairs flag a subset document directionally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps"),                 // subset of 1
+      (3L, "completely different content with no overlap here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // 2's 3-gram shingles are fully contained in 1; the reverse ratio is
+    // small; 3 shares nothing
+    assert(out == List((2L, 1L, 1.0)))
+  }
 }

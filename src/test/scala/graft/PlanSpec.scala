@@ -72,7 +72,9 @@ class PlanSpec extends SparkTestBase {
       "s_transitions_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "e_pq_index_topk",
       "d_lsh_index_pairs",
-      "q_retention_filter", "e_cosine_topk", "e_quantized_topk",
+      // e_trunc_rerank's coarse stage is the same documented flat scan
+      // (tiny broadcast query side × corpus prefix slices).
+      "q_retention_filter", "e_cosine_topk", "e_quantized_topk", "e_trunc_rerank",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip",
       "q_partitioned_prune", "q_time_travel", "q_snapshot_diff",
       "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",

@@ -157,4 +157,28 @@ class SimilaritySpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L)) // same-cell neighbors only
   }
+
+  test("truncated rerank with a full candidate budget equals brute force") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .collect().map(_.toSeq).toSet
+    val trunc = Similarity.truncatedTopK(q, emb, "vec_id", "embedding",
+      prefixDim = 16, k = 5, candidates = n)
+      .collect().map(_.toSeq).toSet
+    assert(trunc == exact) // candidates = |corpus| makes the coarse pass lossless
+  }
+
+  test("truncated rerank coarse pass is strict on prefix dimensions") {
+    import spark.implicits._
+    val bad = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.truncatedTopK(bad.filter(col("vec_id") === 0L), bad,
+        "vec_id", "embedding", prefixDim = 3, k = 1, candidates = 2).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
 }
