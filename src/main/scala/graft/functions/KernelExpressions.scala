@@ -56,6 +56,27 @@ object KernelExpressions {
       copy(left = l, right = r)
   }
 
+  /** Language-ID winner over a tokenized array per static marker profiles. */
+  case class LangIdPick(child: Expression, langs: Seq[String],
+      markers: Seq[Seq[String]]) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    private lazy val langArr = langs.map(UTF8String.fromString).toArray
+    private lazy val markerFlat = markers.flatten.map(UTF8String.fromString).toArray
+    private lazy val offsets = markers.scanLeft(0)(_ + _.size).toArray
+    override protected def nullSafeEval(t: Any): Any =
+      Kernels.langIdPick(t.asInstanceOf[ArrayData], markerFlat, offsets, langArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rm = ctx.addReferenceObj("markers", markerFlat,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val ro = ctx.addReferenceObj("offsets", offsets, "int[]")
+      val rl = ctx.addReferenceObj("langs", langArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, t =>
+        s"graft.functions.Kernels.langIdPick($t, $rm, $ro, $rl)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Per-table SRP bucket keys (t*2^bits | bucket) over a ±1 plane matrix. */
   case class SrpBucketKeys(child: Expression, planes: Seq[Double],
       numTables: Int, bits: Int) extends UnaryExpression {
@@ -357,6 +378,8 @@ object KernelExpressions {
 
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def langIdPick(toks: Column, langs: Seq[String],
+      markers: Seq[Seq[String]]): Column = c(LangIdPick(e(toks), langs, markers))
 
   def srpBucketKeys(v: Column, planes: Seq[Seq[Double]], numTables: Int,
       bits: Int): Column =

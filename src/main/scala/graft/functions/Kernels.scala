@@ -93,6 +93,43 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Language-ID pick over a pre-tokenized array: score_i = #tokens that
+    * are members of profile i's marker set; the winner is the max
+    * (score, lang) pair with ties resolving to the lexicographically LATER
+    * language code — exactly array_max over (score, lang) structs, which
+    * is what the DuckDB oracle's list_sort[-1] replays. Marker sets arrive
+    * as a flat array with per-profile offsets (codegen reference objects).
+    */
+  def langIdPick(toks: ArrayData, markers: Array[UTF8String],
+      offsets: Array[Int], langs: Array[UTF8String]): UTF8String = {
+    val nLang = langs.length
+    var bestScore = -1
+    var best: UTF8String = null
+    var l = 0
+    while (l < nLang) {
+      val from = offsets(l); val until = offsets(l + 1)
+      var score = 0
+      var i = 0
+      val n = toks.numElements()
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          var m = from
+          var hit = false
+          while (m < until && !hit) { if (markers(m).equals(t)) hit = true; m += 1 }
+          if (hit) score += 1
+        }
+        i += 1
+      }
+      if (score > bestScore ||
+          (score == bestScore && (best == null || langs(l).compareTo(best) > 0))) {
+        bestScore = score; best = langs(l)
+      }
+      l += 1
+    }
+    best
+  }
+
   /** Integer dot product of two long arrays (quantized similarity scoring —
     * exact 64-bit arithmetic, no rounding concerns cross-engine). Mismatched
     * dimensions are an error, not a truncation: a plausible-but-partial

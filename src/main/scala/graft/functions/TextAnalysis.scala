@@ -92,16 +92,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "du", "que", "est"),
     "pt" -> Seq("o", "a", "os", "de", "que", "e", "do", "da", "em", "um"))
 
-  def languageId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = languageProfiles.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // array_max orders by (score, lang) — ties resolve to the later language
-    // code, deterministically.
-    array_max(array(scored: _*)).getField("lang")
-  }
+  def languageId(text: Column): Column =
+    // One codegen'd pass over the token array (KernelExpressions.LangIdPick)
+    // replacing the interpreted per-language filter-lambda formulation; the
+    // kernel reproduces array_max over (score, lang) structs exactly — ties
+    // resolve to the later language code, deterministically.
+    KernelExpressions.langIdPick(tokens(lower(text)),
+      languageProfiles.map(_._1), languageProfiles.map(_._2))
 
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + ascii(ch)) mod 1e9+7. Deterministic, expression-only.
