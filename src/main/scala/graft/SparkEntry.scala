@@ -69,9 +69,10 @@ object SparkEntry {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"))
 
-  /** events.ts arrives as an ns-epoch long (TIMESTAMP(NANOS) parquet read
-    * with nanosAsLong); all ts logic truncates to µs — DuckDB's native
-    * timestamp resolution — for EXACT integer parity with the oracle.
+  /** events.ts is normalized to an ns-epoch long at read time whatever
+    * the parquet encoding ([[graft.io.EventTs]]); all ts logic truncates
+    * to µs — DuckDB's native timestamp resolution — for EXACT integer
+    * parity with the oracle.
     */
   private def tsUs: Column = expr("ts div 1000")
 

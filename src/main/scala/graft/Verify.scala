@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): read as ns-long
-      // (Spark has no ns timestamp); queries truncate to µs for oracle parity
+      // events.ts encoding varies across testdata regenerations: NANOS
+      // parquet loads as an ns-long under this flag, µs TIMESTAMP loads
+      // natively — graft.io.EventTs normalizes both at read time
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
