@@ -231,4 +231,27 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("containment pairs equal the naive all-pairs shingle computation") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(6, doc), 6).zipWithIndex.foreach { case (texts, _) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.containmentPairs(df, "doc_id", "text",
+          n = 3, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // naive reference: distinct word-3-gram sets, directional ratios
+      def grams(t: String): Set[Seq[String]] =
+        t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) => i.toLong -> grams(t) }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        sa = sets(a); sb = sets(b) if sa.nonEmpty
+        c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.4
+      } yield (a, b) -> (math.rint(c * 1e6) / 1e6)).toMap
+      assert(got == want, s"texts=$texts")
+    }
+  }
 }
