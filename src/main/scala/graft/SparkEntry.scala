@@ -76,6 +76,21 @@ object SparkEntry {
     */
   private def tsUs: Column = expr("ts div 1000")
 
+  /** The ANSI ranking-function suite in ONE window pass: percent_rank,
+    * cume_dist, ntile(4), dense_rank share a single (nation, balance)
+    * partition sort. The order is total (balance desc, key), so every
+    * function is deterministic and the oracle replays it verbatim.
+    */
+  private def qRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      dense_rank().over(w).cast("long").as("drk"))
+  }
+
   private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
     t(s, dir, "events")
@@ -1363,6 +1378,15 @@ object SparkEntry {
     */
   private def eClusterProfile(s: SparkSession, dir: String): DataFrame =
     Similarity.clusterProfile(t(s, dir, "embeddings"), "embedding",
+      graft.operators.TrainedCentroids.sf001)
+
+  /** Embedding-distribution drift between the even/odd vec_id slices over
+    * the trained cells ([[Similarity.cellDrift]]) — the vector-side dual
+    * of `t_js_divergence`. Exact ppm shares (slice sizes divide 1e6 at
+    * every sf), so the oracle replays the arithmetic bit for bit.
+    */
+  private def eCellDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.cellDrift(t(s, dir, "embeddings"), "vec_id", "embedding",
       graft.operators.TrainedCentroids.sf001)
 
   /** Clustering-quality audit: centroid-based silhouette per trained
@@ -2802,6 +2826,7 @@ object SparkEntry {
     "q3_top_orders" -> (q3TopOrders _),
     "q_part_agg" -> (qPartAgg _),
     "q_window_rank" -> (qWindowRank _),
+    "q_rank_suite" -> (qRankSuite _),
     "q_sessionize" -> (qSessionize _),
     "s_rollup_stream" -> (sRollupStream _),
     "s_sessionize_stream" -> (sSessionizeStream _),
@@ -2873,6 +2898,7 @@ object SparkEntry {
     "d_winnow_pairs" -> (dWinnowPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
+    "e_cell_drift" -> (eCellDrift _),
     "e_silhouette" -> (eSilhouette _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -3293,6 +3319,15 @@ object SparkEntry {
          round(avg(l_extendedprice), 2) AS avg_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q_rank_suite" ->
+      """SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey)""",
     "q_window_rank" ->
       """SELECT event_id, user_id, rn FROM (
            SELECT event_id, user_id,
@@ -4148,6 +4183,28 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM res)
          WHERE rank <= 10""",
+    "e_cell_drift" -> {
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT $flat::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id,
+             (list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})))[1] AS best
+           FROM e CROSS JOIN sgt),
+         a AS (SELECT CAST(best.cell AS BIGINT) AS cell,
+                      vec_id % 2 = 0 AS even FROM cells),
+         p AS (SELECT cell,
+             CAST(count(*) FILTER (even) AS BIGINT) AS n_even,
+             CAST(count(*) FILTER (NOT even) AS BIGINT) AS n_odd
+           FROM a GROUP BY cell),
+         t AS (SELECT cell, n_even, n_odd,
+             CAST(round(n_even * 1000000.0 / sum(n_even) OVER (), 0) AS BIGINT) AS se,
+             CAST(round(n_odd * 1000000.0 / sum(n_odd) OVER (), 0) AS BIGINT) AS so
+           FROM p)
+         SELECT cell, n_even, n_odd, abs(se - so) AS delta_share_e6 FROM t"""
+    },
     "e_cluster_profile" -> {
       val flat = graft.operators.TrainedCentroids.sf001.flatten
         .map(_.toString).mkString("[", ", ", "]")

@@ -294,6 +294,32 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-distribution drift between two corpus slices, measured on
+    * the trained coarse cells — the vector-side dual of the text JS-drift
+    * audit: each slice's per-cell share (ppm, exact integers when slice
+    * sizes divide 1e6 — true for the generated corpora) and the absolute
+    * per-cell share delta. One narrow assignment projection + one
+    * conditional aggregation; the share window runs over k cell rows
+    * (bounded by the centroid count, never the corpus), so nothing here
+    * scales with |corpus| except the single scan.
+    */
+  def cellDrift(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val assigned = corpus.select((col(idCol) % 2 === 0).as("even"),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).cast("long").as("cell"))
+    val perCell = assigned.groupBy(col("cell")).agg(
+      sum(when(col("even"), 1L).otherwise(0L)).as("n_even"),
+      sum(when(!col("even"), 1L).otherwise(0L)).as("n_odd"))
+    val w = Window.partitionBy(lit(1))
+    perCell
+      .withColumn("share_even_e6",
+        round(col("n_even") * 1000000.0 / sum(col("n_even")).over(w), 0).cast("long"))
+      .withColumn("share_odd_e6",
+        round(col("n_odd") * 1000000.0 / sum(col("n_odd")).over(w), 0).cast("long"))
+      .select(col("cell"), col("n_even"), col("n_odd"),
+        abs(col("share_even_e6") - col("share_odd_e6")).as("delta_share_e6"))
+  }
+
   /** Per-cluster profile of a coarse quantization (corpus mixture audit /
     * IVF balance check): each vector assigns to its max-cosine centroid —
     * the same narrow kernel projection as [[ivfTopK]]'s corpus side — and
