@@ -1478,6 +1478,41 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** The custom bounded top-k AGGREGATE under INCREMENTAL streaming
+    * execution: per tumbling hour, the top-3 events by value through
+    * [[graft.functions.TopKAggregate]] inside a watermarked streaming
+    * groupBy — the k-bounded heap buffer is what the state store
+    * serializes between micro-batches, so per-window state is O(k), not
+    * O(events). Drained complete-mode sink posexploded to ranked rows;
+    * the oracle is the plain batch window ranking.
+    */
+  private def sTopkStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_k")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_topk_stream_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(graft.functions.TopKAggregate.topKByScore(
+          col("value"), col("event_id"), 3).as("top"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn)
+      .select((unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_id"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("hour_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+  }
+
   /** SLIDING-window streaming rollup under the oracle gate
     * ([[graft.streaming.Streaming.slidingRollup]]): 1-hour windows hopping
     * every 30 minutes, so each event lands in TWO windows — the oracle
@@ -2829,6 +2864,7 @@ object SparkEntry {
     "q_rank_suite" -> (qRankSuite _),
     "q_sessionize" -> (qSessionize _),
     "s_rollup_stream" -> (sRollupStream _),
+    "s_topk_stream" -> (sTopkStream _),
     "s_sessionize_stream" -> (sSessionizeStream _),
     "s_dedup_stream" -> (sDedupStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
@@ -4073,6 +4109,12 @@ object SparkEntry {
                AS cum_tokens
            FROM c_sel)
          WHERE cum_tokens <= 2000""",
+    "s_topk_stream" ->
+      """SELECT hour_id, rank, event_id, value FROM (
+           SELECT epoch_us(ts) // 3600000000 AS hour_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY epoch_us(ts) // 3600000000
+               ORDER BY value DESC, event_id) AS BIGINT) AS rank
+           FROM events) WHERE rank <= 3""",
     "q_topk_agg" ->
       """SELECT user_id, rank, event_id, value FROM (
            SELECT user_id, event_id, value,

@@ -349,4 +349,26 @@ class StreamingSpec extends SparkTestBase {
     q2.stop()
     assert(spark.table(qn2).as[Long].collect().sorted.toSeq == Seq(5L))
   }
+
+  test("bounded top-k aggregate merges state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = input.toDF()
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour").as("w"))
+      .agg(graft.functions.TopKAggregate.topKByScore($"value", $"event_id", 2).as("top"))
+      .writeStream.format("memory").queryName("topk_state")
+      .outputMode(OutputMode.Complete()).start()
+    // batch 1: two events in hour 0
+    input.addData(Event(1L, 1L, ts(10), "a", 5.0), Event(2L, 2L, ts(20), "a", 1.0))
+    query.processAllAvailable()
+    // batch 2: a higher-valued event in the SAME hour must evict id 2 from
+    // the k=2 heap restored from the state store
+    input.addData(Event(3L, 3L, ts(30), "a", 9.0))
+    query.processAllAvailable()
+    val out = spark.table("topk_state")
+      .select(org.apache.spark.sql.functions.posexplode($"top").as(Seq("pos", "e")))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getLong(1))).toSet
+    query.stop()
+    assert(out == Set((0, 3L), (1, 1L))) // 9.0 then 5.0; 1.0 evicted
+  }
 }
