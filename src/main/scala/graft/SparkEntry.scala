@@ -1710,6 +1710,82 @@ object SparkEntry {
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** LEFT OUTER watermarked interval join under the oracle gate
+    * ([[graft.streaming.Streaming.intervalJoinLeftOuter]]): per user,
+    * purchases within 30 min of each click AND the clicks that never
+    * convert — the null-extended rows emit when the watermark passes a
+    * click's window, so the drain appends two sentinel files (one click +
+    * one purchase row each, a day past the data) exactly like
+    * [[sSessionizeStream]]'s flush: batch 2's watermark evicts every real
+    * click's state and flushes the unmatched side. Sentinel users (&lt;0)
+    * are filtered from the aggregate.
+    */
+  private def sOuterIntervalStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_o")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val base = s.read.parquet(landing.toString)
+    val maxTsNs = graft.io.EventTs.toNsLong(base).agg(max(col("ts"))).head().getLong(0)
+    def writeSentinel(name: String, tsNs: Long, eid: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_o")
+      // two rows per sentinel file: one click + one purchase, so BOTH join
+      // sides' watermarks advance on every micro-batch
+      val rows = Seq(("click", eid), ("purchase", eid - 1000L))
+      rows.map { case (et, id) =>
+        base.limit(1).select(base.schema.fields.map { f =>
+          (f.name match {
+            case "event_id"   => lit(id)
+            case "ts" if f.dataType == org.apache.spark.sql.types.LongType => lit(tsNs)
+            case "ts"         => timestamp_micros(lit(tsNs / 1000L))
+            case "user_id"    => lit(-1L)
+            case "event_type" => lit(et)
+            case "value"      => lit(0.0)
+            case _            => lit("{}")
+          }).cast(f.dataType).as(f.name)
+        }: _*)
+      }.reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(name))
+    }
+    writeSentinel("zz_sentinel1.parquet", maxTsNs + 86400L * 1000000000L, -10L)
+    writeSentinel("zz_sentinel2.parquet", maxTsNs + 86500L * 1000000000L, -20L)
+    val t0 = java.nio.file.Files.getLastModifiedTime(landing.resolve("events.parquet"))
+      .toMillis
+    Seq("zz_sentinel1.parquet" -> 1000L, "zz_sentinel2.parquet" -> 2000L)
+      .foreach { case (n, off) =>
+        java.nio.file.Files.setLastModifiedTime(landing.resolve(n),
+          java.nio.file.attribute.FileTime.fromMillis(t0 + off))
+      }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val qn = s"s_outer_interval_${System.nanoTime()}"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
+          Map("maxFilesPerTrigger" -> "2"))
+        .transform(graft.io.EventTs.toTimestamp)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val query = graft.streaming.Streaming
+        .intervalJoinLeftOuter(clicks, purchases, "user_id", "ts",
+          windowSeconds = 1800L)
+        .select(col("user_id"), col("r_event_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn)
+      .filter(col("user_id") >= 0L)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("r_event_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("r_event_id").isNull, 1L).otherwise(0L)).as("n_no_conv"))
+  }
+
   /** The stateful streaming sessionizer over the real events table as a
     * FILE stream — no driver-side row materialization at any scale. The
     * landing dir gets the events file plus two watermark-advancing sentinel
@@ -2940,6 +3016,7 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_partitioned_prune" -> (qPartitionedPrune _),
     "s_interval_join_stream" -> (sIntervalJoinStream _),
+    "s_outer_interval_stream" -> (sOuterIntervalStream _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "t_heavy_hitters" -> (tHeavyHitters _),
@@ -4291,6 +4368,18 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1""",
+    "s_outer_interval_stream" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'purchase')
+         SELECT c.user_id,
+           CAST(count(p.t) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (p.t IS NULL) AS BIGINT) AS n_no_conv
+         FROM c LEFT JOIN p
+           ON c.user_id = p.user_id
+          AND p.t >= c.t AND p.t <= c.t + 1800000000
+         GROUP BY 1""",
     "s_interval_join_stream" ->
       """SELECT l.user_id, count(*) AS n_pairs
          FROM events l JOIN events r

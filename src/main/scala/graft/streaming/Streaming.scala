@@ -290,6 +290,27 @@ object Streaming {
         col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** LEFT OUTER stream-stream interval join: matched pairs stream out
+    * like [[intervalJoin]]; an unmatched left row emits ONCE,
+    * null-extended, when the watermark passes the end of its join window
+    * and its state evicts — the "click with no conversion inside the
+    * window" attribution shape. The same two-sided time bound keeps both
+    * sides' state finite; the unmatched emission is exactly the state
+    * eviction, so completeness needs the watermark to eventually pass the
+    * data (a later batch or a sentinel in tests/drains).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.toDF(right.columns.map(c => s"r_$c"): _*)
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+  }
+
   /** Streaming ACTIVATION bridge: drive the batch pipeline's sink stage
     * from a stream via foreachBatch — each micro-batch flows through the
     * same branch plan (hashing → batching → renderer → transport →
