@@ -1786,6 +1786,37 @@ object SparkEntry {
         sum(when(col("r_event_id").isNull, 1L).otherwise(0L)).as("n_no_conv"))
   }
 
+  /** Spark's NATIVE session-window aggregation under the oracle gate —
+    * the built-in dual of the custom flatMapGroupsWithState sessionizer
+    * ([[sSessionizeStream]]): `session_window(ts, gap)` merges per-key
+    * windows in the session state store, no user state code. Same 30-min
+    * gap, same q_sessionize oracle — the two implementations must agree
+    * exactly. Complete-mode availableNow drain (no sentinels needed),
+    * output reshaped to per-user session/event counts.
+    */
+  private def sSessionWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_sw")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val qn = s"s_session_window_${System.nanoTime()}"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+        .transform(graft.io.EventTs.toTimestamp)
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qn).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+  }
+
   /** The stateful streaming sessionizer over the real events table as a
     * FILE stream — no driver-side row materialization at any scale. The
     * landing dir gets the events file plus two watermark-advancing sentinel
@@ -2942,6 +2973,7 @@ object SparkEntry {
     "s_rollup_stream" -> (sRollupStream _),
     "s_topk_stream" -> (sTopkStream _),
     "s_sessionize_stream" -> (sSessionizeStream _),
+    "s_session_window_stream" -> (sSessionWindowStream _),
     "s_dedup_stream" -> (sDedupStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
     "q_top_users" -> (qTopUsers _),
@@ -3449,6 +3481,8 @@ object SparkEntry {
     "q_sessionize" -> sqlSessionize,
     // the STREAMING sessionizer must reproduce the batch result exactly
     "s_sessionize_stream" -> sqlSessionize,
+    // and so must the NATIVE session_window implementation
+    "s_session_window_stream" -> sqlSessionize,
     "q_hourly_rollup" -> sqlHourlyRollup,
     // the STREAMING rollup must reproduce the batch result exactly
     "s_rollup_stream" -> sqlHourlyRollup,
