@@ -2,15 +2,38 @@ package graft.io.v2
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import scala.jdk.CollectionConverters._
+
+/** File layout shared by the read and write sides: a "table" is either a
+  * single JSONL file or a DIRECTORY of `*.json` chunk files (what the
+  * write side produces), concatenated in file-name order.
+  */
+private[v2] object BqStubLayout {
+  def files(path: String): Seq[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq
+    else Seq(f)
+  }
+
+  /** All non-blank lines of the table, in deterministic order. */
+  def lines(path: String): Iterator[String] =
+    files(path).iterator.flatMap { f =>
+      // small files read eagerly so the Source closes deterministically
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.trim.nonEmpty).toList
+      finally src.close()
+    }
+}
 
 /** DataSource V2 stand-in for the BigQuery transport — the shape the
   * reference reads through its REST pagination
@@ -34,15 +57,13 @@ class BqStubSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-bq"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val src = scala.io.Source.fromFile(options.get("path"), "UTF-8")
-    try src.getLines().find(_.trim.nonEmpty) match {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BqStubLayout.lines(options.get("path")).buffered.headOption match {
       case Some(line) =>
         val fields = new ObjectMapper().readTree(line).fieldNames().asScala.toSeq
         StructType(fields.map(StructField(_, StringType)))
       case None => StructType(Nil)
-    } finally src.close()
-  }
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -51,13 +72,15 @@ class BqStubSource extends TableProvider with DataSourceRegister {
 }
 
 final class BqStubTable(tableSchema: StructType, path: String, pageSize: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-bq:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BqStubScanBuilder(tableSchema, path, pageSize)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BqStubWriteBuilder(info.schema(), path, pageSize)
 }
 
 final class BqStubScanBuilder(tableSchema: StructType, path: String, pageSize: Int)
@@ -94,8 +117,7 @@ final class BqStubScan(required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     // the page count is the BQ job metadata lookup of the stub: one
     // driver-side line count, then one InputPartition per 20 000-row page
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    val n = try src.getLines().count(_.trim.nonEmpty) finally src.close()
+    val n = BqStubLayout.lines(path).size.toLong
     val pages = math.max(1L, (n + pageSize - 1L) / pageSize)
     (0L until pages).map(p =>
       BqStubPage(path, p * pageSize, math.min((p + 1) * pageSize, n))
@@ -113,9 +135,8 @@ final class BqStubReaderFactory(required: StructType, pushed: Array[Filter])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[BqStubPage]
     new PartitionReader[InternalRow] {
-      private val src = scala.io.Source.fromFile(page.path, "UTF-8")
       private val mapper = new ObjectMapper()
-      private val it = src.getLines().filter(_.trim.nonEmpty)
+      private val it = BqStubLayout.lines(page.path)
         .slice(page.start.toInt, page.end.toInt)
       private var current: InternalRow = _
 
@@ -152,7 +173,73 @@ final class BqStubReaderFactory(required: StructType, pushed: Array[Filter])
         current != null
       }
       override def get(): InternalRow = current
-      override def close(): Unit = src.close()
+      override def close(): Unit = ()
     }
   }
+}
+
+/** Append-only write: the reference inserts the `_uploaded` writeback in
+  * 20 000-row chunks (`big_query_data_source.py:162-166`); here every task
+  * streams its rows into `part-<partition>-<chunk>.json` files of at most
+  * `pageSize` rows under the table directory. Values render stringly (the
+  * BQ row-dict shape); commit is a no-op — chunk files are final as
+  * written, the same at-least-once contract the reference's insert loop
+  * has (dedup is the anti-join's job, not the writer's).
+  */
+final class BqStubWriteBuilder(schema: StructType, path: String, pageSize: Int)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BqStubBatchWrite(schema, path, pageSize)
+  }
+}
+
+final class BqStubBatchWrite(schema: StructType, path: String, pageSize: Int)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new BqStubWriterFactory(schema, path, pageSize)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class BqStubWriterFactory(schema: StructType, path: String, pageSize: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var chunk = 0
+      private var inChunk = 0
+      private var out: java.io.PrintWriter = _
+
+      // unique per WRITER so appends from different jobs never collide on
+      // chunk names (append semantics: files accumulate, nothing replaced)
+      private val writerId = java.util.UUID.randomUUID().toString.take(8)
+
+      private def roll(): Unit = {
+        if (out != null) out.close()
+        val f = new java.io.File(path,
+          f"part-$partitionId%05d-$writerId-$chunk%05d.json")
+        out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(new java.io.FileOutputStream(f),
+            java.nio.charset.StandardCharsets.UTF_8))
+        chunk += 1; inChunk = 0
+      }
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null || inChunk >= pageSize) roll()
+        val fields = schema.fields.indices.map { i =>
+          val name = graft.sink.JStr(schema.fields(i).name).render
+          if (row.isNullAt(i)) s"$name: null"
+          else s"$name: ${graft.sink.JStr(row.getUTF8String(i).toString).render}"
+        }
+        out.println(fields.mkString("{", ", ", "}"))
+        inChunk += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = if (out != null) out.close()
+      override def close(): Unit = if (out != null) out.close()
+    }
 }

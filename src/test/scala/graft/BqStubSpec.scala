@@ -80,4 +80,28 @@ class BqStubSpec extends SparkTestBase with BeforeAndAfterEach {
     val run2 = Pipeline.run(spark, executions, opts)
     assert(run2.exitCode == 0 && run2.totalUploaded == 0)
   }
+
+  test("append write chunks rows like the reference's 20k-row inserts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bqstub_w").toString
+    val tbl = s"$dir/uploaded"
+    val df = (1 to 45).map(i => (s"g$i", s"$i")).toDF("gclid", "amount")
+    df.coalesce(1).write.format("graft-bq").option("pageSize", "20")
+      .mode("append").save(tbl)
+    val chunks = new java.io.File(tbl).listFiles().filter(_.getName.endsWith(".json"))
+    assert(chunks.length == 3) // ceil(45 / 20) from one task
+    chunks.foreach { f =>
+      val n = scala.io.Source.fromFile(f).getLines().size
+      assert(n <= 20, s"${f.getName} has $n rows")
+    }
+    // round-trip through the directory-reading side
+    val back = spark.read.format("graft-bq").load(tbl)
+    assert(back.count() == 45)
+    assert(back.select("gclid").collect().map(_.getString(0)).toSet ==
+      (1 to 45).map(i => s"g$i").toSet)
+    // a second append accumulates (at-least-once writeback contract)
+    df.limit(5).coalesce(1).write.format("graft-bq").option("pageSize", "20")
+      .mode("append").save(tbl)
+    assert(spark.read.format("graft-bq").load(tbl).count() == 50)
+  }
 }
