@@ -1154,6 +1154,19 @@ object SparkEntry {
       Dedup.shingleHash(col("tok")), k = 16)
   }
 
+  /** Per-source KMV vocabulary sketches MERGED into the global distinct
+    * estimate ([[graft.operators.Sketches.kmvMergedDistinct]]) — the
+    * mergeable-sketch layout (per-shard sketches unioned without
+    * revisiting rows) run as a query, with the exact counts riding the
+    * same scan for calibration.
+    */
+  private def tKmvUnion(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"), explode(
+      graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("tok"))
+    graft.operators.Sketches.kmvMergedDistinct(toks, "source",
+      Dedup.shingleHash(col("tok")), k = 16)
+  }
+
   /** Token-mixture sampling ([[graft.operators.Importance.mixtureSample]]):
     * a 5:3:2 token recipe over three sources, scaled to the largest total
     * the corpus supplies.
@@ -2000,6 +2013,26 @@ object SparkEntry {
       Seq("vector", "stream", "merge"), k = 20)
       .withColumnRenamed("id", "doc_id")
 
+  /** Hybrid retrieval: BM25 top-30 (sparse) fused with dense cosine top-30
+    * for query vector 0 by reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuseTopK]]) — both retrievers end in
+    * TakeOrderedAndProject, the fusion itself is a two-×-30-row full-outer
+    * join. Scores are 1/(60+rank) sums of integer-exact ranks, so the
+    * oracle matches bit for bit.
+    */
+  private def tHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.operators.Retrieval.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("vector", "stream", "merge"), k = 30)
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+      "vec_id", "embedding", k = 30)
+      .select(col("neighbor_id").as("id"), col("rank").cast("long").as("rank"))
+    graft.operators.Retrieval.rrfFuseTopK(
+      sparse.select(col("id"), col("rank")), dense, "id", "rank", k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Recall@10 of the SRP multi-probe ANN against the exact brute-force
     * ranking ([[Similarity.annRecall]]) — the parameter-tuning harness run
     * as a query: both top-k tables come from the same operators as
@@ -2496,6 +2529,17 @@ object SparkEntry {
         sum(coalesce(col("rev_e4"), lit(0L))).as("revenue_e4"))
       .where(col("n_parts") >= 5)
   }
+
+  /** Top-20 most similar part pairs by co-order-neighborhood Jaccard
+    * ([[graft.operators.Graph.nodeSimilarity]]) — "parts bought in the
+    * same baskets as yours", the entity-resolution / recommendation
+    * primitive. Candidates come only from shared neighbors (posting-list
+    * self-join with the hub-degree cap); the oracle replays adjacency,
+    * cap, and the 1e-6-integer Jaccard exactly.
+    */
+  private def gNodeSimilarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.nodeSimilarity(coOrderEdges(s, dir), "src", "dst",
+      k = 20, maxDegree = 1000)
 
   /** Per-nation argmax as a SINGLE aggregation pass: the richest
     * customer per nation via `max(struct(acctbal, -custkey))` — struct
@@ -3097,6 +3141,9 @@ object SparkEntry {
     "g_reach_hops" -> (qReachHops _),
     "g_communities" -> (qCommunities _),
     "g_community_rollup" -> (qCommunityRollup _),
+    "g_node_similarity" -> (gNodeSimilarity _),
+    "t_hybrid_rrf" -> (tHybridRrf _),
+    "t_kmv_union" -> (tKmvUnion _),
     "q_argmax" -> (qArgmax _),
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
@@ -4642,6 +4689,32 @@ object SparkEntry {
              max(nd)) AS BIGINT) AS kmv_est
          FROM r GROUP BY lang"""
     },
+    "t_kmv_union" -> {
+      val ph = sqlPh("tok", 31L, 1000000007L)
+      val (ca, cb) = Dedup.minhashCoeffs(1).head
+      s"""WITH occ AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents WHERE trim(text) <> ''),
+         dh AS (SELECT DISTINCT source AS scope, ($ca * ($ph) + $cb) % 1000000007 AS h
+           FROM occ),
+         r AS (SELECT scope, h,
+             row_number() OVER (PARTITION BY scope ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY scope) AS nd
+           FROM dh),
+         per AS (SELECT scope, CAST(max(nd) AS BIGINT) AS exact_distinct,
+             CAST(coalesce(max(CASE WHEN rn = 16 THEN (15::BIGINT * 1000000007) // h END),
+               max(nd)) AS BIGINT) AS kmv_est
+           FROM r GROUP BY scope),
+         m AS (SELECT DISTINCT h FROM r WHERE rn <= 16),
+         mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM m),
+         g AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS ge FROM dh)
+         SELECT scope, exact_distinct, kmv_est FROM per
+         UNION ALL
+         SELECT 'ALL' AS scope, ge AS exact_distinct,
+           CAST(coalesce(
+             (SELECT (15::BIGINT * 1000000007) // h FROM mr WHERE rn = 16),
+             ge) AS BIGINT) AS kmv_est
+         FROM g"""
+    },
     "t_dsir_weights" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)
       s"""WITH occ AS (SELECT doc_id, lang, $ph % 1024 AS b
@@ -4711,6 +4784,43 @@ object SparkEntry {
          SELECT doc_id, n_terms, score, rank FROM (
            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
            FROM sc)
+         WHERE rank <= 20""",
+    "t_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         hits AS (SELECT doc_id, term FROM toks
+           WHERE term IN ('vector', 'stream', 'merge')),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+         c AS (SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len::DOUBLE / n_docs))) AS wt
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         sc AS (SELECT doc_id, round(sum(wt), 6) AS score FROM c GROUP BY 1),
+         sp AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank_sparse FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM sc) WHERE rank <= 30),
+         qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         cos AS (SELECT vec_id AS doc_id, ${sqlCos("qv.v", "cv")} AS cos
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+                 WHERE vec_id <> 0), qv),
+         dn AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank_dense FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC, doc_id) AS rank
+             FROM cos) WHERE rank <= 30),
+         f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+             rank_sparse, rank_dense,
+             round(coalesce(1.0::DOUBLE / (60 + rank_sparse), 0.0)
+               + coalesce(1.0::DOUBLE / (60 + rank_dense), 0.0), 6) AS rrf_score
+           FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+         SELECT doc_id, rank_sparse, rank_dense, rrf_score, rank FROM (
+           SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS BIGINT) AS rank
+           FROM f)
          WHERE rank <= 20""",
     "e_ann_recall" ->
       s"""WITH sgt AS (SELECT ${sqlSigns(12, 64)}::DOUBLE[] AS sg),
@@ -4989,6 +5099,24 @@ object SparkEntry {
            UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          SELECT n_name, CAST(count(*) AS BIGINT) AS n_triangles
          FROM corners JOIN nation ON id = n_nationkey GROUP BY 1""",
+    "g_node_similarity" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS id, b.l_partkey AS nb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT id, count(*) AS deg FROM e GROUP BY 1),
+         post AS (SELECT e.id, e.nb FROM e
+           JOIN deg d ON e.nb = d.id AND d.deg <= 1000),
+         sh AS (SELECT p1.id AS id_a, p2.id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM post p1 JOIN post p2
+             ON p1.nb = p2.nb AND p1.id < p2.id
+           GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, shared,
+             shared * 1000000 // (da.deg + db.deg - shared) AS jaccard_e6
+           FROM sh JOIN deg da ON sh.id_a = da.id
+             JOIN deg db ON sh.id_b = db.id)
+         SELECT id_a, id_b, shared, CAST(jaccard_e6 AS BIGINT) AS jaccard_e6
+         FROM j ORDER BY jaccard_e6 DESC, id_a, id_b LIMIT 20""",
     "g_reach_hops" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM lineitem a JOIN lineitem b

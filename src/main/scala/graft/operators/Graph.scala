@@ -211,4 +211,53 @@ object Graph {
     }
     settled
   }
+
+  /** Top-k most similar node pairs by neighborhood Jaccard — the
+    * "customers like this one" / entity-resolution primitive (Neo4j GDS
+    * `nodeSimilarity`, SimRank's one-hop special case): two nodes are
+    * similar when their neighbor SETS overlap, whether or not they are
+    * themselves adjacent.
+    *
+    * Scale shape: candidate pairs come from co-membership in some
+    * neighbor's adjacency list (nodes with no common neighbor have
+    * jaccard 0 and are never materialized) — a self-join of the distinct
+    * edge list on the NEIGHBOR column, the same posting-list shape as
+    * [[Dedup.ngramJaccardPairs]]. The per-neighbor quadratic is bounded
+    * by `maxDegree`: hub neighbors over the cap are dropped from
+    * candidate generation (they assert near-zero pairwise information
+    * anyway — everyone shares them), exactly the [[Dedup.capBuckets]]
+    * skew guard. Degrees ride two broadcast-sized joins keyed by the
+    * aggregation output (vertex-count-scale, not edge-scale); the final
+    * top-k is `TakeOrderedAndProject` — no global sort.
+    *
+    * @param edges directed edge list; symmetrized + deduped internally
+    * @return (id_a, id_b, shared, jaccard_e6) with id_a < id_b, top `k`
+    *         by (jaccard_e6 DESC, id_a, id_b); jaccard exact in 1e-6 ints
+    */
+  def nodeSimilarity(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 20, maxDegree: Int = 1000): DataFrame = {
+    val a = col(srcCol); val b = col(dstCol)
+    // symmetric distinct adjacency (id, nb), self-loops dropped
+    val adj = edges.select(a.as("id"), b.as("nb"))
+      .union(edges.select(b.as("id"), a.as("nb")))
+      .where(col("id") =!= col("nb")).distinct()
+      .localCheckpoint(true) // feeds degrees, candidates, and the cap
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // skew guard: hub NEIGHBORS above the cap leave candidate generation
+    val hubs = deg.where(col("deg") > maxDegree)
+      .select(col("id").as("nb"))
+    val posting = adj.join(hubs, Seq("nb"), "left_anti")
+    val shared = posting.select(col("nb"), col("id").as("id_a"))
+      .join(posting.select(col("nb"), col("id").as("id_b")), "nb")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        expr("shared * 1000000 div (da + db - shared)").as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 }

@@ -93,4 +93,37 @@ object Retrieval {
       row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("id"), col("n_terms"), col("score"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09) of two ranked
+    * candidate lists — the standard hybrid-retrieval merge of a sparse
+    * (BM25) and a dense (embedding cosine) ranking, score-scale-free by
+    * construction: `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`, absent
+    * lists contribute 0.
+    *
+    * Scale shape: both inputs are already top-N lists (each produced by
+    * a `TakeOrderedAndProject`, never a global sort), so the fusion is a
+    * full-outer join of two ≤N-row frames — driver-trivial at any corpus
+    * size; all the 100 TB work happened inside the two retrievers. The
+    * fused score is a sum of ≤2 IEEE divisions of integer-exact ranks —
+    * association-order-free, bit-reproducible cross-engine.
+    *
+    * @param sparse (idCol, rankCol) ranked list, rank 1-based
+    * @param dense  (idCol, rankCol) ranked list, rank 1-based
+    * @return (id, rank_sparse, rank_dense, rrf_score, rank) — top `k` by
+    *         (rrf_score DESC, id); missing-side ranks are null
+    */
+  def rrfFuseTopK(sparse: DataFrame, dense: DataFrame, idCol: String,
+      rankCol: String, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val s = sparse.select(col(idCol).as("id"), col(rankCol).as("rank_sparse"))
+    val d = dense.select(col(idCol).as("id"), col(rankCol).as("rank_dense"))
+    s.join(d, Seq("id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)), 6))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("id")))
+          .cast("long"))
+  }
 }

@@ -117,6 +117,56 @@ object Sketches {
       .drop("__mins")
   }
 
+  /** Per-group KMV sketches MERGED into a global distinct estimate — the
+    * mergeability property that makes sketches the 100 TB answer: each
+    * group (think: one day's partition, one source's shard) keeps only its
+    * k smallest distinct hashes, and the union over any set of groups is
+    * re-sketched from those ≤ k·groups values WITHOUT revisiting a single
+    * row — the global k-th-smallest hash is provably inside the union of
+    * per-group k-minima. A year of daily sketches answers "distinct users
+    * over any date range" from kilobytes.
+    *
+    * Plan shape: one distinct (group, h) pass feeds the per-group
+    * aggregation (map-side-combinable top-k buffers, ≤ k values per
+    * partition on the shuffle); the merge explodes only the sketch arrays
+    * (≤ k·groups rows — driver-trivial) and the exact global count rides
+    * the SAME distinct pass re-aggregated, so the corpus is scanned once.
+    *
+    * @return per group: (scope, exact_distinct, kmv_est); plus one
+    *         ('ALL', global exact, merged-sketch est) row
+    */
+  def kmvMergedDistinct(df: DataFrame, groupCol: String,
+      hashCol: org.apache.spark.sql.Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val (ca, cb) = Dedup.minhashCoeffs(1).head
+    val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
+    val d = df.select(col(groupCol).cast("string").as("scope"), mixed.as("__h"))
+      .distinct()
+      .localCheckpoint(true) // feeds per-group sketches AND the global exact
+    def estimate(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("exact_distinct"),
+        graft.functions.TopKAggregate.topKByScore(
+          col("__h").cast("double") * -1, col("__h"), k).as("__mins"))
+      .withColumn("kmv_est",
+        when(size(col("__mins")) < k, col("exact_distinct"))
+          .otherwise(expr(s"${(k - 1).toLong * Dedup.MinhashP}L div element_at(__mins, $k).id")))
+    val perGroup = estimate(d.groupBy(col("scope")))
+    // the merge: re-sketch from the per-group sketch arrays alone (the
+    // same hash can be a minimum of several groups — dedup first); the
+    // exact side CANNOT be merged (that is the point of the sketch) and
+    // re-aggregates the distinct pass
+    val mergedSketch = perGroup
+      .select(explode(col("__mins")).as("m")).select(col("m.id").as("__h"))
+      .distinct()
+    val globalExact = d.select(col("__h")).distinct()
+    val global = estimate(mergedSketch.groupBy())
+      .select(col("kmv_est"))
+      .crossJoin(globalExact.agg(count(lit(1)).as("exact_distinct")))
+      .select(lit("ALL").as("scope"), col("exact_distinct"), col("kmv_est"))
+    perGroup.select(col("scope"), col("exact_distinct"), col("kmv_est"))
+      .union(global)
+  }
+
   /** Distributed quantile ESTIMATES from an equi-width histogram — the
     * no-global-sort answer to "give me p50/p95/p99 of a 100 TB column":
     * one map-side-combinable count per bin (shuffle carries ≤ #bins partial

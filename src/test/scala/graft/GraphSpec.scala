@@ -139,6 +139,30 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("nodeSimilarity: neighborhood Jaccard on a hand graph") {
+    // N(1)={2,3} N(4)={2,3} N(2)={1,4,5} N(3)={1,4} N(5)={2}
+    val e = Seq((1, 2), (1, 3), (4, 2), (4, 3), (2, 5)).toDF("src", "dst")
+    val out = Graph.nodeSimilarity(e, "src", "dst", k = 10)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1, 4, 2L, 1000000L),  // identical neighborhoods
+      (2, 3, 2L, 666666L),   // 2/(3+2-2)
+      (1, 5, 1L, 500000L),   // 1/(2+1-1)
+      (4, 5, 1L, 500000L)))
+  }
+
+  test("nodeSimilarity: over-cap hub neighbors generate no candidates") {
+    // star graph: every leaf's ONLY neighbor is the hub; with the hub
+    // over the degree cap no pair survives, instead of a 5-choose-2
+    // all-pairs blow-up asserting spurious similarity
+    val e = (1 to 5).map(i => (0, i)).toDF("src", "dst")
+    assert(Graph.nodeSimilarity(e, "src", "dst", k = 10, maxDegree = 3)
+      .count() === 0L)
+    // ...and with the cap above the hub degree the leaves all pair up
+    assert(Graph.nodeSimilarity(e, "src", "dst", k = 100, maxDegree = 10)
+      .count() === 10L)
+  }
+
   test("strongly connected weighted graph conserves total mass") {
     // every node has out-edges -> no dangling leakage: sum stays 1
     val edges = Seq((1, 2, 2.0), (2, 3, 1.0), (3, 1, 5.0), (2, 1, 3.0))

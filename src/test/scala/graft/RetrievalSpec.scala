@@ -79,4 +79,30 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.bm25TopK(df, "doc_id", "text", Nil)
     }
   }
+
+  test("rrfFuseTopK: both-list docs outrank single-list docs; absent side is null") {
+    val sparse = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val dense = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuseTopK(sparse, dense, "id", "rank", k = 10)
+      .select("id", "rank_sparse", "rank_dense", "rrf_score", "rank")
+      .as[(Long, Option[Long], Option[Long], Double, Long)]
+      .collect().sortBy(_._5)
+    def rrf(ranks: Seq[Long]) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 appears in both lists -> highest fused score despite being
+    // rank 2 in the sparse list
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(out(0) === ((2L, Some(2L), Some(1L), rrf(Seq(2L, 1L)), 1L)))
+    assert(out(1) === ((1L, Some(1L), None, rrf(Seq(1L)), 2L)))
+    assert(out(2) === ((3L, None, Some(2L), rrf(Seq(2L)), 3L)))
+  }
+
+  test("rrfFuseTopK respects k with deterministic tie-breaks") {
+    val sparse = (1L to 5L).map(i => (i, i)).toDF("id", "rank")
+    val dense = (1L to 5L).map(i => (i + 10L, i)).toDF("id", "rank")
+    val out = Retrieval.rrfFuseTopK(sparse, dense, "id", "rank", k = 4)
+      .select("id").as[Long].collect().toSeq
+    // rank i on either side scores identically -> ties break by id
+    assert(out === Seq(1L, 11L, 2L, 12L))
+  }
 }

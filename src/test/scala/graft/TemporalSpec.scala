@@ -132,4 +132,36 @@ class TemporalSpec extends SparkTestBase {
     assert(out(3L)._2 > out(2L)._2)
     assert(out(1L)._2 > out(2L)._2)
   }
+
+  test("kmvMergedDistinct: merged sketch equals the single-pass global estimate") {
+    // two shards with a 1000-value overlap; global distinct = 5000
+    val rows = (1 to 3000).map(i => ("day1", i.toLong)) ++
+      (2001 to 5000).map(i => ("day2", i.toLong))
+    val df = rows.toDF("g", "x")
+    val h = graft.operators.Dedup.shingleHash(col("x").cast("string"))
+    val out = Sketches.kmvMergedDistinct(df, "g", h, k = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("day1")._1 === 3000L)
+    assert(out("day2")._1 === 3000L)
+    val (gExact, gEst) = out("ALL")
+    assert(gExact === 5000L)
+    // mergeability: the union of per-shard k-minima CONTAINS the global
+    // k-minima, so the merged estimate must equal the one-pass global
+    // sketch over the same rows — not just be close to it
+    val single = Sketches.kmvDistinct(df.select(lit("all").as("g"), col("x")),
+      "g", h, k = 64).as[(String, Long, Long)].collect().head
+    assert(gEst === single._3)
+    assert(math.abs(gEst - 5000L) < 2500, s"merged KMV estimate $gEst")
+  }
+
+  test("kmvMergedDistinct: tiny groups stay exact through the merge") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("b", 3L))
+      .toDF("g", "x")
+    val out = Sketches.kmvMergedDistinct(df, "g",
+        graft.operators.Dedup.shingleHash(col("x").cast("string")), k = 16)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") === ((2L, 2L)))
+    assert(out("b") === ((2L, 2L)))
+    assert(out("ALL") === ((3L, 3L))) // value 2 shared across shards
+  }
 }
