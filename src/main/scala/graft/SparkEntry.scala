@@ -606,6 +606,25 @@ object SparkEntry {
         Multimodal.mediaFingerprint(col("payload")).as("fp"),
         round(element_at(Multimodal.fakeEmbedding(col("payload"), 4), 1), 6).as("embed_0"))
 
+  /** Perceptual-hash image near-dup: dHash over the first 61 decoded body
+    * bytes ([[Multimodal.dhash60]]) on the image payloads, paired by the
+    * same exact 15-bit pigeonhole blocking the text SimHash uses
+    * ([[graft.operators.Dedup.hammingPairs60]]) — the image half of
+    * near-dup removal, sharing the text half's join machinery. The oracle
+    * recomputes the gradient-sign hash from the body bytes and verifies
+    * the full pair set.
+    */
+  private def mPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val body = when(col("doc_id") % 3 === 0, substring(col("payload"), 25, 61))
+      .otherwise(substring(col("payload"), 11, 61))
+    val sigs = mediaPayloads(s, dir)
+      .filter(col("doc_id") % 3 =!= 2) // images only; audio has no pixels
+      .select(col("doc_id").as("id"), Multimodal.dhash60(body).as("sig"))
+      .filter(col("sig").isNotNull)
+    graft.operators.Dedup.hammingPairs60(sigs, maxDistance = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame-sampling plumbing: 16-byte windows every 64 bytes, exploded with
     * frame indices — the shape a video decoder plugs into.
     */
@@ -1002,6 +1021,25 @@ object SparkEntry {
           col("user_id"), col("hour_id"), 21)).as("z_sum"))
   }
 
+  /** Bucketed-table co-located join ([[graft.io.Bucketing.writeBucketed]]):
+    * both join sides are written bucketed+sorted on the order key, so the
+    * hinted sort-merge join reads bucket files pairwise with ZERO shuffle
+    * exchanges — the layout that stops a recurring 100 TB fact join from
+    * re-shuffling per run (`BucketingSpec` pins the exchange-free plan;
+    * this row pins the results against the plain-join oracle).
+    */
+  private def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    graft.io.Bucketing.writeBucketed(li, "graft_bkt_lineitem", 8, Seq("l_orderkey"))
+    graft.io.Bucketing.writeBucketed(ord, "graft_bkt_orders", 8, Seq("o_orderkey"))
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_e2"))
+  }
+
   /** Histogram-quantile estimates ([[graft.operators.Sketches
     * .histogramQuantiles]]) of the event value distribution at binWidth 1.
     */
@@ -1356,6 +1394,19 @@ object SparkEntry {
     val model = graft.operators.NgramLm.charBigramModel(docs, "doc_id", "lang", "text")
     graft.operators.NgramLm.lmScore(docs, "doc_id", "lang", "text", model)
       .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"))
+  }
+
+  /** CCNet-style head/middle/tail buckets over the self-trained LM score
+    * ([[graft.operators.NgramLm.scoreTertiles]]): per-language exact rank
+    * tertiles from a score histogram — no per-language document sort, no
+    * ntile. The oracle replays the histogram, the cumulative cut, and the
+    * value-based assignment.
+    */
+  private def tCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.NgramLm.scoreTertiles(
+        tLmScore(s, dir).select(col("doc_id"), col("lang"), col("lm_score")),
+        "lang", "lm_score")
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
   }
 
   /** Incremental near-dup against a MATERIALIZED LSH index
@@ -3056,6 +3107,7 @@ object SparkEntry {
     "m_modality_stats" -> (mModalityStats _),
     "m_image_dims" -> (mImageDims _),
     "m_media_fingerprint" -> (mMediaFingerprint _),
+    "m_phash_neardup" -> (mPhashNeardup _),
     "m_frame_sample" -> (mFrameSample _),
     "m_audio_energy" -> (mAudioEnergy _),
     "m_jpeg_dims" -> (mJpegDims _),
@@ -3080,6 +3132,7 @@ object SparkEntry {
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
     "d_lsh_index_pairs" -> (dLshIndexPairs _),
     "t_lm_score" -> (tLmScore _),
+    "t_ccnet_buckets" -> (tCcnetBuckets _),
     "c_source_overlap" -> (cSourceOverlap _),
     "c_cross_modal" -> (cCrossModal _),
     "q_topk_agg" -> (qTopkAgg _),
@@ -3098,6 +3151,7 @@ object SparkEntry {
     "t_heavy_hitters" -> (tHeavyHitters _),
     "t_dsir_weights" -> (tDsirWeights _),
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_bucket_join" -> (qBucketJoin _),
     "t_approx_quantiles" -> (tApproxQuantiles _),
     "c_mixture_sample" -> (cMixtureSample _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -3936,6 +3990,21 @@ object SparkEntry {
            CAST(CASE doc_id % 3 WHEN 0 THEN 24 ELSE 10 END
                 + (octet_length(encode(text)) + 1) // 2 AS BIGINT) AS byte_len
          FROM documents WHERE doc_id % 3 IN (0, 1)""",
+    "m_phash_neardup" ->
+      """WITH img AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 IN (0, 1) AND octet_length(encode(text)) >= 61),
+         cs AS (SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS b
+           FROM img),
+         sig AS (SELECT doc_id, list_reduce(
+             [0::BIGINT] || list_transform(range(1, 61),
+               i -> CASE WHEN b[i] > b[i + 1] THEN 1::BIGINT ELSE 0::BIGINT END),
+             (acc, x) -> acc * 2 + x) AS sig
+           FROM cs)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig c
+           ON a.doc_id < c.doc_id AND bit_count(xor(a.sig, c.sig)) <= 3""",
     "m_media_fingerprint" -> {
       // the oracle rebuilds the payload's HEX rendering as a string and
       // replays the same fingerprint fold + stub-embedding affine
@@ -4300,6 +4369,40 @@ object SparkEntry {
            coalesce(sc.s // sc.n_bigrams, 0) AS lm_score
          FROM d LEFT JOIN sc USING (doc_id, lang)"""
     },
+    "t_ccnet_buckets" -> {
+      val ph1 = sqlPh("t[i:i]", 31L, 1000000007L)
+      val ph2 = sqlPh("t[i:i+1]", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         occ AS (
+           SELECT doc_id, lang, st.h1 AS h1, st.h2 AS h2
+           FROM d, unnest(list_transform(range(1, length(t)),
+             i -> {'h1': $ph1, 'h2': $ph2})) AS u(st)),
+         c2 AS (SELECT lang, h1, h2, count(*) AS c2 FROM occ GROUP BY 1, 2, 3),
+         c1 AS (SELECT lang, h1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2),
+         model AS (SELECT lang, h1, h2, (c2 * ${graft.operators.NgramLm.Scale})
+             // (c1 + ${graft.operators.NgramLm.SmoothK}) AS term
+           FROM c2 JOIN c1 USING (lang, h1)),
+         sc AS (SELECT o.doc_id, o.lang, count(*) AS n_bigrams,
+               CAST(sum(coalesce(m.term, 0)) AS BIGINT) AS s
+             FROM occ o LEFT JOIN model m USING (lang, h1, h2) GROUP BY 1, 2),
+         base AS (SELECT d.doc_id, d.lang,
+             CAST(coalesce(sc.s // sc.n_bigrams, 0) AS BIGINT) AS lm_score
+           FROM d LEFT JOIN sc USING (doc_id, lang)),
+         hist AS (SELECT lang, lm_score, count(*) AS n FROM base GROUP BY 1, 2),
+         cw AS (SELECT lang, lm_score,
+             sum(n) OVER (PARTITION BY lang ORDER BY lm_score DESC) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total
+           FROM hist),
+         th AS (SELECT lang,
+             max(CASE WHEN cum * 3 >= total THEN lm_score END) AS t_head,
+             max(CASE WHEN cum * 3 >= total * 2 THEN lm_score END) AS t_mid
+           FROM cw GROUP BY 1)
+         SELECT doc_id, lang, lm_score,
+           CASE WHEN lm_score >= t_head THEN 'head'
+                WHEN lm_score >= t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM base JOIN th USING (lang)"""
+    },
     "c_cross_modal" ->
       s"""WITH $sqlMinhashCtes,
          sel AS (SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5),
@@ -4633,6 +4736,11 @@ object SparkEntry {
     // the z-ordered rewrite must be lossless (same box-query answer as the
     // original table) and the z-values bit-exact (z_sum replays the
     // interleave); the layout property itself is asserted in BucketingSpec
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_e2
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "q_zorder_layout" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, value
            FROM events),

@@ -123,6 +123,23 @@ object Multimodal {
         i => conv(h.substr(((i - 1L) * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")))
   }
 
+  /** 60-bit difference-hash (dHash) perceptual fingerprint of a decoded
+    * byte grid: bit_i = 1 iff byte_i > byte_{i+1} over the first 61
+    * bytes, folded MSB-first — the gradient-sign hash that survives
+    * brightness/scale shifts a content digest doesn't (a real decoder
+    * would feed 8×8 downsampled luma here; the seam is the byte array,
+    * exactly like [[wavAudioStats]]). Null for payloads shorter than 61
+    * bytes. Pairs within small hamming distance are near-identical
+    * images — join via [[graft.operators.Dedup.hammingPairs60]].
+    */
+  def dhash60(bin: Column): Column = {
+    val bytes = byteValues(substring(bin, 1, 61), 1)
+    when(size(bytes) >= 61,
+      aggregate(sequence(lit(1), lit(60)), lit(0L), (acc, i) =>
+        acc * 2 + when(element_at(bytes, i) > element_at(bytes, i + 1),
+          lit(1L)).otherwise(lit(0L))))
+  }
+
   /** RMS level + peak of the WAV body (bytes after the 12-byte RIFF/WAVE
     * header) read as unsigned 8-bit samples — real byte arithmetic over the
     * container, like the image-header parsing; a codec would swap the

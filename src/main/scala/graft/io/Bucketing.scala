@@ -14,13 +14,24 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted parquet table in the session catalog.
     * Both join sides must use the SAME `numBuckets` for exchange-free joins.
+    * A stale managed-table LOCATION (dir left behind by a crashed run after
+    * the catalog entry was dropped) is cleared first — overwrite mode only
+    * replaces tables the catalog still knows about.
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Layout maintenance: rewrite a dataset as `numFiles` RANGE-partitioned,
     * internally sorted parquet files on a clustering key — the compaction

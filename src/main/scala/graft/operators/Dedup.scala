@@ -626,12 +626,30 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    require(maxDistance <= 3, "pigeonhole blocking over 4 chunks is exact only for distance <= 3")
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.simhash60(col(textCol)).as("sig"))
       // sig == 0 is the token-free signature (empty docs — exact-dup
       // territory) and the worst degenerate bucket: exclude before chunking.
       .filter(col("sig") =!= 0L)
+    hammingPairs60(sigs, maxDistance, maxBucket)
+  }
+
+  /** Near-duplicate pairs of ANY 60-bit signature column by exact
+    * pigeonhole blocking — the signature-agnostic core of
+    * [[simhashPairs]], reused for perceptual image hashes
+    * ([[graft.functions.Multimodal.dhash60]]) and any other fixed-width
+    * fingerprint: block on 15-bit chunks (a pair within hamming ≤ 3
+    * shares at least one of 4 chunks, so recall is exactly 1.0 when no
+    * chunk bucket exceeds `maxBucket`), verify hamming in the join
+    * condition.
+    *
+    * @param sigs (id, sig) — sig a 60-bit long; callers drop degenerate
+    *             signatures (e.g. the empty-payload 0) first
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def hammingPairs60(sigs: DataFrame,
+      maxDistance: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxDistance <= 3, "pigeonhole blocking over 4 chunks is exact only for distance <= 3")
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("idx"),

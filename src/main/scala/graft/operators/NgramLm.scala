@@ -93,4 +93,49 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
   }
+
+  /** CCNet-style head/middle/tail quality buckets per group: each group's
+    * score distribution is cut at its exact rank tertiles, docs are
+    * labeled by WHICH side of the cut their score falls on (Wenzek et al.
+    * '20 bucket perplexity exactly this way before choosing which third
+    * of a crawl to keep).
+    *
+    * Scale-correct by design: NO per-group sort of document rows and no
+    * ntile over the corpus — thresholds come from a (group, score)
+    * frequency histogram (≤ distinct-scores rows; the integer scores of
+    * [[lmScore]] keep this tiny), a cumulative window over those
+    * histogram rows, and one threshold row per group broadcast back.
+    * Value-based assignment means tied scores land in the same bucket —
+    * stable under repartitioning, unlike ntile's arbitrary tie split.
+    *
+    * t_head = max score whose descending cumulative count reaches ⌈N/3⌉;
+    * t_mid likewise at ⌈2N/3⌉; bucket = head (score ≥ t_head), middle
+    * (≥ t_mid), else tail.
+    *
+    * @return input rows + `bucket` column ('head' | 'middle' | 'tail')
+    */
+  def scoreTertiles(scored: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val th = hist
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__total", sum(col("__n")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__cum") * 3 >= col("__total"), col(scoreCol)))
+          .as("__t_head"),
+        max(when(col("__cum") * 3 >= col("__total") * 2, col(scoreCol)))
+          .as("__t_mid"))
+    scored.join(broadcast(th), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("__t_head"), lit("head"))
+          .when(col(scoreCol) >= col("__t_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t_head", "__t_mid")
+  }
 }

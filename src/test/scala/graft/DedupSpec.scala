@@ -93,6 +93,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
   }
 
+  test("hammingPairs60: pigeonhole recall is exact through distance 3") {
+    // base sig, and variants at hamming 1, 3 (found) and 4 (beyond the
+    // pigeonhole guarantee AND the verify threshold: absent)
+    val base = 0x0F0F0F0F0F0F0F0L
+    val sigs = Seq(
+      (0L, base),
+      (1L, base ^ 1L),                         // distance 1
+      (2L, base ^ ((1L << 59) | (1L << 30) | 1L)), // distance 3
+      // distance 5 from base, disjoint deltas -> >= 5 from every sig
+      (3L, base ^ ((1L << 50) | (1L << 40) | (1L << 20) | (1L << 10) | (1L << 5))))
+      .toDF("id", "sig")
+    val pairs = Dedup.hammingPairs60(sigs, maxDistance = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.get((0L, 1L)) === Some(1L))
+    assert(pairs.get((0L, 2L)) === Some(3L))
+    assert(!pairs.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    assert(pairs.get((1L, 2L)) === Some(2L)) // xor of the two deltas minus shared bit
+  }
+
   test("embedding near-dup: planted duplicate vector found, brute == lsh on it") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -177,6 +177,24 @@ class MultimodalSpec extends SparkTestBase {
       box("ftyp", be32(0)) ++ box("moov", v1)) == -1L)
   }
 
+  test("dhash60: gradient-sign bits fold MSB-first; short payloads are null") {
+    // 61 bytes: strictly increasing -> every b[i] > b[i+1] false -> sig 0;
+    // strictly decreasing -> all 60 bits set
+    val inc = (0 until 61).map(_.toByte).toArray
+    val dec = (0 until 61).map(i => (100 - i).toByte).toArray
+    // descending except one ascending step at the FIRST comparison ->
+    // the missing bit is the MSB (bit 59)
+    val flip = dec.clone(); flip(0) = 0.toByte
+    val df = Seq(("inc", inc), ("dec", dec), ("flip", flip),
+      ("short", inc.take(60))).toDF("id", "bin")
+    val out = df.select(col("id"), Multimodal.dhash60(col("bin")).as("sig"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out("inc") === Some(0L))
+    assert(out("dec") === Some((1L << 60) - 1))
+    assert(out("flip") === Some((1L << 60) - 1 - (1L << 59)))
+    assert(out("short") === None)
+  }
+
   test("fake embedding is deterministic, dim-sized, in [0,1)") {
     val df = Seq("CAFEBABE").toDF("hx").select(unhex(col("hx")).as("bin"))
     val e1 = df.select(Multimodal.fakeEmbedding(col("bin"), 8)).as[Seq[Double]].head()

@@ -34,4 +34,26 @@ class NgramLmSpec extends SparkTestBase {
       .select("term").as[Long].collect().sorted
     assert(m.toSeq == Seq(1000000L / 103L, 2 * 1000000L / 103L))
   }
+
+  test("scoreTertiles: value-based rank-tertile cut, per group") {
+    // en: scores 90..10 (9 docs) -> head {90,80,70}, middle {60,50,40},
+    // tail {30,20,10}; de: one doc -> head by definition
+    val rows = (1 to 9).map(i => (i.toLong, "en", (10 * (10 - i)).toLong)) :+
+      ((100L, "de", 5L))
+    val out = NgramLm.scoreTertiles(rows.toDF("id", "g", "score"), "g", "score")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "head"))
+    assert((4 to 6).forall(i => out(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => out(i.toLong) == "tail"))
+    assert(out(100L) == "head")
+  }
+
+  test("scoreTertiles: tied scores share a bucket instead of splitting") {
+    // 6 docs all score 7: cum*3 >= total at the only score value ->
+    // everyone is head; no arbitrary ntile split of ties
+    val rows = (1 to 6).map(i => (i.toLong, "en", 7L))
+    val out = NgramLm.scoreTertiles(rows.toDF("id", "g", "score"), "g", "score")
+      .select("bucket").as[String].collect()
+    assert(out.forall(_ == "head"))
+  }
 }

@@ -92,12 +92,31 @@ class PlanSpec extends SparkTestBase {
       "q_market_basket", "q_revenue_share", "t_js_divergence",
       // c_dedup_report / g_clustering_coeff: 1-row scalar aggregates
       // cross-joined into the report row
-      "c_dedup_report", "g_clustering_coeff")
+      "c_dedup_report", "g_clustering_coeff",
+      // t_hybrid_rrf composes t_bm25_topk's corpus-scalar broadcast and
+      // e_cosine_topk's brute-force dense side (1 query vector); the
+      // fusion join itself is a 30×30-row full outer
+      "t_hybrid_rrf",
+      // t_kmv_union appends the 1-row global-exact scalar to the merged
+      // sketch row (the corpus-scalar crossJoin shape)
+      "t_kmv_union",
+      // q_bucket_join writes the bucketed tables at plan-build time; its
+      // plan shape is pinned by its own test below
+      "q_bucket_join")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
+  }
+
+  test("q_bucket_join: sort-merge join over bucketed tables, zero exchanges") {
+    val p = planOf("q_bucket_join")
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      "bucketed fact side still shuffles for the join")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed dim side still shuffles for the join")
   }
 
   test("ngram jaccard plan carries no plan-time broadcast hint (per-doc tables)") {
