@@ -1711,6 +1711,39 @@ object SparkEntry {
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
   }
 
+  /** Streaming ingest dedup against the PERSISTENT digest log
+    * ([[graft.streaming.Streaming.ingestDedupSink]]): the corpus lands
+    * twice, maxFilesPerTrigger=1 forces two micro-batches, and the
+    * foreachBatch incremental dedup keeps exactly the first occurrence
+    * per content digest ACROSS batches — batch 2 contributes nothing
+    * because the log already holds every digest. Cross-batch state lives
+    * in the log (restart-proof, shared with batch backfills), not the
+    * state store. The oracle is the batch first-occurrence derivation.
+    */
+  private def sIngestDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_i")
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        landing.resolve(n))
+    }
+    val log = java.nio.file.Files.createTempDirectory("graft_ingest_log").toString +
+      "/digests.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString + "/kept"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = graft.streaming.Streaming.readParquetStream(s, landing.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      val query = graft.streaming.Streaming
+        .ingestDedupSink(docs, "text", "doc_id", log, out)
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(out).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+  }
+
   /** Stream-static ANTI-JOIN under the oracle gate
     * ([[graft.streaming.Streaming.antiJoinUploaded]]): the transactional
     * activation dedup as a stream — events whose ids are already in the
@@ -3070,6 +3103,7 @@ object SparkEntry {
     "s_sessionize_stream" -> (sSessionizeStream _),
     "s_session_window_stream" -> (sSessionWindowStream _),
     "s_dedup_stream" -> (sDedupStream _),
+    "s_ingest_dedup_stream" -> (sIngestDedupStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
     "q_top_users" -> (qTopUsers _),
     "q_anti_join_key" -> (qAntiJoinKey _),
@@ -3588,6 +3622,13 @@ object SparkEntry {
     // the STREAMING rollup must reproduce the batch result exactly
     "s_rollup_stream" -> sqlHourlyRollup,
     // duplicate-file redelivery deduped back to the original per-user counts
+    "s_ingest_dedup_stream" ->
+      """WITH k AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM k WHERE rn = 1 GROUP BY lang""",
     "s_dedup_stream" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
     "q_top_users" ->

@@ -240,6 +240,24 @@ object Streaming {
       .format("parquet")
       .option("path", path)
 
+  /** Streaming INGEST dedup against the persistent digest log: each
+    * micro-batch anti-joins [[graft.operators.Dedup.incrementalExactDedup]]
+    * (first occurrence per content digest survives, the log appends), and
+    * survivors append to `outPath` — the production landing-zone shape
+    * where dedup state must outlive the stream (restarts, multiple
+    * ingests, batch backfills all share ONE log), which watermark-bounded
+    * `dropDuplicates` state cannot: its state dies with the query.
+    * Exactly the `_uploaded` control-table feedback loop run as a stream.
+    */
+  def ingestDedupSink(docs: DataFrame, byCol: String, idCol: String,
+      digestLogPath: String, outPath: String) =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .incrementalExactDedup(batch, byCol, idCol, digestLogPath)
+          .write.mode("append").parquet(outPath)
+    }
+
   /** Streaming exact dedup: drop duplicate keys within the watermark
     * horizon (Spark keeps one state entry per key until the watermark
     * passes its event time — the streaming dual of the batch

@@ -350,6 +350,30 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table(qn2).as[Long].collect().sorted.toSeq == Seq(5L))
   }
 
+  test("ingest dedup: digest-log state survives across batches AND queries") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_spec")
+    val log = s"$base/digests.parquet"
+    val out = s"$base/kept"
+    def run(rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming.ingestDedupSink(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", log, out).start()
+      rows.grouped(2).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    // query 1, two micro-batches: in-batch dup (2) and cross-batch dup (3)
+    run(Seq((1L, "aa"), (2L, "aa"), (3L, "aa"), (4L, "bb")))
+    val kept1 = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 4L))
+    // query 2 (a RESTART): state store is gone, the log is not — the
+    // re-delivered text is still dropped, only the new one lands
+    run(Seq((5L, "bb"), (6L, "cc")))
+    val kept2 = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(1L, 4L, 6L))
+  }
+
   test("bounded top-k aggregate merges state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
