@@ -2625,6 +2625,22 @@ object SparkEntry {
     graft.operators.Graph.nodeSimilarity(coOrderEdges(s, dir), "src", "dst",
       k = 20, maxDegree = 1000)
 
+  /** Deequ-style data-quality audit ([[graft.operators.Expectations]]):
+    * completeness, key uniqueness, bounds, value-set membership, and
+    * referential integrity over orders in ONE aggregation pass plus one
+    * FK anti-join — with a deliberately failing bounds check so both
+    * report outcomes are exercised. All ratios are exact 1e-6 integers.
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    audit(t(s, dir, "orders"), Seq(
+      Completeness("o_custkey"),
+      Uniqueness("o_orderkey"),
+      Bounds("o_totalprice", 0.0, 100000.0),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+  }
+
   /** Per-nation argmax as a SINGLE aggregation pass: the richest
     * customer per nation via `max(struct(acctbal, -custkey))` — struct
     * ordering is lexicographic, so the negated key breaks acctbal ties
@@ -3186,6 +3202,7 @@ object SparkEntry {
     "t_dsir_weights" -> (tDsirWeights _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bucket_join" -> (qBucketJoin _),
+    "q_expectations" -> (qExpectations _),
     "t_approx_quantiles" -> (tApproxQuantiles _),
     "c_mixture_sample" -> (cMixtureSample _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -4777,6 +4794,33 @@ object SparkEntry {
     // the z-ordered rewrite must be lossless (same box-query answer as the
     // original table) and the z-values bit-exact (z_sum replays the
     // interleave); the layout property itself is asserted in BucketingSpec
+    "q_expectations" ->
+      """WITH m AS (SELECT count(*) AS n, count(o_custkey) AS c_cust,
+           count(DISTINCT o_orderkey) AS d_ok, count(o_orderkey) AS n_ok,
+           count(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 100000
+             THEN 1 END) AS in_b,
+           count(o_totalprice) AS n_tp,
+           count(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 END) AS in_s,
+           count(o_orderstatus) AS n_os
+           FROM orders),
+         fk AS (SELECT count(*) AS orphans FROM orders o
+           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+         r AS (
+           SELECT 'completeness' AS "check", 'o_custkey' AS target,
+             c_cust * 1000000 // n AS observed_e6 FROM m
+           UNION ALL SELECT 'uniqueness', 'o_orderkey',
+             d_ok * 1000000 // n_ok FROM m
+           UNION ALL SELECT 'bounds', 'o_totalprice',
+             in_b * 1000000 // n_tp FROM m
+           UNION ALL SELECT 'in_set', 'o_orderstatus',
+             in_s * 1000000 // n_os FROM m
+           UNION ALL SELECT 'foreign_key', 'o_custkey',
+             (c_cust - orphans) * 1000000 // c_cust FROM m, fk)
+         SELECT "check", target, CAST(observed_e6 AS BIGINT) AS observed_e6,
+           CAST(1000000 AS BIGINT) AS threshold_e6,
+           observed_e6 >= 1000000 AS pass
+         FROM r""",
     "q_bucket_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_e2
