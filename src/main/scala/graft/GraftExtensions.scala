@@ -64,6 +64,13 @@ object GraftFunctions {
         K.Int8Quantize(castArr(args(0), D)) }),
     fd("graft_vec_dot", "graft_vec_dot(a, b) - dot product of two numeric arrays",
       args => { arity("graft_vec_dot", args, 2); K.VecDot(args(0), args(1)) }),
+    fd("graft_dhash60",
+      "graft_dhash60(bin) - 60-bit dHash of the first 61 bytes (-1 if too short)",
+      args => { arity("graft_dhash60", args, 1); K.Dhash60(args(0)) }),
+    fd("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible variant)",
+      args => { arity("graft_jaro_winkler", args, 2)
+        K.JaroWinkler(args(0), args(1)) }),
     fd("graft_dot_long", "graft_dot_long(a, b) - integer dot product of long arrays",
       args => { arity("graft_dot_long", args, 2)
         K.DotLong(castArr(args(0), L), castArr(args(1), L)) }),

@@ -2622,8 +2622,13 @@ object SparkEntry {
     * cap, and the 1e-6-integer Jaccard exactly.
     */
   private def gNodeSimilarity(s: SparkSession, dir: String): DataFrame =
+    // the co-order graph's degrees are scale-invariant (~120 at every SF:
+    // parts and orders grow together), so the hub cap IS the cost knob —
+    // candidate volume is nodes x cap^2; 64 keeps the posting self-join at
+    // ~1/600 of the uncapped volume while full degrees still price the
+    // Jaccard denominator
     graft.operators.Graph.nodeSimilarity(coOrderEdges(s, dir), "src", "dst",
-      k = 20, maxDegree = 1000)
+      k = 20, maxDegree = 64)
 
   /** Deequ-style data-quality audit ([[graft.operators.Expectations]]):
     * completeness, key uniqueness, bounds, value-set membership, and
@@ -2740,6 +2745,26 @@ object SparkEntry {
       .where(col("na") < col("nb") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("part_a"),
         greatest(col("ida"), col("idb")).as("part_b"), col("dist"))
+  }
+
+  /** Jaro-Winkler record-linkage scoring over brand-blocked part names —
+    * [[qFuzzyBlock]]'s scored sibling: the codegen'd
+    * [[graft.functions.Kernels.jaroWinkler]] kernel (DuckDB-compatible
+    * variant, boost only above jaro 0.7) scores DISTINCT name pairs
+    * inside each brand block; the threshold applies to the ROUNDED score
+    * so a last-ulp wobble can't flip membership. The oracle scores the
+    * same pairs with DuckDB's native jaro_winkler_similarity — the two
+    * independent implementations must agree to 6 decimals on every pair.
+    */
+  private def qLinkageScore(s: SparkSession, dir: String): DataFrame = {
+    val dn = t(s, dir, "part").select(col("p_brand"), col("p_name")).distinct()
+    dn.as("x").join(dn.as("y"),
+        col("x.p_brand") === col("y.p_brand") && col("x.p_name") < col("y.p_name"))
+      .select(col("x.p_brand").as("brand"), col("x.p_name").as("name_a"),
+        col("y.p_name").as("name_b"),
+        round(graft.functions.KernelExpressions.jaroWinkler(
+          col("x.p_name"), col("y.p_name")), 6).as("jw"))
+      .where(col("jw") >= 0.92)
   }
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -3253,6 +3278,7 @@ object SparkEntry {
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_fuzzy_block" -> (qFuzzyBlock _),
+    "q_linkage_score" -> (qLinkageScore _),
     "q_markov" -> (qMarkov _),
     "q_nation_volume" -> (qNationVolume _),
     "q_semi_join" -> (qSemiJoin _),
@@ -5298,7 +5324,7 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
          deg AS (SELECT id, count(*) AS deg FROM e GROUP BY 1),
          post AS (SELECT e.id, e.nb FROM e
-           JOIN deg d ON e.nb = d.id AND d.deg <= 1000),
+           JOIN deg d ON e.nb = d.id AND d.deg <= 64),
          sh AS (SELECT p1.id AS id_a, p2.id AS id_b,
              CAST(count(*) AS BIGINT) AS shared
            FROM post p1 JOIN post p2
@@ -5536,6 +5562,13 @@ object SparkEntry {
            min(o_orderdate::DATE) AS first_date,
            max(o_orderdate::DATE) AS last_date
          FROM orders""",
+    "q_linkage_score" ->
+      """WITH dn AS (SELECT DISTINCT p_brand, p_name FROM part)
+         SELECT x.p_brand AS brand, x.p_name AS name_a, y.p_name AS name_b,
+           round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw
+         FROM dn x JOIN dn y
+           ON x.p_brand = y.p_brand AND x.p_name < y.p_name
+         WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 6) >= 0.92""",
     "q_fuzzy_block" ->
       """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
            levenshtein(a.p_name, b.p_name) AS dist

@@ -123,6 +123,29 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 60-bit dHash of a binary column's first 61 bytes ([[Kernels.dhash60]];
+    * -1 = payload too short). */
+  case class Dhash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.dhash60(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.functions.Kernels.dhash60($v)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Jaro-Winkler similarity of two string columns ([[Kernels.jaroWinkler]]
+    * — DuckDB-compatible variant, boost only above jaro 0.7). */
+  case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Integer dot product of two long-array columns. */
   case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -427,6 +450,10 @@ object KernelExpressions {
   def int8Quantize(v: Column): Column = c(Int8Quantize(e(v)))
 
   def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
+
+  def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
+
+  def dhash60(bin: Column): Column = c(Dhash60(e(bin)))
 
   def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     c(PqEncode(e(vec), books.flatten.flatten, books.size, books.head.size))

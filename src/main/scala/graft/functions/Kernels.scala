@@ -839,4 +839,76 @@ object Kernels {
     while (j < 60) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** 60-bit dHash over the first 61 unsigned bytes, MSB-first
+    * (bit for position i set iff byte_i > byte_{i+1}); -1 for payloads
+    * shorter than 61 bytes. One static call per row — the expression-tree
+    * formulation re-evaluated its hex-parsed byte array at every one of
+    * the 120 lambda references per row.
+    */
+  def dhash60(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.length < 61) return -1L
+    var acc = 0L
+    var i = 0
+    while (i < 60) {
+      acc = acc * 2 + (if ((bytes(i) & 0xFF) > (bytes(i + 1) & 0xFF)) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
+
+  /** Jaro-Winkler similarity (the record-linkage scorer), matching the
+    * standard variant DuckDB's `jaro_winkler_similarity` implements
+    * (probed empirically, incl. the m=0 and window-0 edges): match window
+    * `max(|a|,|b|)/2 - 1`, transpositions counted over matched sequences
+    * halved, and the Winkler prefix boost (up to 4 chars, p = 0.1) applied
+    * ONLY when jaro > 0.7. Identical strings score 1, either side empty
+    * scores 0. Char-level (UTF-16 units) — identical to code points for
+    * the BMP text this engine processes.
+    */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb, i + window + 1)
+      var j = lo
+      var hit = false
+      while (j < hi && !hit) {
+        if (!mb(j) && b.charAt(j) == a.charAt(i)) {
+          ma(i) = true; mb(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxP = math.min(4, math.min(la, lb))
+    while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

@@ -133,11 +133,8 @@ object Multimodal {
     * images — join via [[graft.operators.Dedup.hammingPairs60]].
     */
   def dhash60(bin: Column): Column = {
-    val bytes = byteValues(substring(bin, 1, 61), 1)
-    when(size(bytes) >= 61,
-      aggregate(sequence(lit(1), lit(60)), lit(0L), (acc, i) =>
-        acc * 2 + when(element_at(bytes, i) > element_at(bytes, i + 1),
-          lit(1L)).otherwise(lit(0L))))
+    val sig = KernelExpressions.dhash60(substring(bin, 1, 61))
+    when(sig =!= -1L, sig) // -1 = payload shorter than 61 bytes -> null
   }
 
   /** RMS level + peak of the WAV body (bytes after the 12-byte RIFF/WAVE

@@ -109,4 +109,33 @@ class SqlFunctionsSpec extends SparkTestBase {
       s"SELECT graft_mp4_meta(unhex('$mp4')) AS m").head().getLong(0)
     assert(m == ((1000L << 24) | 7L))
   }
+
+  test("graft_jaro_winkler matches the published vectors and DuckDB's variant") {
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT graft_jaro_winkler('$a', '$b') AS j").head().getDouble(0)
+    // classic Winkler vectors
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-9)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333) < 1e-9)
+    // boost gate: jaro <= 0.7 gets NO prefix bonus (DuckDB semantics)
+    assert(math.abs(jw("abcdef", "abzzzz") - 5.0 / 9.0) < 1e-9)
+    assert(math.abs(jw("ax", "ay") - 2.0 / 3.0) < 1e-9)
+    // identity / empty / no-match edges
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("xy", "yx") == 0.0) // window 0: adjacent swaps don't match
+  }
+
+  test("graft_dhash60: kernel matches the fold definition; short input is -1") {
+    val inc = (0 until 61).map(i => f"$i%02x").mkString // ascending bytes
+    val dec = (0 until 61).map(i => f"${100 - i}%02x").mkString
+    val out = spark.sql(
+      s"""SELECT graft_dhash60(unhex('$inc')) AS a,
+                 graft_dhash60(unhex('$dec')) AS b,
+                 graft_dhash60(unhex('${inc.take(120)}')) AS c""").head()
+    assert(out.getLong(0) == 0L)
+    assert(out.getLong(1) == (1L << 60) - 1)
+    assert(out.getLong(2) == -1L)
+  }
 }
