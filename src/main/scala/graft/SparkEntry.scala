@@ -1205,6 +1205,20 @@ object SparkEntry {
       Dedup.shingleHash(col("tok")), k = 16)
   }
 
+  /** Sketch-estimated vocabulary overlap between sources
+    * ([[graft.operators.Sketches.kmvSetSimilarity]]): pairwise Jaccard of
+    * per-source word vocabularies from the same k-min sketches the
+    * distinct estimator keeps, exact Jaccard alongside for calibration —
+    * the kilobytes-per-shard answer to [[cSourceOverlap]]'s question.
+    */
+  private def tKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"), explode(
+      graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("tok"))
+    graft.operators.Sketches.kmvSetSimilarity(toks, "source",
+      Dedup.shingleHash(col("tok")), k = 64)
+      .withColumnRenamed("g_a", "src_a").withColumnRenamed("g_b", "src_b")
+  }
+
   /** Token-mixture sampling ([[graft.operators.Importance.mixtureSample]]):
     * a 5:3:2 token recipe over three sources, scaled to the largest total
     * the corpus supplies.
@@ -3274,6 +3288,7 @@ object SparkEntry {
     "g_node_similarity" -> (gNodeSimilarity _),
     "t_hybrid_rrf" -> (tHybridRrf _),
     "t_kmv_union" -> (tKmvUnion _),
+    "t_kmv_jaccard" -> (tKmvJaccard _),
     "q_argmax" -> (qArgmax _),
     "q_market_basket" -> (qMarketBasket _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
@@ -4907,6 +4922,47 @@ object SparkEntry {
            CAST(coalesce(max(CASE WHEN rn = 16 THEN (15::BIGINT * 1000000007) // h END),
              max(nd)) AS BIGINT) AS kmv_est
          FROM r GROUP BY lang"""
+    },
+    "t_kmv_jaccard" -> {
+      val ph = sqlPh("tok", 31L, 1000000007L)
+      val (ca, cb) = Dedup.minhashCoeffs(1).head
+      s"""WITH occ AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents WHERE trim(text) <> ''),
+         dh AS (SELECT DISTINCT source AS g, ($ca * ($ph) + $cb) % 1000000007 AS h
+           FROM occ),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM dh),
+         sk AS (SELECT g, h FROM r WHERE rn <= 64),
+         gs AS (SELECT DISTINCT g FROM dh),
+         pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         ud AS (SELECT DISTINCT pr.ga, pr.gb, sk.h
+           FROM pr JOIN sk ON sk.g = pr.ga OR sk.g = pr.gb),
+         ur AS (SELECT ga, gb, h,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY ga, gb) AS nu
+           FROM ud),
+         usl AS (SELECT ga, gb, h, least(64, nu) AS kk FROM ur
+           WHERE rn <= least(64, nu)),
+         boths AS (SELECT u.ga, u.gb, u.kk,
+             CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+           FROM usl u
+           LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+           LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h),
+         est AS (SELECT ga, gb,
+             CAST(sum(inb) * 1000000 // max(kk) AS BIGINT) AS kmv_jac_e6
+           FROM boths GROUP BY 1, 2),
+         sizes AS (SELECT g, count(*) AS n FROM dh GROUP BY 1),
+         xj AS (SELECT x.g AS ga, y.g AS gb, count(*) AS ni
+           FROM dh x JOIN dh y ON x.h = y.h AND x.g < y.g GROUP BY 1, 2)
+         SELECT p.ga AS src_a, p.gb AS src_b,
+           CAST(coalesce(ni, 0) * 1000000 // (sa.n + sb.n - coalesce(ni, 0))
+             AS BIGINT) AS exact_jac_e6,
+           est.kmv_jac_e6
+         FROM pr p
+         JOIN est ON est.ga = p.ga AND est.gb = p.gb
+         LEFT JOIN xj ON xj.ga = p.ga AND xj.gb = p.gb
+         JOIN sizes sa ON sa.g = p.ga
+         JOIN sizes sb ON sb.g = p.gb"""
     },
     "t_kmv_union" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)

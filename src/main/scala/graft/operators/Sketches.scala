@@ -167,6 +167,61 @@ object Sketches {
       .union(global)
   }
 
+  /** KMV set RESEMBLANCE (Beyer et al. '07): pairwise Jaccard of group
+    * value-sets estimated from the same k-min sketches
+    * [[kmvMergedDistinct]] merges — `est = |S_k(A∪B) ∩ S_A ∩ S_B| / k'`
+    * with `k' = min(k, |union sketch|)` (under-k unions are the full set,
+    * so the estimate degrades to exact) — the "how much do these two
+    * shards/days/sources overlap" question answered from kilobytes per
+    * group instead of a corpus-scale posting join. The exact Jaccard
+    * rides along for calibration via the vocabulary-bounded hash
+    * self-join (the [[graft.SparkEntry]] c_source_overlap shape).
+    *
+    * Deterministic end to end (affine-permuted integer hashes, integer
+    * 1e-6 ratios) — the DuckDB oracle replays sketch, merge, membership,
+    * and the exact side bit for bit.
+    *
+    * @return (g_a, g_b, exact_jac_e6, kmv_jac_e6) for every group pair
+    */
+  def kmvSetSimilarity(df: DataFrame, groupCol: String,
+      hashCol: org.apache.spark.sql.Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val (ca, cb) = Dedup.minhashCoeffs(1).head
+    val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
+    val d = df.select(col(groupCol).cast("string").as("g"), mixed.as("__h"))
+      .distinct()
+      .localCheckpoint(true) // feeds sketches, sizes, and the exact join
+    val sk = d.groupBy(col("g"))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("__h").cast("double") * -1, col("__h"), k).as("__mins"))
+      .select(col("g"), transform(col("__mins"), m => m.getField("id")).as("sk"))
+    // #groups² pair rows of k-length arrays — driver-trivial at any corpus
+    val pairs = sk.select(col("g").as("g_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("g").as("g_b"), col("sk").as("sk_b")),
+        col("g_a") < col("g_b"))
+    val est = pairs
+      .withColumn("__u", array_sort(array_union(col("sk_a"), col("sk_b"))))
+      .withColumn("__kk", least(lit(k), size(col("__u"))))
+      .withColumn("__inter", size(array_intersect(
+        slice(col("__u"), lit(1), col("__kk")),
+        array_intersect(col("sk_a"), col("sk_b")))))
+      .select(col("g_a"), col("g_b"),
+        expr("__inter * 1000000L div __kk").as("kmv_jac_e6"))
+    val sizes = d.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = d.select(col("g").as("g_a"), col("__h"))
+      .join(d.select(col("g").as("g_b"), col("__h")),
+        Seq("__h")).where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("ni"))
+    est
+      .join(inter, Seq("g_a", "g_b"), "left_outer")
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("na"))), "g_a")
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("nb"))), "g_b")
+      .select(col("g_a"), col("g_b"),
+        expr("coalesce(ni, 0L) * 1000000L div (na + nb - coalesce(ni, 0L))")
+          .as("exact_jac_e6"),
+        col("kmv_jac_e6"))
+  }
+
   /** Distributed quantile ESTIMATES from an equi-width histogram — the
     * no-global-sort answer to "give me p50/p95/p99 of a 100 TB column":
     * one map-side-combinable count per bin (shuffle carries ≤ #bins partial

@@ -154,6 +154,25 @@ class TemporalSpec extends SparkTestBase {
     assert(math.abs(gEst - 5000L) < 2500, s"merged KMV estimate $gEst")
   }
 
+  test("kmvSetSimilarity: under-k pairs exact, large pairs within sketch error") {
+    // small: A={1..4}, B={3..6} -> jaccard 2/6; union(8 hashes) < k so the
+    // sketch estimate must EQUAL the exact value
+    val small = ((1 to 4).map(i => ("a", i.toLong)) ++
+      (3 to 6).map(i => ("b", i.toLong))).toDF("g", "x")
+    val h = graft.operators.Dedup.shingleHash(col("x").cast("string"))
+    val s1 = Sketches.kmvSetSimilarity(small, "g", h, k = 64)
+      .as[(String, String, Long, Long)].collect().head
+    assert(s1 === (("a", "b", 333333L, 333333L)))
+    // large: 3000 each, 1000 shared -> jaccard 1000/5000 = 0.2; k=64 gives
+    // std error ~ sqrt(j(1-j)/k) ~ 5pp; allow 4 sigma
+    val large = ((1 to 3000).map(i => ("a", i.toLong)) ++
+      (2001 to 5000).map(i => ("b", i.toLong))).toDF("g", "x")
+    val s2 = Sketches.kmvSetSimilarity(large, "g", h, k = 64)
+      .as[(String, String, Long, Long)].collect().head
+    assert(s2._3 === 200000L)
+    assert(math.abs(s2._4 - 200000L) < 200000L, s"kmv jaccard ${s2._4}")
+  }
+
   test("kmvMergedDistinct: tiny groups stay exact through the merge") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("b", 3L))
       .toDF("g", "x")
