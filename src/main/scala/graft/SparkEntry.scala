@@ -1725,6 +1725,56 @@ object SparkEntry {
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
   }
 
+  /** Row-level quarantine split ([[graft.operators.Expectations
+    * .quarantine]]) — the dead-letter routing next to [[qExpectations]]'s
+    * table-level report: each order passes or lands in exactly ONE
+    * quarantine bucket (first failing check in declaration order), counts
+    * per disposition. One projection + one FK join — no per-check scan.
+    */
+  private def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    quarantine(t(s, dir, "orders"), Seq(
+      Completeness("o_custkey"),
+      Bounds("o_totalprice", 0.0, 100000.0),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .groupBy(coalesce(col("quarantine_reason"), lit("pass")).as("disposition"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming quality monitoring ([[graft.streaming.Streaming
+    * .qualityMonitorSink]]): the events corpus lands twice, two
+    * micro-batches each run the one-pass expectations audit, and the
+    * drained report holds one row per (check, batch) — identical
+    * observed ratios per batch because the batches are identical, which
+    * is exactly what the oracle replays (batch audit × batch ids).
+    */
+  private def sQualityMonitorStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Expectations._
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve(n))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_qmon_out").toString + "/report"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      val query = graft.streaming.Streaming.qualityMonitorSink(ev, Seq(
+          Completeness("user_id"),
+          Bounds("value", 0.0, 400.0),
+          InSet("event_type", Seq("view", "click", "purchase", "signup"))),
+        out).trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(out)
+      .select(col("batch_id"), col("check"), col("target"),
+        col("observed_e6"), col("pass"))
+  }
+
   /** Streaming ingest dedup against the PERSISTENT digest log
     * ([[graft.streaming.Streaming.ingestDedupSink]]): the corpus lands
     * twice, maxFilesPerTrigger=1 forces two micro-batches, and the
@@ -3159,6 +3209,7 @@ object SparkEntry {
     "s_session_window_stream" -> (sSessionWindowStream _),
     "s_dedup_stream" -> (sDedupStream _),
     "s_ingest_dedup_stream" -> (sIngestDedupStream _),
+    "s_quality_monitor_stream" -> (sQualityMonitorStream _),
     "q_hourly_rollup" -> (qHourlyRollup _),
     "q_top_users" -> (qTopUsers _),
     "q_anti_join_key" -> (qAntiJoinKey _),
@@ -3242,6 +3293,7 @@ object SparkEntry {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_expectations" -> (qExpectations _),
+    "q_quarantine" -> (qQuarantine _),
     "t_approx_quantiles" -> (tApproxQuantiles _),
     "c_mixture_sample" -> (cMixtureSample _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -3680,6 +3732,24 @@ object SparkEntry {
     // the STREAMING rollup must reproduce the batch result exactly
     "s_rollup_stream" -> sqlHourlyRollup,
     // duplicate-file redelivery deduped back to the original per-user counts
+    "s_quality_monitor_stream" ->
+      """WITH m AS (SELECT count(*) AS n, count(user_id) AS c_uid,
+           count(CASE WHEN value >= 0 AND value <= 400 THEN 1 END) AS in_b,
+           count(value) AS n_v,
+           count(CASE WHEN event_type IN ('view', 'click', 'purchase', 'signup')
+             THEN 1 END) AS in_s,
+           count(event_type) AS n_et
+           FROM events),
+         r AS (
+           SELECT 'completeness' AS "check", 'user_id' AS target,
+             c_uid * 1000000 // n AS observed_e6 FROM m
+           UNION ALL SELECT 'bounds', 'value', in_b * 1000000 // n_v FROM m
+           UNION ALL SELECT 'in_set', 'event_type',
+             in_s * 1000000 // n_et FROM m)
+         SELECT CAST(b.b AS BIGINT) AS batch_id, "check", target,
+           CAST(observed_e6 AS BIGINT) AS observed_e6,
+           observed_e6 >= 1000000 AS pass
+         FROM r CROSS JOIN (VALUES (0), (1)) AS b(b)""",
     "s_ingest_dedup_stream" ->
       """WITH k AS (SELECT doc_id, lang,
            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -4835,6 +4905,24 @@ object SparkEntry {
     // the z-ordered rewrite must be lossless (same box-query answer as the
     // original table) and the z-values bit-exact (z_sum replays the
     // interleave); the layout property itself is asserted in BucketingSpec
+    "q_quarantine" ->
+      """WITH dim AS (SELECT DISTINCT c_custkey FROM customer),
+         r AS (SELECT CASE
+             WHEN o_custkey IS NULL THEN 'completeness:o_custkey'
+             WHEN o_totalprice IS NOT NULL
+               AND NOT (o_totalprice >= 0 AND o_totalprice <= 100000)
+               THEN 'bounds:o_totalprice'
+             WHEN o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 'in_set:o_orderstatus'
+             WHEN o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM dim)
+               THEN 'foreign_key:o_custkey'
+             END AS reason
+           FROM orders)
+         SELECT coalesce(reason, 'pass') AS disposition,
+           CAST(count(*) AS BIGINT) AS n
+         FROM r GROUP BY 1""",
     "q_expectations" ->
       """WITH m AS (SELECT count(*) AS n, count(o_custkey) AS c_cust,
            count(DISTINCT o_orderkey) AS d_ok, count(o_orderkey) AS n_ok,

@@ -104,4 +104,46 @@ object Expectations {
         col("r.threshold_e6").as("threshold_e6"),
         (col("r.observed_e6") >= col("r.threshold_e6")).as("pass"))
   }
+
+  /** ROW-level disposition for the row-expressible checks (bounds,
+    * value-set, completeness; FK via one broadcast-or-shuffle semi-join) —
+    * the quarantine / dead-letter split every ingest pipeline runs next to
+    * [[audit]]'s table-level report: good rows continue, each bad row
+    * carries WHICH check it failed (first failure in check order, so a row
+    * lands in exactly one bucket and counts are disjoint).
+    *
+    * One projection over the input (plus the FK join) — no per-check scan;
+    * uniqueness is deliberately absent (a row-level "is duplicated" verdict
+    * needs a keyed shuffle — that is [[Dedup.exactDedup]]'s job, not a
+    * row predicate).
+    *
+    * @return input rows + `quarantine_reason` (null = row passes all)
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Expectations.quarantine: no checks given")
+    var cur = df
+    val preds: Seq[(String, Column)] = checks.flatMap {
+      case Completeness(c, _) =>
+        Seq(s"completeness:$c" -> col(c).isNull)
+      case Bounds(c, lo, hi, _) =>
+        Seq(s"bounds:$c" -> (col(c).isNotNull && !(col(c) >= lo && col(c) <= hi)))
+      case InSet(c, vs, _) =>
+        Seq(s"in_set:$c" ->
+          (col(c).isNotNull && !col(c).isin(vs.map(lit): _*)))
+      case fk @ ForeignKey(c, dim, dc, _) =>
+        // mark orphans with a flag column via left-semi-style left join on
+        // the distinct dim keys (broadcast under AQE when small)
+        val flag = s"__fk_ok_${fk.hashCode.abs}"
+        cur = cur.join(
+          dim.select(col(dc).as(c)).distinct().withColumn(flag, lit(true)),
+          Seq(c), "left_outer")
+        Seq(s"foreign_key:$c" -> (col(c).isNotNull && col(flag).isNull))
+      case _: Uniqueness => Seq.empty
+    }
+    val reason = preds.foldRight(lit(null).cast("string")) {
+      case ((name, bad), rest) => when(bad, lit(name)).otherwise(rest)
+    }
+    cur.withColumn("quarantine_reason", reason)
+      .select(df.columns.map(col) :+ col("quarantine_reason"): _*)
+  }
 }

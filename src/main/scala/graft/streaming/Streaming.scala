@@ -258,6 +258,21 @@ object Streaming {
           .write.mode("append").parquet(outPath)
     }
 
+  /** Streaming data-quality monitoring: run the one-pass
+    * [[graft.operators.Expectations.audit]] over every micro-batch and
+    * append the report rows stamped with the batch id — the
+    * quality-dashboard feed of a landing zone (alert when a batch's
+    * completeness dips), sharing the batch audit's exact-integer report
+    * so thresholds behave identically online and offline.
+    */
+  def qualityMonitorSink(stream: DataFrame,
+      checks: Seq[graft.operators.Expectations.Check], outPath: String) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.operators.Expectations.audit(batch, checks)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outPath)
+    }
+
   /** Streaming exact dedup: drop duplicate keys within the watermark
     * horizon (Spark keeps one state entry per key until the watermark
     * passes its event time — the streaming dual of the batch

@@ -58,6 +58,33 @@ class ExpectationsSpec extends SparkTestBase {
     assert(out(("completeness", "k")) === ((500000L, true)))
   }
 
+  test("quarantine: first failing check wins, FK orphans routed, passes null") {
+    val dim = Seq(1L, 2L).toDF("id")
+    val df = Seq(
+      (Some(1L), 10.0, "O"),   // clean
+      (None, 10.0, "O"),       // completeness
+      (Some(1L), -1.0, "X"),   // bounds fires BEFORE in_set
+      (Some(1L), 10.0, "X"),   // in_set
+      (Some(9L), 10.0, "O"))   // fk orphan
+      .toDF("k", "v", "st")
+    val out = Expectations.quarantine(df, Seq(
+        Completeness("k"), Bounds("v", 0.0, 15.0),
+        InSet("st", Seq("O", "F")), ForeignKey("k", dim, "id")))
+      .select("v", "st", "quarantine_reason")
+      .collect().map(r => (r.getDouble(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(out((10.0, "O")) == null || out((10.0, "O")) == "foreign_key:k")
+    val byRow = Expectations.quarantine(df, Seq(
+        Completeness("k"), Bounds("v", 0.0, 15.0),
+        InSet("st", Seq("O", "F")), ForeignKey("k", dim, "id")))
+      .groupBy("quarantine_reason").count()
+      .collect().map(r => Option(r.getString(0)).getOrElse("pass") -> r.getLong(1)).toMap
+    assert(byRow === Map("pass" -> 1L, "completeness:k" -> 1L,
+      "bounds:v" -> 1L, "in_set:st" -> 1L, "foreign_key:k" -> 1L))
+    // schema contract: original columns + the reason, nothing else
+    val cols = Expectations.quarantine(df, Seq(Completeness("k"))).columns.toSeq
+    assert(cols === Seq("k", "v", "st", "quarantine_reason"))
+  }
+
   test("rejects an empty check list") {
     intercept[IllegalArgumentException] {
       Expectations.audit(Seq((1L, 2L)).toDF("a", "b"), Nil)

@@ -71,6 +71,7 @@ class PlanSpec extends SparkTestBase {
       "s_sliding_stream", "s_asof_stream", "s_anti_join_stream",
       "s_transitions_stream", "s_topk_stream", "s_outer_interval_stream",
       "s_session_window_stream", "s_ingest_dedup_stream",
+      "s_quality_monitor_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "e_pq_index_topk",
       "d_lsh_index_pairs",
       // e_trunc_rerank's coarse stage is the same documented flat scan
