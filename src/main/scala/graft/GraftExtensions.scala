@@ -18,8 +18,11 @@ import graft.functions.{Bpe, KernelExpressions => K, TrainedBpeMerges, VectorOps
   * per-row values.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // engine-enforced backstop for oversized explicit broadcast() hints
+    ext.injectOptimizerRule(graft.plans.BroadcastGuard)
+  }
 }
 
 object GraftFunctions {

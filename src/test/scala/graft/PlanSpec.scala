@@ -99,8 +99,14 @@ class PlanSpec extends SparkTestBase {
       // fusion join itself is a 30×30-row full outer
       "t_hybrid_rrf",
       // t_kmv_union appends the 1-row global-exact scalar to the merged
-      // sketch row (the corpus-scalar crossJoin shape)
-      "t_kmv_union",
+      // sketch row (the corpus-scalar crossJoin shape); t_kmv_jaccard's
+      // pair generation is a groups×groups inequality join of one-sketch-
+      // row-per-group frames (k longs each) — group-count-scale, never
+      // corpus-scale
+      "t_kmv_union", "t_kmv_jaccard",
+      // q_expectations appends the 1-row FK orphan/denominator scalars to
+      // the 1-row metrics frame (the corpus-scalar crossJoin shape)
+      "q_expectations",
       // q_bucket_join writes the bucketed tables at plan-build time; its
       // plan shape is pinned by its own test below
       "q_bucket_join")
@@ -118,6 +124,36 @@ class PlanSpec extends SparkTestBase {
       "bucketed fact side still shuffles for the join")
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
       "bucketed dim side still shuffles for the join")
+  }
+
+  test("broadcastGuard: oversized explicit broadcast hints are stripped, small ones kept") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    def joinHint(maxBytes: Long): JoinHint = {
+      val prev = spark.conf.getOption("graft.broadcastGuard.maxBytes")
+      spark.conf.set("graft.broadcastGuard.maxBytes", maxBytes.toString)
+      try li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan
+        .collect { case j: Join => j.hint }.head
+      finally prev match {
+        case Some(v) => spark.conf.set("graft.broadcastGuard.maxBytes", v)
+        case None => spark.conf.unset("graft.broadcastGuard.maxBytes")
+      }
+    }
+    // generous limit: the hint survives to the join node's right side
+    assert(joinHint(1L << 30).rightHint.exists(
+      _.strategy.exists(_.toString == "broadcast")))
+    // 1-byte limit: the guard strips it and the join reverts to unhinted
+    assert(joinHint(1L) === JoinHint.NONE)
+    // kill switch restores the unguarded behavior
+    spark.conf.set("graft.broadcastGuard.enabled", "false")
+    try assert(joinHint(1L).rightHint.exists(
+      _.strategy.exists(_.toString == "broadcast")))
+    finally spark.conf.unset("graft.broadcastGuard.enabled")
   }
 
   test("ngram jaccard plan carries no plan-time broadcast hint (per-doc tables)") {
