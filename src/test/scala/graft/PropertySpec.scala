@@ -254,4 +254,62 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"texts=$texts")
     }
   }
+
+  test("jaroWinkler: symmetry, bounds, identity, and containment ordering") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.Kernels.jaroWinkler(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val str = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    samples(Gen.zip(str, str), 300).foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"($a,$b) -> $s")
+      assert(s == jw(b, a), s"asymmetric on ($a,$b)") // matching is symmetric
+      assert(jw(a, a) == (if (a.isEmpty) 1.0 else 1.0))
+    }
+    // more shared prefix can only help (same suffix edit)
+    assert(jw("prefixab", "prefixba") > jw("prefab", "prefba"))
+  }
+
+  test("nodeSimilarity equals the naive neighborhood-jaccard on random graphs") {
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val n = 2 + rng.nextInt(7)
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rng.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = graft.operators.Graph.nodeSimilarity(
+            edges.toDF("src", "dst"), "src", "dst", k = 1000, maxDegree = 1000)
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        val want = (for {
+          a <- adj.keys; b <- adj.keys if a < b
+          inter = adj(a).intersect(adj(b)).size if inter > 0
+          un = adj(a).size + adj(b).size - inter
+        } yield (a, b) -> inter.toLong * 1000000L / un).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
+  test("kmv set similarity is exact whenever the union sketch is under k") {
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val xs = (1 to 20).filter(_ => rng.nextBoolean()).map(_.toLong)
+      val ys = (1 to 20).filter(_ => rng.nextBoolean()).map(_.toLong)
+      if (xs.nonEmpty && ys.nonEmpty) {
+        val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "x")
+        val out = graft.operators.Sketches.kmvSetSimilarity(df, "g",
+            graft.operators.Dedup.shingleHash(col("x").cast("string")), k = 64)
+          .as[(String, String, Long, Long)].collect().head
+        val inter = xs.toSet.intersect(ys.toSet).size.toLong
+        val expect = inter * 1000000L / (xs.toSet ++ ys.toSet).size
+        assert(out._3 === expect, s"exact xs=$xs ys=$ys")
+        assert(out._4 === expect, s"sketch xs=$xs ys=$ys")
+      }
+    }
+  }
 }
