@@ -437,6 +437,22 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("comp"))
   }
 
+  /** SOFT dedup: near-duplicates are DOWN-WEIGHTED instead of dropped —
+    * every document stays, carrying `weight = 1/|cluster|` (1e-6 ints) so
+    * a training sampler sees each near-dup CLUSTER with total mass 1
+    * (SemDeDup/D4-adjacent: removal loses paraphrase diversity; soft
+    * weighting keeps it without over-counting the duplicated content).
+    * One aggregation over the [[dNeardupComponents]] labels; cluster
+    * sizes join back on the comp key both sides already shuffle on.
+    */
+  private def dSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val comp = dNeardupComponents(s, dir).localCheckpoint()
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("doc_id"), col("comp"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_e6"))
+  }
+
   private def eCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
@@ -3236,6 +3252,7 @@ object SparkEntry {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "t_token_budget" -> (tTokenBudget _),
     "d_neardup_components" -> (dNeardupComponents _),
+    "d_softdedup_weights" -> (dSoftDedupWeights _),
     "e_cosine_topk" -> (eCosineTopK _),
     "e_trunc_rerank" -> (eTruncRerank _),
     "e_neardup_pairs" -> (eNeardupPairs _),
@@ -3986,6 +4003,21 @@ object SparkEntry {
            UNION
            SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)
          SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""",
+    "d_softdedup_weights" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                   UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+         comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+         cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1)
+         SELECT doc_id, comp.comp, cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_e6
+         FROM comp JOIN cs USING (comp)""",
     "d_cluster_best_keep" ->
       s"""WITH RECURSIVE $sqlMinhashCtes,
          mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
