@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // engine-enforced backstop for oversized explicit broadcast() hints
     ext.injectOptimizerRule(graft.plans.BroadcastGuard)
+    // whole-operator plans: native sort-merge as-of join
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofStrategy)
   }
 }
 

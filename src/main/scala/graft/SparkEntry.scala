@@ -967,6 +967,64 @@ object SparkEntry {
       Seq("last_order_price", "last_order_n"))
   }
 
+  /** Orders pre-aggregated to one row per (customer, order time) — the
+    * right side every as-of query matches against. Key/time columns named
+    * distinctly from the event side's because the native operator emits
+    * ALL right columns.
+    */
+  private def asofOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("o_user"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      .agg(round(max(col("o_totalprice")), 2).as("last_order_price"),
+        count(lit(1)).as("last_order_n"))
+
+  private def asofEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+
+  /** Native whole-operator as-of join ([[graft.operators.Temporal
+    * .asofJoinNative]] → `AsofJoinExec`): same semantics as [[qAsofJoin]]
+    * but planned as a custom physical node — two co-partitioned exchanges,
+    * two sorts, one merge scan with a single buffered right row — and it
+    * also surfaces the MATCHED order's own timestamp, which the
+    * union+window encoding cannot emit without a second pass. Oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.asofJoinNative(
+      asofEvents(s, dir), asofOrders(s, dir),
+      Seq("user_id"), Seq("o_user"), "ts_us", "o_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_us").as("last_order_us"),
+        col("last_order_price"), col("last_order_n"))
+
+  /** Backward as-of with a 30-day staleness tolerance: an order older than
+    * the bound no longer describes the customer's state, so the event gets
+    * nulls. The tolerance predicate runs inside the merge scan — no
+    * post-join filter pass, no window trick possible.
+    */
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.asofJoinNative(
+      asofEvents(s, dir), asofOrders(s, dir),
+      Seq("user_id"), Seq("o_user"), "ts_us", "o_us",
+      toleranceUs = 30L * 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_us").as("last_order_us"), col("last_order_price"))
+
+  /** FORWARD as-of within 90 days: each event is joined to the customer's
+    * NEXT order at-or-after the event — conversion attribution shape. The
+    * forward merge buffers nothing at all: the right cursor parks at the
+    * first (key, time) >= the left row and one order can serve many events.
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.asofJoinNative(
+      asofEvents(s, dir), asofOrders(s, dir),
+      Seq("user_id"), Seq("o_user"), "ts_us", "o_us",
+      toleranceUs = 90L * 86400L * 1000000L, forward = true)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_us").as("next_order_us"),
+        col("last_order_price").as("next_order_price"))
+
   /** Keyless point-in-interval join ([[graft.operators.Temporal
     * .pointInIntervalJoin]]): all activity in the 30 minutes after each
     * high-value "anchor" event. No equi-key exists — the bin-exploded
@@ -3304,6 +3362,9 @@ object SparkEntry {
     "s_interval_join_stream" -> (sIntervalJoinStream _),
     "s_outer_interval_stream" -> (sOuterIntervalStream _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_native" -> (qAsofNative _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_range_join" -> (qRangeJoin _),
     "t_heavy_hitters" -> (tHeavyHitters _),
     "t_dsir_weights" -> (tDsirWeights _),
@@ -4784,6 +4845,41 @@ object SparkEntry {
            o.last_order_price, o.last_order_n
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND epoch_us(e.ts) >= o.o_us""",
+    // the native AsofJoinExec merge must equal DuckDB's ASOF LEFT JOIN,
+    // including the matched order's own timestamp in the output
+    "q_asof_native" ->
+      """WITH o AS (SELECT o_custkey AS o_user, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS last_order_price,
+             count(*) AS last_order_n
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.o_us AS last_order_us, o.last_order_price, o.last_order_n
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_user AND epoch_us(e.ts) >= o.o_us""",
+    // tolerance/forward variants have no native DuckDB ASOF form — the
+    // oracle replays them as bounded arg_max/arg_min over the range join
+    "q_asof_tolerance" ->
+      """WITH o AS (SELECT o_custkey AS o_user, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS last_order_price
+           FROM orders GROUP BY 1, 2),
+         e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+         SELECT e.event_id, e.user_id, e.ts_us,
+           CAST(arg_max(o.o_us, o.o_us) AS BIGINT) AS last_order_us,
+           arg_max(o.last_order_price, o.o_us) AS last_order_price
+         FROM e LEFT JOIN o ON e.user_id = o.o_user
+           AND o.o_us <= e.ts_us AND e.ts_us - o.o_us <= 2592000000000
+         GROUP BY 1, 2, 3""",
+    "q_asof_forward" ->
+      """WITH o AS (SELECT o_custkey AS o_user, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS last_order_price
+           FROM orders GROUP BY 1, 2),
+         e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+         SELECT e.event_id, e.user_id, e.ts_us,
+           CAST(arg_min(o.o_us, o.o_us) AS BIGINT) AS next_order_us,
+           arg_min(o.last_order_price, o.o_us) AS next_order_price
+         FROM e LEFT JOIN o ON e.user_id = o.o_user
+           AND o.o_us >= e.ts_us AND o.o_us - e.ts_us <= 7776000000000
+         GROUP BY 1, 2, 3""",
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS t, value FROM events),
          a AS (SELECT event_id AS anchor_id, t AS s FROM ev WHERE value > 300)

@@ -54,6 +54,23 @@ object Temporal {
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ payloadCols.map(col): _*)
   }
 
+  /** Native whole-operator as-of join
+    * ([[org.apache.spark.sql.graft.AsofJoinExec]]): the same backward
+    * semantics as [[asofJoin]] plus what the union+window encoding cannot
+    * express — a staleness `toleranceUs` bound, the FORWARD direction
+    * (nearest right row at-or-after the left time), and the matched right
+    * row's own columns (e.g. its timestamp) in the output. Physical plan:
+    * co-partitioned exchanges on the keys + per-partition (key, time) sort
+    * + ONE merge scan holding a single buffered right row — sort-merge-join
+    * cost, no window state. Time columns must be LongType (epoch micros).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String, toleranceUs: Long = -1L,
+      forward: Boolean = false): DataFrame =
+    org.apache.spark.sql.graft.AsofJoinDF.asofJoin(
+      left, right, leftKeys, rightKeys, leftTs, rightTs, toleranceUs, forward)
+
   /** Keyless point-in-interval join: every (point, interval) pair with
     * `startCol` <= `pointTs` < `endCol` — the batch analog of a stream-
     * stream interval join, without any equi-key to hash on.

@@ -39,6 +39,71 @@ class TemporalSpec extends SparkTestBase {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  test("asofJoinNative: backward matches the union+window encoding row for row") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "key", "t")
+    val right = Seq.tabulate(60)(i => (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("rkey", "rt", "payload")
+      .dropDuplicates("rkey", "rt") // unique (key, ts) as both operators require
+    val viaWindow = Temporal.asofJoin(left,
+        right.withColumnRenamed("rkey", "key"), "key", "t", "rt", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[Double])].collect().toMap
+    val native = Temporal.asofJoinNative(left, right,
+        Seq("key"), Seq("rkey"), "t", "rt")
+      .select("id", "payload").as[(Long, Option[Double])].collect().toMap
+    assert(native === viaWindow)
+  }
+
+  test("asofJoinNative: tolerance bounds staleness, forward finds the next row") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 310L), (4L, 20L, 100L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 90L, "a"), (10L, 300L, "b")).toDF("rkey", "rt", "v")
+    // backward, tolerance 50: id=1 matches a (lag 10); id=2 nothing in
+    // range (a is 160 stale); id=3 matches b (lag 10); id=4 no key
+    val back = Temporal.asofJoinNative(left, right, Seq("key"), Seq("rkey"),
+        "t", "rt", toleranceUs = 50L)
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(back === Map(1L -> Some("a"), 2L -> None, 3L -> Some("b"), 4L -> None))
+    // forward, tolerance 200: id=1 -> b at 300 (lead 200, inclusive bound);
+    // id=2 -> b (lead 50); id=3 -> nothing at/after 310; equal-ts check:
+    val fwd = Temporal.asofJoinNative(left, right, Seq("key"), Seq("rkey"),
+        "t", "rt", toleranceUs = 200L, forward = true)
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(fwd === Map(1L -> Some("b"), 2L -> Some("b"), 3L -> None, 4L -> None))
+    // forward at exactly-equal timestamps is inclusive
+    val eq = Temporal.asofJoinNative(
+        Seq((9L, 10L, 300L)).toDF("id", "key", "t"), right,
+        Seq("key"), Seq("rkey"), "t", "rt", forward = true)
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(eq === Map(9L -> Some("b")))
+  }
+
+  test("asofJoinNative: null keys and null times never match") {
+    val left = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)),
+        (3L, Some(10L), None))
+      .toDF("id", "key", "t")
+    val right = Seq((Some(10L), Some(50L), "a"), (None, Some(40L), "x"),
+        (Some(10L), None, "y"))
+      .toDF("rkey", "rt", "v")
+    val out = Temporal.asofJoinNative(left, right, Seq("key"), Seq("rkey"),
+        "t", "rt")
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> None, 3L -> None))
+  }
+
+  test("asofJoinNative plan: AsofJoinExec with co-partitioned exchanges, no window") {
+    val left = Seq((1L, 1L, 1L)).toDF("id", "key", "t")
+    val right = Seq((1L, 1L, 1.0)).toDF("rkey", "rt", "v")
+    val p = Temporal.asofJoinNative(left, right, Seq("key"), Seq("rkey"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected the two co-partitioned exchanges:\n$p")
+  }
+
   test("pointInIntervalJoin: half-open bounds, bin-spanning interval pairs once") {
     val points = Seq((1L, 100L), (2L, 150L), (3L, 199L), (4L, 200L), (5L, 99L))
       .toDF("pid", "t")
