@@ -71,6 +71,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("native as-of join matches a naive per-row reference across directions and tolerances") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = Seq.tabulate(120)(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(500).toLong))
+      val right = Seq.tabulate(40)(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(500).toLong, i.toDouble))
+        .distinctBy(r => (r._1, r._2)) // unique (key, ts) contract
+      val lDf = left.toDF("id", "key", "t")
+      val rDf = right.toDF("rkey", "rt", "v")
+      for ((fwd, tol) <- Seq((false, -1L), (false, 60L), (true, -1L), (true, 60L))) {
+        def naive(k: Long, t: Long): Option[Double] = {
+          val c = right.filter(r => r._1 == k &&
+            (if (fwd) r._2 >= t && (tol < 0 || r._2 - t <= tol)
+             else r._2 <= t && (tol < 0 || t - r._2 <= tol)))
+          if (c.isEmpty) None
+          else Some((if (fwd) c.minBy(_._2) else c.maxBy(_._2))._3)
+        }
+        val got = graft.operators.Temporal.asofJoinNative(lDf, rDf,
+            Seq("key"), Seq("rkey"), "t", "rt", toleranceUs = tol, forward = fwd)
+          .select("id", "v").as[(Long, Option[Double])].collect().toMap
+        left.foreach { case (id, k, t) =>
+          assert(got(id) === naive(k, t),
+            s"trial=$trial fwd=$fwd tol=$tol id=$id key=$k t=$t")
+        }
+      }
+    }
+  }
+
   test("wordNgramStats matches a naive reference on random token streams") {
     val textGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))
     val texts = samples(textGen, 60) ++ Seq("", "  ", "aa", "aa aa aa aa")
