@@ -929,6 +929,51 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis '06, algorithm A-ES): per source, keep the k documents with
+    * the largest ln(u)/w, where u = (h+1)/(P+1) is a content-stable
+    * uniform from the polynomial hash and w = n_chars — inclusion
+    * probability proportional to document weight, yet fully reproducible
+    * across runs, engines, and partitionings (no RNG state). Weight-0
+    * documents are never sampled. Scale shape: the key is a narrow
+    * per-row projection and the selection is the bounded top-k AGGREGATE
+    * ([[graft.functions.TopKAggregate]]) — map-side combine ships ≤ k
+    * rows per (source, partition); no per-group sort of the corpus, which
+    * is what a rank-window sampler would pay at 100 TB.
+    */
+  private def cWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val h = Dedup.polyHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")), 31L, P)
+    val key = log((h + 1).cast("double") / lit((P + 1).toDouble)) /
+      col("n_chars").cast("double")
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), key.as("k"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("k"), col("doc_id"), 20).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"))
+  }
+
+  /** Leakage-safe train/validation split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — the cluster representative id is hashed
+    * to a bucket, so paraphrase near-duplicates can never straddle the
+    * boundary (the contamination mistake per-document hashing makes: a
+    * val document's near-copy trains). ~5% of clusters go to val. Cost on
+    * top of the cluster resolution ([[dNeardupComponents]], the same
+    * checkpointed label propagation the dedup family shares): one narrow
+    * hash over the component labels, no extra shuffle.
+    */
+  private def cLeakageSplit(s: SparkSession, dir: String): DataFrame =
+    dNeardupComponents(s, dir)
+      .select(col("doc_id"), col("comp"),
+        when(Dedup.polyHash(concat(lit("split:"), col("comp").cast("string")),
+            31L, 1000000007L) % 100 < 5, lit("val"))
+          .otherwise(lit("train")).as("split"))
+
   /** Corpus-wide top-k frequent word bigrams — vocabulary/boilerplate
     * mining (the discovery pass behind line-dedup df thresholds and merge-
     * table training). Scale shape: the explode emits bounded 2-word keys,
@@ -3342,6 +3387,8 @@ object SparkEntry {
     "c_pack_sequences" -> (cPackSequences _),
     "c_decontaminate" -> (cDecontaminate _),
     "c_stratified_sample" -> (cStratifiedSample _),
+    "c_weighted_sample" -> (cWeightedSample _),
+    "c_leakage_split" -> (cLeakageSplit _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
@@ -4478,6 +4525,34 @@ object SparkEntry {
            CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 250
                 WHEN source IN ('src4', 'src5', 'src6') THEN 500
                 ELSE 1000 END""",
+    // A-ES weighted sampling: the oracle replays key = ln((h+1)/(P+1))/w
+    // and ranks per source — same hash, same IEEE arithmetic
+    "c_weighted_sample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+             ln((${sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)} + 1)
+               / 1000000008.0) / n_chars AS k
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY k DESC, doc_id) AS BIGINT) AS rank
+           FROM d)
+         SELECT source, rank, doc_id FROM r WHERE rank <= 20""",
+    // cluster-level split: the recursive components CTE is the same as
+    // d_neardup_components; the split hashes the cluster representative
+    "c_leakage_split" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM mp
+                   UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+         comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a)
+         SELECT doc_id, comp,
+           CASE WHEN ${sqlPh("'split:' || comp::VARCHAR", 31L, 1000000007L)} % 100 < 5
+                THEN 'val' ELSE 'train' END AS split
+         FROM comp""",
     "t_top_ngrams" ->
       """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
                        FROM documents WHERE trim(text) <> ''),
