@@ -974,6 +974,31 @@ object SparkEntry {
             31L, 1000000007L) % 100 < 5, lit("val"))
           .otherwise(lit("train")).as("split"))
 
+  /** Encoding-hygiene audit — per-source counts of U+FFFD replacement
+    * characters (the scar a lossy decode leaves) and C0 control characters
+    * (minus tab/newline/CR): the standard "was this shard decoded with the
+    * wrong charset" signal a crawl pipeline gates on before any text op.
+    * The synthetic corpus is clean, so mojibake is PLANTED on every 7th
+    * document and the oracle replays the plant — the audit arithmetic is
+    * what is being proven. One codegen'd pass over text, counts via
+    * length-after-strip deltas; aggregation is map-side combinable.
+    */
+  private def tEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit("\uFFFD\uFFFD\u0007"))).otherwise(col("text"))
+        .as("text"))
+    val repl = length(col("text")) -
+      length(regexp_replace(col("text"), "\uFFFD", ""))
+    val ctrl = length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    planted
+      .select(col("source"), repl.as("repl"), ctrl.as("ctrl"))
+      .groupBy(col("source"))
+      .agg(sum(col("repl")).as("n_repl"), sum(col("ctrl")).as("n_ctrl"),
+        count(when(col("repl") > 0 || col("ctrl") > 0, lit(1))).as("n_flagged"))
+  }
+
   /** Corpus-wide top-k frequent word bigrams — vocabulary/boilerplate
     * mining (the discovery pass behind line-dedup df thresholds and merge-
     * table training). Scale shape: the explode emits bounded 2-word keys,
@@ -1638,6 +1663,35 @@ object SparkEntry {
     s.read.schema(ev.schema).json(tmp)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Corrupt-record quarantining ingest: a 100 TB landing zone always
+    * contains mangled shards, and a full-job abort on one bad line is not
+    * an option. The documents table is rendered to JSONL with every 13th
+    * record REPLACED by an unparseable line, then read back in PERMISSIVE
+    * mode with `_corrupt_record` — malformed lines survive as quarantined
+    * rows (all data fields null, raw line captured) instead of killing the
+    * read, and the audit rolls them up under `_corrupt`. The oracle
+    * replays the plant arithmetically: parsed rows group by their source,
+    * corrupt rows count with a null char sum. Narrow end to end — parse,
+    * quarantine, and aggregate fuse into the scan; no shuffle beyond the
+    * final rollup.
+    */
+  private def qBadRecords(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badrec").toString
+    t(s, dir, "documents")
+      .select(when(col("doc_id") % 13 === 0,
+          concat(lit("NOT_JSON#"), col("doc_id").cast("string")))
+        .otherwise(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read
+      .schema("doc_id LONG, source STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .groupBy(coalesce(col("source"), lit("_corrupt")).as("src"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"))
   }
 
   // ------------------------------------------------------------------
@@ -3389,6 +3443,8 @@ object SparkEntry {
     "c_stratified_sample" -> (cStratifiedSample _),
     "c_weighted_sample" -> (cWeightedSample _),
     "c_leakage_split" -> (cLeakageSplit _),
+    "q_bad_records" -> (qBadRecords _),
+    "t_encoding_audit" -> (tEncodingAudit _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
@@ -4525,6 +4581,30 @@ object SparkEntry {
            CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 250
                 WHEN source IN ('src4', 'src5', 'src6') THEN 500
                 ELSE 1000 END""",
+    // PERMISSIVE quarantine: corrupt rows (the planted 13th) roll up under
+    // _corrupt with a null char sum; parsed rows group by their source
+    "q_bad_records" ->
+      """SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE source END AS src,
+           count(*) AS n,
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END)
+             AS BIGINT) AS chars_sum
+         FROM documents GROUP BY 1""",
+    "t_encoding_audit" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || chr(65533) || chr(65533) || chr(7)
+                  ELSE text END AS t
+           FROM documents),
+         m AS (SELECT source,
+             length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS repl,
+             length(t) - length(regexp_replace(t,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl
+           FROM d)
+         SELECT source, CAST(sum(repl) AS BIGINT) AS n_repl,
+           CAST(sum(ctrl) AS BIGINT) AS n_ctrl,
+           CAST(count(CASE WHEN repl > 0 OR ctrl > 0 THEN 1 END) AS BIGINT)
+             AS n_flagged
+         FROM m GROUP BY 1""",
     // A-ES weighted sampling: the oracle replays key = ln((h+1)/(P+1))/w
     // and ranks per source — same hash, same IEEE arithmetic
     "c_weighted_sample" ->
