@@ -146,7 +146,13 @@ case class AsofJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      // codegen'd ordering over the projected key schema (falls back to
+      // interpreted via CodeGeneratorWithInterpretedFallback)
+      val keyAttrs = lKeyExprs.zipWithIndex.map { case (e, i) =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(s"k$i", e.dataType, e.nullable)()
+      }
+      val keyOrd = RowOrdering.create(
+        keyAttrs.map(SortOrder(_, Ascending)), keyAttrs)
       val lTimeB = BindReferences.bindReference(lTimeExpr, lOut)
       val rTimeB = BindReferences.bindReference(rTimeExpr, rOut)
       val nullRight = new GenericInternalRow(rOut.length)
