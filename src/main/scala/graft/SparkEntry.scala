@@ -974,6 +974,33 @@ object SparkEntry {
             31L, 1000000007L) % 100 < 5, lit("val"))
           .otherwise(lit("train")).as("split"))
 
+  /** K-anonymity audit — re-identification risk of the quasi-identifier
+    * tuple (event_type, UTC day-of-week, UTC hour): per QI cell, k =
+    * distinct users sharing it; cells bucketed by k (1 / 2-4 / 5-9 / 10+).
+    * A release is k-anonymous at threshold K iff no bucket below K is
+    * populated — the audit a privacy review runs before activation data
+    * leaves the warehouse (megalista's PII hashing governs VALUES; this
+    * governs COMBINATIONS). Scale shape: the QI space is bounded
+    * (types × 7 × 24), the distinct-user count is a two-phase aggregate on
+    * that bounded key, and the bucket rollup runs over the tiny cell
+    * table. Time fields derive from integer µs arithmetic (1970-01-01 =
+    * Thursday), replayed exactly by the oracle.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type"), tsUs.as("ts_us"), col("user_id"))
+      .withColumn("dow", expr("(ts_us div 86400000000 + 4) % 7"))
+      .withColumn("hr", expr("(ts_us div 3600000000) % 24"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(countDistinct(col("user_id")).as("k"))
+    cells
+      .select(when(col("k") === 1, "k=1").when(col("k") < 5, "k=2-4")
+        .when(col("k") < 10, "k=5-9").otherwise("k>=10").as("k_bucket"),
+        col("k"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("k")).as("n_users"))
+  }
+
   /** Encoding-hygiene audit — per-source counts of U+FFFD replacement
     * characters (the scar a lossy decode leaves) and C0 control characters
     * (minus tab/newline/CR): the standard "was this shard decoded with the
@@ -3445,6 +3472,7 @@ object SparkEntry {
     "c_leakage_split" -> (cLeakageSplit _),
     "q_bad_records" -> (qBadRecords _),
     "t_encoding_audit" -> (tEncodingAudit _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
@@ -4605,6 +4633,16 @@ object SparkEntry {
            CAST(count(CASE WHEN repl > 0 OR ctrl > 0 THEN 1 END) AS BIGINT)
              AS n_flagged
          FROM m GROUP BY 1""",
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS k
+           FROM events GROUP BY 1, 2, 3)
+         SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k < 5 THEN 'k=2-4'
+                     WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
+           count(*) AS n_cells, CAST(sum(k) AS BIGINT) AS n_users
+         FROM c GROUP BY 1""",
     // A-ES weighted sampling: the oracle replays key = ln((h+1)/(P+1))/w
     // and ranks per source — same hash, same IEEE arithmetic
     "c_weighted_sample" ->
