@@ -79,6 +79,17 @@ class TemporalSpec extends SparkTestBase {
     assert(eq === Map(9L -> Some("b")))
   }
 
+  test("asofJoinNative: multi-column keys match only when every key column is equal") {
+    val left = Seq((1L, 10L, "eu", 100L), (2L, 10L, "us", 100L), (3L, 11L, "eu", 100L))
+      .toDF("id", "k1", "k2", "t")
+    val right = Seq((10L, "eu", 50L, "a"), (10L, "us", 60L, "b"), (11L, "us", 40L, "c"))
+      .toDF("r1", "r2", "rt", "v")
+    val out = Temporal.asofJoinNative(left, right, Seq("k1", "k2"),
+        Seq("r1", "r2"), "t", "rt")
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+  }
+
   test("asofJoinNative: null keys and null times never match") {
     val left = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)),
         (3L, Some(10L), None))
