@@ -9,11 +9,20 @@
   * FORWARD direction (nearest right row at-or-after the left time) without a
   * second pass re-deriving the matched timestamp, and it pays window-function
   * machinery (frame evaluation, `last(ignoreNulls)` per payload column) for
-  * what is structurally a single merge scan. This exec is the plan a
-  * column-store would pick: exchange both sides on the key, sort by
-  * (key, time), then one forward-only merge per partition holding exactly ONE
-  * buffered right row — no window state, no per-payload-column passes, and
-  * the 100 TB cost is identical to a sort-merge join of the two tables.
+  * what is structurally a single merge scan.
+  *
+  * Why not Catalyst's own `AsOfJoin` node: Spark 4 ships a logical
+  * `AsOfJoin` (surfaced only through pandas-on-Spark `merge_asof`, no
+  * Scala DataFrame API) whose `RewriteAsOfJoin` lowers it to a RANGE
+  * inner join + per-left-row `min_by` aggregate — the intermediate is
+  * every (left, candidate-right) pair inside the tolerance window, then a
+  * full re-shuffle to aggregate it away; with an unbounded tolerance and
+  * a long history per key that intermediate is |left| × |history|. This
+  * exec is the plan a column-store would pick instead: exchange both
+  * sides on the key, sort by (key, time), then one forward-only merge per
+  * partition holding exactly ONE buffered right row — no pair blowup, no
+  * window state, and the 100 TB cost is identical to a sort-merge join of
+  * the two tables.
   *
   * Reference behavior being generalized: megalista's "latest state as of"
   * lookups are anti-join + max-timestamp shapes over the `_uploaded` control
@@ -57,6 +66,13 @@ case class AsofJoinPlan(
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key and equally many on both sides")
+  // no implicit coercion: this node bypasses the analyzer's join type
+  // coercion, and mismatched key types would hash AND sort differently per
+  // side — silently empty output. Cast explicitly before joining.
+  leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((lk, rk), i) =>
+    require(lk.dataType == rk.dataType,
+      s"as-of key $i type mismatch: ${lk.dataType} vs ${rk.dataType} — cast the columns to a common type first")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -85,8 +101,13 @@ object AsofStrategy extends SparkStrategy {
   *
   * Plan shape: `requiredChildDistribution` clusters both sides on the keys
   * (EnsureRequirements inserts co-partitioned exchanges exactly as for a
-  * shuffled equi-join — AQE skew handling applies to those exchanges as
-  * usual) and `requiredChildOrdering` sorts each partition by (keys, time).
+  * shuffled equi-join; note AQE partition COALESCING applies to these
+  * exchanges but skew SPLITTING does not — OptimizeSkewedJoin matches only
+  * the stock join execs, and splitting a key's partition would break the
+  * single-buffered-row merge, so one pathological key runs as one task —
+  * pre-aggregate the right side per (key, time) and salt-split upstream if
+  * a key's LEFT side is that hot) and `requiredChildOrdering` sorts each
+  * partition by (keys, time).
   * `doExecute` then merges each co-partition pair in ONE forward pass:
   * - backward: right rows with (key, time) <= the current left row are
   *   consumed eagerly, the latest key-equal one kept in a single buffered
@@ -159,11 +180,20 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
+      // Overflow-safe "gap within tolerance" over arbitrary longs: hi >= lo
+      // always holds at the call sites, so a wrapped (negative) difference
+      // means the true gap exceeds Long.MaxValue > any tolerance.
+      def withinTol(hi: Long, lo: Long): Boolean =
+        tol < 0L || { val gap = hi - lo; gap >= 0L && gap <= tol }
+
       new Iterator[InternalRow] {
         // lookahead right row; sorter iterators reuse their row object, so
         // rHead is only valid until the next rIt.next() — by then it has
-        // been either discarded or copied into the match buffer
+        // been either discarded or handed off to the match buffer. Its key
+        // is projected ONCE at pull time (rHeadKey, an owned copy) so the
+        // per-left-row compares don't re-project a parked row.
         private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
         private var rHeadTime = 0L
         // backward mode: the latest key-equal right row seen so far
         private var mKey: UnsafeRow = _
@@ -189,21 +219,26 @@ case class AsofJoinExec(
                     val r = rIt.next()
                     val rt = rTimeB.eval(r)
                     // null right key/time rows can never match — drop here
-                    if (rt != null && !rKeyProj(r).anyNull) {
-                      rHead = r; rHeadTime = rt.asInstanceOf[Long]; ok = true
+                    if (rt != null) {
+                      val rk = rKeyProj(r)
+                      if (!rk.anyNull) {
+                        rHead = r; rHeadKey = rk.copy()
+                        rHeadTime = rt.asInstanceOf[Long]; ok = true
+                      }
                     }
                   }
                   if (!ok) advance = false
                 }
                 if (rHead != null) {
-                  val cmp = keyOrd.compare(rKeyProj(rHead), lk)
+                  val cmp = keyOrd.compare(rHeadKey, lk)
                   if (cmp < 0) rHead = null // key exhausted on the right
                   else if (cmp == 0 &&
                       (if (fwd) rHeadTime < ltime else rHeadTime <= ltime)) {
                     if (!fwd) {
-                      // buffer as the best-so-far backward match (copies:
-                      // the underlying sorter row object is reused)
-                      mKey = rKeyProj(rHead).copy()
+                      // hand off to the best-so-far backward buffer (the key
+                      // copy transfers; only the row bytes need copying out
+                      // of the sorter's reused object)
+                      mKey = rHeadKey
                       mRow = rHead.copy()
                       mTime = rHeadTime
                     }
@@ -212,11 +247,11 @@ case class AsofJoinExec(
                 }
               }
               if (fwd) {
-                if (rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0 &&
-                    (tol < 0L || rHeadTime - ltime <= tol)) matched = rHead
+                if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
+                    withinTol(rHeadTime, ltime)) matched = rHead
               } else {
                 if (mRow != null && keyOrd.compare(mKey, lk) == 0 &&
-                    (tol < 0L || ltime - mTime <= tol)) matched = mRow
+                    withinTol(ltime, mTime)) matched = mRow
               }
             }
           }
@@ -256,9 +291,13 @@ object AsofJoinDF {
     require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
       "as-of join sides share attribute ids — alias one side (e.g. df.select(cols.map(c => col(c).as(c)))) first")
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
-        .getOrElse(throw new IllegalArgumentException(
-          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(a => spark.sessionState.conf.resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous (${many.size} matches) — alias the side's columns uniquely first")
+      }
     val node = AsofJoinPlan(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTs), attr(rPlan, rightTs), toleranceUs, forward)

@@ -90,6 +90,15 @@ class TemporalSpec extends SparkTestBase {
     assert(out === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
   }
 
+  test("asofJoinNative: mismatched key types are an error, not empty output") {
+    val left = Seq((1, 1L)).toDF("key", "t") // key: Int
+    val right = Seq((1L, 1L, 1.0)).toDF("rkey", "rt", "v") // rkey: Long
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinNative(left, right, Seq("key"), Seq("rkey"), "t", "rt")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("asofJoinNative: null keys and null times never match") {
     val left = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)),
         (3L, Some(10L), None))
