@@ -5094,8 +5094,9 @@ object SparkEntry {
          probe AS (SELECT tok, exact_n, r,
              ((($a)[r + 1] * $ph + ($b)[r + 1]) % 1000000007) % 1024 AS bucket
            FROM cand, unnest(range(0, 4)) AS u(r))
-         SELECT p.tok, p.exact_n, CAST(min(m.c) AS BIGINT) AS cms_est
-         FROM probe p JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
+         SELECT p.tok, p.exact_n,
+           CAST(min(coalesce(m.c, 0)) AS BIGINT) AS cms_est
+         FROM probe p LEFT JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
          GROUP BY 1, 2"""
     },
     // the STREAMING as-of enrichment must equal DuckDB's native ASOF JOIN
@@ -5393,7 +5394,7 @@ object SparkEntry {
          g AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS ge FROM dh)
          SELECT scope, exact_distinct, kmv_est FROM per
          UNION ALL
-         SELECT 'ALL' AS scope, ge AS exact_distinct,
+         SELECT '__all__' AS scope, ge AS exact_distinct,
            CAST(coalesce(
              (SELECT (15::BIGINT * 1000000007) // h FROM mr WHERE rn = 16),
              ge) AS BIGINT) AS kmv_est

@@ -70,7 +70,9 @@ object Expectations {
       case (InSet(c, vs, _), i) =>
         Seq(count(when(col(c).isin(vs.map(lit): _*), 1)).as(s"__m$i"),
           count(col(c)).as(s"__d$i"))
-      case (_: ForeignKey, _) => Seq.empty
+      // the FK NUMERATOR needs the anti-join below, but its denominator is
+      // aggregation-expressible and rides the shared pass — no extra scan
+      case (ForeignKey(c, _, _, _), i) => Seq(count(col(c)).as(s"__d$i"))
     }
     var metrics = df.agg(aggs.head, aggs.tail: _*)
     checks.zipWithIndex.foreach {
@@ -78,15 +80,17 @@ object Expectations {
         val orphans = df.select(col(c)).filter(col(c).isNotNull)
           .join(dim.select(col(dc).as(c)), Seq(c), "left_anti")
           .agg(count(lit(1)).as(s"__o$i"))
-        val denom = df.agg(count(col(c)).as(s"__d$i"))
-        metrics = metrics.crossJoin(broadcast(orphans)).crossJoin(broadcast(denom))
+        metrics = metrics.crossJoin(broadcast(orphans))
       case _ => ()
     }
     // `div`, not `/`: Spark's Column./ is true division (double) — the
-    // report must stay in exact integer arithmetic
+    // report must stay in exact integer arithmetic. The ×1e6 runs in
+    // DECIMAL(38,0): a Long row count beyond ~9.2e12 rows (token-grain
+    // tables at full scale) would overflow the 64-bit multiply.
     def ratio(num: String, den: String): Column =
       when(col(den) === 0L, lit(1000000L)) // vacuously true on an empty slice
-        .otherwise(expr(s"$num * 1000000 div $den"))
+        .otherwise(expr(
+          s"CAST(CAST($num AS DECIMAL(38,0)) * 1000000 div $den AS BIGINT)"))
     val rows = checks.zipWithIndex.map { case (ck, i) =>
       val obs = ck match {
         case _: Completeness => ratio(s"__m$i", "__n")
@@ -122,23 +126,24 @@ object Expectations {
   def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Expectations.quarantine: no checks given")
     var cur = df
-    val preds: Seq[(String, Column)] = checks.flatMap {
-      case Completeness(c, _) =>
+    val preds: Seq[(String, Column)] = checks.zipWithIndex.flatMap {
+      case (Completeness(c, _), _) =>
         Seq(s"completeness:$c" -> col(c).isNull)
-      case Bounds(c, lo, hi, _) =>
+      case (Bounds(c, lo, hi, _), _) =>
         Seq(s"bounds:$c" -> (col(c).isNotNull && !(col(c) >= lo && col(c) <= hi)))
-      case InSet(c, vs, _) =>
+      case (InSet(c, vs, _), _) =>
         Seq(s"in_set:$c" ->
           (col(c).isNotNull && !col(c).isin(vs.map(lit): _*)))
-      case fk @ ForeignKey(c, dim, dc, _) =>
+      case (ForeignKey(c, dim, dc, _), i) =>
         // mark orphans with a flag column via left-semi-style left join on
-        // the distinct dim keys (broadcast under AQE when small)
-        val flag = s"__fk_ok_${fk.hashCode.abs}"
+        // the distinct dim keys (broadcast under AQE when small). The flag
+        // is keyed by CHECK INDEX — two identical FK specs must not collide
+        val flag = s"__fk_ok_$i"
         cur = cur.join(
           dim.select(col(dc).as(c)).distinct().withColumn(flag, lit(true)),
           Seq(c), "left_outer")
         Seq(s"foreign_key:$c" -> (col(c).isNotNull && col(flag).isNull))
-      case _: Uniqueness => Seq.empty
+      case (_: Uniqueness, _) => Seq.empty
     }
     val reason = preds.foldRight(lit(null).cast("string")) {
       case ((name, bad), rest) => when(bad, lit(name)).otherwise(rest)

@@ -29,14 +29,21 @@ object Retrieval {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, groupCol: String,
       textCol: String, k: Int = 10): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+    // Catalyst plans are trees, not DAGs: tf and df consume the token
+    // stream under DIFFERENT shuffle keys, so without a materialization the
+    // corpus would be scanned and tokenized once per branch. One (id, grp,
+    // term)-grain count pass is shared instead, checkpointed at doc ×
+    // distinct-term grain (far below occurrence grain): tf is its per-group
+    // rollup, df its per-term row count — one corpus scan total.
+    val perDoc = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
       explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
         .as("term"))
+      .groupBy(col("id"), col("grp"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nDocs = docs.filter(trim(col(textCol)) =!= "")
       .agg(count(lit(1)).as("n_docs"))
-    val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = perDoc.groupBy(col("grp"), col("term")).agg(sum(col("c")).as("tf"))
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("term"))
     // 1-row corpus scalar: broadcast crossJoin IS the right plan (a
     // map-side append of constants; Catalyst folds literal join keys, so
@@ -68,15 +75,19 @@ object Retrieval {
       queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
-    val toks = docs.select(col(idCol).as("id"),
+    // one tokenize pass for dl/stats/hits (tree-shaped reuse would re-scan
+    // the corpus per consumer — see tfidfKeywords): checkpoint at doc ×
+    // distinct-term grain, everything downstream derives from it
+    val perDoc = docs.select(col(idCol).as("id"),
       explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
         .as("term"))
-    val hits = toks.filter(col("term").isin(queryTerms: _*))
-    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val hits = perDoc.filter(col("term").isin(queryTerms: _*))
+    val dl = perDoc.groupBy(col("id")).agg(sum(col("c")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    val dfreq = hits.select(col("id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tf = hits.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = hits.select(col("id"), col("term"), col("c").as("tf"))
     val contrib = tf
       .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("id"))

@@ -67,14 +67,23 @@ object Sketches {
   def cmsEstimate(candidates: DataFrame, sketch: DataFrame, tokenCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val keep = candidates.columns.toSeq
+    require(!keep.contains("cms_est"),
+      "candidates already carry a cms_est column — rename it first")
     val ph = Dedup.shingleHash(col(tokenCol))
-    candidates
-      .withColumn("rb", explode(array((0 until depth).map(i =>
+    // working columns are __-prefixed so candidate columns named row/bucket/c
+    // can't collide; the LEFT join keeps unoccupied cells as count 0 — a
+    // candidate absent from the corpus estimates 0, per the CMS contract,
+    // instead of vanishing (or min-ing over only its occupied cells)
+    val probes = candidates
+      .withColumn("__rb", explode(array((0 until depth).map(i =>
         struct(lit(i).as("row"), bucket(ph, i, width).as("bucket"))): _*)))
-      .select(keep.map(col) :+ col("rb.row").as("row") :+ col("rb.bucket").as("bucket"): _*)
-      .join(sketch, Seq("row", "bucket"))
+      .select(keep.map(col) :+ col("__rb.row").as("__row") :+
+        col("__rb.bucket").as("__bucket"): _*)
+    val sk = sketch.select(col("row").as("__row"), col("bucket").as("__bucket"),
+      col("c").as("__c"))
+    probes.join(sk, Seq("__row", "__bucket"), "left")
       .groupBy(keep.map(col): _*)
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("__c"), lit(0L))).as("cms_est"))
   }
 
   /** K-minimum-values distinct-count estimates (Bar-Yossef et al. '02) —
@@ -106,7 +115,10 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val (ca, cb) = Dedup.minhashCoeffs(1).head
     val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
-    val d = df.select(col(groupCol), mixed.as("__h")).distinct()
+    // null hashes would count toward exact_distinct but never enter the
+    // sketch (the top-k buffer skips nulls) — drop them so both sides agree
+    val d = df.select(col(groupCol), mixed.as("__h"))
+      .filter(col("__h").isNotNull).distinct()
     d.groupBy(col(groupCol))
       .agg(count(lit(1)).as("exact_distinct"),
         graft.functions.TopKAggregate.topKByScore(
@@ -133,7 +145,9 @@ object Sketches {
     * the SAME distinct pass re-aggregated, so the corpus is scanned once.
     *
     * @return per group: (scope, exact_distinct, kmv_est); plus one
-    *         ('ALL', global exact, merged-sketch est) row
+    *         ('__all__', global exact, merged-sketch est) row — the scope
+    *         '__all__' is RESERVED (a real group stringifying to it would
+    *         be indistinguishable from the global row)
     */
   def kmvMergedDistinct(df: DataFrame, groupCol: String,
       hashCol: org.apache.spark.sql.Column, k: Int = 64): DataFrame = {
@@ -141,7 +155,7 @@ object Sketches {
     val (ca, cb) = Dedup.minhashCoeffs(1).head
     val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
     val d = df.select(col(groupCol).cast("string").as("scope"), mixed.as("__h"))
-      .distinct()
+      .filter(col("__h").isNotNull).distinct()
       .localCheckpoint(true) // feeds per-group sketches AND the global exact
     def estimate(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
       .agg(count(lit(1)).as("exact_distinct"),
@@ -162,7 +176,7 @@ object Sketches {
     val global = estimate(mergedSketch.groupBy())
       .select(col("kmv_est"))
       .crossJoin(globalExact.agg(count(lit(1)).as("exact_distinct")))
-      .select(lit("ALL").as("scope"), col("exact_distinct"), col("kmv_est"))
+      .select(lit("__all__").as("scope"), col("exact_distinct"), col("kmv_est"))
     perGroup.select(col("scope"), col("exact_distinct"), col("kmv_est"))
       .union(global)
   }
@@ -189,7 +203,7 @@ object Sketches {
     val (ca, cb) = Dedup.minhashCoeffs(1).head
     val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
     val d = df.select(col(groupCol).cast("string").as("g"), mixed.as("__h"))
-      .distinct()
+      .filter(col("__h").isNotNull).distinct()
       .localCheckpoint(true) // feeds sketches, sizes, and the exact join
     val sk = d.groupBy(col("g"))
       .agg(graft.functions.TopKAggregate.topKByScore(
@@ -248,7 +262,10 @@ object Sketches {
       quantilesPerMille: Seq[Int]): DataFrame = {
     require(quantilesPerMille.nonEmpty &&
       quantilesPerMille.forall(q => q > 0 && q <= 1000))
+    // nulls would form a nulls-first bin that absorbs the lowest ranks and
+    // answers quantiles with est = null — quantiles are over non-null values
     val hist = df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

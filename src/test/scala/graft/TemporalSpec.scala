@@ -228,7 +228,7 @@ class TemporalSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("day1")._1 === 3000L)
     assert(out("day2")._1 === 3000L)
-    val (gExact, gEst) = out("ALL")
+    val (gExact, gEst) = out("__all__")
     assert(gExact === 5000L)
     // mergeability: the union of per-shard k-minima CONTAINS the global
     // k-minima, so the merged estimate must equal the one-pass global
@@ -266,6 +266,6 @@ class TemporalSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("a") === ((2L, 2L)))
     assert(out("b") === ((2L, 2L)))
-    assert(out("ALL") === ((3L, 3L))) // value 2 shared across shards
+    assert(out("__all__") === ((3L, 3L))) // value 2 shared across shards
   }
 }
