@@ -5310,7 +5310,10 @@ object SparkEntry {
          tot AS (SELECT d.source, w, CAST(sum(n_tokens) AS BIGINT) AS t
            FROM d JOIN wt USING (source) GROUP BY 1, 2),
          kk AS (SELECT min(t * 10 // w) AS k FROM tot),
-         bud AS (SELECT source, CAST(w * k // 10 AS BIGINT) AS budget FROM tot, kk),
+         bud AS (SELECT source,
+             CAST(CASE WHEN t * 10 // w = k THEN t
+                       ELSE w * k // 10 END AS BIGINT) AS budget
+           FROM tot, kk),
          sel AS (SELECT doc_id, source, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens

@@ -38,6 +38,7 @@ object Graph {
       iterations: Int = 5, damping: Double = 0.85,
       checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     // loop invariants are MATERIALIZED once — without this every
     // iteration's plan re-derives the node set and the normalized
     // transition table from source (ReuseExchange may or may not
@@ -86,9 +87,12 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val a = col(srcCol); val b = col(dstCol)
-    // canonical undirected edges: a < b, self-loops dropped, deduped
+    // canonical undirected edges: a < b, self-loops dropped, deduped.
+    // Materialized once — deg, the orientation join, and the closing-edge
+    // lookup all consume it (tree-shaped reuse would re-dedup per consumer)
     val und = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient each edge toward the higher (deg, id) endpoint
@@ -100,6 +104,7 @@ object Graph {
         struct(col("a").as("lo"), col("b").as("hi")))
         .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .localCheckpoint(true) // self-joined below — two consumers
     // wedges at the lowest apex; y < z by id, so the closing edge can be
     // looked up in the CANONICAL (a < b) list with a plain two-column
     // equi-join — an OR over the oriented list would plan as a nested loop
@@ -132,6 +137,7 @@ object Graph {
       rounds: Int, checkpointEvery: Int = 5,
       symmetric: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
@@ -140,8 +146,10 @@ object Graph {
     // The undirected graph is then materialized as CANONICAL a<b pairs —
     // half the rows through the dedup shuffle and half the checkpointed
     // bytes of the both-directions form — and each round counts votes
-    // from both endpoints of every canonical edge. For directed input the
-    // edge list is kept as-is and votes flow src→dst only.
+    // from both endpoints of every canonical edge. Directed input is
+    // SYMMETRIZED (both directions materialized, then deduped): the
+    // algorithm is undirected either way, the flag only picks the cheaper
+    // physical encoding when the caller's edges are already two-way.
     val sym = (if (symmetric) und.where(col("a") < col("b"))
        else und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .distinct()
@@ -161,9 +169,13 @@ object Graph {
             .select(sym("dst").as("nid"), col("label"))
       val counts = votes.groupBy(col("nid"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) as a MIN over (-count, label):
+      // only the COUNT is negated (always numeric), so labels of any
+      // orderable type — strings, dates — tie-break correctly instead of
+      // null-casting under numeric negation
       val pick = counts.groupBy(col("nid").as("id"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("newLabel"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("newLabel"))
       lab = n.join(pick, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("newLabel"), col("id")).as("label"))
       i += 1
@@ -198,15 +210,19 @@ object Graph {
       .withColumn("hops", lit(0))
     var frontier = settled
     var h = 1
-    while (h <= maxHops) {
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
       settled = settled.union(next).localCheckpoint(true)
       // re-derive the frontier from the checkpointed set so BOTH loop
-      // variables have flat lineage
+      // variables have flat lineage; an empty frontier ends the walk —
+      // graphs of diameter d pay d rounds, not maxHops (the emptiness
+      // probe is a limit-1 scan of the just-checkpointed set)
       frontier = settled.where(col("hops") === h)
+      exhausted = frontier.isEmpty
       h += 1
     }
     settled

@@ -54,10 +54,7 @@ object Importance {
       .agg(count(lit(1)).as("rc"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
       .select(col("b"), expr(s"(tc + 1) * $Scale div (rc + 1)").as("term"))
-    val m =
-      if (model.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          BigInt(broadcastGateBytes)) broadcast(model)
-      else model
+    val m = Similarity.gatedBroadcast(model, broadcastGateBytes)
     // every observed bucket is in the model by construction => inner join
     val scored = occ.join(m, Seq("b"))
       .groupBy(col("id"))
@@ -96,6 +93,8 @@ object Importance {
       tokenCol: org.apache.spark.sql.Column,
       weights: Seq[(String, Long)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0))
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mixtureSample: duplicate source names in weights")
     val wSum = weights.map(_._2).sum
     val wTable = docs.sparkSession.createDataFrame(weights).toDF("source", "w")
     val d = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
@@ -103,13 +102,23 @@ object Importance {
       Dedup.shingleHash(concat(col(srcCol), lit(":"), col(idCol).cast("string")))
         .as("__h"))
       .join(wTable, Seq("source"))
-    // K = max achievable total = min over sources of T_s * wSum div w_s;
-    // budget_s = w_s * K div wSum  (<= T_s by floor-division algebra)
+    // K = max achievable total = min over sources of q_s = ⌊T_s·wSum/w_s⌋;
+    // a MINIMIZING source (q_s = K) is the binding one and is taken WHOLE
+    // (w_s·K div wSum can floor to T_s - 1 when w_s ∤ T_s·wSum — the doc
+    // contract wins over the rounding); everyone else gets the
+    // proportional floor. The ratio arithmetic runs in DECIMAL(38,0):
+    // T_s·wSum overflows a Long already at ~1e13 tokens × 1e6 weight sum.
     val budgets = d.groupBy(col("source"), col("w"))
       .agg(sum(col("n_tokens")).as("t"))
-      .withColumn("k", min(expr(s"t * $wSum div w")).over(
+      .withColumn("q",
+        expr(s"CAST(floor(CAST(t AS DECIMAL(38,0)) * $wSum / w) AS DECIMAL(38,0))"))
+      .withColumn("k", min(col("q")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("source"), expr(s"w * k div $wSum").as("budget"))
+      .select(col("source"),
+        when(col("q") === col("k"), col("t"))
+          .otherwise(expr(
+            s"CAST(floor(CAST(w AS DECIMAL(38,0)) * k / $wSum) AS BIGINT)"))
+          .as("budget"))
     val sel = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("__h"), col("id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -172,9 +172,13 @@ object Pq {
       ksub: Int, dim: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
     val dsub = dim / numSub
+    // loop invariant: only `books` changes per iteration — materialize the
+    // exploded subvectors once instead of re-scanning the corpus per round
+    // (the pageRank/labelPropagation checkpoint discipline)
     val subs = corpus.select(explode(array((0 until numSub).map(m =>
         struct(lit(m).as("m"), sub(col(vecCol), m, dsub).as("sub"))): _*)).as("s"))
       .select(col("s.m").as("m"), col("s.sub").as("sub"))
+      .localCheckpoint(true)
     var books: Seq[Seq[Seq[Double]]] =
       Seq.fill(numSub)(VectorOps.rademacherPlanes(ksub, dsub))
     for (_ <- 0 until iters) {

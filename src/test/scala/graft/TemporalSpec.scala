@@ -187,6 +187,17 @@ class TemporalSpec extends SparkTestBase {
     assert(kept("a") === ((100L, 100L)))
     assert(kept("b") === ((100L, 100L)))
     assert(kept("c") === ((200L, 200L)))
+    // non-divisible case: a totals 7 tokens, weights 2:1 -> q_a = 7*3/2 = 10
+    // (floor) binds; the binding source is taken WHOLE (budget 7, not the
+    // proportional floor 2*10/3 = 6)
+    val docs2 = (Seq(("a1", "a", 3L), ("a2", "a", 4L)) ++
+      (1 to 50).map(i => (s"b$i", "b", 1L))).toDF("doc_id", "source", "n")
+    val out2 = Importance.mixtureSample(docs2, "doc_id", "source", col("n"),
+      Seq(("a", 2L), ("b", 1L)))
+      .groupBy("source").agg(sum("n_tokens").as("tok"), max("budget").as("budget"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out2("a") === ((7L, 7L)), s"binding source must be whole: $out2")
+    assert(out2("b")._2 === 3L) // 1 * 10 div 3
   }
 
   test("kmvDistinct: small groups exact, large groups estimate within KMV error") {
