@@ -33,7 +33,11 @@ object EventTs {
     * operators consume), whatever the parquet encoding was.
     */
   def toTimestamp(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // FLOOR division ns→µs (`div` truncates toward zero, which would round
+    // pre-epoch instants the wrong way; the driver data is post-epoch, but
+    // the conversion shouldn't silently depend on that)
+    case LongType => df.withColumn("ts", timestamp_micros(
+      expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     case _ => df.withColumn("ts", col("ts").cast("timestamp"))
   }
 }

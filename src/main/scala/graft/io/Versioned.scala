@@ -37,14 +37,28 @@ object Versioned {
     }
   }
 
-  /** Write `df` as the next version and publish it. Returns the version. */
+  /** Write `df` as the next version and publish it. Returns the version.
+    *
+    * The manifest flips via write-temp + delete + rename, never an
+    * in-place truncate: a reader racing an in-place rewrite could observe
+    * an empty `_LATEST` (and a writer crash mid-rewrite would wedge the
+    * store). With the rename protocol the worst case is a missing-manifest
+    * window, which reads as "no published version yet" — fail-stop, not
+    * corrupt. (On HDFS the rename is atomic; a plain delete+rename window
+    * is accepted on filesystems without atomic replace.)
+    */
   def write(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     val next = latestVersion(spark, path).getOrElse(0) + 1
     df.write.mode("overwrite").parquet(s"$path/v=$next")
-    val out = fs(spark, path).create(manifest(path), true)
+    val f = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(manifest(path).toString + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(manifest(path))) f.delete(manifest(path), false)
+    require(f.rename(tmp, manifest(path)),
+      s"failed to publish ${manifest(path)}")
     next
   }
 

@@ -66,26 +66,46 @@ object Dedup {
   def incrementalExactDedup(df: DataFrame, byCol: String, idCol: String,
       digestLogPath: String): DataFrame =
     graft.io.UploadedLog.lockFor(digestLogPath).synchronized {
-      val spark = df.sparkSession
-      val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
-      val seen =
-        if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
-          spark.read.parquet(digestLogPath)
-        else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("digest",
-              org.apache.spark.sql.types.StringType))))
-      val unseen = graft.transform.Transforms.antiJoinUploaded(
-        withDigest.withColumnRenamed("__digest", "digest"), seen, Seq("digest"))
-      val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
-      val result = unseen.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .localCheckpoint()
-      result.select("digest").write.mode("append").parquet(digestLogPath)
+      val result = incrementalDedupSurvivors(df, byCol, idCol, digestLogPath)
+      appendDigestLog(result, digestLogPath)
       result.drop("digest")
     }
+
+  /** The anti-join half of [[incrementalExactDedup]] WITHOUT the log
+    * append: survivors (carrying their `digest` column, materialized) of
+    * `df` against the current log. For callers that must land their own
+    * output BEFORE the digests become "seen" — e.g. the streaming ingest
+    * sink, where appending digests first would turn a micro-batch retry
+    * into silent data loss (the replayed batch anti-joins against its own
+    * digests and the output write never happens). Hold
+    * `UploadedLog.lockFor(digestLogPath)` across this call and the
+    * subsequent [[appendDigestLog]].
+    */
+  def incrementalDedupSurvivors(df: DataFrame, byCol: String, idCol: String,
+      digestLogPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
+        spark.read.parquet(digestLogPath)
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType))))
+    val unseen = graft.transform.Transforms.antiJoinUploaded(
+      withDigest.withColumnRenamed("__digest", "digest"), seen, Seq("digest"))
+    val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+    unseen.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+  }
+
+  /** Append the survivors' digests to the log (second half of
+    * [[incrementalExactDedup]]). */
+  def appendDigestLog(survivors: DataFrame, digestLogPath: String): Unit =
+    survivors.select("digest").write.mode("append").parquet(digestLogPath)
 
   // ------------------------------------------------------------- shingles
 

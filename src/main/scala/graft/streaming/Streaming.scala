@@ -99,7 +99,13 @@ object Streaming {
               cur = Some(AsofState(r.ts, math.max(s.payload, r.payload)))
             case _ => cur = Some(AsofState(r.ts, r.payload))
           }
-        } else out += AsofOut(key, r.ts, r.id, cur.map(_.payload))
+        } else {
+          // a cross-batch LATE event must not be enriched with a FUTURE
+          // dim payload (state.ts > event.ts) — it misses enrichment, the
+          // same trade as a late dim update
+          out += AsofOut(key, r.ts, r.id,
+            cur.filter(_.ts <= r.ts).map(_.payload))
+        }
       }
       cur.foreach(state.update)
       out.iterator
@@ -135,7 +141,12 @@ object Streaming {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.lastTs <= gapMs =>
-              cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+              // min() on the start: a cross-batch late event (t within the
+              // gap but before the stored start) extends the session
+              // BACKWARD — otherwise session_start could postdate its
+              // earliest member event
+              cur = Some(s.copy(sessionStart = math.min(s.sessionStart, t),
+                lastTs = math.max(s.lastTs, t),
                 nEvents = s.nEvents + 1,
                 totalValue = s.totalValue + e.value))
             case Some(s) =>
@@ -186,7 +197,12 @@ object Streaming {
       val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
       sorted.foreach { r =>
         cur match {
-          case Some(c) if r.ts < c.ts => // late arrival: never emit backwards
+          // late arrival OR redelivery: anything at-or-before the held
+          // state in the (ts, event_id) walk order never emits backwards
+          // (equal-ts/smaller-id across a batch boundary would otherwise
+          // order opposite to the batch lead-window derivation)
+          case Some(c) if r.ts < c.ts ||
+              (r.ts == c.ts && r.event_id <= c.eventId) => ()
           case _ =>
             cur.foreach(c => out += Transition(key, c.eventType, r.event_type))
             cur = Some(TransState(r.ts, r.event_id, r.event_type))
@@ -248,14 +264,28 @@ object Streaming {
     * ingests, batch backfills all share ONE log), which watermark-bounded
     * `dropDuplicates` state cannot: its state dies with the query.
     * Exactly the `_uploaded` control-table feedback loop run as a stream.
+    *
+    * Retry safety (foreachBatch is at-least-once): the survivors land in
+    * `outPath` FIRST and their digests append to the log only AFTER. A
+    * replay after a crash between the two re-computes the same survivors
+    * (the log hasn't changed) and re-appends them — duplicate output rows,
+    * the standard at-least-once contract, dedupable downstream by content
+    * digest. The REVERSE order would be silent loss: the replayed batch
+    * anti-joins against its own just-appended digests and drops every row
+    * with the output never written. (Per-batch-id overwrite partitions
+    * would NOT fix this: batch ids restart at 0 for each new query, so
+    * two queries sharing an outPath would clobber each other.)
     */
   def ingestDedupSink(docs: DataFrame, byCol: String, idCol: String,
       digestLogPath: String, outPath: String) =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .incrementalExactDedup(batch, byCol, idCol, digestLogPath)
-          .write.mode("append").parquet(outPath)
+        graft.io.UploadedLog.lockFor(digestLogPath).synchronized {
+          val kept = graft.operators.Dedup
+            .incrementalDedupSurvivors(batch, byCol, idCol, digestLogPath)
+          kept.drop("digest").write.mode("append").parquet(outPath)
+          graft.operators.Dedup.appendDigestLog(kept, digestLogPath)
+        }
     }
 
   /** Streaming data-quality monitoring: run the one-pass
@@ -263,14 +293,19 @@ object Streaming {
     * append the report rows stamped with the batch id — the
     * quality-dashboard feed of a landing zone (alert when a batch's
     * completeness dips), sharing the batch audit's exact-integer report
-    * so thresholds behave identically online and offline.
+    * so thresholds behave identically online and offline. Report rows
+    * land as a per-batch-id partition under dynamic overwrite, so an
+    * at-least-once foreachBatch replay rewrites its own partition instead
+    * of appending duplicate report rows.
     */
   def qualityMonitorSink(stream: DataFrame,
       checks: Seq[graft.operators.Expectations.Check], outPath: String) =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       graft.operators.Expectations.audit(batch, checks)
         .withColumn("batch_id", lit(id))
-        .write.mode("append").parquet(outPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
     }
 
   /** Streaming exact dedup: drop duplicate keys within the watermark
@@ -302,7 +337,11 @@ object Streaming {
     */
   def antiJoinUploaded(stream: DataFrame, uploaded: DataFrame,
       keys: Seq[String]): DataFrame =
-    stream.join(uploaded, keys, "left_anti")
+    // delegate to the batch implementation: it renames the control-table
+    // keys (a same-lineage using-join can silently resolve the condition
+    // to one side) and size-gates the broadcast — both apply verbatim to
+    // the stream-static case
+    graft.transform.Transforms.antiJoinUploaded(stream, uploaded, keys)
 
   /** Watermarked stream-stream interval join (click→conversion attribution):
     * left rows match right rows of the same key whose event time falls in
