@@ -5561,7 +5561,7 @@ object SparkEntry {
          WHERE rank <= 10"""
     },
     "d_dup_span_stats" -> {
-      val h = sqlPh("array_to_string(tk[i:i+4], ' ')", 31L, 1000000007L)
+      val h = sqlTokenHash60("array_to_string(tk[i:i+4], ' ')")
       s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
            FROM documents WHERE trim(text) <> ''),
          g AS (SELECT doc_id, i - 1 AS pos, $h AS h
@@ -5600,7 +5600,7 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE prev_ts IS NOT NULL""",
     "d_dup_span_scrub" -> {
-      val h = sqlPh("array_to_string(tk[i:i+4], ' ')", 31L, 1000000007L)
+      val h = sqlTokenHash60("array_to_string(tk[i:i+4], ' ')")
       s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
            FROM documents WHERE trim(text) <> ''),
          g AS (SELECT doc_id, i - 1 AS pos, $h AS h

@@ -83,6 +83,8 @@ object Dedup {
     */
   def incrementalDedupSurvivors(df: DataFrame, byCol: String, idCol: String,
       digestLogPath: String): DataFrame = {
+    require(!df.columns.contains("digest"),
+      "input already has a 'digest' column — rename it before incremental dedup")
     val spark = df.sparkSession
     val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -192,31 +194,36 @@ object Dedup {
     *        dropped from the index (boilerplate n-grams generate df² pairs
     *        and discriminate nothing).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
-    // Shingles travel as distinct poly-hash longs (kernel expression): the
-    // inverted index shuffles (hash, id) pairs — never text.
+  /** Shared candidate pipeline of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: df-capped inverted-index blocking over word
+    * n-gram shingle hashes.
+    *
+    * Shingles travel as distinct poly-hash longs (kernel expression) — the
+    * inverted index shuffles (hash, id) pairs, never text — and the doc's
+    * set SIZE rides the explode (one extra int per index row), so nothing
+    * per-doc is ever joined, let alone broadcast. Pass 1 is the per-shingle
+    * document frequency (map-side combinable); pass 2 self-joins the
+    * surviving index, where each (a, b) pair appears ONCE PER SHARED
+    * SHINGLE, so a count aggregation IS the intersection size over the
+    * indexed universe. Pairs where BOTH sides carry an over-cap shingle are
+    * flagged `undercounted` (only those can have lost intersection counts
+    * to the cap — the hot-doc list is bounded by corpus/df-cap and AQE
+    * broadcasts it on its own).
+    *
+    * @return (shingled = (id, shingles), marked = per-candidate-pair
+    *         (id_a, id_b, inter, sz_a, sz_b, undercounted))
+    */
+  private def shingleCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
-    // The doc's set SIZE rides the explode (one extra int per index row):
-    // no per-doc sizes table exists downstream, so nothing per-doc is ever
-    // joined — let alone broadcast.
     val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("shingle"))
-    // Pass 1: per-shingle document frequency (map-side combinable count).
     val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val indexable = dfs.filter(col("df").between(2, maxShingleDf)).select("shingle")
-    // Docs carrying at least one over-cap shingle: only pairs where BOTH
-    // sides carry one can have an undercounted intersection. The hot-shingle
-    // list is tiny (bounded by corpus/df-cap distinct shingles); AQE
-    // broadcasts it on its own.
     val hotDocs = exploded
       .join(dfs.filter(col("df") > maxShingleDf).select("shingle"), "shingle")
       .select("id").distinct()
-    // Pass 2: the surviving index yields each (a, b) pair ONCE PER SHARED
-    // SHINGLE, so a count aggregation IS the intersection size over the
-    // indexed universe — no per-pair set ops. Sizes are functionally
-    // dependent on the ids; max() just picks the carried value.
     val posting = exploded.join(indexable, "shingle")
     val inter = posting.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
       .join(posting.select(col("shingle").as("shingle_b"), col("id").as("id_b"),
@@ -229,6 +236,12 @@ object Dedup {
       .join(hotDocs.select(col("id").as("id_b"), lit(true).as("hot_b")), Seq("id_b"), "left")
       .withColumn("undercounted",
         coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false)))
+    (shingled, marked)
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
+    val (shingled, marked) = shingleCandidates(df, idCol, textCol, n, maxShingleDf)
     // Pairs untouched by the cap: the counted intersection is exact.
     val exactByCount = marked.filter(!col("undercounted"))
       .withColumn("jaccard",
@@ -259,27 +272,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
-    val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("shingle"))
-    val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val indexable = dfs.filter(col("df").between(2, maxShingleDf)).select("shingle")
-    val hotDocs = exploded
-      .join(dfs.filter(col("df") > maxShingleDf).select("shingle"), "shingle")
-      .select("id").distinct()
-    val posting = exploded.join(indexable, "shingle")
-    val inter = posting.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(posting.select(col("shingle").as("shingle_b"), col("id").as("id_b"),
-          col("sz").as("sz_b")),
-        col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
-    val marked = inter
-      .join(hotDocs.select(col("id").as("id_a"), lit(true).as("hot_a")), Seq("id_a"), "left")
-      .join(hotDocs.select(col("id").as("id_b"), lit(true).as("hot_b")), Seq("id_b"), "left")
-      .withColumn("undercounted",
-        coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false)))
+    val (shingled, marked) = shingleCandidates(df, idCol, textCol, n, maxShingleDf)
     // Exact pairs: fan each into its two directions (a posting row exists,
     // so sz > 0 on both sides — the division is safe by construction).
     def directions(pairs: DataFrame): DataFrame =
@@ -441,6 +434,11 @@ object Dedup {
     */
   private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, numBands: Int, shingleSize: Int): DataFrame = {
+    // numBands > numHashes would silently produce EMPTY band keys (every
+    // doc in one bucket -> capBuckets drops the corpus, zero pairs, no
+    // error); non-divisible values would silently ignore trailing hashes
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
@@ -575,8 +573,11 @@ object Dedup {
     val fps = df.select(col(idCol).as("id"),
       explode(graft.functions.KernelExpressions.winnowedFingerprints(
         col(textCol), k, w)).as("fp"))
+    // between(2, cap): a df=1 fingerprint can never form a pair — in a
+    // large corpus singletons DOMINATE the key population, so indexing them
+    // only ships dead shuffle volume (same rationale as ngramJaccardPairs)
     val under = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxFingerprintDf)
+      .filter(col("__df").between(2, maxFingerprintDf))
       .drop("__df")
     val indexed = fps.join(under, "fp")
     val a = indexed.select(col("fp"), col("id").as("id_a"))
@@ -740,7 +741,7 @@ object Dedup {
     val grams = df.select(col(idCol).as("id"),
         posexplode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), w))
           .as(Seq("pos", "g")))
-      .select(col("id"), col("pos"), shingleHash(col("g")).as("h"))
+      .select(col("id"), col("pos"), tokenHash60(col("g")).as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -782,7 +783,7 @@ object Dedup {
     val grams = df.select(col(idCol).as("id"),
         posexplode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), w))
           .as(Seq("pos", "g")))
-      .select(col("id"), col("pos"), shingleHash(col("g")).as("h"))
+      .select(col("id"), col("pos"), tokenHash60(col("g")).as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select("h")

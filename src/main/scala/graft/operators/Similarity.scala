@@ -35,13 +35,16 @@ object Similarity {
   }
 
   /** Exact top-k: queries × corpus cosine, rank per query.
-    * The query side is expected to be small and is broadcast.
+    * The query side is usually small; its broadcast rides the same size
+    * gate as every other operator (the round-3 lesson: a HARDCODED hint
+    * turns corpus-vs-corpus ground-truthing into an OOM, not a slow plan).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10): DataFrame = {
+      vecCol: String, k: Int = 10,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(gatedBroadcast(q, broadcastGateBytes))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -61,8 +64,11 @@ object Similarity {
     * cheap regardless of corpus size.
     */
   def annRecall(exact: DataFrame, ann: DataFrame): DataFrame =
-    exact.select(col("query_id"), col("neighbor_id"))
-      .join(ann.select(col("query_id"), col("neighbor_id"))
+    // both projections deduped: a duplicated (query, neighbor) row on
+    // either side (e.g. a union of parameter sweeps) would inflate k and
+    // hits through the join multiplicity and report a wrong recall
+    exact.select(col("query_id"), col("neighbor_id")).dropDuplicates()
+      .join(ann.select(col("query_id"), col("neighbor_id")).dropDuplicates()
           .withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -176,10 +182,58 @@ object Similarity {
     * partition pruning, so the scan touches ~nprobe/k of the files.
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], path: String): Unit =
+      centroids: Seq[Seq[Double]], path: String): Unit = {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeCentroidManifest(corpus.sparkSession, path, centroids)
+  }
+
+  /** The centroid list is part of the index's identity — cell numbers from
+    * a DIFFERENT centroid family still join numerically and return
+    * confidently wrong neighbors with no error — so a digest of the exact
+    * centroid doubles (bit patterns) is persisted with the index and
+    * asserted on every query/append, the same discipline as the LSH band
+    * index's parameter manifest.
+    */
+  private def centroidDigest(centroids: Seq[Seq[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    centroids.foreach(_.foreach { d =>
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(buf.array())
+    })
+    s"${centroids.size}x${centroids.headOption.map(_.size).getOrElse(0)}:" +
+      md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/ivf_centroids.digest")
+
+  private def writeCentroidManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[Seq[Double]]): Unit = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(centroidDigest(centroids)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def assertCentroidManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[Seq[Double]]): Unit = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no centroid manifest at $p — index not written by writeIvfIndex?")
+    val in = fs.open(p)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val expected = centroidDigest(centroids)
+    require(stored == expected,
+      s"IVF index at $path was written with centroid digest $stored but " +
+        s"queried with $expected — retrain or rebuild, don't mix families")
+  }
 
   /** Incrementally APPEND new vectors to an index written by
     * [[writeIvfIndex]] (same centroids): each batch is cell-assigned and
@@ -189,10 +243,12 @@ object Similarity {
     * appends accumulate small files.
     */
   def appendIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], path: String): Unit =
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    assertCentroidManifest(newVecs.sparkSession, path, centroids)
     newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
       .write.partitionBy("cell").mode("append").parquet(path)
+  }
 
   /** Search a materialized index written by [[writeIvfIndex]] with the SAME
     * centroid list. Identical results to [[ivfTopK]]; the corpus-side cell
@@ -202,6 +258,7 @@ object Similarity {
       idCol: String, vecCol: String, centroids: Seq[Seq[Double]], path: String,
       k: Int = 10, nprobe: Int = 2,
       broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    assertCentroidManifest(spark, path, centroids)
     val c = spark.read.parquet(path)
       .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
     rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)
@@ -359,6 +416,11 @@ object Similarity {
     */
   def silhouetteProfile(corpus: DataFrame, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
+    // the nearest-OTHER term reads array position 2 — with one centroid
+    // that's past the array end (ANSI error / null-poisoned averages);
+    // silhouette is undefined for a single cluster anyway
+    require(centroids.size >= 2,
+      s"silhouette needs >= 2 centroids, got ${centroids.size}")
     val sorted = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
       struct((vecCosine(col("v"), typedLit(ctr)) * -1).as("negCos"),
         lit(i).as("cell"))
