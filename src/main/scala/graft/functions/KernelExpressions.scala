@@ -28,10 +28,37 @@ object KernelExpressions {
     case _ => false
   }
 
+
+  /** Analysis-time type gate for the vector kernels: an array column of
+    * the WRONG element type would otherwise pass analysis and be
+    * reinterpreted bytewise by the unsafe accessors (array<int> read as
+    * doubles = silent garbage, not an error).
+    */
+  private def requireArrayOf(e: Expression, pos: String,
+      elems: Set[DataType]): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) if elems.contains(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$pos argument must be array<${elems.map(_.simpleString).mkString("|")}>, got ${other.simpleString}")
+    }
+
+  private val FloatingElems: Set[DataType] =
+    Set(org.apache.spark.sql.types.FloatType, DoubleType)
+
+  private def checkBothArrays(l: Expression, r: Expression,
+      elems: Set[DataType]): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val a = requireArrayOf(l, "first", elems)
+    if (a.isSuccess) requireArrayOf(r, "second", elems) else a
+  }
+
   /** Cosine similarity of two numeric array columns (float or double). */
   case class VecCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkBothArrays(left, right, FloatingElems)
     override protected def nullSafeEval(a: Any, b: Any): Any =
       Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
         isFloatArr(left), isFloatArr(right))
@@ -46,6 +73,8 @@ object KernelExpressions {
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkBothArrays(left, right, FloatingElems)
     override protected def nullSafeEval(a: Any, b: Any): Any =
       Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
         isFloatArr(left), isFloatArr(right))
@@ -80,6 +109,8 @@ object KernelExpressions {
   /** Per-table SRP bucket keys (t*2^bits | bucket) over a ±1 plane matrix. */
   case class SrpBucketKeys(child: Expression, planes: Seq[Double],
       numTables: Int, bits: Int) extends UnaryExpression {
+    require(numTables > 0 && bits > 0 && bits <= 62,
+      s"srpBucketKeys: numTables=$numTables bits=$bits out of range (1..62 bits)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private lazy val planesArr = planes.toArray
     override protected def nullSafeEval(v: Any): Any =
@@ -149,6 +180,8 @@ object KernelExpressions {
   /** Integer dot product of two long-array columns. */
   case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkBothArrays(left, right, Set(LongType))
     override protected def nullSafeEval(a: Any, b: Any): Any =
       Kernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -28,7 +28,10 @@ object Kernels {
     * VectorOps.cosine / the oracle's list_reduce.
     */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -130,12 +133,6 @@ object Kernels {
     best
   }
 
-  /** Integer dot product of two long arrays (quantized similarity scoring —
-    * exact 64-bit arithmetic, no rounding concerns cross-engine). Mismatched
-    * dimensions are an error, not a truncation: a plausible-but-partial
-    * score is worse than a failure (the float kernels null-propagate the
-    * same condition via `zip_with`).
-    */
   /** Double dot product of two numeric arrays (ascending-index fold, so
     * doubles are bit-identical to a sequential list_sum/zip formulation in
     * the oracle engine). Mismatched dimensions are an error, matching
@@ -152,6 +149,11 @@ object Kernels {
     acc
   }
 
+  /** Integer dot product of two long arrays (quantized similarity scoring —
+    * exact 64-bit arithmetic, no rounding concerns cross-engine). Mismatched
+    * dimensions are an error, not a truncation: a plausible-but-partial
+    * score is worse than a failure.
+    */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     if (b.numElements() != n)
@@ -205,10 +207,20 @@ object Kernels {
   def pqAdc(codes: ArrayData, q: ArrayData, books: Array[Double], numSub: Int,
       ksub: Int, qFloat: Boolean): Double = {
     val dsub = q.numElements() / numSub
+    if (codes.numElements() < numSub)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: ${codes.numElements()} codes for $numSub subspaces")
     var acc = 0.0
     var m = 0
     while (m < numSub) {
-      val base = (m * ksub + codes.getInt(m)) * dsub
+      val code = codes.getInt(m)
+      // a code outside the codebook means codes/books come from DIFFERENT
+      // trainings — reading a neighboring subspace's centroid would return
+      // a plausible-but-wrong distance
+      if (code < 0 || code >= ksub)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $code out of [0, $ksub) — codes/codebooks from different trainings?")
+      val base = (m * ksub + code) * dsub
       var d = 0.0
       var i = 0
       while (i < dsub) {
@@ -406,10 +418,6 @@ object Kernels {
     c
   }
 
-  /** 60-bit SimHash over whitespace tokens of lower(text): token hash =
-    * ph1*2^30 + ph2 (Dedup.tokenHash60); bit j of the signature set when
-    * the ±1 count over tokens at bit j is positive.
-    */
   /** Spark's trim() strips only ASCII space (0x20), unlike Java's
     * String.trim (≤ 0x20) — replicated exactly for oracle parity.
     */
@@ -597,10 +605,13 @@ object Kernels {
     * walks header segments only, never the entropy-coded body.
     */
   def jpegDims(bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    val n = bytes.length.toLong
+    @inline def u8(i: Long): Int = bytes(i.toInt) & 0xFF
     if (n < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return -1L
-    var p = 2 // byte offset of the next marker's 0xFF
+    // Long cursor: p + 2 + len on a ~2 GB payload can exceed Int range
+    // (same hazard wavFormat/mp4Meta guard against) — an Int wrap would
+    // pass the bounds check and crash instead of returning the sentinel
+    var p = 2L // byte offset of the next marker's 0xFF
     while (p + 1 < n) {
       if (u8(p) != 0xFF) return -1L // desync: expected a marker
       // fill bytes: skip extra 0xFF padding before the marker type
@@ -740,28 +751,35 @@ object Kernels {
       // JPEG: the same marker walk as [[jpegDims]], locating the SOF (dims
       // to patch) and the SOS header end (segments stay intact; only the
       // entropy body after SOS subsamples). Malformed streams pass through.
-      var p = 2
-      var sof = -1
-      var bodyAt = -1
+      // Long cursor + FIRST valid SOF only (len >= 7 with dims in range),
+      // matching jpegDims exactly: a short or trailing SOF must not make
+      // the patch write into a NEIGHBORING segment's bytes
+      var p = 2L
+      var sof = -1L
+      var bodyAt = -1L
       var ok = true
       while (bodyAt < 0 && ok && p + 1 < n) {
-        if (u8(p) != 0xFF) ok = false
+        if (u8(p.toInt) != 0xFF) ok = false
         else {
-          while (p + 1 < n && u8(p + 1) == 0xFF) p += 1
+          while (p + 1 < n && u8((p + 1).toInt) == 0xFF) p += 1
           if (p + 1 >= n) ok = false
           else {
-            val m = u8(p + 1)
+            val m = u8((p + 1).toInt)
             if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2
             else if (m == 0xD9) ok = false
             else if (p + 3 >= n) ok = false
             else {
-              val len = (u8(p + 2) << 8) | u8(p + 3)
+              val len = (u8((p + 2).toInt) << 8) | u8((p + 3).toInt)
               if (len < 2) ok = false
               else {
-                if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
-                  sof = p
-                if (m == 0xDA) bodyAt = p + 2 + len
-                else p += 2 + len
+                if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+                  if (len < 7 || p + 8 >= n) ok = false
+                  else if (sof < 0) sof = p
+                }
+                if (ok) {
+                  if (m == 0xDA) bodyAt = p + 2 + len
+                  else p += 2 + len
+                }
               }
             }
           }
@@ -769,11 +787,12 @@ object Kernels {
       }
       if (!ok || sof < 0 || bodyAt < 0 || sof + 8 >= n || bodyAt > n) bytes
       else {
-        val out = subsampled(bodyAt)
-        val h = ((u8(sof + 5) << 8) | u8(sof + 6)) / factor
-        val w = ((u8(sof + 7) << 8) | u8(sof + 8)) / factor
-        out(sof + 5) = (h >>> 8).toByte; out(sof + 6) = h.toByte
-        out(sof + 7) = (w >>> 8).toByte; out(sof + 8) = w.toByte
+        val out = subsampled(bodyAt.toInt)
+        val so = sof.toInt
+        val h = ((u8(so + 5) << 8) | u8(so + 6)) / factor
+        val w = ((u8(so + 7) << 8) | u8(so + 8)) / factor
+        out(so + 5) = (h >>> 8).toByte; out(so + 6) = h.toByte
+        out(so + 7) = (w >>> 8).toByte; out(so + 8) = w.toByte
         out
       }
     } else if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
@@ -817,6 +836,10 @@ object Kernels {
     z
   }
 
+  /** 60-bit SimHash over whitespace tokens of lower(text): token hash =
+    * ph1*2^30 + ph2 (Dedup.tokenHash60); bit j of the signature set when
+    * the ±1 count over tokens at bit j is positive.
+    */
   def simhash60(text: UTF8String): Long = {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L
