@@ -22,8 +22,13 @@ object Bucketing {
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      // resolve the MANAGED location through the catalog (current database
+      // + db-qualified names included) — a hand-built warehouse/<name> path
+      // is wrong outside the default database and could delete another
+      // table's live data
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
@@ -46,9 +51,30 @@ object Bucketing {
   def compactSorted(df: DataFrame, sortCols: Seq[String], numFiles: Int,
       path: String): Unit = {
     import org.apache.spark.sql.functions.col
+    // `path` must differ from df's own source (Spark refuses to overwrite
+    // a path it is reading); for the true in-place pass use
+    // [[compactSortedInPlace]], which stages + swaps.
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** IN-PLACE [[compactSorted]]: stage the compacted layout next to the
+    * directory, then delete + rename — the read-own-path collision Spark
+    * (rightly) refuses is sidestepped by never overwriting what is being
+    * read. The swap window is delete→rename (not atomic on all
+    * filesystems); run from the single maintenance writer like every other
+    * layout pass.
+    */
+  def compactSortedInPlace(spark: org.apache.spark.sql.SparkSession,
+      path: String, sortCols: Seq[String], numFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    compactSorted(spark.read.parquet(path), sortCols, numFiles, tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(p, true), s"failed to remove $path for the swap")
+    require(fs.rename(t, p), s"failed to publish $tmp over $path")
   }
 
   /** Two-dimensional layout maintenance: [[compactSorted]] on the Morton

@@ -29,9 +29,9 @@ object DataReaders {
     * normalization at `file_data_source.py:62,85`.
     */
   def readCsv(spark: SparkSession, path: String, dt: DestinationType): DataFrame = {
-    val header = spark.read.option("header", "true").csv(path)
-    val allString = StructType(header.schema.fieldNames.map(StructField(_, StringType)))
-    val df = spark.read.option("header", "true").schema(allString).csv(path)
+    // without inferSchema the csv reader already yields every column as
+    // StringType — one read, no second header-scan to rebuild the schema
+    val df = spark.read.option("header", "true").csv(path)
     DestinationSchemas.castNonString(DestinationSchemas.prune(df, dt), dt)
   }
 
@@ -73,8 +73,11 @@ final case class UploadedLog(spark: SparkSession, path: String, tt: Transactiona
       tt.keyColumns.map(StructField(_, StringType)))
 
   def read(): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not FileSystem.get(new URI(...)): a path with a
+    // space or other URI-reserved character would throw URISyntaxException
+    // even though Spark itself reads it fine
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         spark.read.schema(schema).parquet(path)

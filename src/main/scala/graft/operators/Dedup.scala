@@ -87,8 +87,8 @@ object Dedup {
       "input already has a 'digest' column — rename it before incremental dedup")
     val spark = df.sparkSession
     val withDigest = df.withColumn("__digest", contentDigest(col(byCol)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(digestLogPath), spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(digestLogPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
       if (fs.exists(new org.apache.hadoop.fs.Path(digestLogPath)))
         spark.read.parquet(digestLogPath)

@@ -133,12 +133,24 @@ object Pipeline {
             handler.addError(ex, s"Error uploading data: ${e.getMessage}")
             branchResults += ExecutionResult(ex.key, dt.name, 0L, 0L, Some(e.getMessage))
           }
-        case scala.util.Success(df) =>
+        case scala.util.Success(df0) =>
+          // Writeback keys declared string by the schema must BE strings
+          // before rows leave Spark: a physically-typed column (e.g. a
+          // parquet TIMESTAMP `time`) stringified later via JVM toString
+          // would render in the executor's default timezone and never
+          // round-trip against the session-TZ anti-join cast — silently
+          // disabling the transactional dedup.
+          val wbKeys = branch.writebackTransactional.map(_.keyColumns).getOrElse(Seq.empty)
+          val df = wbKeys.foldLeft(df0)((d, k) =>
+            if (d.columns.contains(k) &&
+                d.schema(k).dataType != org.apache.spark.sql.types.StringType)
+              d.withColumn(k, col(k).cast("string"))
+            else d)
           df.persist(StorageLevel.MEMORY_AND_DISK)
           try {
             val outcomesPerExec = branchExecutions.map { ex =>
               val hashed = branch.hasher.fold(df)(h => h(df, ex.destination.metadata))
-              ex -> uploadStage(spark, hashed, ex, branch, opts)
+              ex -> uploadStage(spark, hashed, df, ex, branch, opts)
             }
             outcomesPerExec.foreach { case (ex, outcomes) =>
               val agg = outcomes.groupBy("executionKey").agg(
@@ -165,6 +177,18 @@ object Pipeline {
               }
             }
             outcomesPerExec.foreach(_._2.unpersist())
+          } catch {
+            // Driver-side failures past the read (writeback append, an
+            // aborted send job) must stay INSIDE the branch: record the
+            // error per execution and let the other branches' results and
+            // the exit-code report stand ("an error in one never aborts
+            // the others").
+            case scala.util.control.NonFatal(e) =>
+              branchExecutions.foreach { ex =>
+                handler.addError(ex, s"Error uploading data: ${e.getMessage}")
+                branchResults += ExecutionResult(ex.key, dt.name, 0L, 0L,
+                  Some(s"Error uploading data: ${e.getMessage}"))
+              }
           } finally df.unpersist()
       }
     }
@@ -186,8 +210,8 @@ object Pipeline {
     * partitions that hold rows). Every other branch takes a partition-local
     * index its renderer never reads — one pass, not two, per execution.
     */
-  private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame, execution: Execution,
-      branch: BranchSpec, opts: PipelineOptions): DataFrame = {
+  private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame, countDf: DataFrame,
+      execution: Execution, branch: BranchSpec, opts: PipelineOptions): DataFrame = {
     import spark.implicits._
     val schema = df.schema
     val batchSize = branch.batchSize
@@ -195,9 +219,13 @@ object Pipeline {
 
     val rdd = df.rdd
     val needsCounts = branch.needsIteration || branch.rateLimitPerSec.isDefined
+    // Counts come from the PRE-HASH persisted frame: the hashers are
+    // row-preserving projections, so the counts are identical, and the
+    // counting pass reads the cache instead of re-running SHA-256 over
+    // every row only to discard the result.
     val counts: Map[Int, Long] =
       if (needsCounts)
-        rdd.mapPartitionsWithIndex { (pid, it) =>
+        countDf.rdd.mapPartitionsWithIndex { (pid, it) =>
           Iterator((pid, it.size.toLong))
         }.collect().toMap
       else Map.empty
@@ -224,55 +252,104 @@ object Pipeline {
     val rateLimit = branch.rateLimitPerSec
     val execKey = execution.key
 
-    val outcomes = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val offset = batchOffsets.getOrElse(pid, 0L)
-      it.grouped(batchSize).zipWithIndex.flatMap { case (rows, localIdx) =>
-        val iteration = offset + localIdx + 1
-        val start = System.nanoTime()
-        val maps = rows.map(r => rowToMap(r, schema))
-        val keyMaps = maps.map(m => keyCols.map(k => k -> m.get(k).map(v =>
-          if (v == null) "" else v.toString).getOrElse("")).toMap)
-        val out =
-          try {
-            val requests = renderer.render(execution, maps, iteration)
-            val failures = Array.fill(rows.size)(Option.empty[String])
-            requests.foreach { req =>
-              val res = Transport.sendWithRetry(transport, execution, req)
-              res.error match {
-                case Some(msg) => req.rowIdx.foreach(i => failures(i) = Some(msg))
-                case None => res.rejected.foreach { pos =>
-                  req.rowIdx.lift(pos).foreach(i => failures(i) = Some("partial failure"))
-                }
+    // Per-batch render + send + outcome mapping, shared by every phase.
+    def sendBatch(rows: Seq[Row], iteration: Long): Seq[RowOutcome] = {
+      val start = System.nanoTime()
+      val maps = rows.map(r => rowToMap(r, schema))
+      val keyMaps = maps.map(m => keyCols.map(k => k -> m.get(k).map(v =>
+        if (v == null) "" else v.toString).getOrElse("")).toMap)
+      val out =
+        try {
+          val requests = renderer.render(execution, maps, iteration)
+          val failures = Array.fill(rows.size)(Option.empty[String])
+          requests.foreach { req =>
+            val res = Transport.sendWithRetry(transport, execution, req)
+            res.error match {
+              case Some(msg) =>
+                // a request with NO row indices is execution-level (job
+                // create/run, data-import erase): its failure fails the
+                // whole batch — the reference's safe_call_api raise — not
+                // zero rows
+                if (req.rowIdx.isEmpty) rows.indices.foreach(i =>
+                  if (failures(i).isEmpty) failures(i) = Some(msg))
+                else req.rowIdx.foreach(i => failures(i) = Some(msg))
+              case None => res.rejected.foreach { pos =>
+                req.rowIdx.lift(pos).foreach(i => failures(i) = Some("partial failure"))
               }
             }
-            rows.indices.map(i => RowOutcome(execKey, keyMaps(i),
-              failures(i).isEmpty, failures(i)))
-          } catch {
-            // safe_process (uploaders/utils.py:69-88): the batch fails, the
-            // branch continues.
-            case e: Exception =>
-              val msg = s"Error uploading data: ${e.getMessage}"
-              rows.indices.map(i => RowOutcome(execKey, keyMaps(i), success = false, Some(msg)))
           }
-        // AppsFlyer-style pacing: a batch may not finish faster than
-        // rows × concurrency / limit seconds
-        // (appsflyer_s2s_uploader_async.py:135-139).
-        rateLimit.foreach { limit =>
-          val minNanos = rows.size.toLong * concurrency * 1000000000L / limit
-          val elapsed = System.nanoTime() - start
-          if (elapsed < minNanos)
-            Thread.sleep((minNanos - elapsed) / 1000000L)
+          rows.indices.map(i => RowOutcome(execKey, keyMaps(i),
+            failures(i).isEmpty, failures(i)))
+        } catch {
+          // safe_process (uploaders/utils.py:69-88): the batch fails, the
+          // branch continues.
+          case e: Exception =>
+            val msg = s"Error uploading data: ${e.getMessage}"
+            rows.indices.map(i => RowOutcome(execKey, keyMaps(i), success = false, Some(msg)))
         }
-        out
+      // AppsFlyer-style pacing: a batch may not finish faster than
+      // rows × concurrency / limit seconds
+      // (appsflyer_s2s_uploader_async.py:135-139).
+      rateLimit.foreach { limit =>
+        val minNanos = rows.size.toLong * concurrency * 1000000000L / limit
+        val elapsed = System.nanoTime() - start
+        if (elapsed < minNanos)
+          Thread.sleep((minNanos - elapsed) / 1000000L)
       }
+      out
     }
-    // Eager localCheckpoint: runs the send job ONCE, stores the outcomes,
-    // and truncates lineage — executor loss or cache eviction can never
-    // silently re-run the non-idempotent sends (a lost block fails the read
-    // instead, and the `_uploaded` anti-join keeps a retried RUN
-    // idempotent). At cluster scale a durable checkpoint/table takes this
-    // role.
-    spark.createDataset(outcomes).toDF().localCheckpoint()
+
+    def checkpointed(outcomes: org.apache.spark.rdd.RDD[RowOutcome]): DataFrame =
+      // Eager localCheckpoint: runs the send job ONCE, stores the outcomes,
+      // and truncates lineage — executor loss or cache eviction can never
+      // silently re-run the non-idempotent sends (a lost block fails the
+      // read instead, and the `_uploaded` anti-join keeps a retried RUN
+      // idempotent). At cluster scale a durable checkpoint/table takes this
+      // role.
+      spark.createDataset(outcomes).toDF().localCheckpoint()
+
+    if (!branch.needsIteration) {
+      checkpointed(rdd.mapPartitionsWithIndex { (pid, it) =>
+        val offset = batchOffsets.getOrElse(pid, 0L)
+        it.grouped(batchSize).zipWithIndex.flatMap { case (rows, localIdx) =>
+          sendBatch(rows, offset + localIdx + 1)
+        }
+      })
+    } else if (counts.values.sum == 0L) {
+      // Reference semantics: an EMPTY source still yields ONE empty batch
+      // (batches_from_executions.py:113-131), so iteration-1 cleanup
+      // actions (REPLACE remove_all, data-import erase) fire and stale
+      // destination data is cleared. Rendered and sent on the driver; an
+      // error surfaces as one synthetic failed outcome row.
+      val errs =
+        try renderer.render(execution, Seq.empty, 1L)
+          .flatMap(req => Transport.sendWithRetry(transport, execution, req).error)
+        catch { case e: Exception => Seq(e.getMessage) }
+      val synthetic = errs.headOption.toSeq.map(msg =>
+        RowOutcome(execKey, Map.empty, success = false,
+          Some(s"Error uploading data: $msg")))
+      spark.createDataset(synthetic).toDF().localCheckpoint()
+    } else {
+      // Iteration-1 requests carry SIDE EFFECTS later batches depend on
+      // (REPLACE remove_all, job create, data-import erase) — with all
+      // partitions sending concurrently, a later batch could reach the API
+      // first and be wiped or rejected. Phase A runs ONLY the globally
+      // first batch and the checkpoint action is the ordering BARRIER;
+      // phase B then sends every other batch concurrently as usual.
+      val firstPid = sortedPids.find(p => counts(p) > 0L).get
+      val phaseA = checkpointed(rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (pid != firstPid) Iterator.empty
+        else it.grouped(batchSize).take(1).flatMap(rows => sendBatch(rows, 1L))
+      })
+      val phaseB = checkpointed(rdd.mapPartitionsWithIndex { (pid, it) =>
+        val offset = batchOffsets.getOrElse(pid, 0L)
+        it.grouped(batchSize).zipWithIndex.flatMap { case (rows, localIdx) =>
+          if (pid == firstPid && localIdx == 0) Iterator.empty
+          else sendBatch(rows, offset + localIdx + 1)
+        }
+      })
+      phaseA.unionByName(phaseB).localCheckpoint()
+    }
   }
 
   /** Row → ordered field map (the reference's row dict), nested structs and

@@ -154,6 +154,33 @@ class PipelineSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(opsBodies.count(_.contains(""""remove_all": true""")) == 1)
     // list creation rendered once (iteration 1 only)
     assert(sent.count(_.req.kind == "ensure_user_list") == 1)
+    // ORDERING: the remove_all (iteration-1) batch must reach the
+    // transport BEFORE any concurrent add batch — otherwise it would wipe
+    // users another partition already added (phase-A barrier semantics)
+    assert(opsBodies.head.contains(""""remove_all": true"""),
+      "iteration-1 remove_all was not the first operations request")
+  }
+
+  test("REPLACE on an EMPTY source still fires the iteration-1 cleanup (one empty batch)") {
+    val dir = tmpDir()
+    val cmSrc = s"$dir/users.parquet"
+    Seq.empty[(String, String)].toDF("email", "phone")
+      .write.mode(SaveMode.Overwrite).parquet(cmSrc)
+    val config = s"""{
+      "GoogleAdsAccountId": "1234567890",
+      "Sources": [{"Name": "cm src", "Type": "FILE", "Dataset": "parquet", "Table": "$cmSrc"}],
+      "Destinations": [{"Name": "cm dst", "Type": "ADS_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD", "Metadata": ["list1", "REPLACE"]}],
+      "Connections": [{"Enabled": true, "Source": "cm src", "Destination": "cm dst"}]
+    }"""
+    val report = Pipeline.run(spark, JsonConfigSource.fromString(config).executions(),
+      PipelineOptions(transport = graft.sink.RecordingTransport()))
+    assert(report.exitCode == 0)
+    assert(report.totalUploaded == 0)
+    val sent = RecordingTransport.sent.toArray(Array.empty[RecordingTransport.Sent])
+    // the reference yields ONE empty batch so remove_all still clears the
+    // stale audience (batches_from_executions.py:113-131)
+    assert(sent.count(_.req.kind == "ensure_user_list") == 1)
+    assert(sent.count(_.req.body.contains(""""remove_all": true""")) == 1)
   }
 
   test("read-once fan-out: two executions on one source each upload all rows") {
