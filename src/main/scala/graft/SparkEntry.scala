@@ -4575,7 +4575,9 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            CAST(len(regexp_extract_all(raw, '${TextAnalysis.EmailPattern}'))
-              + len(regexp_extract_all(raw, '${TextAnalysis.LongNumberPattern}')) AS BIGINT) AS n_pii,
+              + len(regexp_extract_all(
+                  regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                  '${TextAnalysis.LongNumberPattern}')) AS BIGINT) AS n_pii,
            regexp_replace(regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
              '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS clean
          FROM r""",

@@ -367,11 +367,16 @@ object Kernels {
     var nStop = 0L
     val trimmed = sparkTrim(s)
     if (trimmed.nonEmpty) {
+      // count NON-EMPTY tokens only: Java split keeps a leading empty for
+      // leading non-space whitespace — same clean definition as
+      // TextAnalysis.tokens (non-empty runs of non-whitespace)
       val toks = trimmed.split("\\s+")
-      nTok = toks.length.toLong
       var t = 0
       while (t < toks.length) {
-        if (StopwordSet.contains(toks(t))) nStop += 1
+        if (toks(t).nonEmpty) {
+          nTok += 1
+          if (StopwordSet.contains(toks(t))) nStop += 1
+        }
         t += 1
       }
     }

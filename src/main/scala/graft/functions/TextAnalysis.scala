@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  /** Whitespace tokens = the NON-EMPTY maximal runs of non-whitespace.
+    * Spark's 2-arg split keeps boundary empty strings (limit -1) and
+    * trim() strips only 0x20, so text ending in \n/\t would otherwise
+    * grow a phantom empty token and disagree with the kernel counts —
+    * filtering empties pins both sides to the same clean definition.
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -146,5 +150,10 @@ object TextAnalysis {
     * along with scrubbing in a real pipeline.
     */
   def piiMatchCount(text: Column): Column =
-    regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(LongNumberPattern))
+    // number matches are counted on the EMAIL-REDACTED text, exactly as
+    // redaction applies them sequentially — a 7+-digit run inside an email
+    // must not count twice when only one replacement happens
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(LongNumberPattern))
 }

@@ -63,7 +63,12 @@ object NgramLm {
     val c1 = c2.groupBy(col("lang"), col("h1")).agg(sum(col("c2")).as("c1"))
     c2.join(c1, Seq("lang", "h1"))
       .select(col("lang"), col("h1"), col("h2"),
-        expr(s"c2 * $Scale div (c1 + $SmoothK)").as("term"))
+        // DECIMAL(38): c2 * Scale in Long overflows past ~9.2e12
+        // occurrences of one bigram — reachable for the top bigrams of a
+        // few-hundred-TB single-language corpus this is documented to
+        // train on
+        expr(s"CAST(CAST(c2 AS DECIMAL(38,0)) * $Scale div (c1 + $SmoothK) AS BIGINT)")
+          .as("term"))
   }
 
   /** Score documents against a trained model: per doc, the integer mean of

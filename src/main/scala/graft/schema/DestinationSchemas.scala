@@ -122,14 +122,22 @@ object DestinationSchemas {
     * (reference `data_schemas.py:291-307`).
     */
   def missingRequired(dataCols: Seq[String], dt: DestinationType): Seq[String] =
-    table(dt).columns.filter(_.required).map(_.pattern)
-      .filterNot(p => dataCols.exists(dc => ColumnSpec(p, required = true, "string").matches(dc)))
-      .distinct
+    // reuse the table's PRECOMPILED specs (no per-call Pattern.compile),
+    // and NO .distinct: the reference reports a duplicated required
+    // pattern once per occurrence (data_schemas.py:291-307)
+    table(dt).columns.filter(_.required)
+      .filterNot(spec => dataCols.exists(spec.matches))
+      .map(_.pattern)
 
   /** Column groups with no member present (reference `data_schemas.py:312-330`). */
-  def missingGroups(dataCols: Seq[String], dt: DestinationType): Seq[Seq[String]] =
+  def missingGroups(dataCols: Seq[String], dt: DestinationType): Seq[Seq[String]] = {
+    val specs = table(dt).columns.map(s => s.pattern -> s).toMap
     table(dt).groups.filterNot(g =>
-      g.exists(p => dataCols.exists(dc => ColumnSpec(p, required = false, "string").matches(dc))))
+      g.exists(p => specs.get(p) match {
+        case Some(spec) => dataCols.exists(spec.matches)
+        case None => dataCols.exists(dc => ColumnSpec(p, required = false, "string").matches(dc))
+      }))
+  }
 
   /** Reference `validate_data_columns` (`data_schemas.py:334-341`). */
   def validateDataColumns(dataCols: Seq[String], dt: DestinationType): Boolean =

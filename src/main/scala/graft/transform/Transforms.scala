@@ -87,8 +87,11 @@ object Transforms {
   /** Union-all + dedup consolidation of branch outputs (reference
     * `steps/last_step.py:26-56`: Flatten + CombineGlobally dedup).
     */
-  def consolidate(dfs: Seq[DataFrame]): DataFrame =
+  def consolidate(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty,
+      "consolidate: no branch outputs to merge (every branch filtered out?)")
     dfs.reduce(_ unionByName _).distinct()
+  }
 
   /** Exact per-key top-N (per-domain document caps, per-language exemplars)
     * with a salted partial-rank pre-pass: phase 1 ranks within
@@ -104,9 +107,15 @@ object Transforms {
     * `order` must be a TOTAL order per key (include a unique tiebreak
     * column) — ties broken differently per phase would drop the wrong rows.
     * `salt` must be deterministic per row (e.g. `pmod(col("id"), salts)`).
+    *
+    * OUTPUT adds the rank as a `rk` column (1-based long); the input must
+    * not already carry `rk` or `__pre_rk` (enforced — a silent overwrite
+    * would hand the caller window ranks where their data used to be).
     */
   def topNPerKey(df: DataFrame, key: Column, order: Seq[Column], n: Int,
       salt: Column, salts: Int = 16): DataFrame = {
+    require(!df.columns.contains("rk") && !df.columns.contains("__pre_rk"),
+      "topNPerKey: input already has an rk/__pre_rk column — rename it first")
     import org.apache.spark.sql.expressions.Window
     val pre = Window.partitionBy(key, pmod(salt, lit(salts))).orderBy(order: _*)
     val fin = Window.partitionBy(key).orderBy(order: _*)
@@ -178,7 +187,10 @@ object Transforms {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src").desc)
     u.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      // null-SAFE delete test: a malformed update with op = null must act
+      // as an upsert (the row survives), not vanish like a delete — a
+      // plain =!= evaluates to null and silently drops the key
+      .filter(col("__rn") === 1 && !(col("__op") <=> "D"))
       .drop("__rn", "__src", "__op")
   }
 }
