@@ -85,7 +85,17 @@ final class JsonConfigSource(json: String) extends ConfigSource {
     val srcs = sources
     val dsts = destinations
     arr("Connections").flatMap { conn =>
-      val enabled = Option(conn.get("Enabled")).exists(n => !n.isNull && n.asBoolean(false))
+      // Python truthiness, as the reference's `if schedule["Enabled"]`
+      // evaluates it (json_execution_source.py:70): booleans by value,
+      // numbers by non-zero, STRINGS by non-emptiness — a config shipping
+      // Enabled: "yes" (or even "false") runs in the reference, so it runs
+      // here; Jackson's asBoolean would silently skip it
+      val enabled = Option(conn.get("Enabled")).exists { n =>
+        if (n.isNull) false
+        else if (n.isBoolean) n.asBoolean()
+        else if (n.isNumber) n.asDouble() != 0.0
+        else n.asText().nonEmpty
+      }
       if (!enabled) None
       else Some(Execution(account, srcs(str(conn, "Source")), dsts(str(conn, "Destination"))))
     }

@@ -108,8 +108,12 @@ object Multimodal {
     */
   def frameWindows(bin: Column, frameSize: Int, stride: Int): Column = {
     val nFrames = floor((length(bin) - 1) / stride) + 1
-    transform(sequence(lit(0L), nFrames - 1),
-      i => bin.substr((i * stride + 1).cast("int"), lit(frameSize)))
+    // empty payload guard: sequence(0, -1) defaults its step to -1 and
+    // yields [0, -1] — two PHANTOM frames per empty blob — instead of the
+    // empty array the arithmetic intends
+    when(length(bin) < 1, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0L), nFrames - 1),
+        i => bin.substr((i * stride + 1).cast("int"), lit(frameSize))))
   }
 
   /** Unsigned byte values of the payload from 1-based byte offset `from` —

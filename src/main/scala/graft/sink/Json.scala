@@ -47,8 +47,16 @@ final case class JArr(items: Seq[JVal]) extends JVal {
 final case class JObj(fields: Seq[(String, JVal)]) extends JVal {
   override def render: String =
     fields.map { case (k, v) => s"${JStr(k).render}: ${v.render}" }.mkString("{", ", ", "}")
-  def +(field: (String, JVal)): JObj = JObj(fields :+ field)
-  def ++(more: Seq[(String, JVal)]): JObj = JObj(fields ++ more)
+  /** Python-dict assignment semantics, which the reference's payload
+    * builders rely on: setting an existing key REPLACES its value in
+    * place (keeping the original field position, as json.dumps renders a
+    * dict), never appends a duplicate JSON key.
+    */
+  def +(field: (String, JVal)): JObj =
+    if (fields.exists(_._1 == field._1))
+      JObj(fields.map(f => if (f._1 == field._1) field else f))
+    else JObj(fields :+ field)
+  def ++(more: Seq[(String, JVal)]): JObj = more.foldLeft(this)(_ + _)
 }
 
 object Json {

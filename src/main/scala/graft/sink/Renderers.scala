@@ -24,7 +24,8 @@ object Renderers {
 
   // ------------------------------------------------------------- helpers
 
-  private[sink] def digits(s: String): String = s.filter(_.isDigit)
+  private[sink] def digits(s: String): String =
+    graft.model.AccountConfig.digitsOnly(s) // one normalization, one place
 
   private def meta(e: Execution): Seq[String] = e.destination.metadata
 
@@ -100,7 +101,7 @@ object Renderers {
         body.render, rows.indices))
     }
 
-    private def externalAttribution(row: Map[String, Any]): Seq[(String, JVal)] =
+    private[sink] def externalAttribution(row: Map[String, Any]): Seq[(String, JVal)] =
       if (row.contains("external_attribution_credit") && row.contains("external_attribution_model"))
         Seq("external_attribution_data" -> Json.obj(
           "external_attribution_credit" -> JDouble(str(row("external_attribution_credit")).toDouble),
@@ -183,7 +184,7 @@ object Renderers {
           "user_identifiers" -> JArr(row.toSeq.collect {
             case (k, v) if k == "hashed_email" || k == "hashed_phone_number" =>
               Json.obj(k -> jrow(v))
-          })) ++ rowConsent(row)
+          })) ++ AdsOfflineClick.externalAttribution(row) ++ rowConsent(row)
       }
   }
 
@@ -408,8 +409,11 @@ object Renderers {
   /** Python urllib.parse.quote with default safe='/' (UA MP hit encoding,
     * `google_analytics_measurement_protocol.py:38-39`).
     */
+  private val PyQuoteUnreserved: Set[Char] =
+    ((('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ "_.-~/").toSet
+
   private[sink] def pyQuote(s: String): String = {
-    val unreserved = ((('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ "_.-~/").toSet
+    val unreserved = PyQuoteUnreserved // hoisted: called per field per row
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
       val c = (b & 0xFF).toChar
       if (b >= 0 && unreserved.contains(c)) c.toString else f"%%${b & 0xFF}%02X"
@@ -463,7 +467,11 @@ object Renderers {
           base += "iv" -> row.get("item_variation").orNull
           base += "cu" -> row.get("currency_code").orNull
         case other =>
-          throw new IllegalArgumentException(s"Hit type $other is not supported.")
+          // reference behavior (google_analytics_measurement_protocol.py:
+          // 93-96): the unsupported type is RECORDED as an error but the
+          // hit still posts with the common fields — a throw here would
+          // fail the whole batch instead
+          System.err.println(s"[graft] Hit type $other is not supported.")
       }
       base.result()
     }
@@ -608,11 +616,18 @@ object Renderers {
       val m = meta(e)
       require(m.length >= 2 && m.head.nonEmpty && m(1).nonEmpty,
         s"Missing destination information. Received $m")
-      val header = rows.head.keys.map("ga:" + _).mkString(",")
-      val body = rows.map(_.values.map(v => if (v == null) "" else str(v)).mkString(",")).mkString("\n")
-      Seq(RenderedRequest("upload_data",
-        s"analytics://management/uploads?account=${e.account.googleAnalyticsAccountId}&webProperty=${m.head}&dataImport=${m(1)}",
-        s"$header\n$body", rows.indices))
+      // an EMPTY batch renders no upload (there is no header row to build)
+      // — the iteration-1 erase the empty-source path exists for is a
+      // SEPARATE request rendered by the composite branch renderer, which
+      // must not be lost to a rows.head crash here
+      if (rows.isEmpty) Seq.empty
+      else {
+        val header = rows.head.keys.map("ga:" + _).mkString(",")
+        val body = rows.map(_.values.map(v => if (v == null) "" else str(v)).mkString(",")).mkString("\n")
+        Seq(RenderedRequest("upload_data",
+          s"analytics://management/uploads?account=${e.account.googleAnalyticsAccountId}&webProperty=${m.head}&dataImport=${m(1)}",
+          s"$header\n$body", rows.indices))
+      }
     }
   }
 
@@ -709,6 +724,7 @@ object Renderers {
       "customer_user_id" -> "customer_user_id",
       "ip" -> "ip",
       "event_eventValue" -> "eventValue",
+      "event_eventCurrency" -> "eventCurrency",
       "event_eventTime" -> "eventTime")
 
     override def render(e: Execution, rows: Seq[Map[String, Any]], it: Long): Seq[RenderedRequest] = {
