@@ -33,6 +33,16 @@ private[v2] object BqStubLayout {
       try src.getLines().filter(_.trim.nonEmpty).toList
       finally src.close()
     }
+
+  /** (file path, non-blank line count) per chunk file — the plan-time
+    * snapshot the page partitions are pinned to.
+    */
+  def fileCounts(path: String): Seq[(String, Long)] =
+    files(path).map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try f.getPath -> src.getLines().count(_.trim.nonEmpty).toLong
+      finally src.close()
+    }
 }
 
 /** DataSource V2 stand-in for the BigQuery transport — the shape the
@@ -66,9 +76,19 @@ class BqStubSource extends TableProvider with DataSourceRegister {
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new BqStubTable(schema, properties.get("path"),
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(20000))
+      properties: java.util.Map[String, String]): Table = {
+    // Spark hands getTable the case-SENSITIVE map while inferSchema saw a
+    // case-insensitive one — re-wrap so option("PATH", ...) behaves the
+    // same in both halves
+    val opts = new CaseInsensitiveStringMap(properties)
+    // the stub speaks the BQ row-dict shape: every column stringly-typed
+    // (reader emits UTF8String, writer reads it back) — a user schema
+    // with other types would be silently reinterpreted, so reject it
+    require(schema.fields.forall(_.dataType == StringType),
+      s"graft-bq columns are all STRING (BQ row-dict shape); got ${schema.catalogString}")
+    new BqStubTable(schema, opts.get("path"),
+      Option(opts.get("pageSize")).map(_.toInt).getOrElse(20000))
+  }
 }
 
 final class BqStubTable(tableSchema: StructType, path: String, pageSize: Int)
@@ -115,19 +135,36 @@ final class BqStubScan(required: StructType, pushed: Array[Filter],
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // the page count is the BQ job metadata lookup of the stub: one
-    // driver-side line count, then one InputPartition per 20 000-row page
-    val n = BqStubLayout.lines(path).size.toLong
+    // the per-file line counts are the BQ job metadata lookup of the stub
+    // — ONE driver pass. Pages are pinned to (file, line-range) SPANS
+    // captured here, so (1) each reader opens only its own files instead
+    // of re-reading every preceding chunk, and (2) chunk files appended
+    // CONCURRENTLY by another job (the write side's designed use) cannot
+    // shift positions mid-scan and duplicate/drop rows — they are simply
+    // invisible to this scan, like a BQ job's snapshot.
+    val counts = BqStubLayout.fileCounts(path)
+    val n = counts.map(_._2).sum
     val pages = math.max(1L, (n + pageSize - 1L) / pageSize)
-    (0L until pages).map(p =>
-      BqStubPage(path, p * pageSize, math.min((p + 1) * pageSize, n))
-        : InputPartition).toArray
+    (0L until pages).map { p =>
+      val start = p * pageSize
+      val end = math.min((p + 1) * pageSize, n)
+      var cum = 0L
+      val spans = Seq.newBuilder[(String, Long, Long)]
+      counts.foreach { case (f, c) =>
+        val from = math.max(start - cum, 0L)
+        val until = math.min(end - cum, c)
+        if (from < until) spans += ((f, from, until))
+        cum += c
+      }
+      BqStubPage(spans.result()): InputPartition
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new BqStubReaderFactory(required, pushed)
 }
 
-final case class BqStubPage(path: String, start: Long, end: Long)
+/** One 20 000-row page as plan-time-pinned (file, from, until) spans. */
+final case class BqStubPage(spans: Seq[(String, Long, Long)])
     extends InputPartition
 
 final class BqStubReaderFactory(required: StructType, pushed: Array[Filter])
@@ -136,44 +173,72 @@ final class BqStubReaderFactory(required: StructType, pushed: Array[Filter])
     val page = partition.asInstanceOf[BqStubPage]
     new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
-      private val it = BqStubLayout.lines(page.path)
-        .slice(page.start.toInt, page.end.toInt)
+      private val spanIt = page.spans.iterator
+      private var src: scala.io.Source = _
+      private var lineIt: Iterator[String] = Iterator.empty
       private var current: InternalRow = _
+
+      // streams each span lazily from ITS file only — no preceding-chunk
+      // re-reads, no whole-file materialization
+      private def advanceSpan(): Boolean = {
+        if (src != null) { src.close(); src = null }
+        if (!spanIt.hasNext) false
+        else {
+          val (f, from, until) = spanIt.next()
+          src = scala.io.Source.fromFile(f, "UTF-8")
+          lineIt = src.getLines().filter(_.trim.nonEmpty)
+            .slice(from.toInt, until.toInt)
+          true
+        }
+      }
 
       private def fieldMap(line: String): Map[String, String] = {
         val node = mapper.readTree(line)
         node.fieldNames().asScala.map { f =>
           val v = node.get(f)
-          f -> (if (v.isNull) null else v.asText())
+          // asText() on an object/array node returns "" — nested JSON
+          // values must keep their JSON text, not silently blank out
+          f -> (if (v.isNull) null
+                else if (v.isValueNode) v.asText()
+                else v.toString)
         }.toMap
       }
+
+      // range comparisons in UTF8String (UTF-8 byte = code-point) order —
+      // Spark's StringType ordering. Java String compares UTF-16 code
+      // units, which disagrees above the BMP; pushed filters are trusted
+      // as fully applied, so a mismatch would silently drop/keep rows.
+      private def cmp(a: String, b: String): Int =
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
       private def passes(row: Map[String, String]): Boolean = pushed.forall {
         case EqualTo(a, v)            => row.get(a).flatMap(Option(_)).contains(v.toString)
         case IsNotNull(a)             => row.get(a).flatMap(Option(_)).isDefined
-        case GreaterThan(a, v)        => row.get(a).flatMap(Option(_)).exists(_ > v.toString)
-        case GreaterThanOrEqual(a, v) => row.get(a).flatMap(Option(_)).exists(_ >= v.toString)
-        case LessThan(a, v)           => row.get(a).flatMap(Option(_)).exists(_ < v.toString)
-        case LessThanOrEqual(a, v)    => row.get(a).flatMap(Option(_)).exists(_ <= v.toString)
+        case GreaterThan(a, v)        => row.get(a).flatMap(Option(_)).exists(cmp(_, v.toString) > 0)
+        case GreaterThanOrEqual(a, v) => row.get(a).flatMap(Option(_)).exists(cmp(_, v.toString) >= 0)
+        case LessThan(a, v)           => row.get(a).flatMap(Option(_)).exists(cmp(_, v.toString) < 0)
+        case LessThanOrEqual(a, v)    => row.get(a).flatMap(Option(_)).exists(cmp(_, v.toString) <= 0)
         case _                        => true
       }
 
       override def next(): Boolean = {
         current = null
-        while (current == null && it.hasNext) {
-          val row = fieldMap(it.next())
-          if (passes(row)) {
-            val vals = required.fields.map { f =>
-              row.get(f.name).flatMap(Option(_))
-                .map(UTF8String.fromString(_): Any).orNull
+        while (current == null) {
+          if (lineIt.hasNext) {
+            val row = fieldMap(lineIt.next())
+            if (passes(row)) {
+              val vals = required.fields.map { f =>
+                row.get(f.name).flatMap(Option(_))
+                  .map(UTF8String.fromString(_): Any).orNull
+              }
+              current = InternalRow.fromSeq(vals.toSeq)
             }
-            current = InternalRow.fromSeq(vals.toSeq)
-          }
+          } else if (!advanceSpan()) return false
         }
-        current != null
+        true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (src != null) src.close()
     }
   }
 }
@@ -209,7 +274,10 @@ final class BqStubWriterFactory(schema: StructType, path: String, pageSize: Int)
     new DataWriter[InternalRow] {
       private var chunk = 0
       private var inChunk = 0
-      private var out: java.io.PrintWriter = _
+      // BufferedWriter, NOT PrintWriter: PrintWriter swallows IOExceptions
+      // behind a checkError() flag nobody reads — a full disk would
+      // truncate the chunk while the write job reports success
+      private var out: java.io.BufferedWriter = _
 
       // unique per WRITER so appends from different jobs never collide on
       // chunk names (append semantics: files accumulate, nothing replaced)
@@ -219,7 +287,7 @@ final class BqStubWriterFactory(schema: StructType, path: String, pageSize: Int)
         if (out != null) out.close()
         val f = new java.io.File(path,
           f"part-$partitionId%05d-$writerId-$chunk%05d.json")
-        out = new java.io.PrintWriter(
+        out = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(new java.io.FileOutputStream(f),
             java.nio.charset.StandardCharsets.UTF_8))
         chunk += 1; inChunk = 0
@@ -227,12 +295,14 @@ final class BqStubWriterFactory(schema: StructType, path: String, pageSize: Int)
 
       override def write(row: InternalRow): Unit = {
         if (out == null || inChunk >= pageSize) roll()
-        val fields = schema.fields.indices.map { i =>
-          val name = graft.sink.JStr(schema.fields(i).name).render
-          if (row.isNullAt(i)) s"$name: null"
-          else s"$name: ${graft.sink.JStr(row.getUTF8String(i).toString).render}"
-        }
-        out.println(fields.mkString("{", ", ", "}"))
+        // render through the shared JSON model (one escaping
+        // implementation, graft.sink.Json) instead of a third copy
+        val obj = graft.sink.JObj(schema.fields.indices.map { i =>
+          schema.fields(i).name ->
+            (if (row.isNullAt(i)) graft.sink.JNull
+             else graft.sink.JStr(row.getUTF8String(i).toString): graft.sink.JVal)
+        })
+        out.write(obj.render); out.write("\n")
         inChunk += 1
       }
       override def commit(): WriterCommitMessage = {

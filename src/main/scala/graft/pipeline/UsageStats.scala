@@ -50,5 +50,11 @@ object UsageStats {
       records: Seq[Map[String, String]], collect: Seq[Map[String, String]] => Unit): Unit =
     try {
       if (collectUsageStats && records.nonEmpty) collect(stamp(clientId, records))
-    } catch { case _: Exception => () }
+    } catch {
+      // the contract is SILENT failure (the reference wraps the whole step
+      // in a bare try/except): a LinkageError from a missing wire-client
+      // jar must not kill a run whose uploads all succeeded
+      case _: LinkageError => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

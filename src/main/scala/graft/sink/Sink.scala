@@ -53,6 +53,12 @@ object Transport {
       try {
         return t.send(execution, req)
       } catch {
+        // an interrupt means Spark is KILLING this task (job cancel,
+        // speculative-kill) — re-POSTing a non-idempotent upload from a
+        // task that should be dead would duplicate conversions; restore
+        // the flag and rethrow instead of "retrying"
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
         case e: Exception =>
           last = TransportResult(error = Some(s"Error uploading data: ${e.getMessage}"))
           attempt += 1
