@@ -130,11 +130,3 @@ final case class Execution(
   def key: String = s"${source.name} -> ${destination.name}"
 }
 
-/** Outcome of one sink upload; row-level success feeds transactional
-  * writeback (SURVEY §7.4 item 3).
-  */
-final case class UploadResult(
-    execution: Execution,
-    attempted: Long,
-    succeeded: Long,
-    error: Option[String])

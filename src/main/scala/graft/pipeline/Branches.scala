@@ -97,10 +97,10 @@ object Branches {
     // processing_steps.py:547-579
     BranchSpec(CmOfflineConversion, 1000, Uuid, Some(Uuid), None,
       now => Renderers.Cm360(now)),
-    // processing_steps.py:582-608
+    // processing_steps.py:611-637
     BranchSpec(DvCustomerMatchContactInfoUpload, 5000, NotTransactional, None,
       Some(dvHash), _ => Renderers.DvCustomerMatch("contact_info"), needsIteration = true),
-    // processing_steps.py:610-637
+    // processing_steps.py:582-608
     BranchSpec(DvCustomerMatchDeviceIdUpload, 5000, NotTransactional, None,
       Some(dvHash), _ => Renderers.DvCustomerMatch("mobile"), needsIteration = true),
     // third_party/steps.py:20-51; 500 events/s rate limit
@@ -109,6 +109,4 @@ object Branches {
       _ => Renderers.AppsFlyerS2S, rateLimitPerSec = Some(500))
   )
 
-  val byType: Map[DestinationType, BranchSpec] =
-    all.map(b => b.destinationType -> b).toMap
 }

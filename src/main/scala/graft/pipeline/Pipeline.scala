@@ -262,19 +262,28 @@ object Pipeline {
         try {
           val requests = renderer.render(execution, maps, iteration)
           val failures = Array.fill(rows.size)(Option.empty[String])
+          var aborted = false
           requests.foreach { req =>
-            val res = Transport.sendWithRetry(transport, execution, req)
-            res.error match {
-              case Some(msg) =>
-                // a request with NO row indices is execution-level (job
-                // create/run, data-import erase): its failure fails the
-                // whole batch — the reference's safe_call_api raise — not
-                // zero rows
-                if (req.rowIdx.isEmpty) rows.indices.foreach(i =>
-                  if (failures(i).isEmpty) failures(i) = Some(msg))
-                else req.rowIdx.foreach(i => failures(i) = Some(msg))
-              case None => res.rejected.foreach { pos =>
-                req.rowIdx.lift(pos).foreach(i => failures(i) = Some("partial failure"))
+            // an execution-level failure ABORTS the batch's remaining
+            // requests: later requests depend on it (the data-import
+            // UPLOAD must not run after its ERASE failed — the reference's
+            // eraser only yields the batch onward on success)
+            if (!aborted) {
+              val res = Transport.sendWithRetry(transport, execution, req)
+              res.error match {
+                case Some(msg) =>
+                  // a request with NO row indices is execution-level (job
+                  // create/run, data-import erase): its failure fails the
+                  // whole batch — the reference's safe_call_api raise —
+                  // not zero rows
+                  if (req.rowIdx.isEmpty) {
+                    rows.indices.foreach(i =>
+                      if (failures(i).isEmpty) failures(i) = Some(msg))
+                    aborted = true
+                  } else req.rowIdx.foreach(i => failures(i) = Some(msg))
+                case None => res.rejected.foreach { pos =>
+                  req.rowIdx.lift(pos).foreach(i => failures(i) = Some("partial failure"))
+                }
               }
             }
           }

@@ -37,8 +37,18 @@ object TimeUtils {
   def formatDate(s: String): String = formatDate(parse(s))
 
   def formatDate(dt: LocalDateTime): String = {
-    val zoned = dt.atZone(SaoPaulo)
-    val off = zoned.getOffset.getId match { // "-03:00" / "Z"
+    // pytz.localize(is_dst=False) parity, which the reference relies on:
+    // DST-ambiguous wall times take the STANDARD offset (atZone would pick
+    // the DST one) and spring-forward gap times keep their wall clock with
+    // the standard offset (atZone would shift them an hour). Only differs
+    // from atZone for pre-2019 Sao Paulo DST dates, but those are exactly
+    // the backfill timestamps a conversions pipeline replays.
+    val rules = SaoPaulo.getRules
+    val valid = rules.getValidOffsets(dt)
+    val offset =
+      if (valid.size() == 1) valid.get(0)
+      else rules.getStandardOffset(dt.toInstant(java.time.ZoneOffset.UTC))
+    val off = offset.getId match { // "-03:00" / "Z"
       case "Z" => "+00:00"
       case o   => o
     }
@@ -51,12 +61,10 @@ object TimeUtils {
   def timestampMicros(s: String): Long = timestampMicros(parse(s))
 
   def timestampMicros(dt: LocalDateTime): Long = {
+    // epochSecond is already floored and nano is non-negative, so this IS
+    // floor(micros) — no extra floor wrapper needed
     val i = dt.toInstant(ZoneOffset.UTC)
-    Math.floorDiv(i.getEpochSecond * 1000000L + i.getNano / 1000L, 1L)
-  }
-
-  def nowMicros(clock: () => Instant): Long = {
-    val i = clock()
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
+
 }

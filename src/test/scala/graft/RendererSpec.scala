@@ -25,6 +25,12 @@ class RendererSpec extends AnyFunSuite {
     assert(TimeUtils.formatDate("2020-04-09T13:13:55.0005") == "2020-04-09 13:13:55-03:00")
     // pre-2019 southern summer had DST: -02:00
     assert(TimeUtils.formatDate("2018-01-15T10:00:00.000000") == "2018-01-15 10:00:00-02:00")
+    // pytz.localize(is_dst=False) parity on the DST edges (reference
+    // uploaders/utils.py:29,50-58): the spring-forward GAP keeps its wall
+    // clock with the STANDARD offset (atZone would shift it to 01:30-02:00)
+    assert(TimeUtils.formatDate("2018-11-04T00:30:00.000000") == "2018-11-04 00:30:00-03:00")
+    // and the fall-back AMBIGUOUS window takes the standard offset too
+    assert(TimeUtils.formatDate("2018-02-17T23:30:00.000000") == "2018-02-17 23:30:00-03:00")
   }
 
   test("timestampMicros is epoch micros (10e5 == 1e6, not a magnitude quirk)") {
