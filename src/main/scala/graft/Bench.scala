@@ -67,7 +67,13 @@ object Bench {
     val qs = retried.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = retried.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Honesty: the min-of-two de-noising can only LOWER a number, so the raw
+    // pass-1 timings of every re-timed query are emitted alongside — a
+    // persistently slow query shows slow in `first_pass` even when a lucky
+    // second run shrank its `queries` entry.
+    val firstPass = results.filter { case (k, _) => retry(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firstPass,"sf":"$sfDir"}""")
     spark.stop()
     // A broken query must fail the bench, not silently report a fast time.
     if (failed.nonEmpty) {

@@ -10,8 +10,52 @@ import org.apache.spark.sql.SparkSession
   * recorded an error (errors never abort other branches).
   *
   * Args: --config <json path> --output <transport dir> [--bq-dir <dir>]
+  *       [--bq-format parquet|bigquery|<any registered format>]
+  *       [--transport file|http:<api base url>]
+  *       [--client-id x --client-secret x --access-token x
+  *        --refresh-token x --developer-token x]
+  *
+  * Cloud mode is a CONFIG change, not a code change: `--bq-format
+  * bigquery --bq-dir <project>` reads BigQuery through the registered
+  * connector, `--transport http:https://googleads.googleapis.com` sends
+  * the rendered payloads over live HTTP with the OAuth headers attached
+  * (reference flags: `models/options.py:25-49`).
   */
 object Main {
+
+  /** OAuth block from CLI flags (reference `models/options.py:25-49`). */
+  private[graft] def oauthFromFlags(opts: Map[String, String]): graft.model.OAuthCredentials =
+    graft.model.OAuthCredentials(
+      clientId = opts.getOrElse("--client-id", ""),
+      clientSecret = opts.getOrElse("--client-secret", ""),
+      accessToken = opts.getOrElse("--access-token", ""),
+      refreshToken = opts.getOrElse("--refresh-token", ""),
+      developerToken = opts.getOrElse("--developer-token", ""))
+
+  /** Transport from the `--transport` flag: `file` (default) renders to
+    * JSONL under the output dir; `http:<base>` POSTs each request live,
+    * rewriting the renderer's endpoint onto `<base>` and attaching the
+    * OAuth headers.
+    */
+  private[graft] def transportFromFlags(opts: Map[String, String],
+      outputDir: String): graft.sink.Transport =
+    opts.getOrElse("--transport", "file") match {
+      case "file" => FileTransport(outputDir)
+      case spec if spec.startsWith("http:") =>
+        val base = spec.stripPrefix("http:")
+        graft.sink.HttpTransport(
+          headers = Map("Content-Type" -> "application/json") ++
+            oauthFromFlags(opts).authHeaders,
+          rewriteUrl = url => {
+            // renderer URLs are absolute against the production host;
+            // re-root the path on the configured base (staging, mock, live)
+            val path = url.replaceFirst("^https?://[^/]+", "")
+            base.stripSuffix("/") + path
+          })
+      case other => sys.error(
+        s"unknown --transport '$other' (expected 'file' or 'http:<base url>')")
+    }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val configPath = opts.getOrElse("--config",
@@ -34,11 +78,17 @@ object Main {
     val executions = PrimaryConfigSource.select(None, Some(configPath), None).executions()
     println(s"[graft] loaded ${executions.size} executions from $configPath")
 
+    val bqFormat = opts.getOrElse("--bq-format", "parquet")
     val pipelineOpts = PipelineOptions(
-      transport = FileTransport(outputDir),
-      bqPathFor = (dataset, table) =>
-        bqDir.map(d => s"$d/$dataset/$table.parquet")
-          .getOrElse(s"/data/$dataset/$table.parquet"))
+      transport = transportFromFlags(opts, outputDir),
+      bqFormat = bqFormat,
+      bqPathFor =
+        if (bqFormat == "parquet")
+          (dataset, table) => bqDir.map(d => s"$d/$dataset/$table.parquet")
+            .getOrElse(s"/data/$dataset/$table.parquet")
+        else // table-reference formats (bigquery, graft-bq): no .parquet suffix
+          (dataset, table) => bqDir.map(d => s"$d/$dataset/$table")
+            .getOrElse(s"$dataset.$table"))
 
     val report = Pipeline.run(spark, executions, pipelineOpts)
 

@@ -1095,6 +1095,22 @@ object SparkEntry {
         col("o_us").as("last_order_us"),
         col("last_order_price"), col("last_order_n"))
 
+  /** The skew-safe salted as-of: identical semantics to [[qAsofNative]]
+    * through the hot-key pre-pass (low threshold so the salting machinery
+    * actually engages on the sf corpus — most user_ids split across 8
+    * salt buckets with the right history replicated per bucket). Hash-
+    * compared against the SAME DuckDB ASOF oracle: salting must be
+    * invisible in the result.
+    */
+  private def qAsofSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.asofJoinSalted(
+      asofEvents(s, dir), asofOrders(s, dir),
+      Seq("user_id"), Seq("o_user"), "ts_us", "o_us",
+      numSalts = 8, hotKeyThreshold = 50L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_us").as("last_order_us"),
+        col("last_order_price"), col("last_order_n"))
+
   /** Backward as-of with a 30-day staleness tolerance: an order older than
     * the bound no longer describes the customer's state, so the event gets
     * nulls. The tolerance predicate runs inside the merge scan — no
@@ -1705,7 +1721,13 @@ object SparkEntry {
     * final rollup.
     */
   private def qBadRecords(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_badrec").toString
+    // One FIXED scratch dir per source sf dir, overwritten on every run —
+    // a fresh createTempDirectory here would leak one planted copy per
+    // bench/verify invocation. Driver-local path: correct in local mode
+    // (where Verify/Bench run); on a cluster the plant would go to shared
+    // storage.
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_badrec_${dir.hashCode.toHexString}").toString
     t(s, dir, "documents")
       .select(when(col("doc_id") % 13 === 0,
           concat(lit("NOT_JSON#"), col("doc_id").cast("string")))
@@ -1732,11 +1754,24 @@ object SparkEntry {
     * q_hourly_rollup schema. Equivalence to the batch plan is exact: same
     * window arithmetic, same µs truncation.
     */
+  /** One READ-ONLY landing directory per (sf dir, table), shared by every
+    * streaming query that only TAILS the table: the per-query temp-dir +
+    * file copy was pure fixed cost repeated 13 times per bench run.
+    * Queries that MUTATE their landing dir (sentinel appenders driving
+    * watermark advancement) keep private copies.
+    */
+  private val landingCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedLanding(dir: String, table: String): String =
+    landingCache.computeIfAbsent(s"$dir/$table", { _ =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_land_$table")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"),
+        d.resolve(s"$table.parquet"))
+      d.toString
+    })
+
   private def sRollupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_q")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_rollup_stream_${System.nanoTime()}"
@@ -1744,7 +1779,7 @@ object SparkEntry {
     // partition state-store cost; see s_sessionize_stream's note).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Complete())
@@ -1766,15 +1801,13 @@ object SparkEntry {
     */
   private def sTopkStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_k")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_topk_stream_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val query = ev.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(graft.functions.TopKAggregate.topKByScore(
@@ -1798,15 +1831,13 @@ object SparkEntry {
     */
   private def sSlidingStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_w")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_sliding_stream_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val query = graft.streaming.Streaming.slidingRollup(ev)
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Complete())
@@ -1827,12 +1858,8 @@ object SparkEntry {
   private def sAsofStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.streaming.Streaming.AsofIn
-    val landingE = java.nio.file.Files.createTempDirectory("graft_stream_ae")
-    val landingO = java.nio.file.Files.createTempDirectory("graft_stream_ao")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landingE.resolve("events.parquet"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
-      landingO.resolve("orders.parquet"))
+    val landingE = sharedLanding(dir, "events")
+    val landingO = sharedLanding(dir, "orders")
     import s.implicits._
     val ev = graft.streaming.Streaming.readParquetStream(s, landingE.toString)
       .transform(graft.io.EventTs.toNsLong)
@@ -1848,7 +1875,7 @@ object SparkEntry {
     val qn = s"s_asof_stream_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val query = graft.streaming.Streaming.asofEnrich(ev.unionByName(ord))
         .toDF()
         .writeStream.format("memory").queryName(qn)
@@ -1870,9 +1897,7 @@ object SparkEntry {
   private def sTransitionsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.streaming.Streaming.TransIn
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_t")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     import s.implicits._
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toNsLong)
@@ -1881,7 +1906,7 @@ object SparkEntry {
     val qn = s"s_transitions_stream_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val query = graft.streaming.Streaming.transitionsStream(ev)
         .toDF()
         .writeStream.format("memory").queryName(qn)
@@ -1912,7 +1937,7 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_dedup_stream_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val query = graft.streaming.Streaming
@@ -1960,7 +1985,7 @@ object SparkEntry {
     val out = java.nio.file.Files.createTempDirectory("graft_qmon_out").toString + "/report"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
       val query = graft.streaming.Streaming.qualityMonitorSink(ev, Seq(
@@ -1996,7 +2021,7 @@ object SparkEntry {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString + "/kept"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val docs = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
       val query = graft.streaming.Streaming
@@ -2016,15 +2041,13 @@ object SparkEntry {
     */
   private def sAntiJoinStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_a")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val uploaded = t(s, dir, "events")
       .filter(col("event_id") % 3 === 0).select(col("event_id"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_anti_join_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       val query = graft.streaming.Streaming
         .antiJoinUploaded(ev, uploaded, Seq("event_id"))
@@ -2047,13 +2070,11 @@ object SparkEntry {
     */
   private def sIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_j")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_interval_join_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val clicks = ev.filter(col("event_type") === "click")
@@ -2123,7 +2144,7 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_outer_interval_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
           Map("maxFilesPerTrigger" -> "2"))
         .transform(graft.io.EventTs.toTimestamp)
@@ -2157,13 +2178,11 @@ object SparkEntry {
     */
   private def sSessionWindowStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_sw")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    val landing = sharedLanding(dir, "events")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_session_window_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val query = ev.withWatermark("ts", "2 hours")
@@ -2236,7 +2255,7 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val qn = s"s_sessionize_stream_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ev = Streaming.readParquetStream(s, landing.toString,
           Map("maxFilesPerTrigger" -> "2"))
         .transform(graft.io.EventTs.toTimestamp)
@@ -3494,6 +3513,7 @@ object SparkEntry {
     "s_outer_interval_stream" -> (sOuterIntervalStream _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
+    "q_asof_salted" -> (qAsofSalted _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_forward" -> (qAsofForward _),
     "q_range_join" -> (qRangeJoin _),
@@ -3608,16 +3628,6 @@ object SparkEntry {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** The frozen BPE merge table as parallel DuckDB list literals, rank
-    * order preserved: left and right symbols of each pair.
-    */
-  private lazy val sqlBpeLefts: String =
-    graft.functions.TrainedBpeMerges.merges
-      .map { case (a, _) => sqlStr(a) }.mkString("[", ", ", "]")
-  private lazy val sqlBpeRights: String =
-    graft.functions.TrainedBpeMerges.merges
-      .map { case (_, b) => sqlStr(b) }.mkString("[", ", ", "]")
-
   /** DuckDB replay of [[graft.functions.Kernels.bpeTokenCount]] over `src`
     * (must have doc_id, text): recursive-CTE word states `(syms, mi)` where
     * each step merges the LEFTMOST occurrence of rank `mi`'s pair, advancing
@@ -3627,32 +3637,46 @@ object SparkEntry {
     * [[graft.functions.Bpe]]). Yields `bpe_counts(doc_id, n_bpe)` with
     * zero-word docs absent (LEFT JOIN + coalesce at the use site). Splice
     * directly after `WITH RECURSIVE`.
+    *
+    * The recursion runs over DISTINCT words (BPE of a word is
+    * doc-independent; per-doc counts come back via a join on the word) and
+    * the rank-`mi` pair arrives by JOINING a merge VALUES table instead of
+    * indexing two list literals inside the lambda — DuckDB rebuilt those
+    * 40-element literals per list ELEMENT, which made this helper's
+    * consumers ~50 s each at sf0.01; same arithmetic, now sub-second.
     */
   private def sqlBpeCtes(src: String): String = {
     val m = graft.functions.TrainedBpeMerges.merges.size
-    s"""bpe_words AS (
+    val mergeRows = graft.functions.TrainedBpeMerges.merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, ${sqlStr(l)}, ${sqlStr(r)})" }
+      .mkString(", ")
+    s"""bpe_m(mi, ml, mr) AS (VALUES $mergeRows),
+       bpe_words AS MATERIALIZED (
          SELECT doc_id, unnest(ws) AS word
          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
        ),
        bpe_st AS (
-         SELECT doc_id, row_number() OVER () AS wid,
-           string_split(word, '') AS syms, 1 AS mi
-         FROM bpe_words WHERE word <> ''
+         SELECT word, string_split(word, '') AS syms, 1 AS mi
+         FROM (SELECT DISTINCT word FROM bpe_words WHERE word <> '')
          UNION ALL
-         SELECT doc_id, wid,
+         SELECT word,
            CASE WHEN j IS NULL THEN syms
                 ELSE syms[1:j-1] || [syms[j] || syms[j+1]] || syms[j+2:] END,
            CASE WHEN j IS NULL THEN mi + 1 ELSE mi END
          FROM (
-           SELECT doc_id, wid, syms, mi,
-             list_filter(range(1, len(syms)), i ->
-               syms[i] = ($sqlBpeLefts)[mi] AND syms[i+1] = ($sqlBpeRights)[mi])[1] AS j
-           FROM bpe_st WHERE mi <= $m
+           SELECT st.word, st.syms, st.mi,
+             list_filter(range(1, len(st.syms)), i ->
+               st.syms[i] = mm.ml AND st.syms[i+1] = mm.mr)[1] AS j
+           FROM bpe_st st JOIN bpe_m mm ON mm.mi = st.mi
+           WHERE st.mi <= $m
          )
        ),
+       bpe_wlen AS MATERIALIZED (
+         SELECT word, len(syms) AS n FROM bpe_st WHERE mi = ${m + 1}
+       ),
        bpe_counts AS (
-         SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe
-         FROM bpe_st WHERE mi = ${m + 1} GROUP BY doc_id
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe
+         FROM bpe_words JOIN bpe_wlen USING (word) GROUP BY doc_id
        )"""
   }
 
@@ -3828,26 +3852,58 @@ object SparkEntry {
     (cs.map(_._1).mkString("[", ", ", "]"), cs.map(_._2).mkString("[", ", ", "]"))
   }
 
-  /** The minhash signature chain (`sh` → `ph` → `sig(doc_id, phs, sig)`)
-    * over `table(doc_id, text)` — shared by the pairs oracle, the
-    * connected-components closure, and the skew-guard oracle.
+  /** The minhash signature chain over `table(doc_id, text)`, ending in
+    * `ph(doc_id, phs)` + `bands(doc_id, bd, bsig)` — shared by the pairs
+    * oracle, the connected-components closure, and the skew-guard oracle.
+    *
+    * Signature arithmetic is UNNESTED (shingle rows × a 32-row coefficient
+    * VALUES table, grouped back per (doc, k)) instead of nested
+    * list-lambdas: DuckDB evaluates a list-literal index inside a lambda
+    * per ELEMENT, which made the original form ~50 s per query at sf0.01 —
+    * the driver's whole-gate budget. Same arithmetic, vectorized, <2 s.
+    * Band keys come out pre-stringified so candidate generation is a HASH
+    * equi-join on (bd, bsig), not an O(n²) theta join with a per-pair
+    * lambda.
     */
   private def sqlMinhashSigCtes(table: String): String = {
-    val (a, b) = sqlMinhashAB(32)
+    val coefRows = Dedup.minhashCoeffs(32).zipWithIndex
+      .map { case ((a, b), k) => s"($k, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
     s"""sh AS (
            SELECT doc_id,
              CASE WHEN length(lower(text)) < 5 THEN []::VARCHAR[]
                   ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
                          i -> lower(text)[i:i+4])) END AS g
            FROM $table),
-         ph AS (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
+         ph AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(g, s -> ${sqlPh("s", 31L, 1000000007L)})) AS phs
                 FROM sh),
-         sig AS (SELECT doc_id, phs,
-             list_transform(range(0, 32), k -> coalesce(
-               list_min(list_transform(phs, p -> (($a)[k + 1] * p + ($b)[k + 1]) % 1000000007)),
-               1000000007)) AS sig
-           FROM ph)"""
+         mh_pu AS (SELECT doc_id, unnest(phs) AS p FROM ph),
+         mh_coef(k, a, b) AS (VALUES $coefRows),
+         mh_sigk AS (
+           SELECT ph.doc_id, c.k,
+             coalesce(min((c.a * mh_pu.p + c.b) % 1000000007), 1000000007) AS mh
+           FROM ph CROSS JOIN mh_coef c LEFT JOIN mh_pu ON mh_pu.doc_id = ph.doc_id
+           GROUP BY ph.doc_id, c.k),
+         bands AS MATERIALIZED (
+           SELECT doc_id, k // 4 AS bd, string_agg(mh, ',' ORDER BY k) AS bsig
+           FROM mh_sigk GROUP BY doc_id, k // 4)"""
   }
+
+  /** LSH candidate pairs as a hash equi-join on the stringified band key —
+    * `candName(id_a, id_b, ga, gb)` with the pair's shingle-hash lists
+    * attached, `pairCond` constraining (x, y) doc ids.
+    */
+  private def sqlBandCand(candName: String,
+      pairCond: String = "x.doc_id < y.doc_id"): String =
+    s"""${candName}0 AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y
+             ON x.bd = y.bd AND x.bsig = y.bsig AND $pairCond),
+         $candName AS (
+           SELECT c.id_a, c.id_b, pa.phs AS ga, pb.phs AS gb
+           FROM ${candName}0 c
+             JOIN ph pa ON pa.doc_id = c.id_a
+             JOIN ph pb ON pb.doc_id = c.id_b)"""
 
   /** The minhash-LSH pair pipeline as a reusable CTE chain ending in
     * `j(id_a, id_b, jac)` — shared by the pairs oracle and the
@@ -3855,11 +3911,7 @@ object SparkEntry {
     */
   private lazy val sqlMinhashCtes: String =
     s"""${sqlMinhashSigCtes("documents")},
-         cand AS (
-           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
-           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-           WHERE len(list_filter(range(0, 8), bd ->
-             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         ${sqlBandCand("cand")},
          j AS (SELECT id_a, id_b,
              CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
                   ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
@@ -4082,23 +4134,24 @@ object SparkEntry {
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""",
     "d_lsh_recall" ->
       s"""WITH ${sqlMinhashSigCtes("(SELECT * FROM documents WHERE doc_id < 1000) AS documents")},
-         cand AS (
-           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
-           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-           WHERE len(list_filter(range(0, 8), bd ->
-             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         ${sqlBandCand("cand")},
          j AS (SELECT id_a, id_b,
              CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
                   ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
            FROM cand),
          lsh AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         -- exact ground truth via a POSTINGS equi-join (shared shingle
+         -- hash), not an all-pairs list_intersect: a zero-intersection or
+         -- empty-list pair can never reach jac >= 0.5, so only co-occurring
+         -- pairs need the arithmetic; |union| = |a| + |b| - |inter| because
+         -- phs are per-doc distinct
          ex AS (SELECT id_a, id_b FROM (
-             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-               CASE WHEN len(list_distinct(x.phs || y.phs)) = 0 THEN 0.0
-                    ELSE len(list_intersect(x.phs, y.phs))::DOUBLE /
-                         len(list_distinct(x.phs || y.phs)) END AS jac
-             FROM ph x JOIN ph y ON x.doc_id < y.doc_id)
-           WHERE jac >= 0.5),
+               SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+               FROM mh_pu x JOIN mh_pu y ON x.p = y.p AND x.doc_id < y.doc_id
+               GROUP BY 1, 2) i
+             JOIN (SELECT doc_id, len(phs) AS n FROM ph) la ON la.doc_id = i.id_a
+             JOIN (SELECT doc_id, len(phs) AS n FROM ph) lb ON lb.doc_id = i.id_b
+           WHERE i.inter::DOUBLE / (la.n + lb.n - i.inter) >= 0.5),
          c AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
              CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_lsh
@@ -4106,11 +4159,7 @@ object SparkEntry {
          SELECT n_exact, n_lsh, round(n_lsh / n_exact, 6) AS recall FROM c""",
     "d_lsh_index_pairs" ->
       s"""WITH ${sqlMinhashSigCtes("documents")},
-         cand AS (
-           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
-           FROM sig x JOIN sig y ON x.doc_id < 400 AND y.doc_id >= 400
-           WHERE len(list_filter(range(0, 8), bd ->
-             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         ${sqlBandCand("cand", "x.doc_id < 400 AND y.doc_id >= 400")},
          j AS (SELECT id_a, id_b,
              CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
                   ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) END AS jac
@@ -4169,12 +4218,10 @@ object SparkEntry {
                   ELSE text END AS text
            FROM documents),
          ${sqlMinhashSigCtes("planted")},
-         bands AS (
-           SELECT doc_id, bd, sig[bd * 4 + 1 : bd * 4 + 4] AS key
-           FROM sig, (SELECT unnest(range(0, 8)) AS bd) r
-           WHERE len(phs) > 0),
-         bsz AS (SELECT bd, key, count(*) AS c FROM bands GROUP BY bd, key),
-         okb AS (SELECT doc_id, bd, key FROM bands JOIN bsz USING (bd, key) WHERE c <= 20),
+         nb AS (SELECT b.doc_id, b.bd, b.bsig AS key
+                FROM bands b JOIN ph USING (doc_id) WHERE len(phs) > 0),
+         bsz AS (SELECT bd, key, count(*) AS c FROM nb GROUP BY bd, key),
+         okb AS (SELECT doc_id, bd, key FROM nb JOIN bsz USING (bd, key) WHERE c <= 20),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM okb a JOIN okb b ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -4738,7 +4785,7 @@ object SparkEntry {
                (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
              n_ws
            FROM (SELECT *, ${sqlWordNgramHashes(3)} AS g3 FROM c_feat)),
-         c_scrub AS (
+         c_scrub AS MATERIALIZED (
            SELECT doc_id, lang, quality,
              regexp_replace(regexp_replace(text,
                '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
@@ -4756,15 +4803,11 @@ object SparkEntry {
                      FROM c_sent
                      WHERE sentence NOT IN (SELECT sentence FROM c_hotl)
                      GROUP BY doc_id),
-         curated AS (SELECT s.doc_id, s.lang, s.quality,
+         curated AS MATERIALIZED (SELECT s.doc_id, s.lang, s.quality,
                        coalesce(l.clean_text, '') AS text
                      FROM c_scrub s LEFT JOIN c_lines l USING (doc_id)),
          ${sqlMinhashSigCtes("curated")},
-         c_cand AS (
-           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.phs AS ga, y.phs AS gb
-           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-           WHERE len(list_filter(range(0, 8), bd ->
-             x.sig[bd * 4 + 1 : bd * 4 + 4] = y.sig[bd * 4 + 1 : bd * 4 + 4])) > 0),
+         ${sqlBandCand("c_cand")},
          c_mp AS (SELECT id_a, id_b FROM (
              SELECT id_a, id_b,
                CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
@@ -4778,8 +4821,8 @@ object SparkEntry {
            SELECT doc_id, doc_id FROM curated
            UNION
            SELECT r.a, e.d FROM c_reach r JOIN c_edges e ON e.s = r.b),
-         c_comp AS (SELECT a AS doc_id, min(b) AS comp FROM c_reach GROUP BY a),
-         reps AS (SELECT c.doc_id, c.lang, c.quality, c.text
+         c_comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS comp FROM c_reach GROUP BY a),
+         reps AS MATERIALIZED (SELECT c.doc_id, c.lang, c.quality, c.text
                   FROM curated c JOIN c_comp m
                     ON c.doc_id = m.doc_id AND m.comp = c.doc_id),
          ${sqlBpeCtes("reps")},
@@ -5043,6 +5086,17 @@ object SparkEntry {
     // the native AsofJoinExec merge must equal DuckDB's ASOF LEFT JOIN,
     // including the matched order's own timestamp in the output
     "q_asof_native" ->
+      """WITH o AS (SELECT o_custkey AS o_user, epoch_us(o_orderdate) AS o_us,
+             round(max(o_totalprice), 2) AS last_order_price,
+             count(*) AS last_order_n
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.o_us AS last_order_us, o.last_order_price, o.last_order_n
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_user AND epoch_us(e.ts) >= o.o_us""",
+    // the salted variant must be result-identical to the unsalted native
+    // join — same ASOF oracle, salting invisible in the rows
+    "q_asof_salted" ->
       """WITH o AS (SELECT o_custkey AS o_user, epoch_us(o_orderdate) AS o_us,
              round(max(o_totalprice), 2) AS last_order_price,
              count(*) AS last_order_n

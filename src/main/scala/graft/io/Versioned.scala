@@ -47,9 +47,25 @@ object Versioned {
     * corrupt. (On HDFS the rename is atomic; a plain delete+rename window
     * is accepted on filesystems without atomic replace.)
     */
+  /** Highest `v=N` directory on disk — the version AUTHORITY for writers.
+    * The manifest only publishes; deriving `next` from it would let a lost
+    * manifest (writer crash between delete and rename) restart numbering at
+    * 1 and overwrite an already-published immutable snapshot.
+    */
+  private def maxVersionOnDisk(spark: SparkSession, path: String): Option[Int] = {
+    val f = fs(spark, path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .maxOption
+  }
+
   def write(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, path).getOrElse(0) + 1
+    val next = maxVersionOnDisk(spark, path).getOrElse(0) + 1
     df.write.mode("overwrite").parquet(s"$path/v=$next")
     val f = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(manifest(path).toString + ".tmp")

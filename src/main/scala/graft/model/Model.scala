@@ -103,6 +103,32 @@ object AccountConfig {
   def digitsOnly(s: String): String = s.filter(_.isDigit)
 }
 
+/** OAuth credential block for the live Google API transports (reference
+  * `models/oauth_credentials.py:16-35`, populated from the
+  * `--client_id/--client_secret/--access_token/--refresh_token` CLI flags
+  * of `models/options.py:25-31`, plus the Ads `--developer_token` of
+  * `options.py:49`). Offline transports ignore it; [[graft.Main]] threads
+  * it into the HTTP transport's auth headers so cloud mode is a CONFIG
+  * change, not a code change.
+  */
+final case class OAuthCredentials(
+    clientId: String = "",
+    clientSecret: String = "",
+    accessToken: String = "",
+    refreshToken: String = "",
+    developerToken: String = "") {
+  /** Headers a live Google endpoint expects on every call. The refresh
+    * flow (exchanging refreshToken for a new accessToken) belongs to the
+    * deployment's token service; this block carries what the wire needs.
+    */
+  def authHeaders: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    if (accessToken.nonEmpty) b += ("Authorization" -> s"Bearer $accessToken")
+    if (developerToken.nonEmpty) b += ("developer-token" -> developerToken)
+    b.result()
+  }
+}
+
 /** Data source of one execution (reference `models/execution.py:163-213`).
   * `metadata` is positional: [dataset, table] for BIG_QUERY or
   * [fileType, path] for FILE.

@@ -168,6 +168,22 @@ object Pq {
     * (subspace, centroid, dimension). Only numSub × ksub × dsub doubles
     * ever reach the driver. Train on a sample at scale, then freeze.
     */
+  /** [[trainCodebooks]] behind the same executable sample-first contract
+    * as [[Similarity.trainCentroidsSampled]]: at most `maxTrainRows`
+    * vectors feed the per-subspace Lloyd loop. Returns the codebooks plus
+    * the actual training-row count.
+    */
+  def trainCodebooksSampled(corpus: DataFrame, vecCol: String, numSub: Int,
+      ksub: Int, dim: Int, iters: Int = 5, maxTrainRows: Long = 100000L,
+      seed: Long = 42L): (Seq[Seq[Seq[Double]]], Long) = {
+    val train = Similarity.boundedTrainingSample(
+      corpus.select(col(vecCol).as(vecCol)), maxTrainRows, seed)
+    val used = train.count()
+    assert(used <= maxTrainRows,
+      s"training sample $used exceeded the $maxTrainRows budget")
+    (trainCodebooks(train, vecCol, numSub, ksub, dim, iters), used)
+  }
+
   def trainCodebooks(corpus: DataFrame, vecCol: String, numSub: Int,
       ksub: Int, dim: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")

@@ -147,6 +147,43 @@ object Similarity {
     centroids
   }
 
+  /** A pinned, size-bounded training sample: at most `maxRows` rows ever
+    * feed a Lloyd iteration, whatever the corpus size. localCheckpoint pins
+    * the draw so every iteration trains on the SAME rows (a re-evaluated
+    * sample+limit can shift between jobs) and truncates the corpus lineage
+    * out of the training loop.
+    */
+  private[operators] def boundedTrainingSample(df: DataFrame, maxRows: Long,
+      seed: Long): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val total = df.count()
+    val sampled =
+      if (total <= maxRows) df
+      else df.sample(withReplacement = false,
+        math.min(1.0, maxRows.toDouble * 1.1 / total), seed).limit(maxRows.toInt)
+    sampled.localCheckpoint(true)
+  }
+
+  /** [[trainCentroids]] behind an EXECUTABLE sample-first contract: the
+    * Lloyd loop never sees more than `maxTrainRows` vectors (uniform
+    * sample, pinned), so training cost — and the k×dim means collected per
+    * iteration — is bounded by the budget, not the corpus. Returns the
+    * centroids plus the actual training-row count (always <= the budget;
+    * asserted, not assumed). At 100 TB this is THE way to call
+    * trainCentroids; the raw method stays for small/already-sampled
+    * inputs.
+    */
+  def trainCentroidsSampled(corpus: DataFrame, vecCol: String, k: Int,
+      dim: Int, iters: Int = 5, maxTrainRows: Long = 100000L,
+      seed: Long = 42L): (Seq[Seq[Double]], Long) = {
+    val train = boundedTrainingSample(corpus.select(col(vecCol).as(vecCol)),
+      maxTrainRows, seed)
+    val used = train.count()
+    assert(used <= maxTrainRows,
+      s"training sample $used exceeded the $maxTrainRows budget")
+    (trainCentroids(train, vecCol, k, dim, iters), used)
+  }
+
   /** The `n` nearest centroid cells of a vector by cosine, descending
     * (ties by cell index — the exact order the DuckDB oracles replicate).
     */

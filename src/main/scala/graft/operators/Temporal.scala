@@ -71,6 +71,62 @@ object Temporal {
     org.apache.spark.sql.graft.AsofJoinDF.asofJoin(
       left, right, leftKeys, rightKeys, leftTs, rightTs, toleranceUs, forward)
 
+  /** Skew-safe as-of join: [[asofJoinNative]] behind a hot-key salting
+    * pre-pass. The native exec's merge needs every row of one key in one
+    * sorted partition, and AQE's OptimizeSkewedJoin only matches the stock
+    * join execs — so one pathological key (one device emitting a large
+    * fraction of all left rows) runs as ONE task. This wrapper restores
+    * parallelism without touching the exec:
+    *
+    *  1. ONE map-side-combinable count over the left side finds keys whose
+    *     left row count exceeds `hotKeyThreshold` (bounded result: at most
+    *     |left| / threshold keys, broadcast back).
+    *  2. Hot left rows salt by `hash(leftTs) % numSalts` — time-hash keeps
+    *     the split even regardless of the key's time distribution; cold
+    *     rows take salt 0.
+    *  3. The RIGHT side's hot-key rows replicate to every salt (cold rows
+    *     to salt 0 only), so each salted bucket still sees the key's FULL
+    *     history in sorted order — match results are row-identical to the
+    *     unsalted join; only the partitioning changes.
+    *
+    * Cost: the extra count pass, plus right-side hot rows × numSalts
+    * replication. Replication is the price of exactness — a backward match
+    * may reach arbitrarily far back, so no time-range split of the right
+    * side is safe without a carry-in pass. Keep `numSalts` near the
+    * per-key parallelism you need, and if the hot key's RIGHT history is
+    * itself huge, pre-aggregate right to one row per (key, time) first
+    * (ties resolve arbitrarily in the unsalted exec anyway).
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String, toleranceUs: Long = -1L,
+      forward: Boolean = false, numSalts: Int = 16,
+      hotKeyThreshold: Long = 2000000L): DataFrame = {
+    require(numSalts > 1, s"numSalts must exceed 1, got $numSalts")
+    val hot = left.groupBy(leftKeys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotKeyThreshold)
+      .drop("__cnt")
+      .withColumn("__is_hot", lit(true))
+    val l2 = left.join(broadcast(hot), leftKeys, "left")
+      .withColumn("__salt",
+        when(col("__is_hot"), pmod(hash(col(leftTs)), lit(numSalts)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__is_hot")
+    val hotR = leftKeys.zip(rightKeys).foldLeft(hot.drop("__is_hot")) {
+      case (d, (l, r)) => d.withColumnRenamed(l, r)
+    }.withColumn("__is_hot", lit(true))
+    val r2 = right.join(broadcast(hotR), rightKeys, "left")
+      .withColumn("__rsalt", explode(
+        when(col("__is_hot"), sequence(lit(0), lit(numSalts - 1)))
+          .otherwise(array(lit(0)))))
+      .withColumn("__rsalt", col("__rsalt").cast("int"))
+      .drop("__is_hot")
+    asofJoinNative(l2, r2, leftKeys :+ "__salt", rightKeys :+ "__rsalt",
+        leftTs, rightTs, toleranceUs, forward)
+      .drop("__salt").drop("__rsalt")
+  }
+
   /** Keyless point-in-interval join: every (point, interval) pair with
     * `startCol` <= `pointTs` < `endCol` — the batch analog of a stream-
     * stream interval join, without any equi-key to hash on.

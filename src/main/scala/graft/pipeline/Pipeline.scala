@@ -150,7 +150,7 @@ object Pipeline {
           try {
             val outcomesPerExec = branchExecutions.map { ex =>
               val hashed = branch.hasher.fold(df)(h => h(df, ex.destination.metadata))
-              ex -> uploadStage(spark, hashed, df, ex, branch, opts)
+              ex -> uploadStage(spark, hashed, ex, branch, opts)
             }
             outcomesPerExec.foreach { case (ex, outcomes) =>
               val agg = outcomes.groupBy("executionKey").agg(
@@ -204,13 +204,14 @@ object Pipeline {
     * remove_all / DV create-vs-edit): partition batch offsets are
     * precomputed from per-partition row counts — deterministic, no
     * cross-partition coordination at upload time (SURVEY §7.4 item 1). The
-    * counting pass is an EXTRA read of the (persisted) source, so it only
+    * counting pass is an EXTRA read of the (persisted, pre-hash) source
+    * through the hash projection, so it only
     * runs for branches that need it: `needsIteration` renderers and
     * rate-limited branches (which divide a global budget across the
     * partitions that hold rows). Every other branch takes a partition-local
     * index its renderer never reads — one pass, not two, per execution.
     */
-  private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame, countDf: DataFrame,
+  private[pipeline] def uploadStage(spark: SparkSession, df: DataFrame,
       execution: Execution, branch: BranchSpec, opts: PipelineOptions): DataFrame = {
     import spark.implicits._
     val schema = df.schema
@@ -219,13 +220,18 @@ object Pipeline {
 
     val rdd = df.rdd
     val needsCounts = branch.needsIteration || branch.rateLimitPerSec.isDefined
-    // Counts come from the PRE-HASH persisted frame: the hashers are
-    // row-preserving projections, so the counts are identical, and the
-    // counting pass reads the cache instead of re-running SHA-256 over
-    // every row only to discard the result.
+    // Counts MUST come from the POST-HASH frame `df`: the PII hashers drop
+    // rows whose every emitted field is null when the source has no
+    // passthrough columns (PiiHashing.dropAllNullRows) — counting the
+    // pre-hash cache could pick a firstPid that is empty post-hash, so the
+    // iteration-1 cleanup (REPLACE remove_all, data-import erase) would
+    // silently never send, and an all-dropped source would bypass the
+    // empty-batch path. The hash projection re-runs over the persisted
+    // pre-hash cache — one extra codegen'd pass, only for branches that
+    // need counts at all.
     val counts: Map[Int, Long] =
       if (needsCounts)
-        countDf.rdd.mapPartitionsWithIndex { (pid, it) =>
+        rdd.mapPartitionsWithIndex { (pid, it) =>
           Iterator((pid, it.size.toLong))
         }.collect().toMap
       else Map.empty

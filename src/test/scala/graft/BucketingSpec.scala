@@ -123,6 +123,22 @@ class BucketingSpec extends SparkTestBase {
     assert(Versioned.latestVersion(spark, path) === Some(2))
   }
 
+  test("versioned table: a lost manifest never restarts numbering over published snapshots") {
+    import graft.io.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_ver_crash").toString
+    assert(Versioned.write(Seq((1L, "a")).toDF("k", "v"), path) === 1)
+    assert(Versioned.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path) === 2)
+    // simulate a writer crash between manifest delete and rename
+    new java.io.File(path, "_LATEST").delete()
+    assert(Versioned.latestVersion(spark, path).isEmpty)
+    // the next write must number from the v=N directories, not the manifest:
+    // v=3, never an overwrite of the published (and possibly still-read) v=1
+    assert(Versioned.write(Seq((3L, "c")).toDF("k", "v"), path) === 3)
+    assert(Versioned.read(spark, path, Some(1)).count() === 1L)
+    assert(Versioned.read(spark, path, Some(2)).count() === 2L)
+    assert(Versioned.latestVersion(spark, path) === Some(3))
+  }
+
   test("salted join equals the plain join on a corpus with one hot key") {
     val left = ((1 to 900).map(i => (42L, s"hot$i")) ++
       (101 to 200).map(i => (i.toLong, s"cold$i"))).toDF("k", "payload")

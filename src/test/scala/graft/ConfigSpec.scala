@@ -149,4 +149,37 @@ class ConfigSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](
       graft.config.PrimaryConfigSource.select(None, None, Some("coll")).executions())
   }
+
+  test("CLI flags assemble the live-mode scaffold: oauth block + http transport") {
+    val flags = Map(
+      "--client-id" -> "cid", "--client-secret" -> "cs",
+      "--access-token" -> "at", "--refresh-token" -> "rt",
+      "--developer-token" -> "devtok",
+      "--transport" -> "http:https://staging.example.com/v1")
+    val oauth = Main.oauthFromFlags(flags)
+    assert(oauth == graft.model.OAuthCredentials("cid", "cs", "at", "rt", "devtok"))
+    assert(oauth.authHeaders == Map(
+      "Authorization" -> "Bearer at", "developer-token" -> "devtok"))
+    // no tokens → no auth headers (offline default stays clean)
+    assert(Main.oauthFromFlags(Map.empty).authHeaders.isEmpty)
+
+    Main.transportFromFlags(flags, "/tmp/unused") match {
+      case t: graft.sink.HttpTransport =>
+        assert(t.headers("Authorization") == "Bearer at")
+        assert(t.headers("developer-token") == "devtok")
+        assert(t.headers("Content-Type") == "application/json")
+        // the renderer's production endpoint re-roots onto the base
+        assert(t.rewriteUrl("https://googleads.googleapis.com/v17/customers:run")
+          == "https://staging.example.com/v1/v17/customers:run")
+      case other => fail(s"expected HttpTransport, got $other")
+    }
+    // default stays the offline file transport
+    Main.transportFromFlags(Map.empty, "/tmp/out") match {
+      case f: graft.sink.FileTransport => assert(f.dir == "/tmp/out")
+      case other => fail(s"expected FileTransport, got $other")
+    }
+    val err = intercept[RuntimeException](
+      Main.transportFromFlags(Map("--transport" -> "grpc"), "/tmp/out"))
+    assert(err.getMessage.contains("grpc"))
+  }
 }

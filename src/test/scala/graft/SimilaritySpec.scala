@@ -64,6 +64,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained >= 0.3, s"trained recall too low: $trained")
   }
 
+  test("sampled training honors the driver-rows budget and still yields usable centroids") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val total = emb.count()
+    val budget = total / 4
+    val (centroids, used) = Similarity.trainCentroidsSampled(
+      emb, "embedding", k = 8, dim = 64, iters = 3, maxTrainRows = budget)
+    // the contract: however large the corpus, at most `budget` rows train
+    assert(used <= budget, s"$used rows trained against a $budget budget")
+    assert(used > 0)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    // same seed, same budget → bit-identical centroids (the sample is pinned)
+    val (again, _) = Similarity.trainCentroidsSampled(
+      emb, "embedding", k = 8, dim = 64, iters = 3, maxTrainRows = budget)
+    assert(again == centroids)
+    // a corpus under budget trains on everything
+    val (_, usedAll) = Similarity.trainCentroidsSampled(
+      emb, "embedding", k = 4, dim = 64, iters = 1, maxTrainRows = total + 10)
+    assert(usedAll == total)
+    // the sampled centroids still drive a working IVF search
+    val ann = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", centroids, k = 5, nprobe = 2)
+    assert(ann.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+    // PQ side of the same contract
+    val (books, usedPq) = graft.operators.Pq.trainCodebooksSampled(
+      emb, "embedding", numSub = 4, ksub = 8, dim = 64, iters = 2,
+      maxTrainRows = budget)
+    assert(usedPq <= budget)
+    assert(books.length == 4 && books.forall(b => b.length == 8 && b.forall(_.length == 16)))
+  }
+
   test("materialized IVF index equals the recompute path and prunes partitions") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val centroids = VectorOps.rademacherPlanes(8, 64)

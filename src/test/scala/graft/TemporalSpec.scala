@@ -124,6 +124,48 @@ class TemporalSpec extends SparkTestBase {
       s"expected the two co-partitioned exchanges:\n$p")
   }
 
+  test("asofJoinSalted: row-identical to the unsalted native join on a hot-key corpus") {
+    val rnd = new scala.util.Random(11)
+    // one pathological key (0) holds ~80% of left rows
+    val left = Seq.tabulate(2000) { i =>
+      val key = if (rnd.nextInt(10) < 8) 0L else 1L + rnd.nextInt(5).toLong
+      (i.toLong, key, rnd.nextInt(100000).toLong)
+    }.toDF("id", "key", "t")
+    val right = Seq.tabulate(400)(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(100000).toLong, i.toDouble))
+      .toDF("rkey", "rt", "payload").dropDuplicates("rkey", "rt")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "payload").as[(Long, Option[Double])].collect().toMap
+    for (fwd <- Seq(false, true); tol <- Seq(-1L, 5000L)) {
+      val plain = collectPairs(Temporal.asofJoinNative(
+        left, right, Seq("key"), Seq("rkey"), "t", "rt", tol, fwd))
+      val salted = collectPairs(Temporal.asofJoinSalted(
+        left, right, Seq("key"), Seq("rkey"), "t", "rt", tol, fwd,
+        numSalts = 8, hotKeyThreshold = 500L))
+      assert(salted === plain, s"fwd=$fwd tol=$tol")
+    }
+  }
+
+  test("asofJoinSalted: the hot key's left rows actually split across salts") {
+    val left = Seq.tabulate(4000)(i => (i.toLong, 0L, i.toLong * 7 % 100000))
+      .toDF("id", "key", "t")
+    val right = Seq.tabulate(50)(i => (0L, i.toLong * 2000, i.toDouble))
+      .toDF("rkey", "rt", "payload")
+    // same salting arithmetic as asofJoinSalted: hash(t) % 8 over hot rows
+    val saltCounts = left
+      .withColumn("__salt", pmod(hash(col("t")), lit(8)))
+      .groupBy("__salt").count().as[(Int, Long)].collect().toMap
+    // the single one-task key becomes >= 6 buckets, none holding more
+    // than ~2x the even share — the merge work parallelizes
+    assert(saltCounts.size >= 6, s"salts used: $saltCounts")
+    assert(saltCounts.values.max <= 4000 / 8 * 2, s"skewed salts: $saltCounts")
+    // and the salted join still answers correctly under that split
+    val out = Temporal.asofJoinSalted(left, right, Seq("key"), Seq("rkey"),
+      "t", "rt", numSalts = 8, hotKeyThreshold = 100L)
+    assert(out.count() === 4000L)
+    assert(out.filter(col("payload").isNull).count() === 0L)
+  }
+
   test("pointInIntervalJoin: half-open bounds, bin-spanning interval pairs once") {
     val points = Seq((1L, 100L), (2L, 150L), (3L, 199L), (4L, 200L), (5L, 99L))
       .toDF("pid", "t")
