@@ -37,6 +37,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Progress to stderr (stdout carries only the JSON line): at larger
+      // SFs a single degenerating query can run for minutes — the log shows
+      // WHICH one without waiting for the final line.
+      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
       // Isolation between queries: iterative operators localCheckpoint
       // working frames whose final round outlives the query (the returned
       // plan reads it). Dropping all persisted blocks here keeps query N's

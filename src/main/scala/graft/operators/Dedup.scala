@@ -646,7 +646,7 @@ object Dedup {
     * excluded and over-cap chunk buckets dropped (see [[capBuckets]]).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxDistance: Int = 3, maxBucket: Int = 4000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.simhash60(col(textCol)).as("sig"))
       // sig == 0 is the token-free signature (empty docs — exact-dup
@@ -664,12 +664,25 @@ object Dedup {
     * chunk bucket exceeds `maxBucket`), verify hamming in the join
     * condition.
     *
+    * The verify cost inside a KEPT bucket is quadratic — worst case
+    * maxBucket² hamming evaluations per bucket — so `maxBucket` is a WORK
+    * bound, not just a recall knob: 4000 caps a bucket's verify at ~8M
+    * comparisons (one reasonable task), where the former 10000 default
+    * allowed 50M. Measured in the sf1 soak: a low-vocabulary corpus
+    * collapses simhash chunks into mega-buckets just under the cap, and
+    * d_simhash_pairs went 27.9× for 10× data — quadratic-until-cap, the
+    * designed failure mode, but with a cap sized for recall rather than
+    * per-task work. Real-text chunk buckets stay far smaller; a bucket
+    * this degenerate is boilerplate worth dropping. (At cluster scale AQE
+    * skew-split also divides an oversized chunk key across tasks once the
+    * partition passes the skew threshold — invisible locally.)
+    *
     * @param sigs (id, sig) — sig a 60-bit long; callers drop degenerate
     *             signatures (e.g. the empty-payload 0) first
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
   def hammingPairs60(sigs: DataFrame,
-      maxDistance: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxDistance: Int = 3, maxBucket: Int = 4000): DataFrame = {
     require(maxDistance <= 3, "pigeonhole blocking over 4 chunks is exact only for distance <= 3")
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
@@ -952,11 +965,20 @@ object Dedup {
     * shuffle ids only (vectors are fetched once for verification);
     * degenerate cells are capped like every other LSH bucket.
     *
+    * `maxCell` is a WORK bound (per-cell verify ≤ maxCell²/2 cosine
+    * evaluations, 4000 → ≤8M): an over-cap cell SKIPS dedup entirely —
+    * its rows form singleton components and are all kept, the safe
+    * failure (no data loss, no O(cell²) join). The executable scale
+    * contract is k ∝ corpus size so the EXPECTED cell (corpus / k) stays
+    * inside the cap; the sf1 soak measured 19.6× wall for 10× data when k
+    * was held fixed and cells grew 10× — quadratic-in-cell by design,
+    * which the cap now prices.
+    *
     * @return kept rows (id, cell).
     */
   def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double = 0.45,
-      maxCell: Int = 100000): DataFrame = {
+      maxCell: Int = 4000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell",
         element_at(Similarity.nearestCells(col("vec"), centroids, 1), 1))
@@ -994,7 +1016,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numTables: Int = 8, bitsPerTable: Int = 8,
-      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+      dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val candidates =
       if (numTables <= 0) {
@@ -1008,8 +1030,18 @@ object Dedup {
         val keyed = base.select(col("id"),
           explode(graft.functions.KernelExpressions.srpBucketKeys(
             col("vec"), planes, numTables, bitsPerTable)).as("tb"))
-        // Near-constant embedding clusters (e.g. zero/padding vectors) share
-        // every table bucket: cap per-cell population (see capBuckets).
+        // Near-constant embedding clusters (zero/padding vectors, but also
+        // any true duplicate cluster comparable to the corpus) share every
+        // table bucket, and the candidate MULTISET is quadratic in bucket
+        // size × numTables — the sf1 soak measured a 480M-row candidate
+        // shuffle (4 GiB single-page allocations, thrash) from 10 planted
+        // 2000-vector clusters under the old 10000 cap. maxBucket is
+        // therefore a WORK bound: per bucket ≤ maxBucket²/2 candidate rows
+        // (1000 → ≤500k per table). A cluster too big for the cap is
+        // degenerate-duplicate territory where pair ENUMERATION itself is
+        // the mistake — route those through the keep-one operators
+        // (semDeDupKeep / clusterBestKeep), which output representatives,
+        // not O(cluster²) pairs.
         val capped = capBuckets(keyed, "tb", maxBucket)
         val a = capped.select(col("tb").as("tb"), col("id").as("id_a"))
         val b = capped.select(col("tb").as("tb2"), col("id").as("id_b"))
