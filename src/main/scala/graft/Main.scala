@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * pipeline → print the consolidation summary → exit 1 if ANY branch
   * recorded an error (errors never abort other branches).
   *
-  * Args: --config <json path> --output <transport dir> [--bq-dir <dir>]
+  * Args: --config <json path> | --sheet-id <id> | --firestore-collection <c>
+  *       --output <transport dir> [--bq-dir <dir>]
   *       [--bq-format parquet|bigquery|<any registered format>]
   *       [--transport file|http:<api base url>]
+  *       [--firestore-project <gcp project>] [--config-api-base <mock/staging>]
   *       [--client-id x --client-secret x --access-token x
   *        --refresh-token x --developer-token x]
   *
@@ -43,6 +45,13 @@ object Main {
       case "file" => FileTransport(outputDir)
       case spec if spec.startsWith("http:") =>
         val base = spec.stripPrefix("http:")
+        // catch the natural misspelling `--transport http://host` (a plain
+        // URL): its remainder `//host` has no scheme, so every send would
+        // fail at request-build time with a cryptic per-batch error —
+        // reject the flag at startup instead
+        if (!base.startsWith("http://") && !base.startsWith("https://"))
+          sys.error(s"--transport http:<base url> needs a full base URL " +
+            s"(e.g. http:https://api.example.com), got '$spec'")
         graft.sink.HttpTransport(
           headers = Map("Content-Type" -> "application/json") ++
             oauthFromFlags(opts).authHeaders,
@@ -58,8 +67,12 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val configPath = opts.getOrElse("--config",
-      sys.error("--config <path to configuration json> is required"))
+    val sheetId = opts.get("--sheet-id")
+    val firestoreCollection = opts.get("--firestore-collection")
+    val configPath = opts.get("--config")
+    if (configPath.isEmpty && sheetId.isEmpty && firestoreCollection.isEmpty)
+      sys.error("one of --config <json path>, --sheet-id <id>, or " +
+        "--firestore-collection <name> is required")
     val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
     val bqDir = opts.get("--bq-dir")
 
@@ -75,20 +88,40 @@ object Main {
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
 
-    val executions = PrimaryConfigSource.select(None, Some(configPath), None).executions()
-    println(s"[graft] loaded ${executions.size} executions from $configPath")
+    // Sheets/Firestore config goes live when their ids are given: the REST
+    // fetchers take the same OAuth headers as the sink transport, and
+    // --config-api-base points both at a staging/mock server when set.
+    val live =
+      if (sheetId.isDefined || firestoreCollection.isDefined) {
+        val base = opts.get("--config-api-base")
+        Some(graft.config.LiveConfigAccess(
+          headers = oauthFromFlags(opts).authHeaders,
+          sheetsApiBase = base.getOrElse("https://sheets.googleapis.com"),
+          firestoreApiBase = base.getOrElse("https://firestore.googleapis.com"),
+          firestoreProject = opts.getOrElse("--firestore-project", "")))
+      } else None
+    val executions = PrimaryConfigSource
+      .select(sheetId, configPath, firestoreCollection, live).executions()
+    println(s"[graft] loaded ${executions.size} executions from " +
+      configPath.orElse(sheetId).orElse(firestoreCollection).getOrElse(""))
 
     val bqFormat = opts.getOrElse("--bq-format", "parquet")
     val pipelineOpts = PipelineOptions(
       transport = transportFromFlags(opts, outputDir),
       bqFormat = bqFormat,
-      bqPathFor =
-        if (bqFormat == "parquet")
+      bqPathFor = bqFormat match {
+        case "parquet" =>
           (dataset, table) => bqDir.map(d => s"$d/$dataset/$table.parquet")
             .getOrElse(s"/data/$dataset/$table.parquet")
-        else // table-reference formats (bigquery, graft-bq): no .parquet suffix
+        case "bigquery" =>
+          // the BigQuery connector parses table references as
+          // [project.]dataset.table — slash paths are rejected at load()
+          (dataset, table) => bqDir.map(d => s"$d.$dataset.$table")
+            .getOrElse(s"$dataset.$table")
+        case _ => // path-based registered formats (graft-bq stub, json, orc)
           (dataset, table) => bqDir.map(d => s"$d/$dataset/$table")
-            .getOrElse(s"$dataset.$table"))
+            .getOrElse(s"$dataset.$table")
+      })
 
     val report = Pipeline.run(spark, executions, pipelineOpts)
 

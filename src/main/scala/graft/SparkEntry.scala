@@ -1721,13 +1721,16 @@ object SparkEntry {
     * final rollup.
     */
   private def qBadRecords(s: SparkSession, dir: String): DataFrame = {
-    // One FIXED scratch dir per source sf dir, overwritten on every run —
-    // a fresh createTempDirectory here would leak one planted copy per
-    // bench/verify invocation. Driver-local path: correct in local mode
-    // (where Verify/Bench run); on a cluster the plant would go to shared
-    // storage.
+    // One FIXED scratch dir per (source sf dir, JVM), overwritten on every
+    // run — a fresh createTempDirectory would leak one planted copy per
+    // invocation, while a path shared ACROSS JVMs would let a concurrent
+    // Bench and Verify overwrite each other mid-scan (the pid keeps
+    // simultaneous processes apart; within one JVM overwrite is safe
+    // because queries run sequentially). Driver-local path: correct in
+    // local mode (where Verify/Bench run); on a cluster the plant would go
+    // to shared storage.
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_badrec_${dir.hashCode.toHexString}").toString
+      s"graft_badrec_${dir.hashCode.toHexString}_p${ProcessHandle.current().pid()}").toString
     t(s, dir, "documents")
       .select(when(col("doc_id") % 13 === 0,
           concat(lit("NOT_JSON#"), col("doc_id").cast("string")))

@@ -302,13 +302,33 @@ final class FirestoreConfigSource(data: FirestoreData) extends ConfigSource {
 /** Dispatch by which config parameter is set (reference
   * `primary_execution_source.py:31-82`).
   */
+/** Connection parameters for LIVE config fetch (Sheets / Firestore REST).
+  * `headers` carries the OAuth bearer ([[graft.model.OAuthCredentials
+  * .authHeaders]]); the api bases are injectable for staging/mock servers.
+  */
+final case class LiveConfigAccess(
+    headers: Map[String, String] = Map.empty,
+    sheetsApiBase: String = "https://sheets.googleapis.com",
+    firestoreApiBase: String = "https://firestore.googleapis.com",
+    firestoreProject: String = "")
+
 object PrimaryConfigSource {
+  /** Source dispatch (reference `main.py:57-66` precedence). With `live`
+    * set, Sheets/Firestore ids resolve through the REST fetchers; without
+    * it they stay offline plug points that fail with a remediation hint.
+    */
   def select(sheetId: Option[String], jsonPath: Option[String],
-      firestoreCollection: Option[String]): ConfigSource =
+      firestoreCollection: Option[String],
+      live: Option[LiveConfigAccess] = None): ConfigSource =
     (sheetId, jsonPath, firestoreCollection) match {
-      case (Some(s), _, _) => new SpreadsheetConfigSource(new UnavailableSheets(s))
+      case (Some(s), _, _) => new SpreadsheetConfigSource(
+        live.map(l => new HttpSheetsData(s, l.sheetsApiBase, l.headers): SheetsData)
+          .getOrElse(new UnavailableSheets(s)))
       case (_, Some(j), _) => JsonConfigSource.fromFile(j)
-      case (_, _, Some(f)) => new FirestoreConfigSource(new UnavailableFirestore(f))
+      case (_, _, Some(f)) => new FirestoreConfigSource(
+        live.map(l => new HttpFirestoreData(l.firestoreProject, f,
+            l.firestoreApiBase, l.headers): FirestoreData)
+          .getOrElse(new UnavailableFirestore(f)))
       case _ => throw new IllegalArgumentException(
         "One of sheet id, json path or firestore collection must be set")
     }

@@ -159,8 +159,14 @@ object Similarity {
     val total = df.count()
     val sampled =
       if (total <= maxRows) df
-      else df.sample(withReplacement = false,
-        math.min(1.0, maxRows.toDouble * 1.1 / total), seed).limit(maxRows.toInt)
+      else {
+        // limit() takes an Int: clamp huge budgets instead of overflowing
+        // negative (a >2B-row training sample exceeds driver-side Lloyd
+        // practicality anyway — the clamp is the effective ceiling)
+        val n = math.min(maxRows, Int.MaxValue.toLong).toInt
+        df.sample(withReplacement = false,
+          math.min(1.0, maxRows.toDouble * 1.1 / total), seed).limit(n)
+      }
     sampled.localCheckpoint(true)
   }
 

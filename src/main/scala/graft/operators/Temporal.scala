@@ -103,10 +103,28 @@ object Temporal {
       forward: Boolean = false, numSalts: Int = 16,
       hotKeyThreshold: Long = 2000000L): DataFrame = {
     require(numSalts > 1, s"numSalts must exceed 1, got $numSalts")
-    val hot = left.groupBy(leftKeys.map(col): _*)
+    // ONE count job: the hot-key set is bounded (≤ |left| / threshold rows),
+    // so collect it once and rebuild both sides' broadcast inputs from the
+    // local rows — two independent broadcast(hot) exchanges would each
+    // re-run the full left-side aggregation.
+    val spark = left.sparkSession
+    val hotRows = left.groupBy(leftKeys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotKeyThreshold)
       .drop("__cnt")
+      .collect().toSeq
+    if (hotRows.isEmpty)
+      return asofJoinNative(
+        left.withColumn("__salt", lit(0)),
+        right.withColumn("__rsalt", lit(0)),
+        leftKeys :+ "__salt", rightKeys :+ "__rsalt",
+        leftTs, rightTs, toleranceUs, forward)
+        .drop("__salt").drop("__rsalt")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      leftKeys.map(k => left.schema(k)))
+    val hot = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(hotRows).asJava), keySchema)
       .withColumn("__is_hot", lit(true))
     val l2 = left.join(broadcast(hot), leftKeys, "left")
       .withColumn("__salt",

@@ -181,5 +181,10 @@ class ConfigSpec extends AnyFunSuite {
     val err = intercept[RuntimeException](
       Main.transportFromFlags(Map("--transport" -> "grpc"), "/tmp/out"))
     assert(err.getMessage.contains("grpc"))
+    // the natural misspelling `http://host` (a plain URL) must be rejected
+    // at startup, not fail every send with a scheme-less URI
+    val err2 = intercept[RuntimeException](Main.transportFromFlags(
+      Map("--transport" -> "http://staging.example.com"), "/tmp/out"))
+    assert(err2.getMessage.contains("base URL"), err2.getMessage)
   }
 }

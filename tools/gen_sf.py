@@ -41,12 +41,19 @@ VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
 # documents: 10..100 vocab words; ~0.2% planted exact dups; lang/source mix as sf0.1
 save("documents", f"""
   WITH base AS (
+    -- per-doc draws are HASH-deterministic, not random(): DuckDB may
+    -- re-evaluate a CTE per reference, and a random n_words would make the
+    -- a-side and b-side of the dup-plant join disagree on the text, so no
+    -- exact duplicates would ever land (caught in review of the v1 corpus:
+    -- 49999/50000 distinct texts)
     SELECT i AS doc_id,
-      10 + (random() * 90)::INT AS n_words,
-      CASE WHEN random() < 0.4 THEN 'en'
-           WHEN random() < 0.25 THEN 'zh'
-           WHEN random() < 0.33 THEN 'es'
-           WHEN random() < 0.5 THEN 'fr' ELSE 'de' END AS lang,
+      10 + (hash(i * 7919 + 1) % 90)::INT AS n_words,
+      CASE (hash(i * 104729 + 2) % 20)
+           WHEN 0 THEN 'zh' WHEN 1 THEN 'zh' WHEN 2 THEN 'zh'
+           WHEN 3 THEN 'es' WHEN 4 THEN 'es' WHEN 5 THEN 'es'
+           WHEN 6 THEN 'fr' WHEN 7 THEN 'fr' WHEN 8 THEN 'fr'
+           WHEN 9 THEN 'de' WHEN 10 THEN 'de' WHEN 11 THEN 'de'
+           ELSE 'en' END AS lang,
       'src' || (i % 20) AS source
     FROM range(0, {N_DOC}) t(i)),
   txt AS (
@@ -75,60 +82,60 @@ save("embeddings", f"""
 # events: 30-day window, zipf-ish users, 5 types
 save("events", f"""
   SELECT i AS event_id,
-    TIMESTAMP '2024-01-01' + to_seconds((random() * 2591999)::INT)
-      + to_microseconds((random() * 999999)::INT) AS ts,
-    (power(random(), 2.0) * {int(1500 * mult)})::BIGINT AS user_id,
-    (['click','view','purchase','scroll','share'])[1 + (random()*5)::INT] AS event_type,
+    TIMESTAMP '2024-01-01' + to_seconds(floor(random() * 2591999)::INT)
+      + to_microseconds(floor(random() * 999999)::INT) AS ts,
+    floor(power(random(), 2.0) * {int(1500 * mult)})::BIGINT AS user_id,
+    (['click','view','purchase','scroll','share'])[1 + floor(random()*5)::INT] AS event_type,
     round(random() * 500, 4) AS value,
-    '{{"k":' || (random()*100)::INT || '}}' AS props
+    '{{"k":' || floor(random()*100)::INT || '}}' AS props
   FROM range(0, {N_EVT}) t(i)
 """)
 
 save("orders", f"""
   SELECT i AS o_orderkey,
-    (random() * {N_CUST})::BIGINT AS o_custkey,
-    (['O','F','P'])[1 + (random()*3)::INT] AS o_orderstatus,
+    floor(random() * {N_CUST})::BIGINT AS o_custkey,
+    (['O','F','P'])[1 + floor(random()*3)::INT] AS o_orderstatus,
     round(1000 + random() * 400000, 2) AS o_totalprice,
-    TIMESTAMP '2023-01-01' + to_days((random() * 699)::INT) AS o_orderdate,
-    (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])[1 + (random()*5)::INT] AS o_orderpriority
+    TIMESTAMP '2023-01-01' + to_days(floor(random() * 699)::INT) AS o_orderdate,
+    (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])[1 + floor(random()*5)::INT] AS o_orderpriority
   FROM range(0, {N_ORD}) t(i)
 """)
 
 save("lineitem", f"""
-  SELECT (random() * {N_ORD})::BIGINT AS l_orderkey,
-    (random() * {N_PART})::BIGINT AS l_partkey,
-    (random() * {N_SUPP})::BIGINT AS l_suppkey,
+  SELECT floor(random() * {N_ORD})::BIGINT AS l_orderkey,
+    floor(random() * {N_PART})::BIGINT AS l_partkey,
+    floor(random() * {N_SUPP})::BIGINT AS l_suppkey,
     1 + (i % 7)::INT AS l_linenumber,
-    (1 + (random() * 49)::INT)::DOUBLE AS l_quantity,
+    (1 + floor(random() * 49)::INT)::DOUBLE AS l_quantity,
     round(900 + random() * 100000, 2) AS l_extendedprice,
-    round((random() * 10)::INT / 100.0, 2) AS l_discount,
-    round((random() * 8)::INT / 100.0, 2) AS l_tax,
-    (['A','N','R'])[1 + (random()*3)::INT] AS l_returnflag,
-    (['O','F'])[1 + (random()*2)::INT] AS l_linestatus,
-    TIMESTAMP '2023-01-01' + to_days((random() * 760)::INT) AS l_shipdate
+    round(floor(random() * 10)::INT / 100.0, 2) AS l_discount,
+    round(floor(random() * 8)::INT / 100.0, 2) AS l_tax,
+    (['A','N','R'])[1 + floor(random()*3)::INT] AS l_returnflag,
+    (['O','F'])[1 + floor(random()*2)::INT] AS l_linestatus,
+    TIMESTAMP '2023-01-01' + to_days(floor(random() * 760)::INT) AS l_shipdate
   FROM range(0, {N_LINE}) t(i)
 """)
 
 save("customer", f"""
   SELECT i AS c_custkey, 'Customer#' || i AS c_name,
-    (random() * 25)::INT AS c_nationkey,
+    floor(random() * 25)::INT AS c_nationkey,
     round(-999 + random() * 10000, 2) AS c_acctbal,
-    (['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'])[1 + (random()*5)::INT] AS c_mktsegment
+    (['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'])[1 + floor(random()*5)::INT] AS c_mktsegment
   FROM range(0, {N_CUST}) t(i)
 """)
 
 save("supplier", f"""
   SELECT i AS s_suppkey, 'Supplier#' || i AS s_name,
-    (random() * 25)::INT AS s_nationkey,
+    floor(random() * 25)::INT AS s_nationkey,
     round(-999 + random() * 10000, 2) AS s_acctbal
   FROM range(0, {N_SUPP}) t(i)
 """)
 
 save("part", f"""
   SELECT i AS p_partkey, 'part ' || (i % 3000) AS p_name,
-    'Brand#' || (1 + (random()*5)::INT) || (1 + (random()*5)::INT) AS p_brand,
-    (['ECONOMY','STANDARD','PROMO','SMALL','LARGE'])[1 + (random()*5)::INT] || ' CASE' AS p_type,
-    1 + (random() * 50)::INT AS p_size,
+    'Brand#' || (1 + floor(random()*5)::INT) || (1 + floor(random()*5)::INT) AS p_brand,
+    (['ECONOMY','STANDARD','PROMO','SMALL','LARGE'])[1 + floor(random()*5)::INT] || ' CASE' AS p_type,
+    1 + floor(random() * 50)::INT AS p_size,
     round(900 + (i % 200) * 10 + random() * 100, 2) AS p_retailprice
   FROM range(0, {N_PART}) t(i)
 """)
@@ -136,3 +143,20 @@ save("part", f"""
 con.execute(f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.1/region.parquet')) TO '{out}/region.parquet' (FORMAT parquet)")
 con.execute(f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.1/nation.parquet')) TO '{out}/nation.parquet' (FORMAT parquet)")
 print("region/nation: copied")
+
+# Sanity: DuckDB casts double->int by ROUNDING, so a naive
+# `1 + (random()*n)::INT` indexes past a list's end ~0.5/n of the time and
+# yields NULLs (caught in review; all draws above use floor()). Assert the
+# generated corpus carries no NULL categoricals and no out-of-range keys.
+checks = [
+    ("events", "event_type IS NULL OR user_id IS NULL"),
+    ("orders", "o_orderstatus IS NULL OR o_orderpriority IS NULL OR o_custkey >= " + str(N_CUST)),
+    ("lineitem", "l_returnflag IS NULL OR l_linestatus IS NULL OR l_orderkey >= " + str(N_ORD)),
+    ("customer", "c_mktsegment IS NULL"),
+    ("part", "p_type IS NULL"),
+    ("documents", "text IS NULL OR lang IS NULL"),
+]
+for t, pred in checks:
+    bad = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet') WHERE {pred}").fetchone()[0]
+    assert bad == 0, f"{t}: {bad} rows violate '{pred}'"
+print("sanity: no NULL categoricals, keys in range")
