@@ -65,14 +65,26 @@ object Main {
         s"unknown --transport '$other' (expected 'file' or 'http:<base url>')")
     }
 
+  /** Startup validation of the config-source flags: a wrong combination must
+    * fail with a named flag, not surface later as a malformed-URL fetch error
+    * (missing project builds `.../v1/projects//databases/...` which 404s on
+    * every page with no hint which flag was forgotten).
+    */
+  private[graft] def validateConfigFlags(opts: Map[String, String]): Unit = {
+    if (opts.get("--config").isEmpty && opts.get("--sheet-id").isEmpty &&
+        opts.get("--firestore-collection").isEmpty)
+      sys.error("one of --config <json path>, --sheet-id <id>, or " +
+        "--firestore-collection <name> is required")
+    if (opts.contains("--firestore-collection") && !opts.contains("--firestore-project"))
+      sys.error("--firestore-collection requires --firestore-project <gcp project>")
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val sheetId = opts.get("--sheet-id")
     val firestoreCollection = opts.get("--firestore-collection")
     val configPath = opts.get("--config")
-    if (configPath.isEmpty && sheetId.isEmpty && firestoreCollection.isEmpty)
-      sys.error("one of --config <json path>, --sheet-id <id>, or " +
-        "--firestore-collection <name> is required")
+    validateConfigFlags(opts)
     val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
     val bqDir = opts.get("--bq-dir")
 
@@ -102,8 +114,10 @@ object Main {
       } else None
     val executions = PrimaryConfigSource
       .select(sheetId, configPath, firestoreCollection, live).executions()
+    // mirror PrimaryConfigSource.select's precedence (sheet > json > firestore)
+    // so the log names the source that actually won the dispatch
     println(s"[graft] loaded ${executions.size} executions from " +
-      configPath.orElse(sheetId).orElse(firestoreCollection).getOrElse(""))
+      sheetId.orElse(configPath).orElse(firestoreCollection).getOrElse(""))
 
     val bqFormat = opts.getOrElse("--bq-format", "parquet")
     val pipelineOpts = PipelineOptions(
@@ -120,7 +134,7 @@ object Main {
             .getOrElse(s"$dataset.$table")
         case _ => // path-based registered formats (graft-bq stub, json, orc)
           (dataset, table) => bqDir.map(d => s"$d/$dataset/$table")
-            .getOrElse(s"$dataset.$table")
+            .getOrElse(s"/data/$dataset/$table")
       })
 
     val report = Pipeline.run(spark, executions, pipelineOpts)

@@ -21,9 +21,14 @@ import scala.jdk.CollectionConverters._
 private[config] object HttpConfigData {
   final case class Response(code: Int, body: String)
 
+  // ONE shared client: a config load issues 10-15 GETs (range probes,
+  // account cells, pages), and a fresh HttpClient per GET would abandon a
+  // selector thread + connection pool each time with zero reuse. Per-request
+  // deadlines still apply via HttpRequest.timeout below.
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(15)).build()
+
   def get(url: String, headers: Map[String, String], timeoutMs: Long): Response = {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
     headers.foreach { case (k, v) => builder.header(k, v) }
@@ -31,6 +36,14 @@ private[config] object HttpConfigData {
       java.net.http.HttpResponse.BodyHandlers.ofString())
     Response(resp.statusCode(), resp.body())
   }
+
+  /** Percent-encode one URL path segment / query value. URLEncoder does
+    * FORM encoding (space -> '+', which a path decoder takes literally), so
+    * its '+' must become %20 for "'My Sheet'!A1:B2"-style range names and
+    * opaque page tokens to survive the round trip.
+    */
+  def encodeSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 }
 
 /** [[SheetsData]] over the Sheets v4 REST API:
@@ -54,7 +67,7 @@ final class HttpSheetsData(spreadsheetId: String,
     cache.computeIfAbsent(name, fetchRange(_))
 
   private def fetchRange(name: String): Option[Seq[Seq[String]]] = {
-    val enc = java.net.URLEncoder.encode(name, "UTF-8")
+    val enc = HttpConfigData.encodeSegment(name)
     val url = s"${apiBase.stripSuffix("/")}/v4/spreadsheets/$spreadsheetId/values/$enc"
     val resp = HttpConfigData.get(url, headers, timeoutMs)
     resp.code match {
@@ -64,7 +77,11 @@ final class HttpSheetsData(spreadsheetId: String,
         // still an existing range (empty grid), not a missing one
         Some(Option(node.get("values")).map(_.asScala.toSeq.map(row =>
           row.asScala.toSeq.map(_.asText()))).getOrElse(Seq.empty))
-      case 400 | 404 => None
+      // ONLY 400 (INVALID_ARGUMENT: unparseable/unknown range) means "this
+      // range doesn't exist". A 404 means the SPREADSHEET is missing — a
+      // typo'd --sheet-id must fail loudly, not parse as an empty schedule
+      // and exit 0 having uploaded nothing.
+      case 400 => None
       case code => throw new java.io.IOException(
         s"Sheets API GET $url failed: HTTP $code: ${resp.body.take(200)}")
     }
@@ -107,8 +124,10 @@ final class HttpFirestoreData(project: String, collection: String,
     var pageToken: Option[String] = None
     var more = true
     while (more) {
+      // page tokens are opaque strings with no URL-safety guarantee —
+      // encode, or a '+'/'=' inside one 400s exactly when pagination matters
       val url = s"$docsBase/$collection?pageSize=300" +
-        pageToken.map(t => s"&pageToken=$t").getOrElse("")
+        pageToken.map(t => s"&pageToken=${HttpConfigData.encodeSegment(t)}").getOrElse("")
       val resp = HttpConfigData.get(url, headers, timeoutMs)
       if (resp.code != 200) throw new java.io.IOException(
         s"Firestore API GET $url failed: HTTP ${resp.code}: ${resp.body.take(200)}")

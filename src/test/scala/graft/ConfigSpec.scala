@@ -187,4 +187,15 @@ class ConfigSpec extends AnyFunSuite {
       Map("--transport" -> "http://staging.example.com"), "/tmp/out"))
     assert(err2.getMessage.contains("base URL"), err2.getMessage)
   }
+
+  test("config-source flags validate at startup with the missing flag named") {
+    val err = intercept[RuntimeException](Main.validateConfigFlags(
+      Map("--firestore-collection" -> "coll")))
+    assert(err.getMessage.contains("--firestore-project"), err.getMessage)
+    Main.validateConfigFlags(
+      Map("--firestore-collection" -> "coll", "--firestore-project" -> "p1"))
+    Main.validateConfigFlags(Map("--config" -> "/tmp/cfg.json"))
+    val none = intercept[RuntimeException](Main.validateConfigFlags(Map.empty))
+    assert(none.getMessage.contains("--config"), none.getMessage)
+  }
 }

@@ -21,8 +21,10 @@ class HttpConfigDataSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   private val firestorePages = new AtomicInteger(0)
+  private val rawPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private val ranges: Map[String, Seq[Seq[String]]] = Map(
+    "'My Sheet'!A1:B2" -> Seq(Seq("spaced")),
     "GoogleAdsAccountId" -> Seq(Seq("123-456-7890")),
     "GoogleAdsMCC" -> Seq(Seq("Yes")),
     "AppId" -> Seq(Seq("my.app")),
@@ -60,6 +62,7 @@ class HttpConfigDataSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     server.createContext("/v4/spreadsheets/sheet42/values/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        rawPaths.add(ex.getRequestURI.getRawPath)
         val name = java.net.URLDecoder.decode(
           ex.getRequestURI.getPath.split("/").last, "UTF-8")
         ranges.get(name) match {
@@ -77,7 +80,10 @@ class HttpConfigDataSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (path.endsWith("/account_config"))
             respond(ex, 200, fsDoc("account_config",
               Map("google_ads_id" -> "123", "mcc_trix" -> "TRUE")))
-          else if (query.contains("pageToken=p2")) {
+          else if (query.contains("pageToken=p 2+x")) {
+            // the token has a space AND a '+': only reachable if the client
+            // percent-encoded it (raw `p 2+x` is an illegal URI; raw `p+2`
+            // would decode as a space). getQuery returns it decoded.
             firestorePages.incrementAndGet()
             // page 2: one inactive doc (filtered) — exercises pagination
             respond(ex, 200, s"""{"documents":[${fsDoc("d2",
@@ -85,7 +91,7 @@ class HttpConfigDataSpec extends AnyFunSuite with BeforeAndAfterAll {
           } else {
             firestorePages.incrementAndGet()
             respond(ex, 200, s"""{"documents":[${fsDoc("d1", docFields)}],
-              "nextPageToken":"p2"}""")
+              "nextPageToken":"p 2+x"}""")
           }
         }
       })
@@ -108,6 +114,23 @@ class HttpConfigDataSpec extends AnyFunSuite with BeforeAndAfterAll {
     val data = new HttpSheetsData("sheet42", base)
     assert(!data.rangeExists("NoSuchRange"))
     assert(data.getValue("AppId").contains("my.app"))
+  }
+
+  test("range names percent-encode as path segments (space is %20, never +)") {
+    rawPaths.clear()
+    val data = new HttpSheetsData("sheet42", base)
+    assert(data.getRange("'My Sheet'!A1:B2").contains(Seq(Seq("spaced"))))
+    val raw = rawPaths.toArray(Array.empty[String]).toSeq
+    assert(raw.exists(_.endsWith("/%27My%20Sheet%27%21A1%3AB2")), raw)
+    assert(raw.forall(!_.contains("+")), raw)
+  }
+
+  test("a missing SPREADSHEET (404) fails loudly instead of parsing as empty") {
+    // no context registered for sheet 'nope' -> the server 404s, which must
+    // surface as an error, not as an empty schedule that exits 0
+    val data = new HttpSheetsData("nope", base)
+    val err = intercept[java.io.IOException](data.getRange("GoogleAdsAccountId"))
+    assert(err.getMessage.contains("404"), err.getMessage)
   }
 
   test("firestore parser runs end-to-end with pagination and active filter") {
