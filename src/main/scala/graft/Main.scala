@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *       [--firestore-project <gcp project>] [--config-api-base <mock/staging>]
   *       [--client-id x --client-secret x --access-token x
   *        --refresh-token x --developer-token x]
+  *       [--token-uri <oauth token endpoint override>]
   *
   * Cloud mode is a CONFIG change, not a code change: `--bq-format
   * bigquery --bq-dir <project>` reads BigQuery through the registered
@@ -33,6 +34,21 @@ object Main {
       accessToken = opts.getOrElse("--access-token", ""),
       refreshToken = opts.getOrElse("--refresh-token", ""),
       developerToken = opts.getOrElse("--developer-token", ""))
+
+  /** Token provider when any token material is present: carries the static
+    * --access-token and, when --refresh-token + client creds are set,
+    * performs the OAuth2 refresh grant (reference token_uri
+    * `campaign_manager_conversion_uploader.py:42`; `--token-uri` re-points
+    * it at a staging/mock server).
+    */
+  private[graft] def tokenProviderFromFlags(
+      opts: Map[String, String]): Option[graft.auth.OAuthTokenProvider] = {
+    val creds = oauthFromFlags(opts)
+    if (creds.accessToken.isEmpty && creds.refreshToken.isEmpty) None
+    else Some(new graft.auth.OAuthTokenProvider(creds,
+      tokenUri = opts.getOrElse("--token-uri",
+        "https://accounts.google.com/o/oauth2/token")))
+  }
 
   /** Transport from the `--transport` flag: `file` (default) renders to
     * JSONL under the output dir; `http:<base>` POSTs each request live,
@@ -52,15 +68,18 @@ object Main {
         if (!base.startsWith("http://") && !base.startsWith("https://"))
           sys.error(s"--transport http:<base url> needs a full base URL " +
             s"(e.g. http:https://api.example.com), got '$spec'")
+        // the token provider owns Authorization (refresh + 401 replay);
+        // static headers keep Content-Type + developer-token
         graft.sink.HttpTransport(
           headers = Map("Content-Type" -> "application/json") ++
-            oauthFromFlags(opts).authHeaders,
+            (oauthFromFlags(opts).authHeaders - "Authorization"),
           rewriteUrl = url => {
             // renderer URLs are absolute against the production host;
             // re-root the path on the configured base (staging, mock, live)
             val path = url.replaceFirst("^https?://[^/]+", "")
             base.stripSuffix("/") + path
-          })
+          },
+          tokenProvider = tokenProviderFromFlags(opts))
       case other => sys.error(
         s"unknown --transport '$other' (expected 'file' or 'http:<base url>')")
     }
@@ -106,8 +125,13 @@ object Main {
     val live =
       if (sheetId.isDefined || firestoreCollection.isDefined) {
         val base = opts.get("--config-api-base")
+        // a fresh token for the config fetch: the static --access-token may
+        // already be expired when only a refresh token was supplied
+        val auth = tokenProviderFromFlags(opts).flatMap(_.accessToken())
+          .map(t => Map("Authorization" -> s"Bearer $t"))
+          .getOrElse(Map.empty[String, String])
         Some(graft.config.LiveConfigAccess(
-          headers = oauthFromFlags(opts).authHeaders,
+          headers = auth,
           sheetsApiBase = base.getOrElse("https://sheets.googleapis.com"),
           firestoreApiBase = base.getOrElse("https://firestore.googleapis.com"),
           firestoreProject = opts.getOrElse("--firestore-project", "")))

@@ -101,25 +101,43 @@ final case class FileTransport(dir: String) extends Transport {
   * @param rewriteUrl maps the renderer's endpoint to the live target —
   *        identity in production, a mock-server address in tests, or an
   *        API-base injection for staging.
+  * @param tokenProvider when set, stamps `Authorization: Bearer <token>`
+  *        from the OAuth refresh flow (overriding any static Authorization
+  *        header) and, on a 401, invalidates + refreshes once and replays
+  *        the request — the transparent-refresh behavior the reference gets
+  *        from `google.oauth2.credentials.Credentials`.
   */
 final case class HttpTransport(
     headers: Map[String, String] = Map("Content-Type" -> "application/json"),
     timeoutMs: Long = 15000L,
-    rewriteUrl: String => String = identity[String] _) extends Transport {
+    rewriteUrl: String => String = identity[String] _,
+    tokenProvider: Option[graft.auth.OAuthTokenProvider] = None) extends Transport {
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
       .build()
 
-  override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+  private def post(req: RenderedRequest, token: Option[String]): java.net.http.HttpResponse[String] = {
     val builder = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(rewriteUrl(req.url)))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(req.body))
-    headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (headers ++ token.map(t => "Authorization" -> s"Bearer $t"))
+      .foreach { case (k, v) => builder.header(k, v) }
+    client.send(builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+    val token = tokenProvider.flatMap(_.accessToken())
+    var resp = post(req, token)
+    // expired/revoked access token: refresh ONCE and replay; any further
+    // 401 is a real authorization failure for the carried rows
+    if (resp.statusCode() == 401 && token.isDefined &&
+        tokenProvider.exists(_.canRefresh)) {
+      tokenProvider.foreach(_.invalidate(token.get))
+      resp = post(req, tokenProvider.flatMap(_.accessToken()))
+    }
     val code = resp.statusCode()
     if (code / 100 == 2) TransportResult()
     else if (code >= 500)

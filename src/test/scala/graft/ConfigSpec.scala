@@ -165,7 +165,11 @@ class ConfigSpec extends AnyFunSuite {
 
     Main.transportFromFlags(flags, "/tmp/unused") match {
       case t: graft.sink.HttpTransport =>
-        assert(t.headers("Authorization") == "Bearer at")
+        // Authorization is OWNED by the token provider (refresh + 401
+        // replay); the static headers carry the rest. With a static
+        // --access-token the provider serves it without any token call.
+        assert(!t.headers.contains("Authorization"))
+        assert(t.tokenProvider.flatMap(_.accessToken()).contains("at"))
         assert(t.headers("developer-token") == "devtok")
         assert(t.headers("Content-Type") == "application/json")
         // the renderer's production endpoint re-roots onto the base
