@@ -781,6 +781,45 @@ object SparkEntry {
       round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** TRAINED model-based quality filter (the fasttext-style weak-supervision
+    * pattern: a cheap deterministic label + surface features train a model
+    * that then scores every document). Training is
+    * [[graft.operators.Classifier.trainLogistic]] — full-batch GD where each
+    * iteration is one map-side-combined aggregation and the driver receives
+    * only the (k+1)-double gradient row; scoring inlines the weights into a
+    * codegen'd column. The learned weights ride along as constant columns so
+    * the oracle checks the MODEL, not just the scores: DuckDB replays the
+    * identical 5-iteration chain as chained CTEs.
+    */
+  private def tQualityLr(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val raw = t(s, dir, "documents").select(
+      col("doc_id"),
+      (length(col("text")) / lit(100.0)).as("f1"),
+      (size(words) / lit(10.0)).as("f2"),
+      (length(col("text")).cast("double") / size(words)).as("f3"),
+      (size(array_distinct(words)).cast("double") / size(words)).as("f4"),
+      when(size(words) >= 40, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint(true) // read by stats + 5 gradient jobs + scoring
+    val fcols = Seq("f1", "f2", "f3", "f4")
+    // standardize (all-positive raw features would saturate the sigmoid
+    // before GD can discriminate): one agg job -> 2k driver doubles
+    val st = raw.agg(avg("f1"), stddev_pop("f1"), avg("f2"), stddev_pop("f2"),
+      avg("f3"), stddev_pop("f3"), avg("f4"), stddev_pop("f4")).head()
+    val feats = raw.select(col("doc_id") +: col("y") +:
+      fcols.zipWithIndex.map { case (c, i) =>
+        val sd = st.getDouble(2 * i + 1)
+        ((col(c) - lit(st.getDouble(2 * i))) /
+          lit(if (sd == 0.0) 1.0 else sd)).as(c) }: _*)
+    val w = graft.operators.Classifier.trainLogistic(feats, fcols, "y",
+      iterations = 5, learningRate = 0.5)
+    feats.select(col("doc_id"), col("y").as("label"),
+      round(graft.operators.Classifier.scoreLogistic(fcols.map(col), w), 5).as("score"),
+      round(lit(w(0)), 6).as("wb"), round(lit(w(1)), 6).as("w1"),
+      round(lit(w(2)), 6).as("w2"), round(lit(w(3)), 6).as("w3"),
+      round(lit(w(4)), 6).as("w4"))
+  }
+
   private def tLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -3479,6 +3518,7 @@ object SparkEntry {
     "t_token_stats" -> (tTokenStats _),
     "t_bpe_tokens" -> (tBpeTokens _),
     "t_quality" -> (tQuality _),
+    "t_quality_lr" -> (tQualityLr _),
     "t_langid" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
@@ -3752,6 +3792,60 @@ object SparkEntry {
     """SELECT epoch_us(ts) // 3600000000 AS hour_id,
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1, 2"""
+
+  /** DuckDB replay of tQualityLr's EXACT 5-iteration full-batch GD: a
+    * generated chain of (gradient, weight) CTEs with the same operation
+    * order as [[graft.operators.Classifier.trainLogistic]] (sums, then
+    * `w - (0.5*g)/n`), so the learned weights — not just the scores — are
+    * hash-compared. Arithmetic is all-DOUBLE; both engines drift only in
+    * sum order (~1e-13), far inside the 1e-5/1e-6 output rounding.
+    */
+  private lazy val sqlQualityLr: String = {
+    def margin(w: String) = s"$w.wb + f1*$w.w1 + f2*$w.w2 + f3*$w.w3 + f4*$w.w4"
+    val iters = (1 to 5).map { k =>
+      val prev = s"it${k - 1}"
+      s"""gr$k AS (SELECT sum(r) AS gb, sum(r*f1) AS g1, sum(r*f2) AS g2,
+           sum(r*f3) AS g3, sum(r*f4) AS g4
+         FROM (SELECT (1.0/(1.0+exp(-($prev.wb + f1*$prev.w1 + f2*$prev.w2
+             + f3*$prev.w3 + f4*$prev.w4))) - y) AS r, f1, f2, f3, f4
+           FROM f, $prev)),
+       it$k AS (SELECT $prev.wb - 0.5*gr$k.gb/(SELECT n FROM nn) AS wb,
+           $prev.w1 - 0.5*gr$k.g1/(SELECT n FROM nn) AS w1,
+           $prev.w2 - 0.5*gr$k.g2/(SELECT n FROM nn) AS w2,
+           $prev.w3 - 0.5*gr$k.g3/(SELECT n FROM nn) AS w3,
+           $prev.w4 - 0.5*gr$k.g4/(SELECT n FROM nn) AS w4
+         FROM it${k - 1}, gr$k)"""
+    }.mkString(",\n")
+    s"""WITH raw AS MATERIALIZED (
+         SELECT doc_id,
+           length(text)::DOUBLE / 100.0 AS f1,
+           len(string_split(text, ' '))::DOUBLE / 10.0 AS f2,
+           length(text)::DOUBLE / len(string_split(text, ' ')) AS f3,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS f4,
+           (CASE WHEN len(string_split(text, ' ')) >= 40
+             THEN 1.0 ELSE 0.0 END)::DOUBLE AS y
+         FROM documents),
+       st AS (SELECT
+           avg(f1) AS m1, CASE WHEN stddev_pop(f1) = 0 THEN 1.0 ELSE stddev_pop(f1) END AS s1,
+           avg(f2) AS m2, CASE WHEN stddev_pop(f2) = 0 THEN 1.0 ELSE stddev_pop(f2) END AS s2,
+           avg(f3) AS m3, CASE WHEN stddev_pop(f3) = 0 THEN 1.0 ELSE stddev_pop(f3) END AS s3,
+           avg(f4) AS m4, CASE WHEN stddev_pop(f4) = 0 THEN 1.0 ELSE stddev_pop(f4) END AS s4
+         FROM raw),
+       f AS MATERIALIZED (
+         SELECT doc_id, (f1 - m1)/s1 AS f1, (f2 - m2)/s2 AS f2,
+           (f3 - m3)/s3 AS f3, (f4 - m4)/s4 AS f4, y
+         FROM raw, st),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM f),
+       it0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+         0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
+       $iters
+       SELECT doc_id, y AS label,
+         round(1.0/(1.0+exp(-(${margin("it5")}))), 5) AS score,
+         round(it5.wb, 6) AS wb, round(it5.w1, 6) AS w1, round(it5.w2, 6) AS w2,
+         round(it5.w3, 6) AS w3, round(it5.w4, 6) AS w4
+       FROM f, it5"""
+  }
 
   /** The trained-cells IVF-PQ search oracle, shared by the recompute
     * (e_ivfpq_topk) and materialized-index (e_pq_index_topk) variants —
@@ -4565,6 +4659,7 @@ object SparkEntry {
          round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
+    "t_quality_lr" -> sqlQualityLr,
     "t_quality" ->
       s"""WITH r AS (SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
