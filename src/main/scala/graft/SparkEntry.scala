@@ -772,6 +772,20 @@ object SparkEntry {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
       TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
 
+  /** Tokenizer fertility audit by language: BPE tokens per whitespace token
+    * — the standard multilingual tokenizer-quality metric (fertility far
+    * above the corpus norm on a language flags under-trained merges and
+    * inflated training cost for that slice). One codegen'd kernel pass,
+    * one 5-group aggregation; no text ever shuffles.
+    */
+  private def tFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+      sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))
+    .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+      round(col("bpe_tokens") / col("ws_tokens"), 6).as("fertility"))
+
   private def tQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -818,6 +832,33 @@ object SparkEntry {
       round(lit(w(0)), 6).as("wb"), round(lit(w(1)), 6).as("w1"),
       round(lit(w(2)), 6).as("w2"), round(lit(w(3)), 6).as("w3"),
       round(lit(w(4)), 6).as("w4"))
+  }
+
+  /** ROC-AUC of the trained quality filter, computed distributed WITHOUT
+    * the n_pos x n_neg pair join: group by (rounded) score, cumulative-sum
+    * the group sizes for below-count, and apply the tie-aware Mann-Whitney
+    * identity AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg).
+    * The only single-task step is the window over DISTINCT 5-decimal
+    * scores — bounded at ≤100001 rows regardless of corpus size.
+    */
+  private def tLrAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = tQualityLr(s, dir).select(col("label"), col("score"))
+    val bySc = scored.groupBy("score").agg(
+      count(lit(1)).cast("double").as("n_eq"),
+      sum(col("label")).as("n_pos_eq"))
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    bySc
+      .withColumn("cnt_less", coalesce(sum(col("n_eq")).over(w), lit(0.0)))
+      .agg(
+        sum(col("n_pos_eq") * (col("cnt_less") + (col("n_eq") + lit(1.0)) / lit(2.0)))
+          .as("rank_pos"),
+        sum(col("n_pos_eq")).as("n_pos"),
+        sum(col("n_eq")).as("n_all"))
+      .select(
+        round((col("rank_pos") - col("n_pos") * (col("n_pos") + lit(1.0)) / lit(2.0)) /
+          (col("n_pos") * (col("n_all") - col("n_pos"))), 6).as("auc"),
+        col("n_pos").cast("long").as("n_pos"),
+        (col("n_all") - col("n_pos")).cast("long").as("n_neg"))
   }
 
   private def tLangId(s: SparkSession, dir: String): DataFrame =
@@ -3519,6 +3560,8 @@ object SparkEntry {
     "t_bpe_tokens" -> (tBpeTokens _),
     "t_quality" -> (tQuality _),
     "t_quality_lr" -> (tQualityLr _),
+    "t_lr_auc" -> (tLrAuc _),
+    "t_fertility" -> (tFertility _),
     "t_langid" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
@@ -4660,6 +4703,35 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
     "t_quality_lr" -> sqlQualityLr,
+    "t_lr_auc" ->
+      s"""WITH g AS (
+           SELECT score, count(*)::DOUBLE AS n_eq, sum(label)::DOUBLE AS n_pos_eq
+           FROM ( $sqlQualityLr ) scored GROUP BY score),
+         r AS (
+           SELECT *, coalesce(sum(n_eq) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less
+           FROM g),
+         a AS (
+           SELECT sum(n_pos_eq * (cnt_less + (n_eq + 1.0) / 2.0)) AS rank_pos,
+             sum(n_pos_eq) AS n_pos, sum(n_eq) AS n_all
+           FROM r)
+         SELECT round((rank_pos - n_pos * (n_pos + 1.0) / 2.0)
+             / (n_pos * (n_all - n_pos)), 6) AS auc,
+           n_pos::BIGINT AS n_pos, (n_all - n_pos)::BIGINT AS n_neg
+         FROM a""",
+    "t_fertility" ->
+      s"""WITH RECURSIVE ${sqlBpeCtes("documents")},
+         per_doc AS (
+           SELECT d.doc_id, d.lang,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_ws,
+             coalesce(b.n_bpe, 0) AS n_bpe
+           FROM documents d LEFT JOIN bpe_counts b USING (doc_id))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(n_bpe) AS BIGINT)::DOUBLE
+             / CAST(sum(n_ws) AS BIGINT), 6) AS fertility
+         FROM per_doc GROUP BY lang""",
     "t_quality" ->
       s"""WITH r AS (SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
