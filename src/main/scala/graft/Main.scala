@@ -57,6 +57,11 @@ object Main {
     */
   private[graft] def transportFromFlags(opts: Map[String, String],
       outputDir: String): graft.sink.Transport =
+    transportFromFlags(opts, outputDir, tokenProviderFromFlags(opts))
+
+  private[graft] def transportFromFlags(opts: Map[String, String],
+      outputDir: String,
+      tokenProvider: Option[graft.auth.OAuthTokenProvider]): graft.sink.Transport =
     opts.getOrElse("--transport", "file") match {
       case "file" => FileTransport(outputDir)
       case spec if spec.startsWith("http:") =>
@@ -79,7 +84,7 @@ object Main {
             val path = url.replaceFirst("^https?://[^/]+", "")
             base.stripSuffix("/") + path
           },
-          tokenProvider = tokenProviderFromFlags(opts))
+          tokenProvider = tokenProvider)
       case other => sys.error(
         s"unknown --transport '$other' (expected 'file' or 'http:<base url>')")
     }
@@ -96,6 +101,16 @@ object Main {
         "--firestore-collection <name> is required")
     if (opts.contains("--firestore-collection") && !opts.contains("--firestore-project"))
       sys.error("--firestore-collection requires --firestore-project <gcp project>")
+    // a refresh token without client credentials can never complete the
+    // grant — every request would go out unauthenticated and 401 per-row
+    // with nothing naming the missing flag
+    if (opts.contains("--refresh-token") &&
+        (!opts.contains("--client-id") || !opts.contains("--client-secret")))
+      sys.error("--refresh-token requires --client-id and --client-secret " +
+        "to run the OAuth refresh grant")
+    if (opts.contains("--token-uri") && !opts.contains("--refresh-token"))
+      sys.error("--token-uri is only used by the refresh grant — supply " +
+        "--refresh-token (with client credentials) or drop it")
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,15 +134,21 @@ object Main {
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
 
+    // ONE token provider per run: the config fetch's grant caches into the
+    // same provider the sink transport carries, so a refresh-only run costs
+    // one driver-side grant total
+    val tokenProvider = tokenProviderFromFlags(opts)
+
     // Sheets/Firestore config goes live when their ids are given: the REST
     // fetchers take the same OAuth headers as the sink transport, and
     // --config-api-base points both at a staging/mock server when set.
     val live =
       if (sheetId.isDefined || firestoreCollection.isDefined) {
         val base = opts.get("--config-api-base")
-        // a fresh token for the config fetch: the static --access-token may
-        // already be expired when only a refresh token was supplied
-        val auth = tokenProviderFromFlags(opts).flatMap(_.accessToken())
+        // freshToken: the one-shot config fetch has no 401-replay loop, so
+        // a stale pasted --access-token must not be served when a refresh
+        // is possible
+        val auth = tokenProvider.flatMap(_.freshToken())
           .map(t => Map("Authorization" -> s"Bearer $t"))
           .getOrElse(Map.empty[String, String])
         Some(graft.config.LiveConfigAccess(
@@ -145,7 +166,7 @@ object Main {
 
     val bqFormat = opts.getOrElse("--bq-format", "parquet")
     val pipelineOpts = PipelineOptions(
-      transport = transportFromFlags(opts, outputDir),
+      transport = transportFromFlags(opts, outputDir, tokenProvider),
       bqFormat = bqFormat,
       bqPathFor = bqFormat match {
         case "parquet" =>

@@ -71,6 +71,19 @@ final class OAuthTokenProvider(
     if (cached.exists(_._1 == stale)) cached = None
   }
 
+  /** A token guaranteed not to be the unknown-expiry STATIC one when a
+    * refresh is possible — for one-shot call sites with no 401-replay loop
+    * (the startup config fetch): a stale pasted `--access-token` would
+    * otherwise be served at Long.MaxValue expiry and fail the whole fetch.
+    * The grant caches, so the transport's first send reuses it (still one
+    * grant per run).
+    */
+  def freshToken(): Option[String] = synchronized {
+    ensureInit()
+    if (canRefresh && cached.exists(_._2 == Long.MaxValue)) cached = None
+    accessToken()
+  }
+
   private def refresh(): (String, Long) = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val form = Seq(
@@ -83,7 +96,7 @@ final class OAuthTokenProvider(
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build()
-    val resp = OAuthTokenProvider.client.send(req,
+    val resp = graft.net.Http.client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200) throw new java.io.IOException(
       s"OAuth token refresh failed: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
@@ -96,9 +109,3 @@ final class OAuthTokenProvider(
   }
 }
 
-private object OAuthTokenProvider {
-  // one client per JVM (selector thread + pool); per-request deadlines come
-  // from HttpRequest.timeout
-  lazy val client: java.net.http.HttpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(15)).build()
-}

@@ -21,18 +21,14 @@ import scala.jdk.CollectionConverters._
 private[config] object HttpConfigData {
   final case class Response(code: Int, body: String)
 
-  // ONE shared client: a config load issues 10-15 GETs (range probes,
-  // account cells, pages), and a fresh HttpClient per GET would abandon a
-  // selector thread + connection pool each time with zero reuse. Per-request
-  // deadlines still apply via HttpRequest.timeout below.
-  private lazy val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(15)).build()
-
+  // a config load issues 10-15 GETs (range probes, account cells, pages) —
+  // they all ride the one shared driver-side client ([[graft.net.Http]]);
+  // per-request deadlines still apply via HttpRequest.timeout below
   def get(url: String, headers: Map[String, String], timeoutMs: Long): Response = {
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
     headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.build(),
+    val resp = graft.net.Http.client.send(builder.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     Response(resp.statusCode(), resp.body())
   }

@@ -201,5 +201,16 @@ class ConfigSpec extends AnyFunSuite {
     Main.validateConfigFlags(Map("--config" -> "/tmp/cfg.json"))
     val none = intercept[RuntimeException](Main.validateConfigFlags(Map.empty))
     assert(none.getMessage.contains("--config"), none.getMessage)
+    // a refresh token that can never complete its grant must fail at
+    // startup, not 401 on every row with nothing naming the missing flag
+    val noClient = intercept[RuntimeException](Main.validateConfigFlags(
+      Map("--config" -> "c", "--refresh-token" -> "rt", "--client-id" -> "cid")))
+    assert(noClient.getMessage.contains("--client-secret"), noClient.getMessage)
+    val orphanUri = intercept[RuntimeException](Main.validateConfigFlags(
+      Map("--config" -> "c", "--token-uri" -> "http://x/token")))
+    assert(orphanUri.getMessage.contains("--refresh-token"), orphanUri.getMessage)
+    Main.validateConfigFlags(Map("--config" -> "c", "--refresh-token" -> "rt",
+      "--client-id" -> "cid", "--client-secret" -> "cs",
+      "--token-uri" -> "http://x/token"))
   }
 }

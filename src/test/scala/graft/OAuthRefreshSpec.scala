@@ -54,6 +54,12 @@ class OAuthRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
       override def handle(ex: HttpExchange): Unit =
         respond(ex, 400, """{"error":"invalid_grant"}""")
     })
+    server.createContext("/always401", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        uploadCalls.incrementAndGet()
+        respond(ex, 401, """{"error":{"code":401,"status":"UNAUTHENTICATED"}}""")
+      }
+    })
     server.createContext("/upload", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         uploadCalls.incrementAndGet()
@@ -114,14 +120,44 @@ class OAuthRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tokenCalls.get() == 1)
   }
 
-  test("a second 401 after refresh is a real failure for the carried rows") {
+  test("a second 401 after refresh is a real failure, replayed exactly once") {
+    // refresh material present and the grant SUCCEEDS, but the endpoint
+    // rejects every token (revoked grant): exactly one refresh + one
+    // replay, then row failure — never a refresh loop
+    tokenCalls.set(0); uploadCalls.set(0); nextExpiresIn = 3600L
+    val p = new OAuthTokenProvider(creds.copy(accessToken = "stale"), s"$base/token")
+    val t = HttpTransport(tokenProvider = Some(p))
+    val r = Transport.sendWithRetry(t, exec,
+      RenderedRequest("upload", s"$base/always401", "{}", Seq(0)))
+    assert(r.error.exists(_.contains("HTTP 401")), r.error)
+    // one post + one refresh + one replay, then the 401 is terminal for
+    // the carried rows (4xx results return without sendWithRetry retrying)
+    assert(uploadCalls.get() == 2, s"got ${uploadCalls.get()} posts")
+    assert(tokenCalls.get() == 1, s"refresh loop: ${tokenCalls.get()} grants")
+  }
+
+  test("no refresh material: 401 cannot be replayed and fails the rows") {
     uploadCalls.set(0)
-    // no refresh material: 401 cannot be replayed and fails the rows
     val p = new OAuthTokenProvider(OAuthCredentials(accessToken = "stale"), s"$base/token")
     val t = HttpTransport(tokenProvider = Some(p))
     val r = Transport.sendWithRetry(t, exec, req)
     assert(r.error.exists(_.contains("HTTP 401")), r.error)
-    assert(uploadCalls.get() == 1, "no refresh material -> no replay")
+    assert(uploadCalls.get() == 1, "a 4xx returns without retry or replay")
+  }
+
+  test("freshToken refuses the unknown-expiry static token when it can refresh") {
+    tokenCalls.set(0); nextExpiresIn = 3600L
+    val p = new OAuthTokenProvider(creds.copy(accessToken = "stale"), s"$base/token")
+    val fresh = p.freshToken()
+    assert(fresh.exists(_ != "stale"), fresh)
+    assert(tokenCalls.get() == 1)
+    // the grant cached: the transport path reuses it with no second grant
+    assert(p.accessToken() == fresh)
+    assert(tokenCalls.get() == 1)
+    // without refresh material the static token is all there is
+    val staticOnly = new OAuthTokenProvider(
+      OAuthCredentials(accessToken = "at"), s"$base/token")
+    assert(staticOnly.freshToken().contains("at"))
   }
 
   test("a failing token endpoint surfaces as the row error, not a crash") {
