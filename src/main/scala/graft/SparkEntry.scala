@@ -1054,6 +1054,21 @@ object SparkEntry {
             31L, 1000000007L) % 100 < 5, lit("val"))
           .otherwise(lit("train")).as("split"))
 
+  /** Greedy k-center (farthest-point) coreset selection over the embedding
+    * corpus — diversity-based data pruning: 8 centers, each round one
+    * narrow max-of-struct aggregation, the driver receiving exactly
+    * k×(dim+2) values ([[graft.operators.Similarity.kCenterGreedy]]). The
+    * oracle replays the identical greedy rounds as chained CTEs (same
+    * index-order squared-L2 fold, same smaller-id tiebreak).
+    */
+  private def cKcenterSelect(s: SparkSession, dir: String): DataFrame = {
+    val picks = graft.operators.Similarity.kCenterGreedy(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+    import s.implicits._
+    picks.toDF("sel_round", "vec_id", "radius")
+      .select(col("sel_round"), col("vec_id"), round(col("radius"), 6).as("radius"))
+  }
+
   /** K-anonymity audit — re-identification risk of the quasi-identifier
     * tuple (event_type, UTC day-of-week, UTC hour): per QI cell, k =
     * distinct users sharing it; cells bucketed by k (1 / 2-4 / 5-9 / 10+).
@@ -3575,6 +3590,7 @@ object SparkEntry {
     "c_stratified_sample" -> (cStratifiedSample _),
     "c_weighted_sample" -> (cWeightedSample _),
     "c_leakage_split" -> (cLeakageSplit _),
+    "c_kcenter_select" -> (cKcenterSelect _),
     "q_bad_records" -> (qBadRecords _),
     "t_encoding_audit" -> (tEncodingAudit _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -3888,6 +3904,36 @@ object SparkEntry {
          round(it5.wb, 6) AS wb, round(it5.w1, 6) AS w1, round(it5.w2, 6) AS w2,
          round(it5.w3, 6) AS w3, round(it5.w4, 6) AS w4
        FROM f, it5"""
+  }
+
+  /** DuckDB replay of the greedy k-center selection: chained (distances,
+    * pick, selected) CTEs per round — the same index-order squared-L2 fold
+    * (list_sum over list_transform = Spark's zip_with/aggregate), min over
+    * centers (exact, order-free), and d-DESC-then-id-ASC pick. `pick`/`sel`
+    * are MATERIALIZED: each sel level is referenced twice, and DuckDB
+    * re-inlines non-materialized CTEs per reference (doubling per round).
+    */
+  private lazy val sqlKcenterSelect: String = {
+    val rounds = (1 to 7).map { r =>
+      s"""dr$r AS (
+           SELECT a.vec_id AS vec_id,
+             min(list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> (a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                  * (a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)))) AS d
+           FROM embeddings a, embeddings c
+           WHERE c.vec_id IN (SELECT vec_id FROM sel${r - 1})
+           GROUP BY a.vec_id),
+         pick$r AS MATERIALIZED (
+           SELECT vec_id, d FROM dr$r ORDER BY d DESC, vec_id ASC LIMIT 1),
+         sel$r AS MATERIALIZED (
+           SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM pick$r)"""
+    }.mkString(",\n")
+    val out = (1 to 7).map(r =>
+      s"UNION ALL SELECT $r, vec_id, round(d, 6) FROM pick$r").mkString("\n")
+    s"""WITH sel0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
+       $rounds
+       SELECT 0 AS sel_round, vec_id, 0.0 AS radius FROM sel0
+       $out"""
   }
 
   /** The trained-cells IVF-PQ search oracle, shared by the recompute
@@ -4876,6 +4922,7 @@ object SparkEntry {
          SELECT source, rank, doc_id FROM r WHERE rank <= 20""",
     // cluster-level split: the recursive components CTE is the same as
     // d_neardup_components; the split hashes the cluster representative
+    "c_kcenter_select" -> sqlKcenterSelect,
     "c_leakage_split" ->
       s"""WITH RECURSIVE $sqlMinhashCtes,
          mp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),

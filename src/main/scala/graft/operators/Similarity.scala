@@ -403,6 +403,50 @@ object Similarity {
     * (bounded by the centroid count, never the corpus), so nothing here
     * scales with |corpus| except the single scan.
     */
+  /** Greedy k-center (farthest-point) selection — coreset-style diversity
+    * pruning for training-data curation: pick the row with the smallest id
+    * as the seed, then k-1 times the row FARTHEST (squared L2, index-order
+    * fold) from the selected set, ties to the smaller id.
+    *
+    * Scale contract: each round is ONE narrow aggregation over the corpus
+    * (`max(struct(minDist, -id, vec))` — map-side combined), so the driver
+    * receives exactly k rows of (id, dim floats, radius) and the corpus
+    * never shuffles. Distances re-derive from the accumulating `least(...)`
+    * expression rather than a cached column, trading k² tiny vector evals
+    * per row (k ≤ ~64) for zero persisted state.
+    *
+    * Returns (sel_round, id, radius): radius is the selected row's distance
+    * to the previously selected set — the coverage radius the corpus had
+    * BEFORE this center was added (0 for the seed).
+    */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def l2sq(center: Array[Double]): org.apache.spark.sql.Column = {
+      val c = array(center.map(lit): _*)
+      aggregate(
+        zip_with(col(vecCol), c, (x, y) => { val d = x.cast("double") - y; d * d }),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val seed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(1).head()
+    var centers = List((seed.getLong(0),
+      seed.getSeq[Float](1).map(_.toDouble).toArray))
+    val picks = scala.collection.mutable.ListBuffer((0, seed.getLong(0), 0.0))
+    for (r <- 1 until k) {
+      val minDist = centers.map(c => l2sq(c._2))
+        .reduce((a, b) => least(a, b))
+      val best = corpus.agg(max(struct(
+          minDist.as("d"), (-col(idCol).cast("long")).as("nid"),
+          col(vecCol).as("v"))).as("m"))
+        .select(col("m.d"), col("m.nid"), col("m.v")).head()
+      val id = -best.getLong(1)
+      picks += ((r, id, best.getDouble(0)))
+      centers = (id, best.getSeq[Float](2).map(_.toDouble).toArray) :: centers
+    }
+    picks.toList
+  }
+
   def cellDrift(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val assigned = corpus.select((col(idCol) % 2 === 0).as("even"),

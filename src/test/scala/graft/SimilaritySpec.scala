@@ -211,4 +211,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(ex.getMessage.contains("dimension mismatch") ||
       Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
+
+  test("kCenterGreedy: farthest-point order, exact-tie to smaller id, radii") {
+    // seed = min id (0,0); ids 1 and 2 are BOTH at d=100 (planted exact
+    // tie -> smaller id wins round 1); id 3 is the near point left last
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(0f, 10f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+    assert(picks.map(_._2) == Seq(0L, 1L, 2L, 3L), picks)
+    assert(picks.map(_._3) == Seq(0.0, 100.0, 100.0, 2.0), picks)
+    // coverage radius never increases (greedy invariant)
+    val radii = picks.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, radii)
+  }
 }
