@@ -1096,6 +1096,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_cells"), sum(col("k")).as("n_users"))
   }
 
+  /** L-diversity audit — the companion to [[qKAnonymity]]: a QI cell whose
+    * users all share ONE sensitive value leaks that value even at high k
+    * (homogeneity attack). Sensitive attribute here: the event value's
+    * hundred-bucket. Per QI cell l = distinct sensitive values; cells
+    * bucketed by l. Same bounded-QI-space shape as the k audit: the
+    * distinct count is a two-phase aggregate, output is O(buckets).
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), tsUs.as("ts_us"),
+        floor(col("value") / 100.0).cast("long").as("sv"))
+      .withColumn("dow", expr("(ts_us div 86400000000 + 4) % 7"))
+      .withColumn("hr", expr("(ts_us div 3600000000) % 24"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(countDistinct(col("sv")).as("l"))
+      .select(when(col("l") === 1, "l=1").when(col("l") === 2, "l=2")
+        .when(col("l") < 5, "l=3-4").otherwise("l>=5").as("l_bucket"),
+        col("l"))
+      .groupBy(col("l_bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("l")).as("sum_l"))
+
   /** Encoding-hygiene audit — per-source counts of U+FFFD replacement
     * characters (the scar a lossy decode leaves) and C0 control characters
     * (minus tab/newline/CR): the standard "was this shard decoded with the
@@ -1511,6 +1532,29 @@ object SparkEntry {
       TextAnalysis.tokenCount(col("text")).cast("long"),
       Seq(("src0", 5L), ("src1", 3L), ("src2", 2L)))
       .withColumnRenamed("id", "doc_id")
+
+  /** Temperature-sampled corpus mixture (α=0.3, the multilingual
+    * convention): per-source token masses → α-smoothed integer weights
+    * ([[graft.operators.Importance.temperatureWeights]], one agg, one row
+    * per source to the driver) → the deterministic hash-ordered
+    * token-budget selection of [[cMixtureSample]]. Output is the
+    * per-source accounting (weight, budget, kept docs/tokens), so the
+    * oracle checks the whole weight→budget→selection chain.
+    */
+  private def cTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = graft.operators.Importance.temperatureWeights(docs, "source", tok, 0.3)
+    val wTable = s.createDataFrame(w).toDF("source", "w")
+    graft.operators.Importance.mixtureSample(docs, "doc_id", "source", tok, w)
+      .groupBy("source").agg(
+        count(lit(1)).as("kept_docs"),
+        sum(col("n_tokens")).as("kept_tokens"),
+        max(col("budget")).as("budget"))
+      .join(wTable, Seq("source"))
+      .select(col("source"), col("w"), col("budget"),
+        col("kept_docs"), col("kept_tokens"))
+  }
 
   /** END-TO-END curation pipeline as ONE composed plan — the shape this
     * engine actually runs at 100 TB: quality gate → PII scrub → line-level
@@ -3594,6 +3638,8 @@ object SparkEntry {
     "q_bad_records" -> (qBadRecords _),
     "t_encoding_audit" -> (tEncodingAudit _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
+    "c_temperature_mix" -> (cTemperatureMix _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
     "c_decontaminate_bloom" -> (cDecontaminateBloom _),
@@ -4908,6 +4954,44 @@ object SparkEntry {
                      WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
            count(*) AS n_cells, CAST(sum(k) AS BIGINT) AS n_users
          FROM c GROUP BY 1""",
+    "q_l_diversity" ->
+      """WITH c AS (SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(count(DISTINCT CAST(floor(value / 100.0) AS BIGINT)) AS BIGINT) AS l
+           FROM events GROUP BY 1, 2, 3)
+         SELECT CASE WHEN l = 1 THEN 'l=1' WHEN l = 2 THEN 'l=2'
+                     WHEN l < 5 THEN 'l=3-4' ELSE 'l>=5' END AS l_bucket,
+           count(*) AS n_cells, CAST(sum(l) AS BIGINT) AS sum_l
+         FROM c GROUP BY 1""",
+    "c_temperature_mix" -> {
+      val h = sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             $h AS h
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+           FROM d GROUP BY 1),
+         wt AS MATERIALIZED (SELECT source, t,
+             CAST(floor(pow(t::DOUBLE, 0.3) * 1000) AS BIGINT) AS w
+           FROM tot WHERE floor(pow(t::DOUBLE, 0.3) * 1000) > 0),
+         ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wt),
+         kk AS (SELECT min(t * (SELECT wsum FROM ws) // w) AS k FROM wt),
+         bud AS MATERIALIZED (SELECT source, w,
+             CAST(CASE WHEN t * (SELECT wsum FROM ws) // w = (SELECT k FROM kk)
+                  THEN t
+                  ELSE w * (SELECT k FROM kk) // (SELECT wsum FROM ws)
+                  END AS BIGINT) AS budget
+           FROM wt),
+         sel AS (SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM d)
+         SELECT bud.source, bud.w, bud.budget,
+           count(*) AS kept_docs, CAST(sum(sel.n_tokens) AS BIGINT) AS kept_tokens
+         FROM sel JOIN bud ON sel.source = bud.source AND sel.cum <= bud.budget
+         GROUP BY 1, 2, 3"""
+    },
     // A-ES weighted sampling: the oracle replays key = ln((h+1)/(P+1))/w
     // and ranks per source — same hash, same IEEE arithmetic
     "c_weighted_sample" ->

@@ -128,4 +128,23 @@ object Importance {
       .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"),
         col("budget"))
   }
+
+  /** Temperature (α-smoothed) mixture weights — the multilingual sampling
+    * standard (mT5/XLM-R style): `w_s = ⌊T_s^α · scale⌋` flattens the
+    * source distribution (α < 1 upsamples small sources relative to their
+    * token mass; α=1 is proportional, α=0 uniform). One map-side-combined
+    * aggregation; the driver receives exactly one (source, tokens) row per
+    * source — feed the result to [[mixtureSample]].
+    */
+  def temperatureWeights(docs: DataFrame, srcCol: String,
+      tokenCol: org.apache.spark.sql.Column, alpha: Double,
+      scale: Long = 1000L): Seq[(String, Long)] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    docs.groupBy(col(srcCol)).agg(sum(tokenCol).as("t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.floor(math.pow(r.getLong(1).toDouble, alpha) * scale).toLong)
+      .filter(_._2 > 0)
+      .sortBy(_._1).toSeq
+  }
 }
