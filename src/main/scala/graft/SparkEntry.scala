@@ -3442,6 +3442,46 @@ object SparkEntry {
       .select(col("dow"), col("hod"), col("n"),
         round(col("v_e6") / col("n") / 1000000.0, 6).as("avg_value"))
 
+  /** CUSUM level-shift detection over hourly event volumes per type — the
+    * standard feed-health monitor (is a source suddenly sending more/less
+    * than its history?). S_t = cum_count − t·mean stays EXACT-integer on
+    * the cumulative side (BIGINT cumsum, one double product), so the
+    * argmax hour is stable cross-engine; the reported statistic is
+    * max|S| / (σ·√n), > 3 flags a shift. The synthetic feed is level, so
+    * a +37/hour step is PLANTED on one type from relative hour 500 and
+    * the oracle replays the plant — the detection arithmetic is what is
+    * proven (the planted type must flag, the others must not). Shape:
+    * one bounded aggregation (types × 720 hours), one window pass.
+    */
+  private def qCusumShift(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour_id"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rh", col("hour_id") -
+        min(col("hour_id")).over(Window.partitionBy()))
+      .withColumn("c2",
+        col("c") + when(col("event_type") === "purchase" && col("rh") >= 500, 37L)
+          .otherwise(0L))
+    val byType = Window.partitionBy(col("event_type"))
+    val seq = byType.orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = hourly
+      .withColumn("mean", avg(col("c2")).over(byType))
+      .withColumn("sd", stddev_pop(col("c2")).over(byType))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("cum", sum(col("c2")).over(seq))
+      .withColumn("rn", row_number().over(byType.orderBy(col("hour_id"))))
+      .withColumn("abs_s", abs(col("cum") - col("rn") * col("mean")))
+    scored.groupBy(col("event_type"))
+      .agg(max(struct(col("abs_s"), (-col("rh")).as("nrh"), col("sd"), col("n"))).as("m"))
+      .select(col("event_type"),
+        col("m.n").as("n_hours"),
+        (-col("m.nrh")).as("shift_rh"),
+        round(col("m.abs_s") / (col("m.sd") * sqrt(col("m.n"))), 6).as("stat"),
+        (col("m.abs_s") / (col("m.sd") * sqrt(col("m.n"))) > 3.0).as("shifted"))
+  }
+
   /** Flesch-style readability per document: words, sentence marks, and
     * vowel-group syllable proxies all come from `regexp_count` — one
     * codegen'd scan, integer counts, the score a single per-row double
@@ -3639,6 +3679,7 @@ object SparkEntry {
     "t_encoding_audit" -> (tEncodingAudit _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_cusum_shift" -> (qCusumShift _),
     "c_temperature_mix" -> (cTemperatureMix _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
@@ -4954,6 +4995,36 @@ object SparkEntry {
                      WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
            count(*) AS n_cells, CAST(sum(k) AS BIGINT) AS n_users
          FROM c GROUP BY 1""",
+    "q_cusum_shift" ->
+      """WITH h AS MATERIALIZED (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_id, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+         mn AS (SELECT min(hour_id) AS m FROM h),
+         h2 AS (SELECT event_type, hour_id,
+             hour_id - (SELECT m FROM mn) AS rh,
+             c + CASE WHEN event_type = 'purchase'
+                       AND hour_id - (SELECT m FROM mn) >= 500
+                 THEN 37 ELSE 0 END AS c2
+           FROM h),
+         sc AS (SELECT event_type, rh,
+             avg(c2) OVER (PARTITION BY event_type) AS mean,
+             stddev_pop(c2) OVER (PARTITION BY event_type) AS sd,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour_id) AS rn
+           FROM h2),
+         s2 AS (SELECT event_type, rh, n, sd,
+             abs(cum - rn * mean) AS abs_s FROM sc),
+         pick AS (SELECT event_type, n, sd, rh, abs_s,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs_s DESC, rh ASC) AS rnk
+           FROM s2)
+         SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(rh AS BIGINT) AS shift_rh,
+           round(abs_s / (sd * sqrt(n)), 6) AS stat,
+           abs_s / (sd * sqrt(n)) > 3.0 AS shifted
+         FROM pick WHERE rnk = 1""",
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
