@@ -1063,7 +1063,7 @@ object SparkEntry {
     */
   private def cKcenterSelect(s: SparkSession, dir: String): DataFrame = {
     val picks = graft.operators.Similarity.kCenterGreedy(
-      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = KcenterK)
     import s.implicits._
     picks.toDF("sel_round", "vec_id", "radius")
       .select(col("sel_round"), col("vec_id"), round(col("radius"), 6).as("radius"))
@@ -1533,18 +1533,24 @@ object SparkEntry {
       Seq(("src0", 5L), ("src1", 3L), ("src2", 2L)))
       .withColumnRenamed("id", "doc_id")
 
-  /** Temperature-sampled corpus mixture (α=0.3, the multilingual
-    * convention): per-source token masses → α-smoothed integer weights
-    * ([[graft.operators.Importance.temperatureWeights]], one agg, one row
-    * per source to the driver) → the deterministic hash-ordered
-    * token-budget selection of [[cMixtureSample]]. Output is the
-    * per-source accounting (weight, budget, kept docs/tokens), so the
+  /** Temperature-sampled corpus mixture (α=0.5 — sqrt is IEEE-754
+    * correctly rounded, so the floor'd integer weights are bit-identical
+    * cross-engine; general pow is 1-ulp libm-dependent and can flip a
+    * weight at a floor boundary): per-source token masses → α-smoothed
+    * integer weights ([[graft.operators.Importance.temperatureWeights]],
+    * one agg, one row per source to the driver) → the deterministic
+    * hash-ordered token-budget selection of [[cMixtureSample]]. The
+    * tokenized projection is checkpointed once and feeds BOTH the weight
+    * pass and the selection (no second whitespace-split scan). Output is
+    * the per-source accounting (weight, budget, kept docs/tokens), so the
     * oracle checks the whole weight→budget→selection chain.
     */
   private def cTemperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
-    val w = graft.operators.Importance.temperatureWeights(docs, "source", tok, 0.3)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint(true) // read by the weight pass + twice in selection
+    val tok = col("n_tok")
+    val w = graft.operators.Importance.temperatureWeights(docs, "source", tok, 0.5)
     val wTable = s.createDataFrame(w).toDF("source", "w")
     graft.operators.Importance.mixtureSample(docs, "doc_id", "source", tok, w)
       .groupBy("source").agg(
@@ -3475,11 +3481,15 @@ object SparkEntry {
       .withColumn("abs_s", abs(col("cum") - col("rn") * col("mean")))
     scored.groupBy(col("event_type"))
       .agg(max(struct(col("abs_s"), (-col("rh")).as("nrh"), col("sd"), col("n"))).as("m"))
+      // sd=0 (a constant series, where abs_s is exactly 0 too) divides by 1
+      // instead: stat 0 / not shifted — Spark's NULL-on-zero-divide and
+      // DuckDB's inf would otherwise disagree at the gate
+      .withColumn("sd1", when(col("m.sd") === 0.0, lit(1.0)).otherwise(col("m.sd")))
       .select(col("event_type"),
         col("m.n").as("n_hours"),
         (-col("m.nrh")).as("shift_rh"),
-        round(col("m.abs_s") / (col("m.sd") * sqrt(col("m.n"))), 6).as("stat"),
-        (col("m.abs_s") / (col("m.sd") * sqrt(col("m.n"))) > 3.0).as("shifted"))
+        round(col("m.abs_s") / (col("sd1") * sqrt(col("m.n"))), 6).as("stat"),
+        (col("m.abs_s") / (col("sd1") * sqrt(col("m.n"))) > 3.0).as("shifted"))
   }
 
   /** Flesch-style readability per document: words, sentence marks, and
@@ -4000,8 +4010,13 @@ object SparkEntry {
     * are MATERIALIZED: each sel level is referenced twice, and DuckDB
     * re-inlines non-materialized CTEs per reference (doubling per round).
     */
+  /** One definition for the query's k and its oracle's round count — the
+    * two would otherwise drift apart as unrelated magic numbers.
+    */
+  private val KcenterK = 8
+
   private lazy val sqlKcenterSelect: String = {
-    val rounds = (1 to 7).map { r =>
+    val rounds = (1 until KcenterK).map { r =>
       s"""dr$r AS (
            SELECT a.vec_id AS vec_id,
              min(list_sum(list_transform(range(1, len(a.embedding)+1),
@@ -4015,7 +4030,7 @@ object SparkEntry {
          sel$r AS MATERIALIZED (
            SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM pick$r)"""
     }.mkString(",\n")
-    val out = (1 to 7).map(r =>
+    val out = (1 until KcenterK).map(r =>
       s"UNION ALL SELECT $r, vec_id, round(d, 6) FROM pick$r").mkString("\n")
     s"""WITH sel0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
        $rounds
@@ -5016,7 +5031,8 @@ object SparkEntry {
            FROM h2),
          s2 AS (SELECT event_type, rh, n, sd,
              abs(cum - rn * mean) AS abs_s FROM sc),
-         pick AS (SELECT event_type, n, sd, rh, abs_s,
+         pick AS (SELECT event_type, n,
+             CASE WHEN sd = 0 THEN 1.0 ELSE sd END AS sd, rh, abs_s,
              row_number() OVER (PARTITION BY event_type
                ORDER BY abs_s DESC, rh ASC) AS rnk
            FROM s2)
@@ -5044,14 +5060,17 @@ object SparkEntry {
          tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
            FROM d GROUP BY 1),
          wt AS MATERIALIZED (SELECT source, t,
-             CAST(floor(pow(t::DOUBLE, 0.3) * 1000) AS BIGINT) AS w
-           FROM tot WHERE floor(pow(t::DOUBLE, 0.3) * 1000) > 0),
+             CAST(floor(sqrt(t::DOUBLE) * 1000) AS BIGINT) AS w
+           FROM tot WHERE floor(sqrt(t::DOUBLE) * 1000) > 0),
          ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wt),
-         kk AS (SELECT min(t * (SELECT wsum FROM ws) // w) AS k FROM wt),
+         -- HUGEINT ratio arithmetic: t*wsum overflows BIGINT already at
+         -- ~1e13 tokens x 1e6 weight sum (the same reason the Spark side
+         -- runs DECIMAL(38,0))
+         kk AS (SELECT min(t::HUGEINT * (SELECT wsum FROM ws) // w) AS k FROM wt),
          bud AS MATERIALIZED (SELECT source, w,
-             CAST(CASE WHEN t * (SELECT wsum FROM ws) // w = (SELECT k FROM kk)
-                  THEN t
-                  ELSE w * (SELECT k FROM kk) // (SELECT wsum FROM ws)
+             CAST(CASE WHEN t::HUGEINT * (SELECT wsum FROM ws) // w = (SELECT k FROM kk)
+                  THEN t::HUGEINT
+                  ELSE w::HUGEINT * (SELECT k FROM kk) // (SELECT wsum FROM ws)
                   END AS BIGINT) AS budget
            FROM wt),
          sel AS (SELECT doc_id, source, n_tokens,

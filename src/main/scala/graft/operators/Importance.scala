@@ -140,10 +140,18 @@ object Importance {
       tokenCol: org.apache.spark.sql.Column, alpha: Double,
       scale: Long = 1000L): Seq[(String, Long)] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    // α=0.5 goes through sqrt, which IEEE-754 REQUIRES to be correctly
+    // rounded — bit-identical in every engine, so floor() can never flip
+    // at a boundary. General pow() is only 1-ulp-accurate and libm-
+    // dependent (pow(1024, 0.3)·1000 lands one ulp under 8000 on some
+    // libms): fine for production weighting, but an exact-replay oracle
+    // should pin α=0.5.
+    def smooth(t: Double): Double =
+      if (alpha == 0.5) math.sqrt(t) else math.pow(t, alpha)
     docs.groupBy(col(srcCol)).agg(sum(tokenCol).as("t"))
       .collect()
       .map(r => r.getString(0) ->
-        math.floor(math.pow(r.getLong(1).toDouble, alpha) * scale).toLong)
+        math.floor(smooth(r.getLong(1).toDouble) * scale).toLong)
       .filter(_._2 > 0)
       .sortBy(_._1).toSeq
   }

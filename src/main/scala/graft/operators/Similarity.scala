@@ -417,7 +417,10 @@ object Similarity {
     *
     * Returns (sel_round, id, radius): radius is the selected row's distance
     * to the previously selected set — the coverage radius the corpus had
-    * BEFORE this center was added (0 for the seed).
+    * BEFORE this center was added (0 for the seed). May return FEWER than
+    * k picks: once every remaining row is at distance 0 from the selected
+    * set (k exceeds the distinct-vector count), selection stops instead of
+    * padding with duplicate centers.
     */
   def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Int, Long, Double)] = {
@@ -433,16 +436,23 @@ object Similarity {
     var centers = List((seed.getLong(0),
       seed.getSeq[Float](1).map(_.toDouble).toArray))
     val picks = scala.collection.mutable.ListBuffer((0, seed.getLong(0), 0.0))
-    for (r <- 1 until k) {
+    var exhausted = false
+    for (r <- 1 until k if !exhausted) {
       val minDist = centers.map(c => l2sq(c._2))
         .reduce((a, b) => least(a, b))
       val best = corpus.agg(max(struct(
           minDist.as("d"), (-col(idCol).cast("long")).as("nid"),
           col(vecCol).as("v"))).as("m"))
         .select(col("m.d"), col("m.nid"), col("m.v")).head()
-      val id = -best.getLong(1)
-      picks += ((r, id, best.getDouble(0)))
-      centers = (id, best.getSeq[Float](2).map(_.toDouble).toArray) :: centers
+      // every remaining row is distance 0 from the selected set (k exceeds
+      // the number of DISTINCT vectors): stop rather than silently padding
+      // the result with duplicate centers
+      if (best.getDouble(0) == 0.0) exhausted = true
+      else {
+        val id = -best.getLong(1)
+        picks += ((r, id, best.getDouble(0)))
+        centers = (id, best.getSeq[Float](2).map(_.toDouble).toArray) :: centers
+      }
     }
     picks.toList
   }

@@ -226,4 +226,13 @@ class SimilaritySpec extends SparkTestBase {
     val radii = picks.drop(1).map(_._3)
     assert(radii == radii.sorted.reverse, radii)
   }
+
+  test("kCenterGreedy stops when k exceeds the distinct vectors (no dup centers)") {
+    // 3 points, one an exact duplicate -> only 2 distinct: asking for 8
+    // returns 2 picks, never a padded duplicate of the seed
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(3f, 4f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 8)
+    assert(picks.map(_._2) == Seq(0L, 1L), picks)
+  }
 }
