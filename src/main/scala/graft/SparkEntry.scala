@@ -3604,6 +3604,71 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // Marketing analytics + safety/privacy-release queries
+  // ------------------------------------------------------------------
+
+  /** Position-based (U-shaped) multi-touch attribution over the event
+    * stream: view/click touches earn credit for the next purchase of the
+    * same user ([[graft.operators.Marketing.attributeU]]). The measurement
+    * dual of the reference's conversion-upload pipelines.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.attributeU(
+      t(s, dir, "events").select(col("user_id"), tsUs.as("t_us"),
+        col("event_id"), col("event_type")),
+      "user_id", "t_us", "event_id", "event_type",
+      Seq("view", "click"), "purchase")
+
+  /** RFM quintile segmentation of the order history
+    * ([[graft.operators.Marketing.rfmSegments]]).
+    */
+  private def qRfmSegments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.rfmSegments(t(s, dir, "orders"),
+      "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** Typed PII scan with Luhn checksum validation over documents with
+    * planted identifiers (email for every third doc, an IPv4, and a
+    * 16-digit card-shaped number whose Luhn validity varies by doc) —
+    * both the detection counts and the checksum verdict are
+    * hash-checked ([[graft.operators.Safety.piiScan]]).
+    */
+  private def tPiiScan(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at u"), col("doc_id").cast("string"),
+            lit("@mail.test"))).otherwise(lit("")),
+        lit(" from host 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"), lit(".7 card "),
+        lpad(((col("doc_id") * 7919) % 100000000).cast("string"), 16, "5"))
+        .as("raw"))
+    graft.operators.Safety.piiScan(planted, "doc_id", "raw")
+  }
+
+  /** High-entropy secret/credential token detection over documents with
+    * one planted low-entropy long token (never flagged) and one planted
+    * hex secret (always flagged) per doc
+    * ([[graft.operators.Safety.secretScan]]).
+    */
+  private def tSecretEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Safety.secretScan(
+      t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" aaaaaaaaaaaaaaaaaaaa sk_"),
+          substring(md5(concat(lit("sec:"), col("doc_id").cast("string"))),
+            1, 24)).as("raw")),
+      "doc_id", "raw")
+      .withColumnRenamed("id", "doc_id")
+
+  /** Differentially-private per-type event counts: seeded-Laplace release
+    * ([[graft.operators.Safety.dpNoisyCounts]], eps = 1) — the release
+    * side of the privacy family (k-anonymity / l-diversity are the audit
+    * side).
+    */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Safety.dpNoisyCounts(
+      t(s, dir, "events").select(col("event_type")), Seq("event_type"), 1.0)
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pipeline_idempotence" -> (pPipelineIdempotence _),
@@ -3793,7 +3858,12 @@ object SparkEntry {
     "q_revenue_share" -> (qRevenueShare _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_trend_fit" -> (qTrendFit _),
-    "q_array_hof" -> (qArrayHof _)
+    "q_array_hof" -> (qArrayHof _),
+    "q_attribution" -> (qAttribution _),
+    "q_rfm_segments" -> (qRfmSegments _),
+    "t_pii_scan" -> (tPiiScan _),
+    "t_secret_entropy" -> (tSecretEntropy _),
+    "q_dp_counts" -> (qDpCounts _)
   )
 
   /** Unrolled synchronous LPA over the co-order part graph as a CTE
@@ -6532,6 +6602,104 @@ object SparkEntry {
            sum(round(l_extendedprice * 100)::BIGINT *
                (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4,
            sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END)::BIGINT AS n_big
-         FROM lineitem GROUP BY 1"""
+         FROM lineitem GROUP BY 1""",
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+             event_type AS ch,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         wc AS (SELECT *, min(CASE WHEN side = 0 THEN t END) OVER
+             (PARTITION BY u ORDER BY t DESC, side DESC, eid DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_t
+           FROM e),
+         rk AS (SELECT u, conv_t, ch,
+             row_number() OVER (PARTITION BY u, conv_t ORDER BY t, eid) AS pos,
+             count(*) OVER (PARTITION BY u, conv_t) AS n
+           FROM wc WHERE side = 1 AND conv_t IS NOT NULL)
+         SELECT ch AS channel, count(*) AS n_touches,
+           round(sum(CASE WHEN n = 1 THEN 1.0::DOUBLE
+             WHEN n = 2 THEN 0.5::DOUBLE
+             WHEN pos = 1 OR pos = n THEN 0.4::DOUBLE
+             ELSE 0.2::DOUBLE / (n - 2) END), 4) AS credit
+         FROM rk GROUP BY 1""",
+    "q_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey AS cust, max(o_orderdate::DATE) AS last_day,
+             count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+           FROM orders GROUP BY 1),
+         sc AS (SELECT monetary,
+             ntile(5) OVER (ORDER BY last_day DESC, cust)::BIGINT AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, cust)::BIGINT AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, cust)::BIGINT AS m_score
+           FROM pc)
+         SELECT r_score, f_score, m_score, count(*) AS n_customers,
+           round(avg(monetary), 2) AS avg_monetary,
+           round(sum(monetary), 2) AS total_monetary
+         FROM sc GROUP BY 1, 2, 3""",
+    "t_pii_scan" -> {
+      // planted text replayed verbatim; Luhn is the same fixed-position
+      // integer fold as Safety.luhnValid16
+      val luhnSql = """(list_sum(list_transform(range(1, 17), i ->
+          CASE WHEN (17 - i) % 2 = 0 THEN
+            CASE WHEN 2 * substr(card, i::INT, 1)::INT > 9
+                 THEN 2 * substr(card, i::INT, 1)::INT - 9
+                 ELSE 2 * substr(card, i::INT, 1)::INT END
+          ELSE substr(card, i::INT, 1)::INT END)) % 10 = 0)"""
+      s"""WITH r AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' reach me at u' || doc_id || '@mail.test' ELSE '' END ||
+             ' from host 10.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+             '.7 card ' ||
+             lpad(((doc_id * 7919) % 100000000)::VARCHAR, 16, '5') AS raw
+           FROM documents),
+         d AS (SELECT doc_id,
+             len(regexp_extract_all(raw,
+               '${graft.functions.TextAnalysis.EmailPattern}'))::BIGINT AS n_email,
+             len(regexp_extract_all(raw,
+               '${graft.operators.Safety.Ipv4Pattern}'))::BIGINT AS n_ipv4,
+             regexp_extract(raw,
+               '${graft.operators.Safety.CardPattern}') AS card
+           FROM r),
+         l AS (SELECT doc_id, n_email, n_ipv4,
+             CASE WHEN length(card) = 16 THEN $luhnSql ELSE false END
+               AS luhn_valid
+           FROM d)
+         SELECT doc_id, n_email, n_ipv4, luhn_valid,
+           (n_email + n_ipv4 +
+            CASE WHEN luhn_valid THEN 3 ELSE 0 END)::BIGINT AS risk_score
+         FROM l"""
+    },
+    "t_secret_entropy" ->
+      """WITH r AS (SELECT doc_id, text || ' aaaaaaaaaaaaaaaaaaaa sk_' ||
+             substr(md5('sec:' || doc_id), 1, 24) AS raw FROM documents),
+         tk AS (SELECT doc_id,
+             string_split_regex(trim(raw), '\s+') AS ts FROM r),
+         c AS (SELECT doc_id, i - 1 AS tok_pos, ts[i] AS tok
+           FROM tk, unnest(range(1, len(ts) + 1)) AS t(i)
+           WHERE length(ts[i]) >= 16),
+         ch AS (SELECT doc_id, tok_pos, length(tok)::DOUBLE AS len, u.ch AS ch
+           FROM c, unnest(string_split(tok, '')) AS u(ch)),
+         cc AS (SELECT doc_id, tok_pos, len, ch, count(*)::DOUBLE AS n
+           FROM ch GROUP BY 1, 2, 3, 4),
+         e AS (SELECT doc_id, tok_pos, len,
+             list_reduce([0.0] || list(n ORDER BY ch),
+               (acc, nn) -> acc - (nn / len) * ln(nn / len)) AS hn
+           FROM cc GROUP BY 1, 2, 3)
+         SELECT doc_id, tok_pos, len::BIGINT AS tok_len,
+           round(hn, 6) AS entropy_nats, round(hn, 6) >= 2.2::DOUBLE AS flagged
+         FROM e""",
+    "q_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*)::BIGINT AS n_true
+           FROM events GROUP BY 1),
+         h AS (SELECT event_type, n_true,
+             (list_reduce([0::BIGINT] || list_transform(
+               string_split('dp:' || event_type, ''), ch -> ascii(ch)::BIGINT),
+               (hacc, hx) -> (hacc * 31 + hx) % 1000000007)
+              * 2654435761 + 11) % 1000000007 AS hh FROM g),
+         u AS (SELECT event_type, n_true,
+             (hh::DOUBLE + 0.5) / 1000000007.0 AS uu FROM h)
+         SELECT event_type,
+           round(n_true + (-1.0::DOUBLE / 1.0) * sign(uu - 0.5) *
+             ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS n_dp
+         FROM u"""
   )
 }
