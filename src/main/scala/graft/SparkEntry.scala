@@ -380,7 +380,7 @@ object SparkEntry {
     */
   private def dIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val log = java.nio.file.Files.createTempDirectory("graft_digests").toString +
+    val log = scratch("digests").toString +
       "/digests.parquet"
     val docs = t(s, dir, "documents")
     val run1 = Dedup.incrementalExactDedup(docs, "text", "doc_id", log).count()
@@ -514,7 +514,7 @@ object SparkEntry {
   private def eIvfIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val centroids = VectorOps.rademacherPlanes(8, 64)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/index"
+    val path = scratch("ivf_idx").toString + "/index"
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
     Similarity.ivfIndexTopK(s, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       centroids, path, k = 10, nprobe = 2)
@@ -1310,7 +1310,7 @@ object SparkEntry {
     * skipping under box predicates).
     */
   private def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val path = scratch("zorder").toString
     val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
       expr("ts div 1000 div 3600000000").as("hour_id"), col("value"))
     graft.io.Bucketing.compactZOrder(ev, "user_id", "hour_id", 16, path)
@@ -1413,7 +1413,7 @@ object SparkEntry {
     * fail the v1 row).
     */
   private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_versioned").toString
+    val path = scratch("versioned").toString
     graft.io.Versioned.write(baseOrders(s, dir), path)
     graft.io.Versioned.write(qMergeUpsert(s, dir), path)
     def snap(df: DataFrame, v: Long) = df.agg(
@@ -1434,7 +1434,7 @@ object SparkEntry {
     * and diffs against the source.
     */
   private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_vdiff").toString
+    val path = scratch("vdiff").toString
     graft.io.Versioned.write(baseOrders(s, dir), path)
     graft.io.Versioned.write(qMergeCdc(s, dir), path)
     val v1 = graft.io.Versioned.read(s, path, Some(1))
@@ -1457,7 +1457,7 @@ object SparkEntry {
     * table.
     */
   private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val path = scratch("evolve").toString
     val docs = t(s, dir, "documents")
     docs.filter(col("doc_id") < 250).select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(s"$path/part=a")
@@ -1764,7 +1764,7 @@ object SparkEntry {
     */
   private def dLshIndexPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    val path = scratch("lsh_idx").toString
     Dedup.writeLshIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", path)
     Dedup.lshPairsAgainstIndex(s, docs.filter(col("doc_id") >= 400),
       "doc_id", "text", path)
@@ -1812,7 +1812,7 @@ object SparkEntry {
     * beyond parquet (same Catalyst pruning/pushdown contract).
     */
   private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = scratch("orc").toString
     t(s, dir, "events").write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy(col("event_type"))
@@ -1829,7 +1829,7 @@ object SparkEntry {
     * read.
     */
   private def qPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_partp").toString
+    val tmp = scratch("partp").toString
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type").as("etype"))
@@ -1845,7 +1845,7 @@ object SparkEntry {
     * Spark writes shortest-round-trip representations.
     */
   private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = scratch("jsonl").toString
     val ev = t(s, dir, "events")
     ev.write.mode("overwrite").json(tmp)
     s.read.schema(ev.schema).json(tmp)
@@ -1908,13 +1908,16 @@ object SparkEntry {
     * Queries that MUTATE their landing dir (sentinel appenders driving
     * watermark advancement) keep private copies.
     */
-  /** All streaming scratch (landing dirs, checkpoints, sink outputs) lives
-    * under ONE per-JVM root on tmpfs when available (/dev/shm): the
+  /** All query scratch (streaming landing dirs, checkpoints, sink
+    * outputs, and the batch queries' planted fixture dirs — versioned
+    * stores, index layouts, round-trip files) lives under ONE per-JVM
+    * root on tmpfs when available (/dev/shm): the
     * availableNow drains write dozens of small checkpoint/commit files per
     * query, and on this host's disk those writes land inside multi-minute
     * I/O-stall windows (SCALING.md) — tmpfs takes both the fixed cost and
-    * the noise out. Deleted recursively on JVM exit, so repeated bench
-    * runs don't accumulate in shared memory.
+    * the noise out. Deleted recursively on JVM exit, so repeated bench /
+    * verify invocations no longer leak one fixture dir per run (nor
+    * accumulate in shared memory).
     */
   private lazy val streamScratchRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
@@ -2518,7 +2521,7 @@ object SparkEntry {
     */
   private def pPipelineIdempotence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val tmp = scratch("idem").toString
     val src = s"$tmp/conversions.parquet"
     t(s, dir, "events")
       .select(col("event_id").cast("string").as("gclid"),
@@ -2683,7 +2686,7 @@ object SparkEntry {
     * round-trip via shortest representation, and no inference scan runs.
     */
   private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratch("csv").toString
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
@@ -2747,7 +2750,7 @@ object SparkEntry {
     */
   private def ePqIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString + "/index"
+    val path = scratch("pq_idx").toString + "/index"
     graft.operators.Pq.writePqIndex(emb, "vec_id", "embedding",
       graft.operators.TrainedCentroids.sf001, graft.operators.TrainedPq.sf001, path)
     graft.operators.Pq.pqIndexTopK(s, emb.filter(col("vec_id") < 5),
