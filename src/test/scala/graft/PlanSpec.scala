@@ -268,6 +268,38 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("attribution plans joinless: windows over one user partitioning, then one agg") {
+    // touch→conversion ownership is a running-min window, NOT a
+    // touch×conversion join — the plan shape that survives 100 TB
+    val p = planOf("q_attribution")
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("Window"))
+  }
+
+  test("rfm scan prunes to the three analysis columns; orders aggregate before windows") {
+    val p = planOf("q_rfm_segments")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_custkey") && readSchema.contains("o_orderdate")
+      && readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("o_orderstatus") && !readSchema.contains("o_orderpriority"),
+      s"rfm reads columns it never uses: $readSchema")
+  }
+
+  test("pii scan is a pure shuffle-free projection pass") {
+    val df = analyzed("t_pii_scan")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "typed PII scan must not shuffle")
+  }
+
+  test("dp release aggregates once; noise is scalar post-agg work") {
+    val df = analyzed("q_dp_counts")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("PQ encode kernel stays inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val enc = emb.select(graft.operators.Pq.encodeExpr(

@@ -342,4 +342,68 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("attribution conserves credit: sum == number of converted segments") {
+    // random timelines: whatever the touch mix, total credit must equal
+    // the count of conversions that had at least one preceding touch
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val types = Seq("view", "click", "purchase", "signup")
+      val rows = (1 to 200).map { i =>
+        (rng.nextInt(8).toLong, rng.nextInt(50).toLong + 1, i.toLong,
+          types(rng.nextInt(types.size)))
+      }
+      val df = rows.toDF("u", "t", "eid", "ch")
+      val total = graft.operators.Marketing
+        .attributeU(df, "u", "t", "eid", "ch", Seq("view", "click"), "purchase")
+        .agg(sum(col("credit"))).collect().head.getDouble(0)
+      // reference: a touch belongs to the min conv_t STRICTLY greater than
+      // its ts; total credit = count of owned (user, conv_t) segments
+      // (every segment's U-shape sums to exactly 1)
+      val exact = rows.groupBy(_._1).toSeq.map { case (_, evs) =>
+        val convs = evs.filter(_._4 == "purchase").map(_._2)
+        val touches = evs.filter(e => e._4 == "view" || e._4 == "click")
+        touches.flatMap(tc => convs.filter(_ > tc._2).minOption)
+          .distinct.size
+      }.sum
+      // per-channel credits are released rounded to 1e-4, so the cross-
+      // channel sum can sit a few 1e-4 off the exact integer
+      assert(math.abs(total - exact) < 1e-3,
+        s"credit $total != converted segments $exact")
+    }
+  }
+
+  test("luhn flips on every single-digit mutation of a valid card") {
+    import graft.operators.Safety
+    val valid = "4539578763621486"
+    val muts = (0 until 16).map { i =>
+      val d = valid(i) - '0'
+      valid.updated(i, (((d + 1) % 10) + '0').toChar)
+    }
+    val out = (valid +: muts).toDF("card")
+      .select(col("card"), Safety.luhnValid16(col("card")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out(valid))
+    muts.foreach(m => assert(!out(m), s"mutation $m still validates"))
+  }
+
+  test("token entropy is bounded by ln(distinct chars) and ln(length)") {
+    import graft.operators.Safety
+    val rng = new scala.util.Random(7)
+    val toks = (1 to 30).map { _ =>
+      val len = 16 + rng.nextInt(20)
+      (1L, (1 to len).map(_ => ('a' + rng.nextInt(6)).toChar).mkString)
+    }
+    val docs = toks.zipWithIndex.map { case ((id, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Safety.secretScan(docs, "doc_id", "text", minLen = 16, minNats = 99.0)
+      .collect()
+    out.foreach { r =>
+      val h = r.getDouble(3)
+      val len = r.getLong(2)
+      assert(h >= 0.0 && h <= math.log(math.min(6L, len).toDouble) + 1e-9,
+        s"entropy $h out of bounds for len $len over 6-char alphabet")
+    }
+    assert(out.length == toks.size)
+  }
 }
