@@ -3746,6 +3746,95 @@ object SparkEntry {
       "doc_id", "raw")
       .withColumnRenamed("id", "doc_id")
 
+  /** Min-max file skipping ([[graft.io.Skipping]]): events written as a
+    * ts-range-clustered layout with a per-file stats manifest, then a
+    * quarter-span time-range read that PRUNES files by manifest before
+    * the scan (SkippingSpec asserts the file-count drop; the residual
+    * predicate keeps pruning correctness-neutral). The window bounds are
+    * integer arithmetic over the table's own min/max µs, replayed
+    * verbatim by the oracle.
+    */
+  private def qStatsSkipping(s: SparkSession, dir: String): DataFrame = {
+    val path = skippingLayout(s, dir)
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"), tsUs.as("t_us"))
+    val b = ev.agg(min(col("t_us")).as("mn"), max(col("t_us")).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    graft.io.Skipping.readRange(s, path, "t_us", lo, hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** The skipping layout is a read-only fixture: built once per (sf dir)
+    * per JVM, like the streaming landings.
+    */
+  private def skippingLayout(s: SparkSession, dir: String): String =
+    assembledLanding(s"skip:$dir") { d =>
+      graft.io.Skipping.writeWithStats(
+        t(s, dir, "events").select(col("event_type"), col("value"),
+          tsUs.as("t_us")),
+        d.toString, "t_us", Seq("t_us"), numFiles = 8)
+    }
+
+  /** Streaming CDC apply into the versioned store
+    * ([[graft.streaming.Streaming.cdcApplySink]]): a base snapshot of
+    * orders, then two change batches replayed as separate micro-batches
+    * (updates bump price and restamp status; deletes remove keys), each
+    * publishing an immutable version. The drained store's LATEST snapshot
+    * aggregate must equal the oracle's sequential merge replay.
+    */
+  private def sCdcStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = java.nio.file.Paths.get(assembledLanding(s"cdc:$dir") { d =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("UPD").as("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit(1L).as("v"), lit("U").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(d.resolve("tmp1").toString)
+      base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(2L).as("v"), lit("D").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(d.resolve("tmp2").toString)
+      Seq("tmp1" -> "b1.parquet", "tmp2" -> "b2.parquet").foreach { case (tmp, n) =>
+        val part = new java.io.File(d.resolve(tmp).toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, d.resolve(n))
+      }
+      // pin apply order: b1 strictly older than b2
+      val t0 = java.nio.file.Files.getLastModifiedTime(d.resolve("b1.parquet")).toMillis
+      java.nio.file.Files.setLastModifiedTime(d.resolve("b2.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 2000L))
+      java.nio.file.Files.setLastModifiedTime(d.resolve("b1.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 1000L))
+      // the landing holds ONLY the change files
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(d.resolve("tmp1").toFile); rm(d.resolve("tmp2").toFile)
+    })
+    // the store is MUTATED by the apply — fresh per invocation
+    val store = scratch("cdc_store").toString + "/store"
+    graft.io.Versioned.write(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(0L).as("v")), store)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      useScratchCheckpoints(s)
+      val changes = graft.streaming.Streaming.readParquetStream(s,
+        landing.toString, Map("maxFilesPerTrigger" -> "1"))
+      val query = graft.streaming.Streaming
+        .cdcApplySink(changes, store, Seq("o_orderkey"), "v", "op")
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.io.Versioned.read(s, store)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Differentially-private per-type event counts: seeded-Laplace release
     * ([[graft.operators.Safety.dpNoisyCounts]], eps = 1) — the release
     * side of the privacy family (k-anonymity / l-diversity are the audit
@@ -3950,7 +4039,9 @@ object SparkEntry {
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
-    "q_dp_counts" -> (qDpCounts _)
+    "q_dp_counts" -> (qDpCounts _),
+    "q_stats_skipping" -> (qStatsSkipping _),
+    "s_cdc_stream" -> (sCdcStream _)
   )
 
   /** Unrolled synchronous LPA over the co-order part graph as a CTE
@@ -6787,6 +6878,26 @@ object SparkEntry {
          SELECT event_type,
            round(n_true + (-1.0::DOUBLE / 1.0) * sign(uu - 0.5) *
              ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS n_dp
-         FROM u"""
+         FROM u""",
+    "q_stats_skipping" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+         r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+           FROM b)
+         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events, r
+         WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi
+         GROUP BY 1""",
+    "s_cdc_stream" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             o_totalprice AS price FROM orders),
+         u AS (SELECT k, 'UPD' AS st, price + 10.0 AS price
+           FROM base WHERE k % 7 = 0),
+         m1 AS (SELECT * FROM base WHERE k % 7 <> 0
+           UNION ALL SELECT * FROM u),
+         m2 AS (SELECT * FROM m1 WHERE k % 11 <> 0)
+         SELECT st AS o_orderstatus, count(*) AS n,
+           round(sum(price), 2) AS total
+         FROM m2 GROUP BY 1"""
   )
 }

@@ -256,6 +256,40 @@ object Streaming {
       .format("parquet")
       .option("path", path)
 
+  /** Streaming CDC apply: each micro-batch of change rows (an op column
+    * with 'U' upsert / 'D' delete, a version column for latest-wins)
+    * merges into the latest published snapshot of a
+    * [[graft.io.Versioned]] store via
+    * [[graft.transform.Transforms.mergeCdc]], publishing one new
+    * IMMUTABLE version per batch — the continuous dual of the batch CDC
+    * merge (`q_merge_cdc`), and the Delta-style "MERGE INTO from a
+    * stream" shape: readers keep time-travel over every applied batch,
+    * and a crashed apply never corrupts the published snapshot (the
+    * Versioned write is publish-by-rename).
+    *
+    * At-least-once note: a replayed batch re-merges the same changes into
+    * the snapshot that already contains them — mergeCdc is idempotent per
+    * (key, version) (latest-wins picks the same winners), so the replay
+    * publishes an extra version with IDENTICAL content, not duplicates.
+    *
+    * Scale: each apply is one hash shuffle of snapshot+changes on the
+    * merge keys (the mergeCdc shape) and a full snapshot rewrite — the
+    * rewrite is the simple-store trade documented in Versioned; a
+    * partitioned store would rewrite only touched partitions.
+    */
+  def cdcApplySink(changes: DataFrame, storePath: String, keys: Seq[String],
+      versionCol: String, opCol: String) =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val base = graft.io.Versioned.read(spark, storePath)
+        val merged = graft.transform.Transforms
+          .mergeCdc(base, batch, keys, versionCol, opCol)
+        graft.io.Versioned.write(merged, storePath)
+        ()
+      }
+    }
+
   /** Streaming INGEST dedup against the persistent digest log: each
     * micro-batch anti-joins [[graft.operators.Dedup.incrementalExactDedup]]
     * (first occurrence per content digest survives, the log appends), and

@@ -395,4 +395,27 @@ class StreamingSpec extends SparkTestBase {
     query.stop()
     assert(out == Set((0, 3L), (1, 1L))) // 9.0 then 5.0; 1.0 evicted
   }
+
+  test("cdc apply: replayed batch publishes identical content (at-least-once safe)") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("cdc_replay").toString + "/s"
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "x", "v")
+    graft.io.Versioned.write(base, store)
+    val batch = Seq((2L, "B", 1L, "U"), (3L, "c", 1L, "D"), (4L, "d", 1L, "U"))
+      .toDF("k", "x", "v", "op")
+    def applyOnce(): Unit = {
+      val merged = graft.transform.Transforms.mergeCdc(
+        graft.io.Versioned.read(spark, store), batch, Seq("k"), "v", "op")
+      graft.io.Versioned.write(merged, store); ()
+    }
+    applyOnce()
+    val after1 = graft.io.Versioned.read(spark, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after1 == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    applyOnce() // the crash-replay: same batch merged again
+    val after2 = graft.io.Versioned.read(spark, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after2 == after1, "replay changed the published snapshot")
+    assert(graft.io.Versioned.latestVersion(spark, store).contains(3))
+  }
 }
