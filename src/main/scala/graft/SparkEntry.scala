@@ -4100,7 +4100,7 @@ object SparkEntry {
     s"""bpe_m(mi, ml, mr) AS (VALUES $mergeRows),
        bpe_words AS MATERIALIZED (
          SELECT doc_id, unnest(ws) AS word
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
+         FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM $src)
        ),
        bpe_st AS (
          SELECT word, string_split(word, '') AS syms, 1 AS mi
@@ -4361,7 +4361,7 @@ object SparkEntry {
              CASE WHEN len(toks) < 3 THEN []::BIGINT[]
                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                          i -> $g3)) END AS g3
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents)),
          ev AS (SELECT DISTINCT unnest(g3) AS g FROM sh WHERE doc_id < 10),
          cont AS (SELECT DISTINCT s.doc_id
@@ -4636,7 +4636,7 @@ object SparkEntry {
              CASE WHEN len(toks) < 3 THEN []::BIGINT[]
                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                          i -> ${sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)})) END AS g3
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents)),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4647,7 +4647,7 @@ object SparkEntry {
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.2"""
     },
     "d_containment_pairs" -> {
-      s"""WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents),
          probes AS (SELECT doc_id + 2000000 AS doc_id,
              toks[1:greatest(3, len(toks) // 2)] AS toks
@@ -4728,12 +4728,12 @@ object SparkEntry {
       // tokens (qualityScore's own definition)
       s"""WITH RECURSIVE ${sqlBpeCtes("documents")},
          r AS (SELECT doc_id, lang,
-           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
            (length(text) - length(regexp_replace(text,
              '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
              x -> x IN ($stopwordsSql)))::DOUBLE /
-             len(string_split_regex(trim(text), '\\s+')) AS sr
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr
          FROM documents),
          q AS (SELECT r.doc_id, r.lang,
              CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens,
@@ -4804,12 +4804,12 @@ object SparkEntry {
            SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
          comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
          qr AS (SELECT doc_id,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
              (length(text) - length(regexp_replace(text,
                '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-             len(list_filter(string_split_regex(trim(text), '\\s+'),
+             len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
                x -> x IN ($stopwordsSql)))::DOUBLE /
-               len(string_split_regex(trim(text), '\\s+')) AS sr
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr
            FROM documents),
          q AS (SELECT doc_id, round(least(n_tokens::DOUBLE / 100.0, 1.0)
              * (1.0 - pr) * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality
@@ -4824,7 +4824,7 @@ object SparkEntry {
       s"""WITH toks AS (
            SELECT doc_id,
              CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                  ELSE list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') END AS tk
            FROM documents),
          h AS (SELECT doc_id, list_transform(tk, t -> ${sqlTokenHash60("t")}) AS hs FROM toks),
          sig AS (SELECT doc_id,
@@ -5090,12 +5090,12 @@ object SparkEntry {
     "t_bpe_tokens" ->
       s"""WITH RECURSIVE ${sqlBpeCtes("documents")}
          SELECT d.doc_id,
-         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_ws,
+         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
          CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_bpe
          FROM documents d LEFT JOIN bpe_counts b USING (doc_id)""",
     "t_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
-         round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+         round(avg(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), 4) AS avg_tokens,
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
     "t_quality_lr" -> sqlQualityLr,
@@ -5119,7 +5119,7 @@ object SparkEntry {
       s"""WITH RECURSIVE ${sqlBpeCtes("documents")},
          per_doc AS (
            SELECT d.doc_id, d.lang,
-             len(string_split_regex(trim(d.text), '\\s+')) AS n_ws,
+             len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS n_ws,
              coalesce(b.n_bpe, 0) AS n_bpe
            FROM documents d LEFT JOIN bpe_counts b USING (doc_id))
          SELECT lang, count(*) AS n_docs,
@@ -5130,13 +5130,13 @@ object SparkEntry {
          FROM per_doc GROUP BY lang""",
     "t_quality" ->
       s"""WITH r AS (SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
            (length(text) - length(regexp_replace(text,
              '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
              x -> x IN ($stopwordsSql)))::DOUBLE /
-             len(string_split_regex(trim(text), '\\s+')) AS sr
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr
          FROM documents)
          SELECT doc_id, n_tokens, n_bpeish,
            round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
@@ -5154,12 +5154,12 @@ object SparkEntry {
          FROM customer""",
     "t_langid" ->
       s"""SELECT doc_id, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
-         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
                FROM documents)""",
     "t_langid_eval" ->
       s"""SELECT lang, lang_pred, count(*) AS n FROM (
            SELECT lang, (list_sort([$langProfilesSql])[-1]).lang AS lang_pred
-           FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM (SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
                  FROM documents))
          GROUP BY 1, 2""",
     "t_fingerprint" ->
@@ -5168,7 +5168,7 @@ object SparkEntry {
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          FROM documents""",
     "t_repetition" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
                         FROM documents),
          g AS (SELECT doc_id, ${sqlWordNgramHashes(2)} AS g2, ${sqlWordNgramHashes(3)} AS g3
                FROM toks)
@@ -5196,13 +5196,13 @@ object SparkEntry {
          FROM r""",
     "t_quality_filter" ->
       s"""WITH r AS (SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
            (length(text) - length(regexp_replace(text,
              '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
              x -> x IN ($stopwordsSql)))::DOUBLE /
-             len(string_split_regex(trim(text), '\\s+')) AS sr,
-           string_split_regex(trim(text), '\\s+') AS tk
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
          FROM documents),
          g AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM r),
          q AS (SELECT doc_id,
@@ -5302,7 +5302,7 @@ object SparkEntry {
     "c_temperature_mix" -> {
       val h = sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)
       s"""WITH d AS (SELECT doc_id, source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
              $h AS h
            FROM documents),
          tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
@@ -5360,7 +5360,7 @@ object SparkEntry {
                 THEN 'val' ELSE 'train' END AS split
          FROM comp""",
     "t_top_ngrams" ->
-      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
                        FROM documents WHERE trim(text) <> ''),
          g AS (SELECT array_to_string(tk[i:i+1], ' ') AS ngram
                FROM toks, unnest(range(1, len(tk))) AS u(i))
@@ -5376,7 +5376,7 @@ object SparkEntry {
          WHERE cd >= d / 10.0
          GROUP BY lang, d""",
     "t_chunks" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
                        FROM documents WHERE trim(text) <> '')
          SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
            CAST(len(tk[j*64+1 : j*64+64]) AS BIGINT) AS chunk_tokens,
@@ -5408,13 +5408,13 @@ object SparkEntry {
            FROM documents),
          c_feat AS (
            SELECT doc_id, lang, text,
-             len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws,
              (length(text) - length(regexp_replace(text,
                '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-             len(list_filter(string_split_regex(trim(text), '\\s+'),
+             len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
                x -> x IN ($stopwordsSql)))::DOUBLE /
-               len(string_split_regex(trim(text), '\\s+')) AS sr,
-             string_split_regex(trim(text), '\\s+') AS tk
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
            FROM c_planted),
          c_gate AS (
            SELECT doc_id, lang, text,
@@ -5582,7 +5582,7 @@ object SparkEntry {
              CASE WHEN len(toks) < 3 THEN []::BIGINT[]
                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                          i -> $g3)) END AS g3
-           FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+           FROM (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents)),
          sg AS (SELECT DISTINCT source, unnest(g3) AS g FROM sh),
          sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
@@ -5778,7 +5778,7 @@ object SparkEntry {
     "t_heavy_hitters" -> {
       val (a, b) = sqlMinhashAB(4)
       val ph = sqlPh("tok", 31L, 1000000007L)
-      s"""WITH occ AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      s"""WITH occ AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
              FROM documents WHERE trim(text) <> ''),
          h AS (SELECT $ph AS ph FROM occ),
          cells AS (SELECT r, ((($a)[r + 1] * ph + ($b)[r + 1]) % 1000000007) % 1024 AS bucket
@@ -5998,7 +5998,7 @@ object SparkEntry {
     "c_mixture_sample" -> {
       val h = sqlPh("source || ':' || doc_id::VARCHAR", 31L, 1000000007L)
       s"""WITH d AS (SELECT doc_id, source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
              $h AS h
            FROM documents WHERE source IN ('src0', 'src1', 'src2')),
          wt AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) AS t(source, w)),
@@ -6019,7 +6019,7 @@ object SparkEntry {
     "t_distinct_kmv" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)
       val (ca, cb) = Dedup.minhashCoeffs(1).head
-      s"""WITH occ AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      s"""WITH occ AS (SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
            FROM documents WHERE trim(text) <> ''),
          dh AS (SELECT DISTINCT lang, ($ca * ($ph) + $cb) % 1000000007 AS h FROM occ),
          r AS (SELECT lang, h,
@@ -6034,7 +6034,7 @@ object SparkEntry {
     "t_kmv_jaccard" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)
       val (ca, cb) = Dedup.minhashCoeffs(1).head
-      s"""WITH occ AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      s"""WITH occ AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
            FROM documents WHERE trim(text) <> ''),
          dh AS (SELECT DISTINCT source AS g, ($ca * ($ph) + $cb) % 1000000007 AS h
            FROM occ),
@@ -6075,7 +6075,7 @@ object SparkEntry {
     "t_kmv_union" -> {
       val ph = sqlPh("tok", 31L, 1000000007L)
       val (ca, cb) = Dedup.minhashCoeffs(1).head
-      s"""WITH occ AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      s"""WITH occ AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
            FROM documents WHERE trim(text) <> ''),
          dh AS (SELECT DISTINCT source AS scope, ($ca * ($ph) + $cb) % 1000000007 AS h
            FROM occ),
@@ -6102,7 +6102,7 @@ object SparkEntry {
       val ph = sqlPh("tok", 31L, 1000000007L)
       s"""WITH occ AS (SELECT doc_id, lang, $ph % 1024 AS b
            FROM (SELECT doc_id, lang,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
                  FROM documents WHERE trim(text) <> '')),
          cnt AS (SELECT b, count(*) AS rc,
              count(*) FILTER (WHERE lang = 'en') AS tc
@@ -6133,7 +6133,7 @@ object SparkEntry {
            round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
          FROM events GROUP BY 1""",
     "t_tfidf_keywords" ->
-      """WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+      """WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
          toks AS (SELECT doc_id, lang, unnest(tk) AS term FROM d),
          n AS (SELECT count(*) AS n_docs FROM d),
@@ -6147,7 +6147,7 @@ object SparkEntry {
              ORDER BY score DESC, term) AS rank FROM sc)
          WHERE rank <= 10""",
     "t_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
          toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -6169,7 +6169,7 @@ object SparkEntry {
            FROM sc)
          WHERE rank <= 20""",
     "t_hybrid_rrf" ->
-      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
          toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -6257,7 +6257,7 @@ object SparkEntry {
     },
     "d_dup_span_stats" -> {
       val h = sqlTokenHash60("array_to_string(tk[i:i+4], ' ')")
-      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
          g AS (SELECT doc_id, i - 1 AS pos, $h AS h
            FROM d, unnest(range(1, len(tk) - 3)) AS u(i)),
@@ -6296,7 +6296,7 @@ object SparkEntry {
          WHERE prev_ts IS NOT NULL""",
     "d_dup_span_scrub" -> {
       val h = sqlTokenHash60("array_to_string(tk[i:i+4], ' ')")
-      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
          g AS (SELECT doc_id, i - 1 AS pos, $h AS h
            FROM d, unnest(range(1, len(tk) - 3)) AS u(i)),
@@ -6435,8 +6435,8 @@ object SparkEntry {
                 WHEN grouping(source) = 0 THEN 1
                 WHEN grouping(lang) = 0 THEN 2 ELSE 3 END AS gid,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-           sum(n_chars) AS total_chars
+           sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars
          FROM documents
          GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""",
     "g_pagerank" -> {
@@ -6625,7 +6625,7 @@ object SparkEntry {
              CASE WHEN len(toks) < 3 THEN []::BIGINT[]
                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                          i -> $ph)) END AS g3
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents)),
          ex AS (SELECT doc_id, unnest(g3) AS g FROM sh),
          dfs AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
@@ -6850,7 +6850,7 @@ object SparkEntry {
       """WITH r AS (SELECT doc_id, text || ' aaaaaaaaaaaaaaaaaaaa sk_' ||
              substr(md5('sec:' || doc_id), 1, 24) AS raw FROM documents),
          tk AS (SELECT doc_id,
-             string_split_regex(trim(raw), '\s+') AS ts FROM r),
+             list_filter(string_split_regex(raw, '\s+'), x -> x <> '') AS ts FROM r),
          c AS (SELECT doc_id, i - 1 AS tok_pos, ts[i] AS tok
            FROM tk, unnest(range(1, len(ts) + 1)) AS t(i)
            WHERE length(ts[i]) >= 16),

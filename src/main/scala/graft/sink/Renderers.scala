@@ -269,9 +269,10 @@ object Renderers {
         }
       }
 
-      val svc = s"googleads://$login/OfflineUserDataJobService"
+      val svc = s"googleads://$login/customers/$customerId/OfflineUserDataJobService"
       val ensure = if (it == 1L) Seq(
-        RenderedRequest("ensure_user_list", s"googleads://$login/UserListService.create",
+        RenderedRequest("ensure_user_list",
+          s"googleads://$login/customers/$customerId/UserListService.create",
           listDefinition(e).render, Seq.empty),
         RenderedRequest("create_offline_user_data_job", s"$svc.create",
           Json.obj("type_" -> JStr("CUSTOMER_MATCH_USER_LIST"),
@@ -309,7 +310,7 @@ object Renderers {
       val login = adsLoginCustomerId(e, customerId)
       val resource = conversionActionResource(customerId, conversionName)
       val jobResource = s"customers/$customerId/offlineUserDataJobs/ssd:$conversionName"
-      val svc = s"googleads://$login/OfflineUserDataJobService"
+      val svc = s"googleads://$login/customers/$customerId/OfflineUserDataJobService"
       val jobPayload = Json.obj(
         "type_" -> JStr("STORE_SALES_UPLOAD_FIRST_PARTY"),
         "store_sales_metadata" -> (Json.obj(

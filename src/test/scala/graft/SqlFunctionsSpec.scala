@@ -138,4 +138,19 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(out.getLong(1) == (1L << 60) - 1)
     assert(out.getLong(2) == -1L)
   }
+  test("tokenCount pins the empty-filtered whitespace definition on adversarial text") {
+    // The oracle-side canonical form is
+    //   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    // (see tools/parity_check.py self-test); these vectors are the inputs
+    // where the old trim()-based oracle diverged (trailing \n/\t, empty
+    // text, 0x20 padding). Both engines must agree on every one.
+    val vectors = Seq(
+      ("a b\nc\n", 3L), ("", 0L), (" x ", 1L), ("\t\n", 0L), ("a  b", 2L),
+      ("\nleading", 1L), ("mixed \t ws\n\n tokens", 3L))
+    val df = vectors.toDF("text", "want")
+    val got = df.select(col("want"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0), r.toString))
+  }
 }
