@@ -75,18 +75,50 @@ object Main {
             s"(e.g. http:https://api.example.com), got '$spec'")
         // the token provider owns Authorization (refresh + 401 replay);
         // static headers keep Content-Type + developer-token
+        val staticHeaders = Map("Content-Type" -> "application/json") ++
+          (oauthFromFlags(opts).authHeaders - "Authorization")
+        // renderer URLs are absolute against the production host after
+        // GoogleRest mapping; re-root the path on the configured base
+        // (staging, mock, live)
+        val rebase = (url: String) => {
+          val path = url.replaceFirst("^https?://[^/]+", "")
+          base.stripSuffix("/") + path
+        }
         graft.sink.HttpTransport(
-          headers = Map("Content-Type" -> "application/json") ++
-            (oauthFromFlags(opts).authHeaders - "Authorization"),
-          rewriteUrl = url => {
-            // renderer URLs are absolute against the production host;
-            // re-root the path on the configured base (staging, mock, live)
-            val path = url.replaceFirst("^https?://[^/]+", "")
-            base.stripSuffix("/") + path
-          },
-          tokenProvider = tokenProvider)
+          headers = staticHeaders,
+          rewriteUrl = rebase,
+          tokenProvider = tokenProvider,
+          adapt = graft.sink.GoogleRest.adapt(
+            graft.sink.GoogleRest.HttpAudienceResolver(
+              staticHeaders, rebase, tokenProvider)))
       case other => sys.error(
         s"unknown --transport '$other' (expected 'file' or 'http:<base url>')")
+    }
+
+  /** Startup validation of `--bq-format`: an unregistered format would
+    * otherwise surface mid-run as a per-source ClassNotFoundException with
+    * nothing naming the flag or the missing jar (the reference fails its
+    * BigQuery reads just as late, `big_query_data_source.py:47-49`). The
+    * real BigQuery connector is NOT bundled — `--bq-format bigquery` needs
+    * the spark-bigquery-connector jar on the session classpath.
+    */
+  private[graft] def validateBqFormat(
+      conf: org.apache.spark.sql.internal.SQLConf, format: String): Unit =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(format, conf)
+      ()
+    } catch {
+      case e: Exception =>
+        val hint = if (format == "bigquery")
+          " ('bigquery' is the spark-bigquery-connector — add " +
+            "spark-bigquery-with-dependencies_2.13 to the session classpath, " +
+            "e.g. spark-submit --packages com.google.cloud.spark:" +
+            "spark-bigquery-with-dependencies_2.13:0.42.1)"
+        else
+          " (expected a registered Spark data source, e.g. parquet, " +
+            "graft-bq, json, orc)"
+        sys.error(s"--bq-format '$format' is not a registered Spark data " +
+          s"source$hint: ${e.getMessage}")
     }
 
   /** Startup validation of the config-source flags: a wrong combination must
@@ -165,6 +197,7 @@ object Main {
       sheetId.orElse(configPath).orElse(firestoreCollection).getOrElse(""))
 
     val bqFormat = opts.getOrElse("--bq-format", "parquet")
+    validateBqFormat(spark.sessionState.conf, bqFormat)
     val pipelineOpts = PipelineOptions(
       transport = transportFromFlags(opts, outputDir, tokenProvider),
       bqFormat = bqFormat,

@@ -703,8 +703,11 @@ object Renderers {
             "addedMobileDeviceIdList" -> Json.obj(
               "mobileDeviceIds" -> JArr(deviceIds(filtered))))
         }
-        Seq(RenderedRequest("edit_customer_match_members", s"$url.editCustomerMatchMembers",
-          body.render, rows.indices))
+        // the descriptor names the audience (advertiser id + display name);
+        // the transport resolves the server-assigned audience id for the
+        // REST path (GoogleRest.AudienceResolver)
+        Seq(RenderedRequest("edit_customer_match_members",
+          s"$url/$listName.editCustomerMatchMembers", body.render, rows.indices))
       }
     }
   }

@@ -106,37 +106,48 @@ final case class FileTransport(dir: String) extends Transport {
   *        header) and, on a 401, invalidates + refreshes once and replays
   *        the request — the transparent-refresh behavior the reference gets
   *        from `google.oauth2.credentials.Credentials`.
+  * @param adapt request-level mapping applied BEFORE rewriteUrl: rewrites
+  *        the renderer's service descriptor to its REST form and names
+  *        extra per-request headers (see [[GoogleRest.adapt]] — e.g.
+  *        `login-customer-id` for `googleads://` requests). An adapt
+  *        failure (unmappable descriptor, unresolvable DV360 audience) is
+  *        a per-request transport error for the carried rows, retried by
+  *        [[Transport.sendWithRetry]] like any thrown send failure.
   */
 final case class HttpTransport(
     headers: Map[String, String] = Map("Content-Type" -> "application/json"),
     timeoutMs: Long = 15000L,
     rewriteUrl: String => String = identity[String] _,
-    tokenProvider: Option[graft.auth.OAuthTokenProvider] = None) extends Transport {
+    tokenProvider: Option[graft.auth.OAuthTokenProvider] = None,
+    adapt: RenderedRequest => (RenderedRequest, Map[String, String]) =
+      (r: RenderedRequest) => (r, Map.empty[String, String])) extends Transport {
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
       .build()
 
-  private def post(req: RenderedRequest, token: Option[String]): java.net.http.HttpResponse[String] = {
+  private def post(req: RenderedRequest, extra: Map[String, String],
+      token: Option[String]): java.net.http.HttpResponse[String] = {
     val builder = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(rewriteUrl(req.url)))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(req.body))
-    (headers ++ token.map(t => "Authorization" -> s"Bearer $t"))
+    (headers ++ extra ++ token.map(t => "Authorization" -> s"Bearer $t"))
       .foreach { case (k, v) => builder.header(k, v) }
     client.send(builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
   }
 
   override def send(execution: Execution, req: RenderedRequest): TransportResult = {
+    val (mapped, extra) = adapt(req)
     val token = tokenProvider.flatMap(_.accessToken())
-    var resp = post(req, token)
+    var resp = post(mapped, extra, token)
     // expired/revoked access token: refresh ONCE and replay; any further
     // 401 is a real authorization failure for the carried rows
     if (resp.statusCode() == 401 && token.isDefined &&
         tokenProvider.exists(_.canRefresh)) {
       tokenProvider.foreach(_.invalidate(token.get))
-      resp = post(req, tokenProvider.flatMap(_.accessToken()))
+      resp = post(mapped, extra, tokenProvider.flatMap(_.accessToken()))
     }
     val code = resp.statusCode()
     if (code / 100 == 2) TransportResult()
