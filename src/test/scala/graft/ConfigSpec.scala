@@ -213,4 +213,18 @@ class ConfigSpec extends AnyFunSuite {
       "--client-id" -> "cid", "--client-secret" -> "cs",
       "--token-uri" -> "http://x/token"))
   }
+  test("--bq-format validates at startup: unregistered format names the flag and the jar") {
+    val conf = new org.apache.spark.sql.internal.SQLConf()
+    // registered formats pass: the offline default, the bundled DSv2
+    // connector, and the plain file formats
+    Seq("parquet", "graft-bq", "json", "orc").foreach(Main.validateBqFormat(conf, _))
+    // the real BigQuery connector jar is not bundled — the failure must
+    // name the flag and the wiring, not surface as a mid-run CNFE
+    val bq = intercept[RuntimeException](Main.validateBqFormat(conf, "bigquery"))
+    assert(bq.getMessage.contains("--bq-format"), bq.getMessage)
+    assert(bq.getMessage.contains("spark-bigquery"), bq.getMessage)
+    val typo = intercept[RuntimeException](Main.validateBqFormat(conf, "parqeut"))
+    assert(typo.getMessage.contains("--bq-format"), typo.getMessage)
+    assert(typo.getMessage.contains("graft-bq"), typo.getMessage)
+  }
 }
