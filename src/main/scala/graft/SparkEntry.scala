@@ -1920,17 +1920,40 @@ object SparkEntry {
     * accumulate in shared memory).
     */
   private lazy val streamScratchRoot: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val root = java.nio.file.Files.createTempDirectory(base, "graft_stream_scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(root.toFile)
-    }))
+    import java.nio.file.{Files, Paths, Path}
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    // tmpfs is shared memory: only use it when there is comfortable
+    // headroom for the per-sf fixture copies + checkpoints (a larger-sf
+    // run must degrade to disk, not exhaust /dev/shm for the whole host);
+    // GRAFT_SCRATCH_DIR overrides the choice entirely.
+    val MinUsableBytes = 4L << 30
+    val shm = Paths.get("/dev/shm")
+    def usable(p: Path): Long =
+      try Files.getFileStore(p).getUsableSpace catch { case _: Exception => 0L }
+    val base = sys.env.get("GRAFT_SCRATCH_DIR").map(Paths.get(_)).getOrElse {
+      if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+          usable(shm) >= MinUsableBytes) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    // sweep roots leaked by prior JVMs that died without running their
+    // shutdown hook (SIGKILL) — the PID in the dir name says whose it was
+    val pid = ProcessHandle.current().pid()
+    try {
+      val stream = Files.list(base)
+      try stream.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("graft_scratch_p")) {
+          val owner = name.stripPrefix("graft_scratch_p").takeWhile(_.isDigit)
+          val alive = owner.nonEmpty &&
+            ProcessHandle.of(owner.toLong).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) rm(p.toFile)
+        }
+      } finally stream.close()
+    } catch { case _: Exception => () } // sweep is best-effort
+    val root = Files.createTempDirectory(base, s"graft_scratch_p${pid}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(root.toFile)))
     root
   }
   private def scratch(prefix: String): java.nio.file.Path =
@@ -1940,17 +1963,33 @@ object SparkEntry {
     * per session; every query checkpoints under it in a unique (nanoTime-
     * named) subdirectory on tmpfs instead of a disk temp dir.
     */
-  private def useScratchCheckpoints(s: SparkSession): Unit = {
+  private def narrowStreamConfs(s: SparkSession, parts: String = "2"): Map[String, Option[String]] = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpointLocation",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    // Narrowed stateful shuffle for the single-batch drains (fixed per-
+    // partition state-store cost), checkpoints on the scratch root.
+    s.conf.set("spark.sql.shuffle.partitions", parts)
     s.conf.set("spark.sql.streaming.checkpointLocation",
       streamScratchRoot.resolve("ckpt").toString)
     // The trailing no-data micro-batch exists to advance the watermark
     // once more after the last data batch. Every drain here either runs
     // in Complete mode, emits within the data batch, or advances its
     // watermark with explicit sentinel batches — the extra empty batch is
-    // pure fixed cost ×13 queries. The oracle gate (13 s_* rows) pins
+    // pure fixed cost ×14 queries. The oracle gate (14 s_* rows) pins
     // that disabling it is output-neutral.
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    prev
   }
+
+  /** Puts back every conf [[narrowStreamConfs]] touched (unset where it
+    * was unset) — a later streaming workload on the same session must not
+    * inherit the drains' narrowed shuffle, scratch checkpoint root, or
+    * disabled no-data micro-batches.
+    */
+  private def restoreStreamConfs(s: SparkSession, prev: Map[String, Option[String]]): Unit =
+    prev.foreach { case (k, v) => v.fold(s.conf.unset(k))(v2 => s.conf.set(k, v2)) }
 
   private val landingCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedLanding(dir: String, table: String): String =
@@ -1994,16 +2033,14 @@ object SparkEntry {
     val qn = s"s_rollup_stream_${System.nanoTime()}"
     // Narrowed stateful shuffle for the single-batch drain (fixed per-
     // partition state-store cost; see s_sessionize_stream's note).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).select(
       (unix_timestamp(col("hour_start")) / 3600).cast("long").as("hour_id"),
       col("event_type"), col("n"), col("total_value"))
@@ -2023,10 +2060,8 @@ object SparkEntry {
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_topk_stream_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val query = ev.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(graft.functions.TopKAggregate.topKByScore(
@@ -2035,7 +2070,7 @@ object SparkEntry {
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn)
       .select((unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_id"),
         posexplode(col("top")).as(Seq("pos", "e")))
@@ -2054,16 +2089,14 @@ object SparkEntry {
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_sliding_stream_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val query = graft.streaming.Streaming.slidingRollup(ev)
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).select(
       (unix_timestamp(col("win_start")) / 60).cast("long").as("win_min"),
       col("event_type"), col("n"), col("total_value"))
@@ -2093,17 +2126,15 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("payload"))
       .as[AsofIn]
     val qn = s"s_asof_stream_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val query = graft.streaming.Streaming.asofEnrich(ev.unionByName(ord))
         .toDF()
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).select(col("id").as("event_id"), col("key").as("user_id"),
       col("ts").as("ts_us"), col("payload").as("last_order_price"))
   }
@@ -2125,17 +2156,15 @@ object SparkEntry {
       .select(col("user_id"), tsUs.as("ts"), col("event_id"), col("event_type"))
       .as[TransIn]
     val qn = s"s_transitions_stream_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val query = graft.streaming.Streaming.transitionsStream(ev)
         .toDF()
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn)
       .groupBy(col("src_type"), col("dst_type"))
       .agg(count(lit(1)).as("n"))
@@ -2157,11 +2186,9 @@ object SparkEntry {
           d.resolve(n))
       }
     })
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_dedup_stream_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val query = graft.streaming.Streaming
@@ -2170,7 +2197,7 @@ object SparkEntry {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
   }
 
@@ -2208,10 +2235,8 @@ object SparkEntry {
       }
     })
     val out = scratch("qmon_out").toString + "/report"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
       val query = graft.streaming.Streaming.qualityMonitorSink(ev, Seq(
@@ -2220,7 +2245,7 @@ object SparkEntry {
           InSet("event_type", Seq("view", "click", "purchase", "signup"))),
         out).trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.read.parquet(out)
       .select(col("batch_id"), col("check"), col("target"),
         col("observed_e6"), col("pass"))
@@ -2246,17 +2271,15 @@ object SparkEntry {
     val log = scratch("ingest_log").toString +
       "/digests.parquet"
     val out = scratch("ingest_out").toString + "/kept"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val docs = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
       val query = graft.streaming.Streaming
         .ingestDedupSink(docs, "text", "doc_id", log, out)
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.read.parquet(out).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
   }
@@ -2272,11 +2295,9 @@ object SparkEntry {
     val landing = sharedLanding(dir, "events")
     val uploaded = t(s, dir, "events")
       .filter(col("event_id") % 3 === 0).select(col("event_id"))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_anti_join_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       val query = graft.streaming.Streaming
         .antiJoinUploaded(ev, uploaded, Seq("event_id"))
@@ -2285,7 +2306,7 @@ object SparkEntry {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
   }
 
@@ -2300,11 +2321,9 @@ object SparkEntry {
   private def sIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val landing = sharedLanding(dir, "events")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_interval_join_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val clicks = ev.filter(col("event_type") === "click")
@@ -2318,7 +2337,7 @@ object SparkEntry {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
   }
 
@@ -2372,11 +2391,9 @@ object SparkEntry {
             java.nio.file.attribute.FileTime.fromMillis(t0 + off))
         }
     })
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_outer_interval_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
           Map("maxFilesPerTrigger" -> "2"))
         .transform(graft.io.EventTs.toTimestamp)
@@ -2392,7 +2409,7 @@ object SparkEntry {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn)
       .filter(col("user_id") >= 0L)
       .groupBy(col("user_id"))
@@ -2411,11 +2428,9 @@ object SparkEntry {
   private def sSessionWindowStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val landing = sharedLanding(dir, "events")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_session_window_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
         .transform(graft.io.EventTs.toTimestamp)
       val query = ev.withWatermark("ts", "2 hours")
@@ -2425,7 +2440,7 @@ object SparkEntry {
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
   }
@@ -2486,11 +2501,9 @@ object SparkEntry {
             java.nio.file.attribute.FileTime.fromMillis(t0 + off))
         }
     })
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     val qn = s"s_sessionize_stream_${System.nanoTime()}"
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val ev = Streaming.readParquetStream(s, landing.toString,
           Map("maxFilesPerTrigger" -> "2"))
         .transform(graft.io.EventTs.toTimestamp)
@@ -2501,7 +2514,7 @@ object SparkEntry {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     s.table(qn)
       .filter(col("user_id") >= 0L)
       .groupBy(col("user_id"))
@@ -3819,17 +3832,15 @@ object SparkEntry {
     graft.io.Versioned.write(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), lit(0L).as("v")), store)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevConfs = narrowStreamConfs(s)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      useScratchCheckpoints(s)
       val changes = graft.streaming.Streaming.readParquetStream(s,
         landing.toString, Map("maxFilesPerTrigger" -> "1"))
       val query = graft.streaming.Streaming
         .cdcApplySink(changes, store, Seq("o_orderkey"), "v", "op")
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally restoreStreamConfs(s, prevConfs)
     graft.io.Versioned.read(s, store)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))

@@ -644,6 +644,10 @@ object Dedup {
     * (id, chunkIdx, chunkValue, sig) — the sig rides along (16 bytes) so
     * verification needs no second join. Zero-signature (token-free) docs are
     * excluded and over-cap chunk buckets dropped (see [[capBuckets]]).
+    *
+    * @param maxBucket same recall semantics and 10000→4000 default change
+    *             as [[hammingPairs60]]: buckets between the caps now skip
+    *             dedup (all their rows kept) where they were verified.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBucket: Int = 4000): DataFrame = {
@@ -679,6 +683,11 @@ object Dedup {
     *
     * @param sigs (id, sig) — sig a 60-bit long; callers drop degenerate
     *             signatures (e.g. the empty-payload 0) first
+    * @param maxBucket RECALL CHANGE in the 10000→4000 default drop: chunk
+    *             buckets of 4001–10000 rows, previously verified, now skip
+    *             entirely (none of their pairs are emitted). Callers that
+    *             relied on the old recall on degenerate corpora must pass
+    *             the old cap explicitly and price the quadratic verify.
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
   def hammingPairs60(sigs: DataFrame,
@@ -974,6 +983,11 @@ object Dedup {
     * was held fixed and cells grew 10× — quadratic-in-cell by design,
     * which the cap now prices.
     *
+    * @param maxCell RECALL CHANGE in the 100000→4000 default drop: cells
+    *             of 4001–100000 rows, previously deduped, now keep ALL
+    *             their rows. Callers sizing k to the old default must
+    *             either grow k with the corpus or pass the old cap and
+    *             price the quadratic verify.
     * @return kept rows (id, cell).
     */
   def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
@@ -1013,6 +1027,12 @@ object Dedup {
     *
     * numTables <= 0 selects the all-pairs brute-force path (verifier /
     * oracle baseline only — quadratic).
+    *
+    * @param maxBucket RECALL CHANGE in the 10000→1000 default drop: LSH
+    *             cells of 1001–10000 rows, previously verified, now skip
+    *             (their pairs are not emitted). The sf1 soak motivated the
+    *             work bound (a 480M-row candidate multiset thrashed the
+    *             shuffle); pass the old cap to restore the old recall.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numTables: Int = 8, bitsPerTable: Int = 8,

@@ -102,13 +102,18 @@ object Safety {
       .withColumn("flagged", col("entropy_nats") >= minNats)
   }
 
-  /** Differentially-private count release: group by `keys`, add Laplace
-    * noise of scale 1/eps to each count (sensitivity 1 for a
-    * count-per-partition release). The noise draw is a SEEDED inverse-CDF
-    * transform of a deterministic content hash of the key — reproducible
-    * across engines and runs, which is what makes the release AUDITABLE
-    * (the production variant swaps the hash for a secret-keyed PRF; the
-    * mechanism and arithmetic are identical).
+  /** SEEDED PSEUDO-DP count release (NON-PRIVATE when `nonce` is empty —
+    * replayable for oracles/audits, NOT a privacy guarantee): group by
+    * `keys`, add Laplace noise of scale 1/eps to each count (sensitivity 1
+    * for a count-per-partition release). With the default empty `nonce`
+    * the noise is an inverse-CDF transform of a deterministic, publicly
+    * computable content hash of the key — anyone can recompute and
+    * subtract it, so the release carries the DP MECHANISM but ZERO
+    * effective privacy; that determinism is exactly what lets two engines
+    * hash-match the release. Production use MUST pass a secret `nonce`,
+    * FRESH PER RELEASE: it is mixed into the hash as keyed material, and
+    * reusing it across releases would hand every key per-nonce-constant
+    * noise, which breaks DP composition.
     *
     * u = (h + 0.5) / m  ∈ (0,1)  with h a MIXED 30-bit poly hash of the
     * key (Knuth multiplicative step after the rolling hash — the raw poly
@@ -119,10 +124,14 @@ object Safety {
     * inverse CDF. One map-side-combinable aggregation; noise is a scalar
     * expression on the grouped result.
     */
-  def dpNoisyCounts(df: DataFrame, keys: Seq[String], eps: Double): DataFrame = {
+  def dpNoisyCounts(df: DataFrame, keys: Seq[String], eps: Double,
+      nonce: String = ""): DataFrame = {
     require(eps > 0, s"dpNoisyCounts: eps must be positive, got $eps")
     val keyStr = concat_ws("", keys.map(col): _*)
-    val h0 = Dedup.shingleHash(concat(lit("dp:"), keyStr))
+    // empty nonce keeps the historical "dp:" prefix byte-identical (the
+    // replayable form both engines hash); a secret nonce keys the hash
+    val h0 = Dedup.shingleHash(concat(
+      lit(if (nonce.isEmpty) "dp:" else s"dp:$nonce:"), keyStr))
     val h = pmod(h0 * lit(2654435761L) + lit(11L), lit(1000000007L))
     val u = (h.cast("double") + lit(0.5)) / lit(1000000007.0)
     val centered = u - lit(0.5)

@@ -433,8 +433,9 @@ object Similarity {
     }
     val seed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(1).head()
+    // vecCol may be array<float> or array<double>: read as Number
     var centers = List((seed.getLong(0),
-      seed.getSeq[Float](1).map(_.toDouble).toArray))
+      seed.getSeq[Number](1).map(_.doubleValue()).toArray))
     val picks = scala.collection.mutable.ListBuffer((0, seed.getLong(0), 0.0))
     var exhausted = false
     for (r <- 1 until k if !exhausted) {
@@ -451,7 +452,7 @@ object Similarity {
       else {
         val id = -best.getLong(1)
         picks += ((r, id, best.getDouble(0)))
-        centers = (id, best.getSeq[Float](2).map(_.toDouble).toArray) :: centers
+        centers = (id, best.getSeq[Number](2).map(_.doubleValue()).toArray) :: centers
       }
     }
     picks.toList
