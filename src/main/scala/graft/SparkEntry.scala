@@ -2958,11 +2958,23 @@ object SparkEntry {
     * column is reduced to an integer BEFORE the grouping-sets Expand, so
     * the 4× row multiplication replicates longs, not document bodies.
     */
-  private def cDataCard(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private def cDataCard(s: SparkSession, dir: String): DataFrame = {
+    // One grouping-sets pass over documents carries every per-group
+    // aggregate: counts, token/char totals, EXACT length percentiles
+    // (order-pinned interpolation — both engines use the p·(n-1) linear
+    // rule), and the exact-dup distinct count. The distinct key is the
+    // SHA-256 digest, not the text: at corpus scale the distinct shuffle
+    // then moves 64-byte keys instead of whole documents, and both
+    // engines compute the identical hex digest so the oracle still
+    // hash-matches. Language-mixture entropy composes from a second,
+    // group-count-sized aggregation (per-(source,lang) counts → ~|sources|
+    // rows) broadcast-joined back; (source,lang)/(lang) rows are
+    // single-language by construction, so their mixture entropy is 0.
+    val docs = t(s, dir, "documents")
       .select(col("source"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        col("n_chars"))
+        col("n_chars"), sha2(col("text"), 256).as("digest"))
+    val card = docs
       .groupingSets(
         Seq(Seq(col("source"), col("lang")), Seq(col("source")),
           Seq(col("lang")), Seq()),
@@ -2970,7 +2982,31 @@ object SparkEntry {
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"))
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("digest")).as("n_distinct"),
+        round(expr("percentile(n_chars, 0.1)"), 4).as("len_p10"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("len_p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("len_p90"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
+    val langCounts = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    def entropy(cnt: Column): Column =
+      round(log(sum(cnt)) - sum(cnt * log(cnt)) / sum(cnt), 6)
+    val entBySource = langCounts.groupBy(col("source"))
+      .agg(entropy(col("cnt")).as("lang_entropy"))
+      .select(lit(1).as("egid"), col("source").as("esource"), col("lang_entropy"))
+    val entGlobal = langCounts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .agg(entropy(col("cnt")).as("lang_entropy"))
+      .select(lit(3).as("egid"), lit(null).cast("string").as("esource"),
+        col("lang_entropy"))
+    card.join(broadcast(entBySource.unionAll(entGlobal)),
+        card("gid") === col("egid") && card("source") <=> col("esource"), "left")
+      .select(card.columns.map(col) :+
+        coalesce(col("lang_entropy"), lit(0.0)).as("lang_entropy"): _*)
+  }
 
   /** Nation-level trade graph: customer-nation → supplier-nation edges
     * weighted by line revenue — the shared edge derivation of
@@ -6441,15 +6477,36 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
          FROM ch""",
     "c_data_card" ->
-      """SELECT source, lang,
-           CASE WHEN grouping(source) = 0 AND grouping(lang) = 0 THEN 0
-                WHEN grouping(source) = 0 THEN 1
-                WHEN grouping(lang) = 0 THEN 2 ELSE 3 END AS gid,
-           count(*) AS n_docs,
-           sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS total_tokens,
-           sum(n_chars)::BIGINT AS total_chars
-         FROM documents
-         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""",
+      """WITH card AS (
+           SELECT source, lang,
+             CASE WHEN grouping(source) = 0 AND grouping(lang) = 0 THEN 0
+                  WHEN grouping(source) = 0 THEN 1
+                  WHEN grouping(lang) = 0 THEN 2 ELSE 3 END AS gid,
+             count(*) AS n_docs,
+             sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS total_tokens,
+             sum(n_chars)::BIGINT AS total_chars,
+             count(DISTINCT sha256(text))::BIGINT AS n_distinct,
+             round(quantile_cont(n_chars, 0.1), 4) AS len_p10,
+             round(quantile_cont(n_chars, 0.5), 4) AS len_p50,
+             round(quantile_cont(n_chars, 0.9), 4) AS len_p90
+           FROM documents
+           GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())),
+         lc AS (SELECT source, lang, count(*)::DOUBLE AS cnt
+                FROM documents GROUP BY 1, 2),
+         es AS (SELECT 1 AS egid, source AS esource,
+                  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS e
+                FROM lc GROUP BY source),
+         lt AS (SELECT lang, sum(cnt) AS cnt FROM lc GROUP BY lang),
+         eg AS (SELECT 3 AS egid, NULL::VARCHAR AS esource,
+                  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS e
+                FROM lt)
+         SELECT c.source, c.lang, c.gid, c.n_docs, c.total_tokens,
+           c.total_chars, c.n_distinct,
+           round(1.0 - c.n_distinct / c.n_docs, 6) AS dup_rate,
+           c.len_p10, c.len_p50, c.len_p90,
+           coalesce(ent.e, 0.0) AS lang_entropy
+         FROM card c LEFT JOIN (SELECT * FROM es UNION ALL SELECT * FROM eg) ent
+           ON c.gid = ent.egid AND c.source IS NOT DISTINCT FROM ent.esource""",
     "g_pagerank" -> {
       // unrolled power iteration: one generated CTE per round, identical
       // arithmetic to Graph.pageRank (GraphX static convention)
