@@ -989,6 +989,58 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Benchmark-contamination REPORT — the audit side of decontamination
+    * (Dolma/GPT-3-style appendix tables): per eval document, how much of
+    * it leaked into the training corpus. Columns: distinct 3-gram count,
+    * how many of those grams occur ANYWHERE in the train split (n_hit,
+    * overlap_frac), and the single worst train document by shared
+    * distinct grams (ties to the smaller doc id). Scale shape: the eval
+    * side is benchmark-sized (MBs) so its gram set broadcasts; the train
+    * side streams exploded grams through one semi-ish join. The per-PAIR
+    * attribution join is additionally gated on gram document frequency
+    * (df ≤ maxGramDf): a boilerplate gram occurring in half the corpus
+    * would make pair output |eval grams|×|corpus| — dropping
+    * non-discriminative grams bounds pair fan-out at maxGramDf per gram
+    * while the OVERALL overlap fraction still counts every gram (that
+    * path's output is bounded by the eval gram set alone).
+    */
+  private def cContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val maxGramDf = 100
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
+      .distinct()
+    val docs = t(s, dir, "documents")
+    val ev = grams(docs.filter(col("doc_id") < 10))
+      .withColumnRenamed("doc_id", "eval_id")
+    val evHinted =
+      if (ev.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(Transforms.BroadcastGateBytes)) broadcast(ev)
+      else ev
+    val tg = grams(docs.filter(col("doc_id") >= 10))
+      .withColumnRenamed("doc_id", "train_id")
+    val evTotals = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+    val hit = tg.select(col("g")).distinct()
+      .join(evHinted, Seq("g"))
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+    val rareGrams = tg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxGramDf).select(col("g"))
+    val pair = tg.join(rareGrams, Seq("g"))
+      .join(evHinted, Seq("g"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val worst = pair.groupBy(col("eval_id"))
+      .agg(max(struct(col("shared"), (-col("train_id")).as("nt"))).as("m"))
+      .select(col("eval_id"), col("m.shared").as("worst_shared"),
+        (-col("m.nt")).as("worst_train_doc"))
+    evTotals.join(hit, Seq("eval_id"), "left").join(worst, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("overlap_frac"),
+        coalesce(col("worst_shared"), lit(0L)).as("worst_shared"),
+        coalesce(col("worst_train_doc"), lit(-1L)).as("worst_train_doc"))
+  }
+
   /** Deterministic stratified downsampling — mixture rebalancing, the step
     * that turns "too much src0, not enough books" into a target data mix.
     * Each source stratum keeps a configured per-mille fraction, selected by
@@ -1420,6 +1472,38 @@ object SparkEntry {
       count(lit(1)).as("n_orders"),
       round(sum(col("o_totalprice")), 2).as("total_price"))
       .select(lit(v).as("snapshot"), col("n_orders"), col("total_price"))
+    snap(graft.io.Versioned.read(s, path, Some(1)), 1L)
+      .unionByName(snap(graft.io.Versioned.read(s, path), 2L))
+  }
+
+  /** Right-to-be-forgotten purge on the versioned store — the privacy
+    * workflow every PII-bearing lakehouse needs: delete requests arrive as
+    * a KEY SET (customers with custkey % 97 == 0 stand in), the purge is
+    * one left-anti join against the current snapshot published as a NEW
+    * version (v1 stays immutable for the audit window; retention expiry
+    * is a separate file delete). Scale shape: the request set is tiny
+    * relative to the table (requests are per-person, tables are
+    * per-event), so the anti join broadcasts; the table streams through
+    * one narrow pass, nothing shuffles. Output audits both snapshots:
+    * requested keys present in v1, ZERO in v2, and the untouched rows'
+    * balance sum unchanged except for the purged share.
+    */
+  private def qRtbfDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("rtbf").toString
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    graft.io.Versioned.write(cust, path)
+    val requests = t(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val purged = graft.io.Versioned.read(s, path, Some(1))
+      .join(broadcast(requests), Seq("c_custkey"), "left_anti")
+    graft.io.Versioned.write(purged, path)
+    def snap(df: DataFrame, v: Long) = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("c_custkey") % 97 === 0, 1L).otherwise(0L)).as("n_requested_remaining"),
+      round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .select(lit(v).as("snapshot"), col("n_rows"),
+        col("n_requested_remaining"), col("acctbal_sum"))
     snap(graft.io.Versioned.read(s, path, Some(1)), 1L)
       .unionByName(snap(graft.io.Versioned.read(s, path), 2L))
   }
@@ -1963,7 +2047,28 @@ object SparkEntry {
     * per session; every query checkpoints under it in a unique (nanoTime-
     * named) subdirectory on tmpfs instead of a disk temp dir.
     */
-  private def narrowStreamConfs(s: SparkSession, parts: String = "2"): Map[String, Option[String]] = {
+  /** Drain shuffle width, auto-sized from the sf dir's events table (the
+    * input every one of these streams tails): the round-8 width probe
+    * (SCALING.md) measured width ~indifferent at sf0.1 (fixed per-
+    * partition state-store open/commit cost dominates the single-burst
+    * drains; 21.8/21.2/21.6 s at 2/4/8) but a 30% total win at sf1
+    * (61.1 → 42.6 s at width 8) where the keyed-state walk outweighs the
+    * per-partition fixed cost. One partition per ~3 MB of events parquet,
+    * clamped to [2, 32]: sf0.1 → 2, sf1 → 8, a decade up saturates the
+    * local core budget. SPARK_GRAFT_STREAM_PARTS overrides.
+    */
+  private val streamPartsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def autoStreamParts(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      streamPartsCache.computeIfAbsent(dir, { _ =>
+        val bytes =
+          try java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/events.parquet"))
+          catch { case _: Exception => 0L }
+        math.max(2L, math.min(32L, bytes / (3L << 20))).toString
+      }))
+
+  private def narrowStreamConfs(s: SparkSession, dir: String): Map[String, Option[String]] = {
+    val parts = autoStreamParts(dir)
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.checkpointLocation",
       "spark.sql.streaming.noDataMicroBatches.enabled")
@@ -2033,7 +2138,7 @@ object SparkEntry {
     val qn = s"s_rollup_stream_${System.nanoTime()}"
     // Narrowed stateful shuffle for the single-batch drain (fixed per-
     // partition state-store cost; see s_sessionize_stream's note).
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val query = graft.streaming.Streaming.hourlyRollup(ev, watermark = "2 hours")
         .writeStream.format("memory").queryName(qn)
@@ -2060,7 +2165,7 @@ object SparkEntry {
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_topk_stream_${System.nanoTime()}"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val query = ev.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -2089,7 +2194,7 @@ object SparkEntry {
     val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
       .transform(graft.io.EventTs.toTimestamp)
     val qn = s"s_sliding_stream_${System.nanoTime()}"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val query = graft.streaming.Streaming.slidingRollup(ev)
         .writeStream.format("memory").queryName(qn)
@@ -2126,7 +2231,7 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("payload"))
       .as[AsofIn]
     val qn = s"s_asof_stream_${System.nanoTime()}"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val query = graft.streaming.Streaming.asofEnrich(ev.unionByName(ord))
         .toDF()
@@ -2156,7 +2261,7 @@ object SparkEntry {
       .select(col("user_id"), tsUs.as("ts"), col("event_id"), col("event_type"))
       .as[TransIn]
     val qn = s"s_transitions_stream_${System.nanoTime()}"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val query = graft.streaming.Streaming.transitionsStream(ev)
         .toDF()
@@ -2186,7 +2291,7 @@ object SparkEntry {
           d.resolve(n))
       }
     })
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_dedup_stream_${System.nanoTime()}"
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
@@ -2235,7 +2340,7 @@ object SparkEntry {
       }
     })
     val out = scratch("qmon_out").toString + "/report"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
@@ -2271,7 +2376,7 @@ object SparkEntry {
     val log = scratch("ingest_log").toString +
       "/digests.parquet"
     val out = scratch("ingest_out").toString + "/kept"
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val docs = graft.streaming.Streaming.readParquetStream(s, landing.toString,
         Map("maxFilesPerTrigger" -> "1"))
@@ -2295,7 +2400,7 @@ object SparkEntry {
     val landing = sharedLanding(dir, "events")
     val uploaded = t(s, dir, "events")
       .filter(col("event_id") % 3 === 0).select(col("event_id"))
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_anti_join_${System.nanoTime()}"
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
@@ -2321,7 +2426,7 @@ object SparkEntry {
   private def sIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val landing = sharedLanding(dir, "events")
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_interval_join_${System.nanoTime()}"
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
@@ -2391,7 +2496,7 @@ object SparkEntry {
             java.nio.file.attribute.FileTime.fromMillis(t0 + off))
         }
     })
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_outer_interval_${System.nanoTime()}"
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString,
@@ -2428,7 +2533,7 @@ object SparkEntry {
   private def sSessionWindowStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val landing = sharedLanding(dir, "events")
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_session_window_${System.nanoTime()}"
     try {
       val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
@@ -2501,7 +2606,7 @@ object SparkEntry {
             java.nio.file.attribute.FileTime.fromMillis(t0 + off))
         }
     })
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     val qn = s"s_sessionize_stream_${System.nanoTime()}"
     try {
       val ev = Streaming.readParquetStream(s, landing.toString,
@@ -3868,7 +3973,7 @@ object SparkEntry {
     graft.io.Versioned.write(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), lit(0L).as("v")), store)
-    val prevConfs = narrowStreamConfs(s)
+    val prevConfs = narrowStreamConfs(s, dir)
     try {
       val changes = graft.streaming.Streaming.readParquetStream(s,
         landing.toString, Map("maxFilesPerTrigger" -> "1"))
@@ -3969,6 +4074,7 @@ object SparkEntry {
     "t_chunks" -> (tChunks _),
     "c_pack_sequences" -> (cPackSequences _),
     "c_decontaminate" -> (cDecontaminate _),
+    "c_contamination_report" -> (cContaminationReport _),
     "c_stratified_sample" -> (cStratifiedSample _),
     "c_weighted_sample" -> (cWeightedSample _),
     "c_leakage_split" -> (cLeakageSplit _),
@@ -4018,6 +4124,7 @@ object SparkEntry {
     "t_distinct_kmv" -> (tDistinctKmv _),
     "s_sliding_stream" -> (sSlidingStream _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_rtbf_delete" -> (qRtbfDelete _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "s_asof_stream" -> (sAsofStream _),
@@ -5262,6 +5369,37 @@ object SparkEntry {
          SELECT doc_id, quality FROM q
          WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
     "c_decontaminate" -> sqlDecontaminate,
+    "c_contamination_report" -> {
+      val g3 = sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> $g3)) END AS g3
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                 FROM documents)),
+         ev AS (SELECT doc_id AS eval_id, unnest(g3) AS g FROM sh WHERE doc_id < 10),
+         tg AS MATERIALIZED (
+           SELECT doc_id AS train_id, unnest(g3) AS g FROM sh WHERE doc_id >= 10),
+         tot AS (SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY 1),
+         hit AS (SELECT e.eval_id, count(*) AS n_hit FROM ev e
+                 WHERE e.g IN (SELECT g FROM tg) GROUP BY 1),
+         rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM tg GROUP BY g)
+                  WHERE df <= 100),
+         pair AS (SELECT e.eval_id, t.train_id, count(*) AS shared
+                  FROM ev e JOIN tg t USING (g)
+                  WHERE e.g IN (SELECT g FROM rare) GROUP BY 1, 2),
+         worst AS (SELECT eval_id, train_id AS worst_train_doc, shared AS worst_shared
+                   FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+                           ORDER BY shared DESC, train_id ASC) AS rn FROM pair)
+                   WHERE rn = 1)
+         SELECT t.eval_id, t.n_grams,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0) / t.n_grams, 6) AS overlap_frac,
+           coalesce(w.worst_shared, 0)::BIGINT AS worst_shared,
+           coalesce(w.worst_train_doc, -1)::BIGINT AS worst_train_doc
+         FROM tot t LEFT JOIN hit h USING (eval_id)
+           LEFT JOIN worst w USING (eval_id)"""
+    },
     // the bloom variant's prefilter is semantics-free (false positives are
     // removed by the exact verify join) — identical declared result
     "c_decontaminate_bloom" -> sqlDecontaminate,
@@ -5873,6 +6011,17 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     // v1 must still answer like the pre-merge base after v2 publishes
+    "q_rtbf_delete" ->
+      """SELECT 1::BIGINT AS snapshot, count(*) AS n_rows,
+           sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_requested_remaining,
+           round(sum(c_acctbal), 2) AS acctbal_sum
+         FROM customer
+         UNION ALL
+         SELECT 2::BIGINT, count(*),
+           sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT,
+           round(sum(c_acctbal), 2)
+         FROM customer WHERE c_custkey % 97 <> 0""",
     "q_time_travel" ->
       """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
              0::BIGINT AS version, 0 AS src FROM orders),
