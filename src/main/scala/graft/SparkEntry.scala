@@ -460,6 +460,18 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Exact MIPS top-k over the raw (unnormalized) embeddings — the
+    * dot-product retrieval baseline next to [[eCosineTopK]]'s cosine one;
+    * [[graft.operators.Similarity.mipsAugment]] reduces this ranking to
+    * the cosine indexes at scale (SimilaritySpec pins the equivalence).
+    */
+  private def eMipsTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mipsTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Prefix-dimension rerank ([[Similarity.truncatedTopK]]): coarse top-30
     * by first-16-dim dot product, exact cosine rescoring to top-10 — the
     * Matryoshka/truncation ANN path whose coarse scan reads 1/4 of the
@@ -1506,6 +1518,34 @@ object SparkEntry {
         col("n_requested_remaining"), col("acctbal_sum"))
     snap(graft.io.Versioned.read(s, path, Some(1)), 1L)
       .unionByName(snap(graft.io.Versioned.read(s, path), 2L))
+  }
+
+  /** Merge-on-read deletes ([[graft.io.Versioned.writeDeleteVector]]):
+    * two RTBF purge batches land as DELETE VECTORS against the published
+    * snapshot — O(|keys|) writes, no data-file rewrite — and the
+    * merge-on-read path applies their union as one broadcast anti-join
+    * at read time. The output audits both views of the SAME version: the
+    * plain snapshot read (immutable, unaffected by the vectors) and the
+    * merge-on-read view (both batches applied). Complements
+    * [[qRtbfDelete]]'s copy-on-write strategy; a compaction `write` of
+    * the merged view folds the vectors back in.
+    */
+  private def qDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("dv").toString
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    graft.io.Versioned.write(cust, path)
+    graft.io.Versioned.writeDeleteVector(
+      cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey")), path)
+    graft.io.Versioned.writeDeleteVector(
+      cust.filter(col("c_custkey") % 101 === 0).select(col("c_custkey")), path)
+    def snap(df: DataFrame, view: String) = df.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .select(lit(view).as("view"), col("n_rows"), col("acctbal_sum"))
+    snap(graft.io.Versioned.read(s, path), "base")
+      .unionByName(snap(
+        graft.io.Versioned.readMergeOnRead(s, path, Seq("c_custkey")), "mor"))
   }
 
   /** Snapshot DIFF between two published versions — the lakehouse
@@ -4042,6 +4082,7 @@ object SparkEntry {
     "d_neardup_components" -> (dNeardupComponents _),
     "d_softdedup_weights" -> (dSoftDedupWeights _),
     "e_cosine_topk" -> (eCosineTopK _),
+    "e_mips_topk" -> (eMipsTopK _),
     "e_trunc_rerank" -> (eTruncRerank _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
@@ -4125,6 +4166,7 @@ object SparkEntry {
     "s_sliding_stream" -> (sSlidingStream _),
     "q_time_travel" -> (qTimeTravel _),
     "q_rtbf_delete" -> (qRtbfDelete _),
+    "q_delete_vectors" -> (qDeleteVectors _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "s_asof_stream" -> (sAsofStream _),
@@ -5004,6 +5046,17 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "e_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) AS d
+           FROM q, c WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(d, 6) AS dot FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(d, 6) DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
     "e_trunc_rerank" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -6011,6 +6064,14 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     // v1 must still answer like the pre-merge base after v2 publishes
+    "q_delete_vectors" ->
+      """SELECT 'base' AS view, count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS acctbal_sum
+         FROM customer
+         UNION ALL
+         SELECT 'mor', count(*), round(sum(c_acctbal), 2)
+         FROM customer
+         WHERE c_custkey % 97 <> 0 AND c_custkey % 101 <> 0""",
     "q_rtbf_delete" ->
       """SELECT 1::BIGINT AS snapshot, count(*) AS n_rows,
            sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT

@@ -85,4 +85,58 @@ object Versioned {
     require(version.forall(_ >= 1), s"versions are 1-based, got $version")
     spark.read.parquet(s"$path/v=$v")
   }
+
+  // ----------------------------------------------- merge-on-read deletes
+
+  private def dvDir(path: String, v: Int) = s"$path/v=$v/_dv"
+
+  /** Merge-on-read DELETE VECTORS (the Delta/Iceberg-v2 pattern): a purge
+    * appends only the deleted KEY SET under the version it applies to
+    * (`v=N/_dv/d=M` — the underscore prefix keeps the batch invisible to
+    * plain [[read]]s of the immutable base files), never rewriting data.
+    * Copy-on-write ([[write]] of the purged frame, the `q_rtbf_delete`
+    * path) pays a full table rewrite per purge and keeps reads free;
+    * merge-on-read pays one broadcast anti-join per read and makes each
+    * purge O(|keys|) — the right trade for frequent small purge batches
+    * (the RTBF trickle), with a compaction [[write]] folding the vectors
+    * back in eventually. Returns the delete-batch number.
+    */
+  def writeDeleteVector(keys: DataFrame, path: String,
+      version: Option[Int] = None): Int = {
+    val spark = keys.sparkSession
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no published version under $path"))
+    val f = fs(spark, path)
+    val base = new Path(dvDir(path, v))
+    val next = (if (f.exists(base))
+      f.listStatus(base).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("d=") => n.stripPrefix("d=") }
+        .flatMap(s => scala.util.Try(s.toInt).toOption).maxOption.getOrElse(0)
+    else 0) + 1
+    keys.write.mode("errorifexists").parquet(s"${dvDir(path, v)}/d=$next")
+    next
+  }
+
+  /** Snapshot read with every delete vector of that version applied: the
+    * union of delete-key batches anti-joins the base in ONE pass (deletes
+    * are per-person-sized, the base is per-event-sized, so the key set
+    * broadcasts under the standard size gate).
+    */
+  def readMergeOnRead(spark: SparkSession, path: String, keyCols: Seq[String],
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no published version under $path"))
+    val base = spark.read.parquet(s"$path/v=$v")
+    if (!fs(spark, path).exists(new Path(dvDir(path, v)))) base
+    else {
+      val dels = spark.read.parquet(dvDir(path, v))
+        .select(keyCols.map(col): _*).distinct()
+      val hinted =
+        if (dels.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(graft.transform.Transforms.BroadcastGateBytes)) broadcast(dels)
+        else dels
+      base.join(hinted, keyCols, "left_anti")
+    }
+  }
 }

@@ -55,6 +55,53 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS — the retrieval scoring for
+    * unnormalized embeddings, e.g. recommendation and learned-sparse
+    * models, where cosine's normalization destroys the score): queries ×
+    * corpus dot product through the codegen'd [[graft.functions
+    * .KernelExpressions.vecDot]] kernel, ranked per query. Same
+    * size-gated broadcast and shuffle shape as [[bruteForceTopK]].
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(gatedBroadcast(q, broadcastGateBytes))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", graft.functions.KernelExpressions.vecDot(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("dot"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("dot"), 6).as("dot"))
+  }
+
+  /** Order-preserving MIPS→cosine reduction (the Shrivastava–Li /
+    * Neyshabur–Srebro augmentation): corpus vectors append
+    * sqrt(M² − |x|²) with M ≥ every corpus norm, queries append 0 — all
+    * augmented corpus vectors then share norm M, so augmented COSINE
+    * order per query equals inner-product order. This is what lets every
+    * cosine index in this module (SRP, IVF, PQ, IVF-PQ) serve MIPS
+    * unchanged: augment at index build, search with the cosine machinery.
+    * Returns the frame with `vecCol` replaced by its augmented form
+    * (queries: pass `isQuery = true` to append the 0).
+    */
+  def mipsAugment(df: DataFrame, vecCol: String, maxNorm: Double,
+      isQuery: Boolean = false): DataFrame = {
+    val v = col(vecCol)
+    val aug =
+      if (isQuery) concat(v.cast("array<double>"), array(lit(0.0)))
+      else {
+        val normSq = aggregate(v, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        concat(v.cast("array<double>"),
+          array(sqrt(greatest(lit(maxNorm * maxNorm) - normSq, lit(0.0)))))
+      }
+    df.withColumn(vecCol, aug)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: per
     * query, the fraction of exact neighbors the ANN result retrieved. Both
     * inputs carry (query_id, neighbor_id) rows (ranks ignored — recall is

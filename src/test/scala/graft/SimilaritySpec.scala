@@ -235,4 +235,54 @@ class SimilaritySpec extends SparkTestBase {
     val picks = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 8)
     assert(picks.map(_._2) == Seq(0L, 1L), picks)
   }
+
+  test("mipsTopK ranking equals cosine ranking over mipsAugment-ed vectors") {
+    // The Shrivastava-Li / Neyshabur-Srebro reduction: with corpus
+    // vectors augmented by sqrt(M^2 - |x|^2) and queries by 0, every
+    // augmented corpus vector has norm M, so augmented-cosine order per
+    // query IS inner-product order — the property that lets the cosine
+    // indexes (SRP/IVF/PQ) serve MIPS unchanged.
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.mipsTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "rank")
+    val maxNorm = math.sqrt(emb.select(
+      max(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x * x))).head().getDouble(0)) + 1e-9
+    val viaCosine = Similarity.bruteForceTopK(
+      Similarity.mipsAugment(q, "embedding", maxNorm, isQuery = true),
+      Similarity.mipsAugment(emb, "embedding", maxNorm),
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "rank")
+    // rounding to 6 decimals can permute near-ties between the two score
+    // spaces; compare the neighbor SETS per (query, rank-prefix) instead
+    val a = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = viaCosine.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap >= 0.9, s"augmented-cosine top-10 diverged: $overlap")
+    // and the top-1 per query must agree exactly (no near-tie at rank 1)
+    def top1(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(exact.withColumn("rank", col("rank").cast("int")).collect()) ==
+      top1(viaCosine.withColumn("rank", col("rank").cast("int")).collect()))
+  }
+
+  test("merge-on-read delete vectors: base read immutable, vectors compose, compaction folds in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val data = (1L to 100L).map(i => (i, i * 1.5)).toDF("k", "v")
+    graft.io.Versioned.write(data, dir)
+    graft.io.Versioned.writeDeleteVector(Seq(1L, 2L).toDF("k"), dir)
+    graft.io.Versioned.writeDeleteVector(Seq(2L, 50L).toDF("k"), dir) // overlap dedupes
+    assert(graft.io.Versioned.read(spark, dir).count() == 100) // base untouched
+    val mor = graft.io.Versioned.readMergeOnRead(spark, dir, Seq("k"))
+    assert(mor.count() == 97)
+    assert(mor.filter(col("k").isin(1L, 2L, 50L)).count() == 0)
+    // compaction: write the merged view as v2; v2 starts vector-free
+    graft.io.Versioned.write(mor, dir)
+    assert(graft.io.Versioned.read(spark, dir).count() == 97)
+    assert(graft.io.Versioned.readMergeOnRead(spark, dir, Seq("k")).count() == 97)
+    // v1 and its vectors still replay for the audit window
+    assert(graft.io.Versioned.read(spark, dir, Some(1)).count() == 100)
+    assert(graft.io.Versioned.readMergeOnRead(spark, dir, Seq("k"), Some(1)).count() == 97)
+  }
 }
