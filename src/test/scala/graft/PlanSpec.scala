@@ -109,7 +109,15 @@ class PlanSpec extends SparkTestBase {
       "q_expectations",
       // q_bucket_join writes the bucketed tables at plan-build time; its
       // plan shape is pinned by its own test below
-      "q_bucket_join")
+      "q_bucket_join",
+      // e_mips_topk is the deliberate exact DOT-PRODUCT baseline — same
+      // broadcast-nested-loop brute-force shape (and exemption rationale)
+      // as e_cosine_topk; mipsAugment + the ANN indexes are the scale path
+      "e_mips_topk",
+      // q_rtbf_delete / q_delete_vectors publish versioned snapshots /
+      // delete vectors at plan-BUILD time (the q_time_travel exemption
+      // class); their anti-join shape is pinned by the RTBF test below
+      "q_rtbf_delete", "q_delete_vectors")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -309,5 +317,34 @@ class PlanSpec extends SparkTestBase {
     val p = enc.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("rtbf purge is a broadcast left-anti hash join; request side never shuffles the table") {
+    val requests = spark.read.parquet(dir + "/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 97 === 0)
+      .select("c_custkey")
+    val purged = spark.read.parquet(dir + "/customer.parquet")
+      .join(org.apache.spark.sql.functions.broadcast(requests), Seq("c_custkey"), "left_anti")
+    val p = purged.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("extended data card: one expand pass over documents, entropy side broadcast-joined") {
+    val p = SparkEntry.queries("c_data_card")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the grouping-sets expand appears once — the percentile/distinct
+    // aggregates ride the same pass, not extra scans of documents
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p) // entropy table join
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("contamination report: eval gram side broadcasts, no cartesian anywhere") {
+    val p = SparkEntry.queries("c_contamination_report")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
