@@ -1548,6 +1548,28 @@ object SparkEntry {
         graft.io.Versioned.readMergeOnRead(s, path, Seq("c_custkey")), "mor"))
   }
 
+  /** Snapshot retention ([[graft.io.Versioned.expireVersions]]): three
+    * versions publish, retention keeps the newest two, and the output
+    * reads back every SURVIVING version's row count — v1's directory (and
+    * any delete vectors under it) is gone, numbering never restarts. The
+    * expiry itself is pure metadata work (a directory listing + deletes),
+    * independent of table size.
+    */
+  private def qVersionExpire(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("expire").toString
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    graft.io.Versioned.write(cust, path)
+    graft.io.Versioned.write(cust.filter(col("c_custkey") % 2 === 0), path)
+    graft.io.Versioned.write(cust.filter(col("c_custkey") % 3 === 0), path)
+    val expired = graft.io.Versioned.expireVersions(s, path, keepLast = 2)
+    require(expired == Seq(1), s"expected v1 expired, got $expired")
+    graft.io.Versioned.versions(s, path).map { v =>
+      graft.io.Versioned.read(s, path, Some(v))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v.toLong).as("version"), col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Snapshot DIFF between two published versions — the lakehouse
     * change-audit: base publishes as v1, the CDC-merged state as v2, and
     * the diff is ONE full outer join on the key classifying each row as
@@ -4167,6 +4189,7 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_rtbf_delete" -> (qRtbfDelete _),
     "q_delete_vectors" -> (qDeleteVectors _),
+    "q_version_expire" -> (qVersionExpire _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "s_asof_stream" -> (sAsofStream _),
@@ -6064,6 +6087,11 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     // v1 must still answer like the pre-merge base after v2 publishes
+    "q_version_expire" ->
+      """SELECT 2::BIGINT AS version, count(*) AS n_rows
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT 3::BIGINT, count(*) FROM customer WHERE c_custkey % 3 = 0""",
     "q_delete_vectors" ->
       """SELECT 'base' AS view, count(*) AS n_rows,
            round(sum(c_acctbal), 2) AS acctbal_sum

@@ -86,6 +86,34 @@ object Versioned {
     spark.read.parquet(s"$path/v=$v")
   }
 
+  /** All version numbers on disk, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  /** Snapshot retention (the VACUUM side of the audit window): delete
+    * every version directory older than the newest `keepLast`. The
+    * published latest is the max version, so it is always retained; an
+    * expired version's delete vectors go with its directory. Version
+    * numbering never restarts ([[maxVersionOnDisk]] is the authority and
+    * the retained tail keeps the max), so expired numbers are never
+    * reused. Returns the deleted version numbers.
+    */
+  def expireVersions(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, path)
+    val cut = maxVersionOnDisk(spark, path).getOrElse(return Seq.empty) - keepLast
+    val doomed = versions(spark, path).filter(_ <= cut)
+    doomed.foreach(v => f.delete(new Path(s"$path/v=$v"), true))
+    doomed
+  }
+
   // ----------------------------------------------- merge-on-read deletes
 
   private def dvDir(path: String, v: Int) = s"$path/v=$v/_dv"

@@ -191,4 +191,25 @@ class GoogleRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mapped.url == "https://api2.appsflyer.com/inappevent/app1")
     assert(extra.isEmpty)
   }
+
+  test("GA4 MP and AppsFlyer endpoints pass through with their query/path intact") {
+    val ga4 = exec(DestinationType.Ga4MeasurementProtocol,
+      Seq("secret9", "true", "false", "false", "", "G-777"))
+    val ga4Reqs = Renderers.Ga4MeasurementProtocol.render(ga4,
+      Seq(scala.collection.immutable.ListMap(
+        "uuid" -> "u1", "client_id" -> "c1", "name" -> "purchase")), 1L)
+    sendAll(ga4, ga4Reqs)
+    val af = exec(DestinationType.AppsFlyerS2SEvents, Seq("com.app.one"))
+    val afReqs = Renderers.AppsFlyerS2S.render(af,
+      Seq(scala.collection.immutable.ListMap(
+        "appsflyer_id" -> "af1", "event_eventName" -> "open")), 1L)
+    sendAll(af, afReqs)
+    val all = drain()
+    assert(all.map(_.pathQ) == Seq(
+      "/mp/collect?api_secret=secret9&measurement_id=G-777",
+      "/inappevent/com.app.one"))
+    assert(all.forall(_.auth == "Bearer tok-123"))
+    assert(all.head.body == ga4Reqs.head.body)
+    assert(all.last.body == afReqs.head.body)
+  }
 }
