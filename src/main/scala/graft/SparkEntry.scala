@@ -3953,6 +3953,33 @@ object SparkEntry {
     * hex secret (always flagged) per doc
     * ([[graft.operators.Safety.secretScan]]).
     */
+  /** Per-document unigram entropy + type-token ratio — the
+    * lexical-diversity quality signals (low entropy = boilerplate /
+    * keyword stuffing, the Gopher-rules class of filter). Same
+    * order-pinned arithmetic as [[graft.operators.Safety.secretScan]]:
+    * per-token counts from one grouped aggregation, the -Σ (c/n)·ln(c/n)
+    * fold over counts sorted by token — both engines sum in the same
+    * order, so the doubles match before the 1e-6 rounding. Shuffle is
+    * (doc, token)-keyed; nothing corpus-wide.
+    */
+  private def tUnigramEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("tok"), col("c")))).as("cs"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n"), 6).as("ttr"),
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, e) => acc - (e.getField("c") / col("n")) *
+            log(e.getField("c") / col("n"))), 6).as("entropy_nats"))
+  }
+
   private def tSecretEntropy(s: SparkSession, dir: String): DataFrame =
     graft.operators.Safety.secretScan(
       t(s, dir, "documents").select(col("doc_id"),
@@ -4258,6 +4285,7 @@ object SparkEntry {
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
+    "t_unigram_entropy" -> (tUnigramEntropy _),
     "q_dp_counts" -> (qDpCounts _),
     "q_stats_skipping" -> (qStatsSkipping _),
     "s_cdc_stream" -> (sCdcStream _)
@@ -7152,6 +7180,21 @@ object SparkEntry {
             CASE WHEN luhn_valid THEN 3 ELSE 0 END)::BIGINT AS risk_score
          FROM l"""
     },
+    "t_unigram_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         occ AS (SELECT doc_id, unnest(ts) AS tok FROM tk),
+         cc AS (SELECT doc_id, tok, count(*)::DOUBLE AS c
+           FROM occ GROUP BY 1, 2),
+         e AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+             list(c ORDER BY tok) AS cs
+           FROM cc GROUP BY 1)
+         SELECT doc_id, n::BIGINT AS n_tokens, nd::BIGINT AS n_distinct,
+           round(nd / n, 6) AS ttr,
+           round(list_reduce([0.0] || cs,
+             (acc, c) -> acc - (c / n) * ln(c / n)), 6) AS entropy_nats
+         FROM e""",
     "t_secret_entropy" ->
       """WITH r AS (SELECT doc_id, text || ' aaaaaaaaaaaaaaaaaaaa sk_' ||
              substr(md5('sec:' || doc_id), 1, 24) AS raw FROM documents),
