@@ -516,6 +516,28 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** MIPS served through the IVF index via [[graft.operators.Similarity
+    * .mipsAugment]] — the reduction actually doing its job: corpus vectors
+    * augmented with sqrt(M² − |x|²) (M = exact max corpus norm, one agg),
+    * queries with 0, then the UNCHANGED cosine IVF machinery (65-dim ±1
+    * centroids, nprobe 2) ranks by augmented cosine = inner-product order.
+    * The oracle replays the augmentation and the full IVF pipeline in SQL
+    * — the hash match proves the reduction is engine-exact, not just
+    * rank-preserving in expectation.
+    */
+  private def eMipsIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val m2 = emb.agg(max(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))).head().getDouble(0)
+    val mNorm = math.sqrt(m2)
+    val aug = Similarity.mipsAugment(emb, "embedding", mNorm)
+    val augQ = Similarity.mipsAugment(emb.filter(col("vec_id") < 5),
+      "embedding", mNorm, isQuery = true)
+    Similarity.ivfTopK(augQ, aug, "vec_id", "embedding",
+      centroids = VectorOps.rademacherPlanes(8, 65), k = 10, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** IVF over a MATERIALIZED index: the corpus is written once partitioned
     * by coarse cell (`Similarity.writeIvfIndex` — the directory layout IS
     * the index at 100 TB), then searched via the partition column with
@@ -4132,6 +4154,7 @@ object SparkEntry {
     "d_softdedup_weights" -> (dSoftDedupWeights _),
     "e_cosine_topk" -> (eCosineTopK _),
     "e_mips_topk" -> (eMipsTopK _),
+    "e_mips_ivf_topk" -> (eMipsIvfTopK _),
     "e_trunc_rerank" -> (eTruncRerank _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
@@ -4572,6 +4595,43 @@ object SparkEntry {
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
        WHERE rank <= 10"""
+  }
+
+  /** The augmented-IVF MIPS oracle: [[eMipsIvfTopK]]'s reduction replayed
+    * in SQL — identical augmentation arithmetic (mn = sqrt(max Σx²) once;
+    * corpus gets sqrt(greatest(mn·mn − Σx², 0)), queries get 0) feeding
+    * the same cell-sort/probe/cosine pipeline as [[sqlIvfTopK]] at 65
+    * dims.
+    */
+  private lazy val sqlMipsIvfTopK: String = {
+    val centroidList = (ci: String) => s"sg[($ci) * 65 + 1 : ($ci) * 65 + 65]"
+    def cellsOf(src: String) =
+      s"""SELECT vec_id, v,
+             list_transform(list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+               st -> st.cell) AS sorted_cells
+           FROM $src CROSS JOIN sgt"""
+    s"""WITH sgt AS (SELECT ${sqlSigns(8, 65)}::DOUBLE[] AS sg),
+         e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         n AS (SELECT vec_id, v0,
+             list_reduce([0.0] || list_transform(v0, x -> x * x),
+               (acc, x) -> acc + x) AS d FROM e0),
+         mm AS (SELECT sqrt(max(d)) AS mn FROM n),
+         ec AS (SELECT vec_id, v0 || [sqrt(greatest(mn * mn - d, 0.0))] AS v
+                FROM n CROSS JOIN mm),
+         eq AS (SELECT vec_id, v0 || [0.0] AS v FROM n WHERE vec_id < 5),
+         cellsC AS (${cellsOf("ec")}),
+         cellsQ AS (${cellsOf("eq")}),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell
+               FROM cellsC),
+         q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
+               FROM cellsQ),
+         cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
+           FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 10"""
   }
 
   /** The untrained-centroid IVF search oracle, shared by the recompute
@@ -5155,6 +5215,7 @@ object SparkEntry {
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10""",
     "e_ivf_topk" -> sqlIvfTopK,
+    "e_mips_ivf_topk" -> sqlMipsIvfTopK,
     // the materialized-index variant is semantically identical — same oracle
     "e_ivf_index_topk" -> sqlIvfTopK,
     "e_ivf_trained_topk" -> {
