@@ -3351,6 +3351,18 @@ object SparkEntry {
       // coOrderEdges emits both directions by construction
       symmetric = true)
 
+  /** Bounded k-core peel over the co-order part graph
+    * ([[graft.operators.Graph.kCorePeel]], k=90, 4 synchronous rounds):
+    * per part, the round it fell out of the 90-core (0 = survives) —
+    * the standard graph-density filter (peel boilerplate/low-connectivity
+    * nodes before community detection). The oracle unrolls the identical
+    * peel one (degree, doomed, alive) CTE triple per round.
+    */
+  private def gKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCorePeel(
+      t(s, dir, "part"), "p_partkey",
+      coOrderEdges(s, dir), "src", "dst", k = 90, rounds = 4)
+
   /** Graph × relational composition: line revenue rolled up per LPA
     * community (≥5 members) — the community labels from [[qCommunities]]
     * join the per-part revenue aggregate on the part key both sides
@@ -4274,6 +4286,7 @@ object SparkEntry {
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_communities" -> (qCommunities _),
+    "g_kcore" -> (gKcore _),
     "g_community_rollup" -> (qCommunityRollup _),
     "g_node_similarity" -> (gNodeSimilarity _),
     "t_hybrid_rrf" -> (tHybridRrf _),
@@ -4339,6 +4352,35 @@ object SparkEntry {
          n AS (SELECT DISTINCT p_partkey AS id FROM part),
          r0 AS (SELECT id, id AS label FROM n),
          $rk"""
+  }
+
+  /** Unrolled bounded k-core peel oracle for [[gKcore]]: one
+    * (d, x, a) CTE triple per round over the same co-order edge set as
+    * the LPA oracles.
+    */
+  private lazy val sqlKcore: String = {
+    val k = 90
+    val rk = (1 to 4).map { r =>
+      s"""d$r AS (SELECT e.dst AS id, count(*) AS deg
+             FROM e JOIN a${r - 1} sa ON e.src = sa.id
+                    JOIN a${r - 1} ta ON e.dst = ta.id
+             GROUP BY 1),
+           x$r AS (SELECT a.id FROM a${r - 1} a LEFT JOIN d$r USING (id)
+             WHERE coalesce(deg, 0) < $k),
+           a$r AS (SELECT id FROM a${r - 1}
+             WHERE id NOT IN (SELECT id FROM x$r))"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         n AS (SELECT DISTINCT p_partkey AS id FROM part),
+         a0 AS (SELECT id FROM n),
+         $rk
+         SELECT n.id, coalesce(rr.r, 0)::BIGINT AS removed_round
+         FROM n LEFT JOIN (
+           SELECT id, 1 AS r FROM x1 UNION ALL SELECT id, 2 FROM x2
+           UNION ALL SELECT id, 3 FROM x3 UNION ALL SELECT id, 4 FROM x4) rr
+         USING (id)"""
   }
 
   private val stopwordsSql = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -7137,6 +7179,7 @@ object SparkEntry {
     "g_communities" ->
       s"""WITH $sqlLpaCtes
          SELECT id, label FROM r$LpaRounds""",
+    "g_kcore" -> sqlKcore,
     "g_community_rollup" ->
       s"""WITH $sqlLpaCtes,
          rev AS (SELECT l_partkey AS id,

@@ -276,4 +276,51 @@ object Graph {
       .orderBy(col("jaccard_e6").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** Bounded k-core peel: `rounds` synchronous rounds, each removing every
+    * node whose degree AMONG SURVIVORS is below `k` (isolated nodes fall
+    * in round 1). Bounded rounds keep the fixpoint deterministic and
+    * oracle-replayable (full k-core = run until no removals; each extra
+    * round is the same two-join step). Per round: one edges⋈alive
+    * restriction, one degree aggregation, one anti-join — all keyed on
+    * node id, the standard peel at any scale; lineage is cut every
+    * `checkpointEvery` rounds like [[pageRank]].
+    *
+    * @param edges DIRECTED edge list — symmetrized + deduped here (pass
+    *              both-direction input freely)
+    * @return (id, removed_round): 1-based peel round, 0 = survived all
+    */
+  def kCorePeel(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
+    var alive = n
+    var removed = n.limit(0).select(col("id"), lit(0L).as("removed_round"))
+    var r = 1
+    while (r <= rounds) {
+      val deg = sym
+        .join(alive.select(col("id").as("src")), Seq("src"))
+        .join(alive.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("deg"))
+      val doomed = alive.join(deg, Seq("id"), "left_outer")
+        .where(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("id"), lit(r.toLong).as("removed_round"))
+      removed = removed.unionByName(doomed)
+      alive = alive.join(doomed.select(col("id")), Seq("id"), "left_anti")
+      if (r % checkpointEvery == 0 && r < rounds) {
+        alive = alive.localCheckpoint(true)
+        removed = removed.localCheckpoint(true)
+      }
+      r += 1
+    }
+    n.join(removed, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("removed_round"), lit(0L)).as("removed_round"))
+  }
 }

@@ -172,4 +172,18 @@ class GraphSpec extends SparkTestBase {
     // node 1 must dominate
     assert(r(1) > r(2) && r(1) > r(3))
   }
+
+  test("kCorePeel: isolated nodes fall first, chains peel inward, core survives") {
+    import spark.implicits._
+    // graph: triangle {1,2,3} (2-core) + tail 3-4-5 + isolated 9
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.kCorePeel(nodes, "id", edges, "src", "dst",
+      k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 5 (deg 1) and 9 (deg 0); round 2: 4 (its neighbor 5 gone);
+    // triangle survives every round
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 1L, 9L -> 1L), out)
+  }
 }
