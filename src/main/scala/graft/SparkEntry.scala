@@ -2117,6 +2117,10 @@ object SparkEntry {
           val alive = owner.nonEmpty &&
             ProcessHandle.of(owner.toLong).map[Boolean](_.isAlive).orElse(false)
           if (!alive) rm(p.toFile)
+        } else if (name.startsWith("graft_stream_scratch")) {
+          // pre-PID-naming leak from older builds (no liveness check
+          // possible — those JVMs predate this code, so they are gone)
+          rm(p.toFile)
         }
       } finally stream.close()
     } catch { case _: Exception => () } // sweep is best-effort
@@ -2152,6 +2156,15 @@ object SparkEntry {
       }))
 
   private def narrowStreamConfs(s: SparkSession, dir: String): Map[String, Option[String]] = {
+    // validate the env BEFORE touching any conf: a throw from here must
+    // not leak half-applied confs onto the shared session (the caller
+    // only installs its restore finally after this returns)
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PROVIDER: unknown provider '$other' (expected rocksdb)")
+    }
     val parts = autoStreamParts(dir)
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.checkpointLocation",
@@ -2179,13 +2192,8 @@ object SparkEntry {
     // slower on the state-heaviest walks, occasionally faster where the
     // commit pattern suits it — the bounded constant you pay for state
     // that never OOMs; SCALING.md).
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach {
-      case "rocksdb" => s.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case other => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_PROVIDER: unknown provider '$other' (expected rocksdb)")
-    }
+    provider.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     prev
   }
 
@@ -4377,21 +4385,25 @@ object SparkEntry {
     */
   private lazy val sqlKcore: String = {
     val k = 90
+    // MATERIALIZED on every multiply-referenced CTE: DuckDB re-inlines
+    // per reference, and a{r-1} feeds three places per round — without it
+    // the lineitem self-join replays ~170x (memory: the round-6 blinding
+    // class; measured 18.8 s vs 1.2 s at sf0.1)
     val rk = (1 to 4).map { r =>
       s"""d$r AS (SELECT e.dst AS id, count(*) AS deg
              FROM e JOIN a${r - 1} sa ON e.src = sa.id
                     JOIN a${r - 1} ta ON e.dst = ta.id
              GROUP BY 1),
-           x$r AS (SELECT a.id FROM a${r - 1} a LEFT JOIN d$r USING (id)
+           x$r AS MATERIALIZED (SELECT a.id FROM a${r - 1} a LEFT JOIN d$r USING (id)
              WHERE coalesce(deg, 0) < $k),
-           a$r AS (SELECT id FROM a${r - 1}
+           a$r AS MATERIALIZED (SELECT id FROM a${r - 1}
              WHERE id NOT IN (SELECT id FROM x$r))"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM lineitem a JOIN lineitem b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
          n AS (SELECT DISTINCT p_partkey AS id FROM part),
-         a0 AS (SELECT id FROM n),
+         a0 AS MATERIALIZED (SELECT id FROM n),
          $rk
          SELECT n.id, coalesce(rr.r, 0)::BIGINT AS removed_round
          FROM n LEFT JOIN (

@@ -323,7 +323,7 @@ object Kernels {
   def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
     val trimmed = sparkTrim(text.toString)
     if (trimmed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
-    val toks = trimmed.split("\\s+")
+    val toks = tokenize(trimmed)
     val windows = math.max(toks.length - (n - 1), 0)
     val hs = new Array[Long](windows)
     var w = 0
@@ -370,7 +370,7 @@ object Kernels {
       // count NON-EMPTY tokens only: Java split keeps a leading empty for
       // leading non-space whitespace — same clean definition as
       // TextAnalysis.tokens (non-empty runs of non-whitespace)
-      val toks = trimmed.split("\\s+")
+      val toks = tokenize(trimmed)
       var t = 0
       while (t < toks.length) {
         if (toks(t).nonEmpty) {
@@ -393,7 +393,7 @@ object Kernels {
   def wordNgramStrings(text: UTF8String, n: Int): ArrayData = {
     val trimmed = sparkTrim(text.toString)
     if (trimmed.isEmpty) return new GenericArrayData(Array.empty[UTF8String])
-    val toks = trimmed.split("\\s+")
+    val toks = tokenize(trimmed)
     val windows = math.max(toks.length - (n - 1), 0)
     val out = new Array[AnyRef](windows)
     var w = 0
@@ -423,6 +423,27 @@ object Kernels {
     c
   }
 
+  /** Canonical whitespace tokens of a sparkTrim'd string: the NON-EMPTY
+    * maximal runs of non-whitespace — the single token definition
+    * [[graft.functions.TextAnalysis.tokens]], every kernel, and every
+    * oracle's `list_filter(string_split_regex(text,'\s+'), x -> x <> '')`
+    * share. Java's split keeps a leading "" when the text starts with
+    * \t/\n (sparkTrim strips 0x20 only); dropping empties here keeps the
+    * kernel-backed operators identical to the expression-backed ones on
+    * adversarial whitespace instead of growing a phantom token.
+    */
+  private def tokenize(trimmed: String): Array[String] = {
+    val raw = trimmed.split("\\s+")
+    var n = 0; var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n); var j = 0; i = 0
+      while (i < raw.length) { if (!raw(i).isEmpty) { out(j) = raw(i); j += 1 }; i += 1 }
+      out
+    }
+  }
+
   /** Spark's trim() strips only ASCII space (0x20), unlike Java's
     * String.trim (≤ 0x20) — replicated exactly for oracle parity.
     */
@@ -444,7 +465,7 @@ object Kernels {
   def wordNgramStats(text: UTF8String, n: Int): ArrayData = {
     val trimmed = sparkTrim(text.toString)
     if (trimmed.isEmpty) return new GenericArrayData(Array(0L, 0L, 0L))
-    val toks = trimmed.split("\\s+")
+    val toks = tokenize(trimmed)
     val windows = math.max(toks.length - (n - 1), 0)
     val hs = new Array[Long](windows)
     var w = 0
@@ -849,7 +870,7 @@ object Kernels {
     val trimmed = sparkTrim(text.toLowerCase.toString)
     if (trimmed.isEmpty) return 0L
     val counts = new Array[Int](60)
-    val toks = trimmed.split("\\s+")
+    val toks = tokenize(trimmed)
     var ti = 0
     while (ti < toks.length) {
       val cps = codePoints(toks(ti))

@@ -108,7 +108,13 @@ object Versioned {
   def expireVersions(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, path)
-    val cut = maxVersionOnDisk(spark, path).getOrElse(return Seq.empty) - keepLast
+    val maxDisk = maxVersionOnDisk(spark, path).getOrElse(return Seq.empty)
+    // retention counts from the PUBLISHED head, not the disk max: after a
+    // crashed write (v=N+1 directory landed, manifest flip never ran) the
+    // disk max is an unpublished orphan — counting from it would let
+    // keepLast=1 delete the version the manifest still serves
+    val head = latestVersion(spark, path).fold(maxDisk)(math.min(_, maxDisk))
+    val cut = head - keepLast
     val doomed = versions(spark, path).filter(_ <= cut)
     doomed.foreach(v => f.delete(new Path(s"$path/v=$v"), true))
     doomed

@@ -133,17 +133,29 @@ object GoogleRest {
         .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
         .build()
 
+    private def get(url: String, token: Option[String]): java.net.http.HttpResponse[String] = {
+      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
+      (headers ++ token.map(t => "Authorization" -> s"Bearer $t"))
+        .foreach { case (k, v) => builder.header(k, v) }
+      client.send(builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+
     override def apply(advertiserId: String, listName: String): Option[String] = {
       val filter = java.net.URLEncoder.encode(
         "displayName=\"" + listName + "\"", java.nio.charset.StandardCharsets.UTF_8)
       val url = rewriteUrl(
         s"${Dv360Base}/v3/firstAndThirdPartyAudiences?advertiserId=$advertiserId&filter=$filter")
-      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
       val token = tokenProvider.flatMap(_.accessToken())
-      (headers ++ token.map(t => "Authorization" -> s"Bearer $t"))
-        .foreach { case (k, v) => builder.header(k, v) }
-      val resp = client.send(builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      var resp = get(url, token)
+      // same expired-token protocol as HttpTransport POSTs: invalidate the
+      // stale token, refresh once, replay — without this a mid-run token
+      // expiry would fail every DV360 edit while the POSTs recover
+      if (resp.statusCode() == 401 && token.isDefined &&
+          tokenProvider.exists(_.canRefresh)) {
+        tokenProvider.foreach(_.invalidate(token.get))
+        resp = get(url, tokenProvider.flatMap(_.accessToken()))
+      }
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(
           s"DV360 audience lookup HTTP ${resp.statusCode()}: ${resp.body().take(200)}")

@@ -285,4 +285,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(graft.io.Versioned.read(spark, dir, Some(1)).count() == 100)
     assert(graft.io.Versioned.readMergeOnRead(spark, dir, Seq("k"), Some(1)).count() == 97)
   }
+
+  test("expireVersions counts from the published head, never deleting the manifest's version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.io.Versioned.write(df, dir)                       // v1 published
+    graft.io.Versioned.write(df.filter(col("k") === 1), dir) // v2 published
+    // simulate a crashed writer: v=3 directory lands, manifest flip never ran
+    df.write.parquet(dir + "/v=3")
+    assert(graft.io.Versioned.latestVersion(spark, dir).contains(2))
+    val doomed = graft.io.Versioned.expireVersions(spark, dir, keepLast = 1)
+    assert(doomed == Seq(1), doomed) // v2 (published) survives; the orphan survives too
+    assert(graft.io.Versioned.read(spark, dir).count() == 1) // manifest read intact
+    // next write derives from the DISK max (the orphan), so numbering
+    // never collides with the partially-written v=3
+    assert(graft.io.Versioned.write(df, dir) == 4)
+  }
 }

@@ -153,4 +153,24 @@ class SqlFunctionsSpec extends SparkTestBase {
       .collect()
     got.foreach(r => assert(r.getLong(1) == r.getLong(0), r.toString))
   }
+
+  test("kernel tokenization matches TextAnalysis.tokens on adversarial whitespace") {
+    // Java split keeps a leading "" for text starting with \t/\n; the
+    // kernels drop it (Kernels.tokenize), so shingle/ngram/simhash counts
+    // agree with the empty-filtered oracle form on any whitespace shape
+    val df = Seq("\nfoo bar baz", "a b\nc\n", "\t\n", " x ").toDF("text")
+    val out = df.select(
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("n_expr"),
+      size(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("n_sh3"),
+      element_at(graft.functions.KernelExpressions.wordNgramStats(col("text"), 1), 1).as("n_win1"),
+      graft.functions.KernelExpressions.simhash60(col("text")).as("sh"))
+      .collect()
+    // 1-gram window count == canonical token count, always
+    out.foreach(r => assert(r.getLong(2) == r.getInt(0).toLong, r.toString))
+    // "\nfoo bar baz": 3 tokens -> exactly 1 distinct trigram (no phantom
+    // "" token creating a second window)
+    assert(out(0).getInt(0) == 3 && out(0).getInt(1) == 1, out(0).toString)
+    // whitespace-only text: zero tokens, zero windows, zero signature
+    assert(out(2).getInt(0) == 0 && out(2).getLong(3) == 0L, out(2).toString)
+  }
 }
