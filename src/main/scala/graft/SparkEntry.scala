@@ -1242,6 +1242,43 @@ object SparkEntry {
       .orderBy(col("n").desc, col("ngram"))
       .limit(50)
 
+  /** Zipf-law fit over the top-500 unigrams: ln(freq) regressed on
+    * ln(rank) by closed-form least squares — the one-number corpus-health
+    * signal (natural language sits near slope -1; template/boilerplate
+    * corpora run flatter, collapsed vocabularies steeper) a curation run
+    * checks before training. Scale shape: one shuffle for the vocabulary
+    * aggregation, a TakeOrdered top-K cut (no global sort materializes),
+    * and the rank window + regression run on the K surviving rows — a
+    * single tiny partition by construction, independent of corpus size.
+    */
+  private def tZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val k = 500
+    val topTerms = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+    // rank window over the K kept rows only — bounded, never corpus-wide
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val sums = topTerms.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val slopeNum = col("cnt") * col("sxy") - col("sx") * col("sy")
+    val slopeDen = col("cnt") * col("sxx") - col("sx") * col("sx")
+    sums.select(
+      col("cnt").cast("long").as("k_terms"),
+      round(slopeNum / slopeDen, 6).as("zipf_slope"),
+      round((col("sy") - slopeNum / slopeDen * col("sx")) / col("cnt"), 6)
+        .as("zipf_intercept"),
+      round(slopeNum * slopeNum /
+        (slopeDen * (col("cnt") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("r2"))
+  }
+
   // ------------------------------------------------------------------
   // Temporal joins (as-of, keyless interval), sketches, importance
   // ------------------------------------------------------------------
@@ -3009,6 +3046,62 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Curriculum ordering for training-data serving: documents schedule
+    * best-quality-first in four per-language stages, with a deterministic
+    * hash shuffle inside each stage and a GLOBAL serving position —
+    * computed without any global sort. Within-(lang, stage) positions come
+    * from partitioned windows (same bounded shuffle shape as
+    * [[tLengthDeciles]]/[[cEpochShuffle]]); the cross-stage offsets are
+    * CLOSED-FORM from the per-language totals alone (stage k of an n-doc
+    * language holds floor(n*k/4) - floor(n*(k-1)/4) docs, because stage =
+    * ceil(4*rank/n)), so no second pass over the corpus and no
+    * count-the-groups job — a tiny 4x|langs| offset table broadcasts back.
+    * Reshuffling within stages = changing the hash salt; the stage plan is
+    * stable across epochs. The ranking key is [[TextAnalysis.qualityScore]]
+    * (already rounded to 6 decimals), so the cross-engine rank order is
+    * exact, with doc_id breaking ties.
+    *
+    * The per-language rank window is the exactness-for-the-oracle choice
+    * (one sort per language partition, like [[tLengthDeciles]]); at 100 TB,
+    * where one language can dominate the corpus, stage assignment swaps to
+    * `percentile_approx` quality thresholds (one mergeable agg, no
+    * per-lang sort) and every other piece — hash shuffle, closed-form
+    * offsets, broadcast-back — stays as written.
+    */
+  private def cCurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    val wq = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
+    val wc = Window.partitionBy(col("lang"))
+    val staged = docs
+      .withColumn("cd",
+        row_number().over(wq).cast("double") / count(lit(1)).over(wc))
+      .withColumn("stage", ceil(col("cd") * 4).cast("long"))
+      .withColumn("h",
+        Dedup.shingleHash(concat(lit("cur0:"), col("doc_id").cast("string"))))
+    val wpos = Window.partitionBy(col("lang"), col("stage"))
+      .orderBy(col("h"), col("doc_id"))
+    val pos = staged.withColumn("pos", row_number().over(wpos).cast("long"))
+    // closed-form per-(stage, lang) sizes from per-language totals only
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        explode(array((1 to 4).map(lit(_)): _*)).as("stage"))
+      .select(col("lang"), col("stage").cast("long").as("stage"),
+        (floor(col("n") * col("stage") / 4) -
+          floor(col("n") * (col("stage") - 1) / 4)).as("cnt"))
+    // running-sum window over the tiny 4x|langs| offset table (single
+    // partition is fine — its size is bounded by the language inventory)
+    val woff = Window.orderBy(col("stage"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("off", sum(col("cnt")).over(woff) - col("cnt"))
+      .select(col("stage"), col("lang"), col("off"))
+    pos.join(broadcast(offsets), Seq("lang", "stage"))
+      .select(col("doc_id"), col("lang"), col("stage"), col("pos"),
+        (col("off") + col("pos")).as("global_pos"))
+  }
+
   /** Language-ID confusion matrix: the n-gram heuristic's prediction
     * cross-tabulated against the labeled language — the evaluation query a
     * curation run uses before trusting langid-gated filters.
@@ -4220,6 +4313,7 @@ object SparkEntry {
     "t_redact" -> (tRedact _),
     "t_quality_filter" -> (tQualityFilter _),
     "t_top_ngrams" -> (tTopNgrams _),
+    "t_zipf_fit" -> (tZipfFit _),
     "t_length_deciles" -> (tLengthDeciles _),
     "t_chunks" -> (tChunks _),
     "c_pack_sequences" -> (cPackSequences _),
@@ -4296,6 +4390,7 @@ object SparkEntry {
     "e_pq_index_topk" -> (ePqIndexTopK _),
     "d_dup_span_scrub" -> (dDupSpanScrub _),
     "c_epoch_shuffle" -> (cEpochShuffle _),
+    "c_curriculum_order" -> (cCurriculumOrder _),
     "t_langid_eval" -> (tLangidEval _),
     "m_mp4_meta" -> (mMp4Meta _),
     "s_anti_join_stream" -> (sAntiJoinStream _),
@@ -5787,6 +5882,25 @@ object SparkEntry {
                FROM toks, unnest(range(1, len(tk))) AS u(i))
          SELECT ngram, count(*) AS n FROM g
          GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
+    "t_zipf_fit" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+                       FROM documents),
+         cnts AS (SELECT term, count(*) AS n
+                  FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY 1),
+         topk AS (SELECT term, n,
+                    row_number() OVER (ORDER BY n DESC, term) AS rank
+                  FROM cnts QUALIFY rank <= 500),
+         xy AS (SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM topk),
+         s AS (SELECT count(*)::DOUBLE AS cnt, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM xy)
+         SELECT cnt::BIGINT AS k_terms,
+           round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx) / cnt, 6)
+             AS zipf_intercept,
+           round((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy) /
+             ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6) AS r2
+         FROM s""",
     "t_length_deciles" ->
       """WITH r AS (SELECT lang, n_chars,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)::DOUBLE /
@@ -6769,6 +6883,38 @@ object SparkEntry {
          SELECT doc_id, h % 8 AS shard,
            row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
          FROM d"""
+    },
+    "c_curriculum_order" -> {
+      // independent formulation: the oracle derives stage offsets from the
+      // ACTUAL (lang, stage) group counts, checking the engine's
+      // closed-form floor(n*k/4) sizing against ground truth
+      val h = sqlPh("'cur0:' || doc_id::VARCHAR", 31L, 1000000007L)
+      s"""WITH r AS (SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+             (length(text) - length(regexp_replace(text,
+               '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+             len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+               x -> x IN ($stopwordsSql)))::DOUBLE /
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr
+           FROM documents),
+         q AS (SELECT doc_id, lang,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS qr
+           FROM r),
+         st AS (SELECT doc_id, lang,
+             CAST(ceil((row_number() OVER (PARTITION BY lang ORDER BY qr DESC, doc_id)::DOUBLE /
+               count(*) OVER (PARTITION BY lang)) * 4) AS BIGINT) AS stage
+           FROM q),
+         p AS (SELECT doc_id, lang, stage,
+             row_number() OVER (PARTITION BY lang, stage ORDER BY $h, doc_id) AS pos
+           FROM st),
+         c AS (SELECT lang, stage, count(*) AS cnt FROM p GROUP BY 1, 2),
+         o AS (SELECT lang, stage,
+             (sum(cnt) OVER (ORDER BY stage, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)::BIGINT AS off
+           FROM c)
+         SELECT p.doc_id, p.lang, p.stage, p.pos, o.off + p.pos AS global_pos
+         FROM p JOIN o USING (lang, stage)"""
     },
     "q13_cust_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (
