@@ -3479,7 +3479,11 @@ object SparkEntry {
   private def gKcore(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCorePeel(
       t(s, dir, "part"), "p_partkey",
-      coOrderEdges(s, dir), "src", "dst", k = 90, rounds = 4)
+      coOrderEdges(s, dir), "src", "dst", k = 90, rounds = 4,
+      // peel rounds stack two joins each on the previous round's `alive`;
+      // without a per-round lineage cut, round r re-executes rounds
+      // 1..r-1's joins inside its own plan (quadratic recompute)
+      checkpointEvery = 1)
 
   /** Graph × relational composition: line revenue rolled up per LPA
     * community (≥5 members) — the community labels from [[qCommunities]]
