@@ -3467,7 +3467,11 @@ object SparkEntry {
       t(s, dir, "part"), "p_partkey",
       coOrderEdges(s, dir), "src", "dst", rounds = 3,
       // coOrderEdges emits both directions by construction
-      symmetric = true)
+      symmetric = true,
+      // the symmetric vote union reads `lab` twice per round; exchange
+      // reuse dedups the identical subtrees, but cutting lineage per
+      // round still trims ~10% and keeps the plan depth constant
+      checkpointEvery = 1)
 
   /** Bounded k-core peel over the co-order part graph
     * ([[graft.operators.Graph.kCorePeel]], k=90, 4 synchronous rounds):
