@@ -484,6 +484,25 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** MMR-diversified rerank ([[graft.operators.Similarity.mmrRerank]]):
+    * top-[[MmrN]] cosine candidates for the vec_id=0 query, then the greedy
+    * `lambda*rel - (1-lambda)*maxCosToPicked` selection down to [[MmrK]] —
+    * the slate a RAG/few-shot selector wants, where near-duplicate hits
+    * cannot crowd out coverage. lambda=0.75 so `1-lambda` is exact in
+    * binary (a 0.7 literal would make Scala's `1 - 0.7` and the oracle's
+    * `0.25` disagree in the 17th digit). The oracle replays the greedy
+    * rounds as chained MATERIALIZED CTEs like `c_kcenter_select`.
+    */
+  private def eMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Number](0).map(_.doubleValue()).toArray
+    val picks = Similarity.mmrRerank(q, emb, "vec_id", "embedding",
+      n = MmrN, k = MmrK, lambda = MmrLambda)
+    import s.implicits._
+    picks.toDF("mmr_rank", "id", "rel", "mmr_score")
+  }
+
   /** SRP-LSH bucketed near-dup pairs (24 tables × 4 bits). The oracle
     * replicates the exact algorithm (identical ±1 planes + identical FP fold
     * order), so this is a full hash-match check of the scalable path, not a
@@ -4294,6 +4313,7 @@ object SparkEntry {
     "e_mips_topk" -> (eMipsTopK _),
     "e_mips_ivf_topk" -> (eMipsIvfTopK _),
     "e_trunc_rerank" -> (eTruncRerank _),
+    "e_mmr_rerank" -> (eMmrRerank _),
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
@@ -4727,6 +4747,54 @@ object SparkEntry {
     s"""WITH sel0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
        $rounds
        SELECT 0 AS sel_round, vec_id, 0.0 AS radius FROM sel0
+       $out"""
+  }
+
+  /** MMR slate shape, shared query↔oracle like [[KcenterK]]. lambda must
+    * stay a value whose complement `1-lambda` is exact in binary (0.75,
+    * 0.5, 0.25…) — the oracle spells the complement as a literal.
+    */
+  private val MmrK = 8
+  private val MmrN = 50
+  private val MmrLambda = 0.75
+
+  /** Greedy MMR unrolled to [[MmrK]] chained CTE rounds: candidate cut by
+    * rounded-rel DESC + id ASC (exactly [[graft.operators.Similarity.mmrRerank]]'s
+    * orderBy/limit), per-round max-sim over the selected set with the
+    * order-exact [[sqlCos]] fold, round-6 at every compared quantity, id
+    * tiebreak on the pick. `pick`/`sel` MATERIALIZED for the same
+    * re-inlining reason as [[sqlKcenterSelect]].
+    */
+  private lazy val sqlMmrRerank: String = {
+    val lam = s"$MmrLambda::DOUBLE"
+    val mu = s"${1 - MmrLambda}::DOUBLE"
+    val rounds = (2 to MmrK).map { r =>
+      s"""dr$r AS (
+           SELECT c.id, c.v, c.rel,
+             max(round(${sqlCos("c.v", "s.v")}, 6)) AS msim
+           FROM cand c, sel${r - 1} s
+           WHERE c.id NOT IN (SELECT id FROM sel${r - 1})
+           GROUP BY c.id, c.v, c.rel),
+         pick$r AS MATERIALIZED (
+           SELECT id, v, rel, round($lam * rel - $mu * msim, 6) AS score
+           FROM dr$r ORDER BY score DESC, id LIMIT 1),
+         sel$r AS MATERIALIZED (
+           SELECT id, v FROM sel${r - 1} UNION ALL SELECT id, v FROM pick$r)"""
+    }.mkString(",\n")
+    val out = (2 to MmrK).map(r =>
+      s"UNION ALL SELECT $r, id, rel, score FROM pick$r").mkString("\n")
+    s"""WITH qv AS MATERIALIZED (
+           SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       cand AS MATERIALIZED (
+         SELECT vec_id AS id, v, round(${sqlCos("v", "q")}, 6) AS rel
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), qv
+         ORDER BY rel DESC, id LIMIT $MmrN),
+       pick1 AS MATERIALIZED (
+         SELECT id, v, rel, round($lam * rel - $mu * 0.0::DOUBLE, 6) AS score
+         FROM cand ORDER BY score DESC, id LIMIT 1),
+       sel1 AS MATERIALIZED (SELECT id, v FROM pick1),
+       $rounds
+       SELECT 1 AS mmr_rank, id, rel, score AS mmr_score FROM pick1
        $out"""
   }
 
@@ -5364,6 +5432,7 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
+    "e_mmr_rerank" -> sqlMmrRerank,
     "e_neardup_pairs" ->
       s"""WITH sgt AS (SELECT ${sqlSigns(96, 64)}::DOUBLE[] AS sg),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -469,6 +469,70 @@ object Similarity {
     * set (k exceeds the distinct-vector count), selection stops instead of
     * padding with duplicate centers.
     */
+  /** Maximal-Marginal-Relevance diversified rerank (Carbonell & Goldstein,
+    * SIGIR 1998): the slate a RAG / few-shot selector actually wants — each
+    * pick maximizes `lambda*relevance - (1-lambda)*maxCosineToPicked`, so
+    * near-duplicate candidates cannot crowd out coverage the way a plain
+    * cosine top-k lets them.
+    *
+    * Scale shape: the distributed work is the [[bruteForceTopK]] scan (one
+    * narrow corpus pass scoring against the query literal, a TakeOrdered
+    * top-n cut); the greedy loop then runs over the n surviving candidates
+    * on the driver — k*n bounded cosines independent of corpus size, the
+    * same bounded-driver contract as [[kCenterGreedy]]. Relevance, pair
+    * cosines, and scores are rounded to 6 decimals (Spark `round`
+    * semantics) before every comparison, with id tiebreaks, so the
+    * selection is exactly replayable cross-engine.
+    *
+    * @return (mmr_rank 1-based, id, rel, mmr_score) per selected candidate
+    */
+  def mmrRerank(queryVec: Array[Double], corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int = 50, k: Int = 10,
+      lambda: Double = 0.7): Seq[(Int, Long, Double, Double)] = {
+    require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val qCol = array(queryVec.map(lit): _*)
+    val cand = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        round(vecCosine(qCol, col(vecCol)), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(n)
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray,
+          r.getDouble(2))
+      }
+    // Spark Round(double) semantics, so the driver-side scores agree with
+    // the engine-side `rel` and with the oracle's round()
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // same fold and zero-norm convention as Kernels.cosine / the oracle
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val sna = math.sqrt(na); val snb = math.sqrt(nb)
+      if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+    }
+    val mu = 1 - lambda
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c).toSeq: _*)
+    val selVecs = scala.collection.mutable.ListBuffer.empty[Array[Double]]
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
+    for (r <- 1 to math.min(k, cand.length)) {
+      val best = remaining.values.map { case (id, v, rel) =>
+        val maxSim =
+          if (selVecs.isEmpty) 0.0
+          else selVecs.map(sv => r6(cosD(v, sv))).max
+        (r6(lambda * rel - mu * maxSim), id, v, rel)
+      }.minBy { case (score, id, _, _) => (-score, id) }
+      picks += ((r, best._2, best._4, best._1))
+      selVecs += best._3
+      remaining.remove(best._2)
+    }
+    picks.toList
+  }
+
   def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Int, Long, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -236,6 +236,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(picks.map(_._2) == Seq(0L, 1L), picks)
   }
 
+  test("mmrRerank: lambda trades relevance against slate diversity") {
+    // q=(1,0,0); a and b are planted rel-ties (same dot, same norm -> the
+    // id tiebreak gives a first) and near-dups of each other (cos ~.976);
+    // c is the diverse lower-rel point (rel ~.707, cos-to-a ~.703).
+    val pts = Seq(
+      (1L, Array(0.9f, 0.1f, 0f)), (2L, Array(0.9f, -0.1f, 0f)),
+      (3L, Array(0.6f, 0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    // relevance-heavy: the near-dup b still outranks c
+    val relHeavy = Similarity.mmrRerank(q, pts, "vec_id", "embedding",
+      n = 3, k = 3, lambda = 0.9)
+    assert(relHeavy.map(_._2) == Seq(1L, 2L, 3L), relHeavy)
+    // diversity-leaning: c displaces the near-dup b in round 2
+    val diverse = Similarity.mmrRerank(q, pts, "vec_id", "embedding",
+      n = 3, k = 3, lambda = 0.4)
+    assert(diverse.map(_._2) == Seq(1L, 3L, 2L), diverse)
+    // rel column is the query cosine regardless of lambda
+    assert(math.abs(relHeavy.head._3 - 0.993884) < 1e-9, relHeavy.head)
+  }
+
+  test("mmrRerank on real embeddings: shape, dedup, monotone scores") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Number](0).map(_.doubleValue()).toArray
+    val picks = Similarity.mmrRerank(q, emb, "vec_id", "embedding",
+      n = 20, k = 5, lambda = 0.75)
+    assert(picks.map(_._1) == (1 to 5), picks.map(_._1))
+    assert(picks.map(_._2).distinct.length == 5, picks)
+    // the query's own vector is in the corpus -> rel 1.0 wins round 1
+    assert(picks.head._2 == 0L && picks.head._3 == 1.0, picks.head)
+    // greedy invariant: the winning mmr score never increases (the round-r
+    // winner scored >= any later winner's round-r score, which only decays
+    // as the selected set grows; r6 rounding preserves monotonicity)
+    val scores = picks.map(_._4)
+    assert(scores == scores.sorted.reverse, scores)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(q, emb, "vec_id", "embedding", n = 3, k = 5)
+    }
+  }
+
   test("mipsTopK ranking equals cosine ranking over mipsAugment-ed vectors") {
     // The Shrivastava-Li / Neyshabur-Srebro reduction: with corpus
     // vectors augmented by sqrt(M^2 - |x|^2) and queries by 0, every
