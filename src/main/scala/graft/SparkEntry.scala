@@ -4265,6 +4265,275 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_type")), Seq("event_type"), 1.0)
 
   // ------------------------------------------------------------------
+  // Round-8 continuation: HLL cardinality, PMI collocations, PSI drift,
+  // TPC-H Q7/Q10 shapes
+  // ------------------------------------------------------------------
+
+  /** HyperLogLog distinct order keys per returnflag + the '__all__'
+    * register-merge row ([[graft.operators.Sketches.hllDistinct]], p=12):
+    * the register-based mergeable cardinality sketch next to the KMV
+    * family — per-flag cardinalities (~12k vs 4096 registers) exercise the
+    * raw harmonic-mean branch; the linear-counting branch is spec-pinned
+    * on a planted small set. Exact count rides along for calibration.
+    */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        Dedup.shingleHash(col("l_orderkey").cast("string")).as("h")),
+      "l_returnflag", col("h"))
+
+  /** Top-50 word-bigram collocations by pointwise mutual information —
+    * the phrase-mining / boilerplate-detection pass (a high-PMI bigram is
+    * a fixed phrase, not a chance co-occurrence). Scale shape: unigram and
+    * bigram counts are map-side-combinable aggs over vocabulary-bounded
+    * keys; the totals are two scalar aggs broadcast by crossJoin; the
+    * unigram joins hit a vocabulary-sized table (broadcast); the top-50 is
+    * a TakeOrdered over the bigram vocabulary — the corpus text is read
+    * once and no text ever shuffles.
+    */
+  private def tPmiPhrases(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the N total and both term joins
+    val bi = docs
+      .select(explode(
+        graft.functions.KernelExpressions.wordNgramStrings(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .localCheckpoint(true) // feeds the B total and the PMI join
+    val totals = uni.agg(sum(col("cnt")).as("tot_uni"))
+      .crossJoin(
+        docs.select(greatest(size(TextAnalysis.tokens(col("text"))) - 1, lit(0))
+          .as("nb")).agg(sum(col("nb")).as("tot_bi")))
+    // pmi = ln( (c_ab/B) / ((c_a/N) * (c_b/N)) ), association fixed so the
+    // oracle's double arithmetic is order-identical
+    bi
+      .withColumn("w1", element_at(split(col("ngram"), " "), 1))
+      .withColumn("w2", element_at(split(col("ngram"), " "), 2))
+      .join(broadcast(uni.select(col("term").as("w1"), col("cnt").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("term").as("w2"), col("cnt").as("cb"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("ngram"), col("n"),
+        round(log((col("n").cast("double") / col("tot_bi")) /
+          ((col("ca").cast("double") / col("tot_uni")) *
+            (col("cb").cast("double") / col("tot_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ngram")).limit(50)
+  }
+
+  /** Population-stability-index drift between the first and second half of
+    * the event stream (split at the fixed 2024-01-16 midnight boundary) —
+    * the one-number "did my traffic mix shift" monitor run before trusting
+    * week-over-week training data. Integer-exact output (1e-6-scaled PSI
+    * terms, integer total) so the oracle replays it bit for bit. Scale
+    * shape: one map-side-combinable count pass (conditional aggregation —
+    * the events table is scanned ONCE, not once per half), scalar totals
+    * broadcast, per-type arithmetic over #event_types rows.
+    */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val SplitNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val counts = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(when(col("ts") < SplitNs, lit(1))).as("na"),
+        count(when(col("ts") >= SplitNs, lit(1))).as("nb"))
+      .localCheckpoint(true) // feeds the scalar totals and the PSI rows
+    val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val pa = col("na").cast("double") / col("ta")
+    val pb = col("nb").cast("double") / col("tb")
+    val term = (pa - pb) * log(pa / pb)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(term * 1000000.0, 0).cast("long").as("psi_e6"))
+      .withColumn("total_psi_e6", sum(col("psi_e6")).over(w))
+  }
+
+  /** AMS tug-of-war self-join-size estimate
+    * ([[graft.operators.Sketches.amsF2]]): F2 = Σ f_k² of the lineitem
+    * orderkey — the "is this join key a skew bomb" number, estimated from
+    * 32 signed counters in ONE map-side-combinable pass (the shuffle
+    * carries 32 longs per partition, never keys). The exact F2 rides along
+    * for calibration; integer arithmetic end to end, so the oracle replays
+    * both bit for bit.
+    */
+  private def qF2SelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "lineitem")
+      .select(Dedup.shingleHash(col("l_orderkey").cast("string")).as("h"))
+      .localCheckpoint(true) // one key scan feeds the sketch AND exact F2
+    val est = graft.operators.Sketches.amsF2(keys, col("h"))
+    val exact = keys.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_f2"))
+    exact.crossJoin(est)
+  }
+
+  /** STREAMING HyperLogLog maintenance: per-6h-window distinct users kept
+    * as a register sketch inside a watermarked streaming aggregation —
+    * per-window state is ≤ 2^p registers (one long each) NO MATTER how
+    * many events or distinct users arrive, the streaming-cardinality
+    * contract sketches exist for. The drained register table finishes
+    * through the same [[graft.operators.Sketches.hllEstimate]] fold the
+    * batch sketch uses; the oracle replays windows, registers, and the
+    * estimate exactly.
+    */
+  private def sHllStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_hll_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    val p = 9 // 512 registers/window — small state, LC-accurate for this corpus
+    try {
+      val h = Dedup.shingleHash(col("user_id").cast("string"))
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "6 hours").as("w"),
+          graft.operators.Sketches.hllRegister(h, p).as("reg"))
+        .agg(max(graft.operators.Sketches.hllRank(h)).as("rho"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    val regs = s.table(qn).select(
+      (unix_timestamp(col("w.start")) / 21600).cast("long").as("win_id"),
+      col("reg"), col("rho"))
+    graft.operators.Sketches.hllEstimate(regs, Seq("win_id"), p)
+  }
+
+  /** Dynamic partition pruning, end to end: orders land partitioned by
+    * month (the 100 TB fact layout), the month dimension arrives filtered
+    * to one year, and the fact scan's PartitionFilters must carry the
+    * DPP subquery (`dynamicpruningexpression` — pinned in `PlanSpec`) so
+    * only the surviving month directories are ever opened. This is the
+    * run-time counterpart of `q_partitioned_prune`'s static pruning:
+    * the filter value is only known after the dim side executes.
+    */
+  private def qDppPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("dpp")
+    val factDir = base.resolve("fact").toString
+    val dimDir = base.resolve("dim").toString
+    val ord = t(s, dir, "orders")
+      .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
+    ord.write.mode("overwrite").partitionBy("omonth").parquet(factDir)
+    ord.select(col("omonth")).distinct()
+      .withColumn("oyear", substring(col("omonth"), 1, 4))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("oyear") === "1996")
+    fact.join(dim, Seq("omonth"))
+      .groupBy(col("omonth"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** Runtime bloom-filter join pruning: the selective dimension side
+    * (urgent 1996 orders) builds a bloom at run time that filters the
+    * fact scan BEFORE the join shuffle — the Spark-native generalization
+    * of the manual `decontaminate_bloom` device, and the mechanism that
+    * keeps a 100 TB shuffle from carrying rows the join will drop.
+    * Injection is conf-scoped at PLANNING time (`runtime.bloomFilter.
+    * enabled`, the application-side size gate a local test corpus can't
+    * meet, and broadcast disabled so there is a shuffle to protect), so
+    * the result materializes INSIDE the conf scope and the confs are
+    * restored before returning; the plan shape (`might_contain` on the
+    * fact side) is pinned under the same confs in `PlanSpec`. At 100 TB
+    * the defaults fire on their own — only the size gate is test-scoped.
+    */
+  private def qRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    val rows = try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      s.conf.set(keys(3), "-1")
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .collect() // materialize while the planning confs are live
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(v2 => s.conf.set(k, v2))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_qty",
+        org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** TPC-H-Q7-shaped volume shipping: bilateral trade revenue between two
+    * nations by ship year, customer nation × supplier nation in either
+    * direction. The two nation-filtered dimension legs broadcast; the
+    * orderkey join is the one fact-fact shuffle; the year comes off
+    * l_shipdate after the join predicate prunes to the two-nation slice.
+    */
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(s, dir, "supplier").join(nat,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer").join(nat,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H-Q10-shaped returned-item report: top-20 customers by revenue
+    * lost to returns (l_returnflag = 'R') for one order quarter. Order
+    * date filter pushes to the orders scan; the customer join is the
+    * post-aggregation enrichment of a 20-row TakeOrdered cut — AQE
+    * broadcasts the aggregated side at runtime, never on a static guess.
+    */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+    // integer 1e-4-scaled money: the top-20 cut rides an EXACT sum, so no
+    // cross-engine last-ulp drift can flip a rounding boundary or the
+    // order at the limit edge (a round(sum(double),2) here landed on a
+    // literal .x95 tie at sf0.01)
+    val cents = round((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+      10000.0, 0).cast("long")
+    val rev = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents).as("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("o_custkey")).limit(20)
+      // no re-round: Spark's Round(double) goes through the decimal string
+      // (BigDecimal.valueOf) while DuckDB rounds the binary double, so an
+      // exact .xx5 diverges — the bare division of the identical exact
+      // integer is bit-identical on both engines
+      .select(col("o_custkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+    rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pipeline_idempotence" -> (pPipelineIdempotence _),
@@ -4426,6 +4695,15 @@ object SparkEntry {
     "d_cluster_best_keep" -> (dClusterBestKeep _),
     "q5_supplier_volume" -> (q5SupplierVolume _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_psi_drift" -> (qPsiDrift _),
+    "t_pmi_phrases" -> (tPmiPhrases _),
+    "q_f2_selfjoin" -> (qF2SelfJoin _),
+    "s_hll_stream" -> (sHllStream _),
+    "q_dpp_prune" -> (qDppPrune _),
+    "q_runtime_filter" -> (qRuntimeFilter _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -4796,6 +5074,46 @@ object SparkEntry {
        $rounds
        SELECT 1 AS mmr_rank, id, rel, score AS mmr_score FROM pick1
        $out"""
+  }
+
+  /** The HLL oracle: replays [[graft.operators.Sketches.hllDistinct]] —
+    * distinct 30-bit hashes, two affine permutations for register/rank,
+    * integer bit-length ranks via `bin()`, the EXACT integer harmonic sum
+    * in 2^-31 units, the register-max '__all__' merge, and the shared
+    * Scala-side scale literal ([[graft.operators.Sketches.hllScaleNum]])
+    * so the single floating division is identical on both engines.
+    */
+  private lazy val sqlHllDistinct: String = {
+    val Seq((a1, b1), (a2, b2)) = Dedup.minhashCoeffs(2)
+    val p = 12; val m = 1 << p
+    val scale = graft.operators.Sketches.hllScaleNum(p)
+    val prime = Dedup.MinhashP
+    s"""WITH d AS MATERIALIZED (
+         SELECT DISTINCT l_returnflag AS scope,
+           ${sqlPh("l_orderkey::VARCHAR", 31L, 1000000007L)} AS h
+         FROM lineitem),
+       r AS (SELECT scope,
+           (($a1 * h + $b1) % $prime) % $m AS reg,
+           CASE WHEN (($a2 * h + $b2) % $prime) = 0 THEN 31
+                ELSE 31 - length(bin(($a2 * h + $b2) % $prime)) END AS rho
+         FROM d),
+       regs AS MATERIALIZED (
+         SELECT scope, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+       per AS (SELECT scope, sum(1::BIGINT << (31 - rho))::BIGINT AS sp,
+                 count(*) AS present
+               FROM regs GROUP BY 1
+               UNION ALL
+               SELECT '__all__', sum(1::BIGINT << (31 - rho))::BIGINT, count(*)
+               FROM (SELECT reg, max(rho) AS rho FROM regs GROUP BY 1)),
+       ex AS (SELECT scope, count(*) AS exact_distinct FROM d GROUP BY 1
+              UNION ALL SELECT '__all__', count(DISTINCT h) FROM d),
+       e AS (SELECT scope, sp + ($m - present) * 2147483648::BIGINT AS hsum,
+               $m - present AS zr FROM per)
+       SELECT e.scope, ex.exact_distinct,
+         round(CASE WHEN zr > 0 AND ($scale::DOUBLE / hsum) <= ${2.5 * m}::DOUBLE
+            THEN $m::DOUBLE * ln($m::DOUBLE / zr)
+            ELSE $scale::DOUBLE / hsum END, 4) AS hll_est
+       FROM e JOIN ex ON e.scope = ex.scope"""
   }
 
   /** The trained-cells IVF-PQ search oracle, shared by the recompute
@@ -7068,6 +7386,126 @@ object SparkEntry {
            round(o_totalprice, 2) AS o_totalprice, sum_qty
          FROM orders JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year, l_extendedprice, l_discount
+           FROM lineitem, orders, customer, supplier, nation n1, nation n2
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+             AND c_nationkey = n2.n_nationkey
+             AND n1.n_name IN ('NATION_1', 'NATION_2')
+             AND n2.n_name IN ('NATION_1', 'NATION_2')
+             AND n1.n_name <> n2.n_name)
+         GROUP BY 1, 2, 3""",
+    "q10_returned_items" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(round((l_extendedprice * (1 - l_discount)) * 10000.0, 0)::BIGINT)::BIGINT
+               AS rev_e4
+           FROM lineitem, orders
+           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+             AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+           GROUP BY 1 ORDER BY rev_e4 DESC, o_custkey LIMIT 20)
+         SELECT c_custkey, c_name, c_mktsegment,
+           rev_e4::DOUBLE / 10000.0 AS revenue
+         FROM rev JOIN customer ON o_custkey = c_custkey""",
+    "q_hll_distinct" -> sqlHllDistinct,
+    "q_dpp_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY 1""",
+    "q_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY 1""",
+    "q_f2_selfjoin" -> {
+      val half = Dedup.MinhashP / 2
+      val coefRows = Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH h AS MATERIALIZED (
+           SELECT ${sqlPh("l_orderkey::VARCHAR", 31L, 1000000007L)} AS h
+           FROM lineitem),
+         coef(r, ca, cb) AS (VALUES $coefRows),
+         sgn AS (SELECT r,
+             sum(CASE WHEN (ca * h + cb) % ${Dedup.MinhashP} < $half
+                 THEN 1 ELSE -1 END)::BIGINT AS z
+           FROM h, coef GROUP BY 1),
+         est AS (SELECT (sum(z * z)::BIGINT // 32)::BIGINT AS ams_f2_est FROM sgn),
+         ex AS (SELECT sum(n * n)::BIGINT AS exact_f2
+                FROM (SELECT h, count(*)::BIGINT AS n FROM h GROUP BY 1))
+         SELECT exact_f2, ams_f2_est FROM ex, est"""
+    },
+    "s_hll_stream" -> {
+      val Seq((a1, b1), (a2, b2)) = Dedup.minhashCoeffs(2)
+      val p = 9; val m = 1 << p
+      val scale = graft.operators.Sketches.hllScaleNum(p)
+      val prime = Dedup.MinhashP
+      s"""WITH d AS (
+           SELECT DISTINCT epoch_us(ts) // 21600000000 AS win_id,
+             ${sqlPh("user_id::VARCHAR", 31L, 1000000007L)} AS h
+           FROM events),
+         r AS (SELECT win_id,
+             (($a1 * h + $b1) % $prime) % $m AS reg,
+             CASE WHEN (($a2 * h + $b2) % $prime) = 0 THEN 31
+                  ELSE 31 - length(bin(($a2 * h + $b2) % $prime)) END AS rho
+           FROM d),
+         regs AS (SELECT win_id, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+         per AS (SELECT win_id, sum(1::BIGINT << (31 - rho))::BIGINT AS sp,
+                   count(*) AS present
+                 FROM regs GROUP BY 1),
+         e AS (SELECT win_id, sp + ($m - present) * 2147483648::BIGINT AS hsum,
+                 $m - present AS zr FROM per)
+         SELECT win_id,
+           round(CASE WHEN zr > 0 AND ($scale::DOUBLE / hsum) <= ${2.5 * m}::DOUBLE
+              THEN $m::DOUBLE * ln($m::DOUBLE / zr)
+              ELSE $scale::DOUBLE / hsum END, 4) AS hll_est
+         FROM e"""
+    },
+    "q_psi_drift" ->
+      """WITH c AS MATERIALIZED (
+           SELECT event_type,
+             count(*) FILTER (WHERE epoch_us(ts) < 1705363200000000) AS na,
+             count(*) FILTER (WHERE epoch_us(ts) >= 1705363200000000) AS nb
+           FROM events GROUP BY 1),
+         tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c),
+         terms AS (
+           SELECT event_type, na, nb,
+             round((na::DOUBLE / ta - nb::DOUBLE / tb) *
+               ln((na::DOUBLE / ta) / (nb::DOUBLE / tb)) * 1000000.0,
+               0)::BIGINT AS psi_e6
+           FROM c, tot WHERE na > 0 AND nb > 0)
+         SELECT event_type, na, nb, psi_e6,
+           (sum(psi_e6) OVER ())::BIGINT AS total_psi_e6
+         FROM terms""",
+    "t_pmi_phrases" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         uni AS MATERIALIZED (
+           SELECT term, count(*) AS cnt
+           FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY 1),
+         bi AS MATERIALIZED (
+           SELECT array_to_string(tk[i:i+1], ' ') AS ngram, count(*) AS n
+           FROM toks, unnest(range(1, len(tk))) AS u(i)
+           GROUP BY 1 HAVING count(*) >= 5),
+         tot AS (SELECT (SELECT sum(cnt)::BIGINT FROM uni) AS nn,
+                        (SELECT sum(greatest(len(tk) - 1, 0))::BIGINT FROM toks) AS bb)
+         SELECT ngram, n,
+           round(ln((n::DOUBLE / bb) /
+             ((ca::DOUBLE / nn) * (cb::DOUBLE / nn))), 6) AS pmi
+         FROM (SELECT b.ngram, b.n, ua.cnt AS ca, ub.cnt AS cb
+               FROM bi b
+               JOIN uni ua ON ua.term = string_split(b.ngram, ' ')[1]
+               JOIN uni ub ON ub.term = string_split(b.ngram, ' ')[2]), tot
+         ORDER BY pmi DESC, ngram LIMIT 50""",
     "q_incr_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS total_price

@@ -236,6 +236,155 @@ object Sketches {
         col("kmv_jac_e6"))
   }
 
+  /** HyperLogLog distinct-count estimates (Flajolet, Fusy, Gandouet &
+    * Meunier '07) — the REGISTER-based mergeable cardinality sketch, the
+    * complement of [[kmvDistinct]]: fixed `2^p` registers per group
+    * regardless of cardinality (KMV keeps k VALUES; HLL keeps max
+    * leading-zero ranks), so a year of per-day sketches is `2^p` bytes-ish
+    * per day and any date-range union is a register-wise max.
+    *
+    * Deterministic cross-engine, like every sketch here: register index and
+    * rank come from two independent affine permutations of the 30-bit
+    * polynomial hash ([[Dedup.minhashCoeffs]] — pure 64-bit integer
+    * arithmetic), the rank is exact integer bit-length (`31 - len(bin(h))`,
+    * no float log), and the harmonic sum is kept as an EXACT integer in
+    * units of 2^-31 (`sum(1 << (31-rho))`, ≤ 2^43 for p ≤ 16 — inside
+    * int64), so the only floating-point steps are the final one-division
+    * estimate and the linear-counting `ln`. The DuckDB oracle replays
+    * registers, sum, and branch bit for bit.
+    *
+    * Estimator notes: the permuted hash is uniform on [0, P) with
+    * P = 1000000007 just under 2^30, which scales the geometric tail by
+    * 2^30/P; the closed-form correction (×P/2^30) is folded into the
+    * scale constant. Small cardinalities take the standard linear-counting
+    * branch (V = empty registers; E = m·ln(m/V) when E ≤ 2.5m).
+    *
+    * Plan shape: one DISTINCT on (group, hash) feeds registers AND the
+    * exact calibration count (the corpus is scanned once); the register
+    * table is map-side combinable and bounded by groups × 2^p rows; the
+    * '__all__' union row re-aggregates REGISTERS only — no second corpus
+    * pass, the mergeability being demonstrated. A pure-estimate deployment
+    * drops the exact column and aggregates registers straight off
+    * occurrences (max is idempotent — no distinct needed).
+    *
+    * @param hashCol 30-bit cross-engine hash of the counted expression
+    *                (e.g. [[Dedup.shingleHash]]), in [0, MinhashP)
+    * @param p       register-count exponent (m = 2^p), 7 ≤ p ≤ 16
+    * @return per group: (scope, exact_distinct, hll_est); plus one
+    *         ('__all__', global exact, merged-register est) row — scope
+    *         '__all__' is RESERVED, as in [[kmvMergedDistinct]]
+    */
+  /** alpha_m * m^2 * 2^31 (the exact-integer harmonic-sum scale) * P/2^30
+    * (the non-power-of-two hash-range correction) — ONE Scala-side double,
+    * shared with the oracle SQL so both engines divide the identical
+    * literal by the identical integer sum.
+    */
+  def hllScaleNum(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m * m *
+      2147483648.0 * (Dedup.MinhashP / 1073741824.0)
+  }
+
+  /** HLL register index of a 30-bit hash: the first affine permutation mod
+    * 2^p. Public so a STREAMING maintenance query can keep the same
+    * registers a batch replay reproduces.
+    */
+  def hllRegister(hashCol: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    val (a1, b1) = Dedup.minhashCoeffs(2).head
+    pmod(pmod(lit(a1) * hashCol + lit(b1), lit(Dedup.MinhashP)),
+      lit((1L << p)))
+  }
+
+  /** HLL rank (leading-zero count + 1 over the 30-bit window) of the second
+    * affine permutation — exact integer bit-length via `bin()`, no float.
+    */
+  def hllRank(hashCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (a2, b2) = Dedup.minhashCoeffs(2)(1)
+    val h2 = pmod(lit(a2) * hashCol + lit(b2), lit(Dedup.MinhashP))
+    when(h2 === 0, lit(31)).otherwise(lit(31) - length(bin(h2)))
+  }
+
+  /** Fold a register table (columns: the group keys + `rho`, one row per
+    * occupied register, absent registers = zero) into the HLL estimate —
+    * the exact-integer harmonic sum, the raw/linear-counting branch, and
+    * the round(…,4) finish. The register table is the MERGEABLE state: a
+    * union of shards or of streaming micro-batch outputs re-aggregated by
+    * register-wise `max(rho)` finishes through this same fold.
+    */
+  def hllEstimate(regTable: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val scaleNum = hllScaleNum(p)
+    val lcGate: Double = 2.5 * m
+    regTable
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("shiftleft(1L, 31 - rho)")).as("__sp"),
+        count(lit(1)).as("__present"))
+      .withColumn("__S",
+        col("__sp") + (lit(m.toLong) - col("__present")) * lit(2147483648L))
+      .withColumn("__V", lit(m.toLong) - col("__present"))
+      .withColumn("__raw", lit(scaleNum) / col("__S").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("__V") > 0 && col("__raw") <= lit(lcGate),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__V").cast("double")))
+          .otherwise(col("__raw")), 4))
+      .select((groupCols.map(col) :+ col("hll_est")): _*)
+  }
+
+  def hllDistinct(df: DataFrame, groupCol: String,
+      hashCol: org.apache.spark.sql.Column, p: Int = 12): DataFrame = {
+    require(p >= 7 && p <= 16, s"p in [7,16], got $p")
+    val d = df.select(col(groupCol).cast("string").as("scope"), hashCol.as("__h"))
+      .filter(col("__h").isNotNull).distinct()
+      .localCheckpoint(true) // feeds registers AND both exact counts
+    val regs = d.select(col("scope"), hllRegister(col("__h"), p).as("__reg"),
+        hllRank(col("__h")).as("__rho"))
+      .groupBy(col("scope"), col("__reg")).agg(max(col("__rho")).as("rho"))
+      .localCheckpoint(true) // feeds per-scope AND the '__all__' merge
+    val perScope = hllEstimate(regs, Seq("scope"), p)
+      .join(d.groupBy(col("scope")).agg(count(lit(1)).as("exact_distinct")),
+        Seq("scope"))
+    val merged = hllEstimate(
+        regs.groupBy(col("__reg")).agg(max(col("rho")).as("rho")), Seq(), p)
+      .crossJoin(d.select(col("__h")).distinct()
+        .agg(count(lit(1)).as("exact_distinct")))
+      .select(lit("__all__").as("scope"), col("exact_distinct"), col("hll_est"))
+    perScope.select(col("scope"), col("exact_distinct"), col("hll_est"))
+      .union(merged)
+  }
+
+  /** AMS "tug-of-war" second-frequency-moment estimate (Alon, Matias &
+    * Szegedy '96): F2 = Σ_k f_k² — the SELF-JOIN SIZE of a key column, the
+    * one number that says whether a join/groupBy key is safe or a skew
+    * bomb before you pay for the shuffle. The sketch is `d` signed
+    * counters z_i = Σ_k f_k·s_i(k) with 4-wise-ish signs from the affine
+    * hash family; each z_i² is an unbiased F2 estimate and the mean over
+    * `d` counters is reported (integer division — exact cross-engine).
+    *
+    * ONE map-side-combinable aggregation: every row adds ±1 to d running
+    * sums, so the shuffle carries d longs per partition — no groupBy on
+    * the key, no per-key state, the 100 TB plan by construction. All
+    * arithmetic is 64-bit integer (signs from `(a_i·h+b_i) mod P <
+    * P div 2`, squares ≤ (Σf)², sum ≤ d·(Σf)²), so the DuckDB oracle
+    * replays it bit for bit. Std error ≈ F2·√(2/d).
+    *
+    * @param hashCol 30-bit cross-engine hash of the key (e.g.
+    *                [[Dedup.shingleHash]]), in [0, MinhashP)
+    * @return one row: (ams_f2_est) — callers join exact F2 for calibration
+    */
+  def amsF2(df: DataFrame, hashCol: org.apache.spark.sql.Column,
+      d: Int = 32): DataFrame = {
+    require(d >= 2, s"AMS needs d >= 2 counters, got $d")
+    val half = Dedup.MinhashP / 2
+    val signs = Dedup.minhashCoeffs(d).map { case (a, b) =>
+      when(pmod(lit(a) * hashCol + lit(b), lit(Dedup.MinhashP)) < half,
+        lit(1L)).otherwise(lit(-1L))
+    }
+    val zs = df.agg(sum(signs.head).as("z0"),
+      signs.tail.zipWithIndex.map { case (sg, i) => sum(sg).as(s"z${i + 1}") }: _*)
+    zs.select(expr(s"(${(0 until d).map(i => s"z$i * z$i").mkString(" + ")}) div $d")
+      .as("ams_f2_est"))
+  }
+
   /** Distributed quantile ESTIMATES from an equi-width histogram — the
     * no-global-sort answer to "give me p50/p95/p99 of a 100 TB column":
     * one map-side-combinable count per bin (shuffle carries ≤ #bins partial

@@ -117,11 +117,62 @@ class PlanSpec extends SparkTestBase {
       // q_rtbf_delete / q_delete_vectors publish versioned snapshots /
       // delete vectors at plan-BUILD time (the q_time_travel exemption
       // class); their anti-join shape is pinned by the RTBF test below
-      "q_rtbf_delete", "q_delete_vectors")
+      "q_rtbf_delete", "q_delete_vectors",
+      // q_f2_selfjoin appends the 1-row AMS estimate to the 1-row exact-F2
+      // scalar (the corpus-scalar crossJoin shape, both sides single-row);
+      // s_hll_stream drains a stream at plan-build time; q_hll_distinct's
+      // '__all__' row crossJoins the 1-row merged-register estimate with
+      // the 1-row global-exact scalar (t_kmv_union's exemption shape)
+      "q_f2_selfjoin", "s_hll_stream", "q_hll_distinct",
+      // q_dpp_prune writes its partitioned fixture at plan-build time
+      // (the roundtrip exemption class); q_runtime_filter materializes
+      // inside its conf scope — both plan shapes pinned by their own
+      // tests below
+      "q_dpp_prune", "q_runtime_filter",
+      // q_psi_drift appends the 1-row half-totals scalar to the per-type
+      // counts (the corpus-scalar crossJoin shape); t_pmi_phrases appends
+      // the 1-row corpus token/bigram totals to the vocabulary-bounded
+      // bigram frame (same shape)
+      "q_psi_drift", "t_pmi_phrases")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+
+  test("q_dpp_prune: fact scan carries the dynamic partition pruning subquery") {
+    val p = planOf("q_dpp_prune")
+    assert(p.contains("dynamicpruningexpression"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("runtime bloom filter lands on the fact side when broadcast is off") {
+    // the registered q_runtime_filter materializes inside this conf scope
+    // (planning-time confs); the plan pin re-creates the same scope here
+    val s = spark
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1"); s.conf.set(keys(3), "-1")
+      val sel = s.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(sel, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        p.linesIterator.take(25).mkString("\n"))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(v2 => s.conf.set(k, v2))
     }
   }
 

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Round-8 additions: HLL cardinality sketch, PMI collocations, PSI drift,
+  * and the TPC-H Q7/Q10 shapes. The oracle gate pins cross-engine hash
+  * parity; these tests pin the ESTIMATOR contracts (branch behavior,
+  * mergeability, accuracy bounds) and the query invariants.
+  */
+class Round8OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hllDistinct: linear-counting branch is near-exact at low load") {
+    val rows = (1 to 5).map(i => ("small", i.toLong)) ++
+      (1 to 5000).map(i => ("big", i.toLong))
+    val out = Sketches.hllDistinct(rows.toDF("g", "x"), "g",
+        graft.operators.Dedup.shingleHash(col("x").cast("string")))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (se, sest) = out("small")
+    assert(se === 5L)
+    assert(math.abs(sest - 5.0) < 0.5, s"LC estimate $sest for 5 distinct")
+    // n/m ~ 1.2: still the LC branch (E <= 2.5m, V > 0), tight regime
+    val (be, best) = out("big")
+    assert(be === 5000L)
+    assert(math.abs(best - 5000.0) / 5000.0 < 0.05, s"LC estimate $best for 5000")
+  }
+
+  test("hllDistinct: raw harmonic branch within 4-sigma at p=7") {
+    // m=128: 5000 distinct >> 2.5m=320 forces the raw estimator;
+    // std err 1.04/sqrt(128) ~ 9.2%, assert inside ~4 sigma
+    val out = Sketches.hllDistinct(
+        (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "x"), "g",
+        graft.operators.Dedup.shingleHash(col("x").cast("string")), p = 7)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(out("g") - 5000.0) / 5000.0 < 0.4,
+      s"raw HLL estimate ${out("g")} too far from 5000")
+  }
+
+  test("hllDistinct: '__all__' merge equals the single-pass global sketch") {
+    // two shards with a 1000-value overlap, global distinct 5000; the
+    // register-wise max over shards must reproduce the one-pass global
+    // registers EXACTLY (max is associative), so the estimates are equal
+    val rows = (1 to 3000).map(i => ("day1", i.toLong)) ++
+      (2001 to 5000).map(i => ("day2", i.toLong))
+    val h = graft.operators.Dedup.shingleHash(col("x").cast("string"))
+    val out = Sketches.hllDistinct(rows.toDF("g", "x"), "g", h)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("day1")._1 === 3000L && out("day2")._1 === 3000L)
+    assert(out("__all__")._1 === 5000L)
+    val single = Sketches.hllDistinct(
+        rows.toDF("g", "x").select(lit("all").as("g"), col("x")), "g", h)
+      .as[(String, Long, Double)].collect()
+      .find(_._1 == "all").get
+    assert(out("__all__")._2 === single._3,
+      s"merged ${out("__all__")._2} != single-pass ${single._3}")
+  }
+
+  test("hllDistinct rejects out-of-range p") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(Seq(("a", 1L)).toDF("g", "x"), "g", col("x"), p = 5)
+    }
+  }
+
+  test("amsF2: unbiased self-join-size estimate on a skewed key set") {
+    // one hot key x1000 + 1000 singletons: F2 ~ 1.001e6; std err ~ F2*sqrt(2/32)
+    val rows = Seq.fill(1000)("hot") ++ (1 to 1000).map(i => s"k$i")
+    val df = rows.toDF("k")
+      .select(graft.operators.Dedup.shingleHash(col("k")).as("h"))
+    val est = Sketches.amsF2(df, col("h")).as[Long].head()
+    val exact = df.groupBy(col("h")).count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    assert(est > exact / 3 && est < exact * 3,
+      s"AMS estimate $est vs exact $exact")
+  }
+
+  test("s_hll_stream: windowed sketch estimates track per-window exact distincts") {
+    val out = SparkEntry.queries("s_hll_stream")(spark, sf("sf0.001"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.nonEmpty)
+    val exact = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .transform(graft.io.EventTs.toNsLong)
+      .select((col("ts") / 1000L / 21600000000L).cast("long").as("win_id"),
+        col("user_id"))
+      .distinct().groupBy("win_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == exact.keySet, s"${out.keySet} vs ${exact.keySet}")
+    // <=150 users vs 512 registers: deep linear-counting regime, tight
+    exact.foreach { case (w, n) =>
+      assert(math.abs(out(w) - n) / n.toDouble < 0.1,
+        s"window $w: est ${out(w)} vs exact $n")
+    }
+  }
+
+  test("t_pmi_phrases: thresholded, finite, and count-consistent") {
+    val out = SparkEntry.queries("t_pmi_phrases")(spark, sf("sf0.001"))
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_._2 >= 5), "bigrams below the min-count survived")
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    // descending-PMI order with the ngram tiebreak
+    val ps = out.map(_._3).toSeq
+    assert(ps == ps.sorted.reverse, ps)
+  }
+
+  test("q_psi_drift: non-negative terms, total equals the term sum") {
+    val rows = SparkEntry.queries("q_psi_drift")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // (pa-pb)*ln(pa/pb) >= 0 always — same-sign factors
+    assert(rows.forall(_._4 >= 0), rows.toSeq)
+    val total = rows.map(_._4).sum
+    assert(rows.forall(_._5 == total), s"window total mismatch: $total")
+  }
+
+  test("q7/q10: shapes and deterministic cuts") {
+    // sf0.001 has ~10 suppliers over 25 nations — the two-nation slice can
+    // be legitimately empty there; the correctness scale is sf0.01
+    val q7 = SparkEntry.queries("q7_volume_shipping")(spark, sf("sf0.01")).collect()
+    assert(q7.nonEmpty)
+    assert(q7.forall(r => r.getString(0) != r.getString(1)),
+      "same-nation rows must be excluded")
+    val q10 = SparkEntry.queries("q10_returned_items")(spark, sf("sf0.001"))
+      .collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+  }
+}
