@@ -535,6 +535,34 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training (DPR/ANCE
+    * recipe): per query, the highest-cosine candidates BELOW a similarity
+    * ceiling τ — close enough to be informative negatives, but candidates
+    * at/above τ are presumed positives/near-duplicates and excluded. Runs
+    * entirely through the IVF cell-keyed machinery (a wider candidate cut,
+    * then filter + re-rank over ≤ buffer rows per query), so the mining
+    * pass inherits the ANN scale shape — no brute-force scan. Both filter
+    * and rank use the 6-dp-rounded cosine, so the cut is cross-engine
+    * exact; the oracle replays the IVF chain, the ceiling, and the
+    * re-rank.
+    */
+  private def eHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cand = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", centroids = VectorOps.rademacherPlanes(8, 64),
+      k = HardNegBuffer, nprobe = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.filter(col("cosine") < HardNegTau)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 10)
+      .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+  private val HardNegBuffer = 30
+  private val HardNegTau = 0.98
+
   /** MIPS served through the IVF index via [[graft.operators.Similarity
     * .mipsAugment]] — the reduction actually doing its job: corpus vectors
     * augmented with sqrt(M² − |x|²) (M = exact max corpus norm, one agg),
@@ -4704,6 +4732,7 @@ object SparkEntry {
     "s_hll_stream" -> (sHllStream _),
     "q_dpp_prune" -> (qDppPrune _),
     "q_runtime_filter" -> (qRuntimeFilter _),
+    "e_hard_negatives" -> (eHardNegatives _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -5198,7 +5227,10 @@ object SparkEntry {
     * (e_ivf_topk) and materialized-index (e_ivf_index_topk) variants —
     * identical semantics by construction.
     */
-  private lazy val sqlIvfTopK: String = {
+  /** The plain-IVF candidate chain cut at `rank <= k` — shared by the
+    * e_ivf_topk oracle (k=10) and the hard-negative oracle's wider cut.
+    */
+  private def sqlIvfCand(k: Int): String = {
     val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
     s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5215,8 +5247,9 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 10"""
+         WHERE rank <= $k"""
   }
+  private lazy val sqlIvfTopK: String = sqlIvfCand(10)
 
   /** The exact-decontamination result both the plain and the bloom-prefilter
     * formulations must produce (the bloom is a performance layer, not a
@@ -5751,6 +5784,14 @@ object SparkEntry {
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
     "e_mmr_rerank" -> sqlMmrRerank,
+    "e_hard_negatives" ->
+      s"""WITH base AS MATERIALIZED (${sqlIvfCand(30)})
+         SELECT query_id, neg_rank, neighbor_id, cosine FROM (
+           SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS neg_rank
+           FROM base WHERE cosine < 0.98::DOUBLE)
+         WHERE neg_rank <= 10""",
     "e_neardup_pairs" ->
       s"""WITH sgt AS (SELECT ${sqlSigns(96, 64)}::DOUBLE[] AS sg),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

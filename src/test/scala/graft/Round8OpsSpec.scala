@@ -92,6 +92,21 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("e_hard_negatives: below the ceiling, densest-first, never the query itself") {
+    val out = SparkEntry.queries("e_hard_negatives")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 < 0.98), "a candidate at/above the ceiling survived")
+    assert(out.forall(r => r._1 != r._3), "query returned as its own negative")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to rs.length), s"query $q ranks not contiguous: $ranks")
+      // densest-first: cosine non-increasing in rank
+      val byRank = rs.sortBy(_._2).map(_._4).toSeq
+      assert(byRank == byRank.sorted.reverse, s"query $q: $byRank")
+    }
+  }
+
   test("t_pmi_phrases: thresholded, finite, and count-consistent") {
     val out = SparkEntry.queries("t_pmi_phrases")(spark, sf("sf0.001"))
       .as[(String, Long, Double)].collect()
