@@ -4443,7 +4443,12 @@ object SparkEntry {
     val dimDir = base.resolve("dim").toString
     val ord = t(s, dir, "orders")
       .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
-    ord.write.mode("overwrite").partitionBy("omonth").parquet(factDir)
+    // cluster by the partition key before the partitioned write: one file
+    // per month directory instead of (tasks × months) shards — the layout
+    // discipline that keeps a 100 TB partitioned landing from becoming a
+    // small-file storm
+    ord.repartition(col("omonth"))
+      .write.mode("overwrite").partitionBy("omonth").parquet(factDir)
     ord.select(col("omonth")).distinct()
       .withColumn("oyear", substring(col("omonth"), 1, 4))
       .write.mode("overwrite").parquet(dimDir)
