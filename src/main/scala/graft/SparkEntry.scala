@@ -4429,6 +4429,92 @@ object SparkEntry {
     graft.operators.Sketches.hllEstimate(regs, Seq("win_id"), p)
   }
 
+  /** Per-event-type value quantiles from the grouped histogram sketch
+    * ([[graft.operators.Sketches.groupedHistogramQuantiles]]): the
+    * "p50/p95/p99 of every segment" pass with no per-group sort — one
+    * (group, bin) count, per-group windows over ≤ bins rows. The grouped
+    * dual of `t_approx_quantiles`.
+    */
+  private def tGroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.groupedHistogramQuantiles(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value", 1.0, Seq(500, 950, 990))
+
+  /** Dunning log-likelihood-ratio collocations (Dunning '93) — the
+    * statistically principled phrase miner next to [[tPmiPhrases]]'s PMI
+    * (PMI over-rewards rare pairs; G² weights evidence by count). All four
+    * contingency cells derive from the bigram table's own marginals
+    * (per-first-word and per-second-word sums — vocabulary-bounded, no
+    * second corpus pass), and the G² fold is fixed-association doubles
+    * over exact integer cells, so the oracle replays it to the 4th
+    * decimal. Same scale shape as PMI: text scanned once, nothing but
+    * vocabulary ever shuffles or broadcasts.
+    */
+  private def tLlrPhrases(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(explode(
+        graft.functions.KernelExpressions.wordNgramStrings(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("k11"))
+      .withColumn("w1", element_at(split(col("ngram"), " "), 1))
+      .withColumn("w2", element_at(split(col("ngram"), " "), 2))
+      .localCheckpoint(true) // feeds marginals, the total, and the scored rows
+    val r = bi.groupBy(col("w1")).agg(sum(col("k11")).as("r1"))
+    val c = bi.groupBy(col("w2")).agg(sum(col("k11")).as("c1"))
+    val tot = bi.agg(sum(col("k11")).as("nn"))
+    // G2 = 2 * Σ k·ln(k·N / (rowMass·colMass)), 0·ln0 := 0; every product
+    // of two counts stays under 2^53 so the doubles are exact
+    def term(k: Column, num: Column, den: Column): Column =
+      when(k > 0, k.cast("double") *
+        log((k.cast("double") * col("nn")) / (num.cast("double") * den)))
+        .otherwise(lit(0.0))
+    val k11 = col("k11"); val r1 = col("r1"); val c1 = col("c1"); val nn = col("nn")
+    val llr = round(lit(2.0) * (
+      term(k11, r1, c1) +
+        term(r1 - k11, r1, nn - c1) +
+        term(c1 - k11, nn - r1, c1) +
+        term(nn - r1 - c1 + k11, nn - r1, nn - c1)), 4)
+    bi.filter(col("k11") >= 5)
+      .join(broadcast(r), "w1")
+      .join(broadcast(c), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("ngram"), col("k11").as("n"), llr.as("llr"))
+      .orderBy(col("llr").desc, col("ngram")).limit(50)
+  }
+
+  /** STREAMING AMS F2 monitor: per-6h-window self-join size of the user
+    * key maintained as 32 signed counters inside the windowed streaming
+    * aggregation ([[graft.operators.Sketches.amsSigns]]) — fixed 32 longs
+    * of state per window however many events arrive, finished by the same
+    * integer mean-of-squares the batch sketch uses. The burst/skew alarm
+    * (one user dominating a window spikes F2 quadratically) as a
+    * streaming-native sketch.
+    */
+  private def sF2Stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_f2_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    val d = 32
+    try {
+      val h = Dedup.shingleHash(col("user_id").cast("string"))
+      val signs = graft.operators.Sketches.amsSigns(h, d)
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(sum(signs.head).as("z0"),
+          signs.tail.zipWithIndex.map { case (sg, i) =>
+            sum(sg).as(s"z${i + 1}") }: _*)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    s.table(qn).select(
+      (unix_timestamp(col("w.start")) / 21600).cast("long").as("win_id"),
+      graft.operators.Sketches.amsF2FromZ(d).as("ams_f2_est"))
+  }
+
   /** Dynamic partition pruning, end to end: orders land partitioned by
     * month (the 100 TB fact layout), the month dimension arrives filtered
     * to one year, and the fact scan's PartitionFilters must carry the
@@ -4738,6 +4824,9 @@ object SparkEntry {
     "q_dpp_prune" -> (qDppPrune _),
     "q_runtime_filter" -> (qRuntimeFilter _),
     "e_hard_negatives" -> (eHardNegatives _),
+    "t_grouped_quantiles" -> (tGroupedQuantiles _),
+    "t_llr_phrases" -> (tLlrPhrases _),
+    "s_f2_stream" -> (sF2Stream _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -7552,6 +7641,64 @@ object SparkEntry {
                JOIN uni ua ON ua.term = string_split(b.ngram, ' ')[1]
                JOIN uni ub ON ub.term = string_split(b.ngram, ' ')[2]), tot
          ORDER BY pmi DESC, ngram LIMIT 50""",
+    "t_grouped_quantiles" ->
+      """WITH h AS (SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, bin, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+           FROM h)
+         SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm, bin * (1.0::DOUBLE) AS est
+         FROM c, unnest([500, 950, 990]) AS u(q_pm)
+         WHERE q_pm * total > (cum - n) * 1000 AND q_pm * total <= cum * 1000""",
+    "t_llr_phrases" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         bi AS MATERIALIZED (
+           SELECT ngram, count(*) AS k11,
+             string_split(ngram, ' ')[1] AS w1, string_split(ngram, ' ')[2] AS w2
+           FROM (SELECT array_to_string(tk[i:i+1], ' ') AS ngram
+                 FROM toks, unnest(range(1, len(tk))) AS u(i))
+           GROUP BY 1),
+         r AS (SELECT w1, sum(k11)::BIGINT AS r1 FROM bi GROUP BY 1),
+         c AS (SELECT w2, sum(k11)::BIGINT AS c1 FROM bi GROUP BY 1),
+         tot AS (SELECT sum(k11)::BIGINT AS nn FROM bi),
+         cells AS (SELECT b.ngram, b.k11, r.r1, c.c1, t.nn
+                   FROM bi b JOIN r USING (w1) JOIN c USING (w2), tot t
+                   WHERE b.k11 >= 5)
+         SELECT ngram, k11 AS n,
+           round(2.0 * (
+             (CASE WHEN k11 > 0 THEN k11::DOUBLE *
+               ln((k11::DOUBLE * nn) / (r1::DOUBLE * c1)) ELSE 0.0 END) +
+             (CASE WHEN (r1 - k11) > 0 THEN (r1 - k11)::DOUBLE *
+               ln(((r1 - k11)::DOUBLE * nn) / (r1::DOUBLE * (nn - c1))) ELSE 0.0 END) +
+             (CASE WHEN (c1 - k11) > 0 THEN (c1 - k11)::DOUBLE *
+               ln(((c1 - k11)::DOUBLE * nn) / ((nn - r1)::DOUBLE * c1)) ELSE 0.0 END) +
+             (CASE WHEN (nn - r1 - c1 + k11) > 0 THEN (nn - r1 - c1 + k11)::DOUBLE *
+               ln(((nn - r1 - c1 + k11)::DOUBLE * nn) / ((nn - r1)::DOUBLE * (nn - c1))) ELSE 0.0 END)
+           ), 4) AS llr
+         FROM cells
+         ORDER BY llr DESC, ngram LIMIT 50""",
+    "s_f2_stream" -> {
+      val half = Dedup.MinhashP / 2
+      val coefRows = Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH h AS MATERIALIZED (
+           SELECT epoch_us(ts) // 21600000000 AS win_id,
+             ${sqlPh("user_id::VARCHAR", 31L, 1000000007L)} AS h
+           FROM events),
+         coef(r, ca, cb) AS (VALUES $coefRows),
+         sgn AS (SELECT win_id, r,
+             sum(CASE WHEN (ca * h + cb) % ${Dedup.MinhashP} < $half
+                 THEN 1 ELSE -1 END)::BIGINT AS z
+           FROM h, coef GROUP BY 1, 2)
+         SELECT win_id, (sum(z * z)::BIGINT // 32)::BIGINT AS ams_f2_est
+         FROM sgn GROUP BY 1"""
+    },
     "q_incr_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS total_price

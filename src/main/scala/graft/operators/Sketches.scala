@@ -371,18 +371,31 @@ object Sketches {
     *                [[Dedup.shingleHash]]), in [0, MinhashP)
     * @return one row: (ams_f2_est) — callers join exact F2 for calibration
     */
-  def amsF2(df: DataFrame, hashCol: org.apache.spark.sql.Column,
-      d: Int = 32): DataFrame = {
-    require(d >= 2, s"AMS needs d >= 2 counters, got $d")
+  /** The d ±1 sign expressions of the AMS family — public so a STREAMING
+    * aggregation can maintain the same counters a batch replay reproduces.
+    */
+  def amsSigns(hashCol: org.apache.spark.sql.Column,
+      d: Int): Seq[org.apache.spark.sql.Column] = {
     val half = Dedup.MinhashP / 2
-    val signs = Dedup.minhashCoeffs(d).map { case (a, b) =>
+    Dedup.minhashCoeffs(d).map { case (a, b) =>
       when(pmod(lit(a) * hashCol + lit(b), lit(Dedup.MinhashP)) < half,
         lit(1L)).otherwise(lit(-1L))
     }
+  }
+
+  /** Mean-of-squares finish over counter columns z0..z{d-1} (integer
+    * division — exact cross-engine).
+    */
+  def amsF2FromZ(d: Int): org.apache.spark.sql.Column =
+    expr(s"(${(0 until d).map(i => s"z$i * z$i").mkString(" + ")}) div $d")
+
+  def amsF2(df: DataFrame, hashCol: org.apache.spark.sql.Column,
+      d: Int = 32): DataFrame = {
+    require(d >= 2, s"AMS needs d >= 2 counters, got $d")
+    val signs = amsSigns(hashCol, d)
     val zs = df.agg(sum(signs.head).as("z0"),
       signs.tail.zipWithIndex.map { case (sg, i) => sum(sg).as(s"z${i + 1}") }: _*)
-    zs.select(expr(s"(${(0 until d).map(i => s"z$i * z$i").mkString(" + ")}) div $d")
-      .as("ams_f2_est"))
+    zs.select(amsF2FromZ(d).as("ams_f2_est"))
   }
 
   /** Distributed quantile ESTIMATES from an equi-width histogram — the
@@ -427,5 +440,39 @@ object Sketches {
         q * col("total") > (col("cum") - col("n")) * 1000 &&
           q * col("total") <= col("cum") * 1000))
       .select(explode(col("qs")).as("q_pm"), (col("bin") * binWidth).as("est"))
+  }
+
+  /** Per-GROUP [[histogramQuantiles]]: one (group, bin) count pass, then
+    * the same division-free rank assignment inside per-group windows — the
+    * "p50/p95/p99 of every segment" question with NO per-group sort of
+    * values and window state bounded by bins-per-group, never rows. The
+    * group key partitions both windows, so the single-partition-window
+    * caveat of the global variant disappears: this is the form that
+    * scales ACROSS groups at 100 TB.
+    *
+    * @return (groupCol, q_pm, est) — one row per (group, requested quantile)
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Double,
+      quantilesPerMille: Seq[Int]): DataFrame = {
+    require(quantilesPerMille.nonEmpty &&
+      quantilesPerMille.forall(q => q > 0 && q <= 1000))
+    val hist = df.select(col(groupCol),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val qlit = array(quantilesPerMille.map(q => lit(q.toLong)): _*)
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("qs", filter(qlit, q =>
+        q * col("total") > (col("cum") - col("n")) * 1000 &&
+          q * col("total") <= col("cum") * 1000))
+      .select(col(groupCol), explode(col("qs")).as("q_pm"),
+        (col("bin") * binWidth).as("est"))
   }
 }

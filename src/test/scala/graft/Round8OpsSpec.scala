@@ -128,6 +128,49 @@ class Round8OpsSpec extends SparkTestBase {
     assert(rows.forall(_._5 == total), s"window total mismatch: $total")
   }
 
+  test("groupedHistogramQuantiles: per-group rank math exact, error <= binWidth") {
+    // group a: 1..100 uniform; group b: 1..10 — p50/p99 land in known bins
+    val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i.toDouble))
+    val out = Sketches.groupedHistogramQuantiles(rows.toDF("g", "v"), "g", "v",
+        binWidth = 5.0, quantilesPerMille = Seq(500, 990))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // group a rank 50 -> value 50 -> bin floor(50/5)*5 = 50
+    assert(out(("a", 500L)) === 50.0, out)
+    assert(out(("a", 990L)) === 95.0, out) // rank 99 -> value 99 -> bin 95
+    assert(out(("b", 500L)) === 5.0, out)  // rank 5 -> value 5 -> bin 5
+    assert(out(("b", 990L)) === 10.0, out) // rank 10 -> value 10 -> bin 10
+  }
+
+  test("t_llr_phrases: counts consistent, finite, ordered") {
+    val out = SparkEntry.queries("t_llr_phrases")(spark, sf("sf0.001"))
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_._2 >= 5))
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    val ls = out.map(_._3).toSeq
+    assert(ls == ls.sorted.reverse, ls)
+  }
+
+  test("s_f2_stream: windowed AMS counters match the batch sketch per window") {
+    val out = SparkEntry.queries("s_f2_stream")(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    // batch dual: same signs, same windows, same finish
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .transform(graft.io.EventTs.toNsLong)
+      .select((col("ts") / 1000L / 21600000000L).cast("long").as("win_id"),
+        graft.operators.Dedup.shingleHash(col("user_id").cast("string")).as("h"))
+    val signs = Sketches.amsSigns(col("h"), 32)
+    val batch = ev.groupBy(col("win_id"))
+      .agg(sum(signs.head).as("z0"),
+        signs.tail.zipWithIndex.map { case (sg, i) => sum(sg).as(s"z${i + 1}") }: _*)
+      .select(col("win_id"), Sketches.amsF2FromZ(32).as("est"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == batch, s"stream $out vs batch $batch")
+  }
+
   test("q7/q10: shapes and deterministic cuts") {
     // sf0.001 has ~10 suppliers over 25 nations — the two-nation slice can
     // be legitimately empty there; the correctness scale is sf0.01
