@@ -4429,6 +4429,21 @@ object SparkEntry {
     graft.operators.Sketches.hllEstimate(regs, Seq("win_id"), p)
   }
 
+  /** Markov removal-effect (data-driven) attribution
+    * ([[graft.operators.Marketing.markovRemovalAttribution]]): journeys to
+    * first purchase, integer-1e6 transition chain, 12 integer power steps,
+    * per-channel removal effect + share — the model-based complement of
+    * `q_attribution`'s positional U-shape, and squarely the reference's
+    * domain (which conversions were worth uploading, and which touches
+    * earned them). The oracle unrolls every removal scenario's power
+    * iteration as CTE chains over the ≤(channels+2)² transition rows.
+    */
+  private def qMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.markovRemovalAttribution(
+      t(s, dir, "events").select(col("user_id"), tsUs.as("us"),
+        col("event_id"), col("event_type")),
+      "user_id", "us", "event_id", "event_type", convType = "purchase")
+
   /** Per-event-type value quantiles from the grouped histogram sketch
     * ([[graft.operators.Sketches.groupedHistogramQuantiles]]): the
     * "p50/p95/p99 of every segment" pass with no per-group sort — one
@@ -4827,6 +4842,7 @@ object SparkEntry {
     "t_grouped_quantiles" -> (tGroupedQuantiles _),
     "t_llr_phrases" -> (tLlrPhrases _),
     "s_f2_stream" -> (sF2Stream _),
+    "q_markov_attribution" -> (qMarkovAttribution _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -5197,6 +5213,76 @@ object SparkEntry {
        $rounds
        SELECT 1 AS mmr_rank, id, rel, score AS mmr_score FROM pick1
        $out"""
+  }
+
+  /** The Markov removal-effect oracle: journeys → integer-1e6 transition
+    * chain → one unrolled 12-step integer power iteration per scenario
+    * (base + one per removed channel). Channel list is the corpus's four
+    * non-conversion event types (static at SQL-build time; the Spark side
+    * derives the same set from the observed sources).
+    */
+  private lazy val sqlMarkovAttribution: String = {
+    val iters = 12
+    val channels = Seq("click", "error", "signup", "view")
+    def scenario(name: String, removed: Option[String]): String = {
+      val pt = removed match {
+        case None => "p"
+        case Some(c) =>
+          s"""(SELECT src, CASE WHEN dst = '$c' THEN 'DROP' ELSE dst END AS dst,
+              p_e6 FROM p WHERE src <> '$c')"""
+      }
+      val rounds = (1 to iters).map { k =>
+        s"""a${k}_$name AS (
+             SELECT t.src AS st,
+               ((sum(t.p_e6 * CASE WHEN t.dst = 'CONV' THEN 1000000
+                  WHEN t.dst = 'DROP' THEN 0
+                  ELSE coalesce(ap.a, 0) END))::BIGINT // 1000000)::BIGINT AS a
+             FROM $pt t LEFT JOIN a${k - 1}_$name ap ON ap.st = t.dst
+             GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""a0_$name(st, a) AS (SELECT NULL::VARCHAR, 0::BIGINT WHERE false),
+         $rounds"""
+    }
+    val scenarios = (scenario("base", None) +:
+      channels.map(c => scenario(c, Some(c)))).mkString(",\n")
+    val reRows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+           CASE WHEN ab > 0 THEN ((ab - coalesce(
+             (SELECT a FROM a${iters}_$c WHERE st = 'START'), 0)) * 1000000) // ab
+           ELSE 0 END AS re
+         FROM abt"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+           event_type AS ch FROM events),
+       pos AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY u
+           ORDER BY t, eid) AS pos FROM ev),
+       fp AS MATERIALIZED (SELECT u, min(pos) AS fp FROM pos
+           WHERE ch = 'purchase' GROUP BY 1),
+       journey AS MATERIALIZED (SELECT pp.*, f.fp
+           FROM pos pp LEFT JOIN fp f USING (u)
+           WHERE f.fp IS NULL OR pp.pos < f.fp),
+       tr AS (SELECT ch AS src,
+           coalesce(lead(ch) OVER (PARTITION BY u ORDER BY pos),
+             CASE WHEN fp IS NOT NULL THEN 'CONV' ELSE 'DROP' END) AS dst
+         FROM journey),
+       sr AS (SELECT 'START' AS src, ch AS dst
+         FROM (SELECT ch, row_number() OVER (PARTITION BY u ORDER BY pos) AS rn
+               FROM journey) WHERE rn = 1),
+       dc AS (SELECT 'START' AS src, 'CONV' AS dst FROM fp WHERE fp = 1),
+       cnt AS (SELECT src, dst, count(*)::BIGINT AS n
+         FROM (SELECT * FROM tr UNION ALL SELECT * FROM sr
+               UNION ALL SELECT * FROM dc) GROUP BY 1, 2),
+       p AS MATERIALIZED (SELECT src, dst,
+           ((n * 1000000) // (sum(n) OVER (PARTITION BY src)))::BIGINT AS p_e6
+         FROM cnt),
+       $scenarios,
+       abt AS MATERIALIZED (SELECT coalesce(
+           (SELECT a FROM a${iters}_base WHERE st = 'START'), 0)::BIGINT AS ab),
+       res AS MATERIALIZED ($reRows),
+       rtot AS (SELECT sum(re)::BIGINT AS rt FROM res)
+       SELECT channel, re::BIGINT AS removal_effect_e6,
+         (CASE WHEN rt > 0 THEN (re * 1000000) // rt ELSE 0 END)::BIGINT AS share_e6
+       FROM res, rtot"""
   }
 
   /** The HLL oracle: replays [[graft.operators.Sketches.hllDistinct]] —
@@ -7682,6 +7768,7 @@ object SparkEntry {
            ), 4) AS llr
          FROM cells
          ORDER BY llr DESC, ngram LIMIT 50""",
+    "q_markov_attribution" -> sqlMarkovAttribution,
     "s_f2_stream" -> {
       val half = Dedup.MinhashP / 2
       val coefRows = Dedup.minhashCoeffs(32).zipWithIndex

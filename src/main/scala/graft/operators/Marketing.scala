@@ -111,4 +111,89 @@ object Marketing {
         round(avg(col("monetary")), 2).as("avg_monetary"),
         round(sum(col("monetary")), 2).as("total_monetary"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. '14 — the
+    * "data-driven attribution" model): each user's journey is the ordered
+    * event sequence up to their FIRST conversion (absorbed in CONV) or to
+    * its end (absorbed in DROP); channel credit is the removal effect —
+    * how much the START→CONV absorption probability falls when the
+    * channel is deleted from the chain (its inbound transitions redirect
+    * to DROP, its outbound rows vanish; no renormalization, per the
+    * standard model).
+    *
+    * Determinism contract: transition probabilities are integer
+    * 1e6-ratios, and absorption runs as `iters` finite-horizon power
+    * steps in INTEGER arithmetic — `a_k(s) = (Σ_d p_e6(s,d)·a_{k-1}(d))
+    * div 1e6` — so every engine (and the DuckDB oracle's unrolled CTE
+    * chain) reproduces the numbers bit for bit; integer summation makes
+    * the per-state fold order-independent, which a double-valued chain
+    * would not be.
+    *
+    * Plan shape: ONE distributed window pass builds journeys and
+    * transition counts (the q_markov sort, reused discipline); the chain
+    * itself is (channels+2)² rows — bounded METADATA, so the power steps
+    * and the per-channel removal scenarios run on the driver over ≤ ~50
+    * integers, the same bounded-driver contract as kCenterGreedy/MMR.
+    *
+    * @param events (userCol, tsCol µs-long, idCol, typeCol)
+    * @return (channel, removal_effect_e6, share_e6), one row per channel
+    *         observed as a journey source
+    */
+  def markovRemovalAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, convType: String,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = events.sparkSession
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(idCol).as("eid"), col(typeCol).as("ch"))
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    val pos = base.withColumn("pos", row_number().over(w))
+      .localCheckpoint(true) // feeds first-purchase, journeys, and starts
+    val fp = pos.filter(col("ch") === convType)
+      .groupBy(col("u")).agg(min(col("pos")).as("fp"))
+    val journey = pos.join(fp, Seq("u"), "left")
+      .filter(col("fp").isNull || col("pos") < col("fp"))
+      .localCheckpoint(true) // two window passes below share one build
+    val wj = Window.partitionBy(col("u")).orderBy(col("pos"))
+    val tr = journey
+      .withColumn("dst", coalesce(lead(col("ch"), 1).over(wj),
+        when(col("fp").isNotNull, lit("CONV")).otherwise(lit("DROP"))))
+      .select(col("ch").as("src"), col("dst"))
+    val starts = journey
+      .withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("ch").as("dst"))
+    val directConv = fp.filter(col("fp") === 1)
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val edges = tr.union(starts).union(directConv)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), expr("n * 1000000L div tot").as("p_e6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    def absorb(es: Seq[(String, String, Long)]): Long = {
+      val transient = es.map(_._1).distinct
+      var a = Map.empty[String, Long]
+      def v(st: String): Long =
+        if (st == "CONV") 1000000L
+        else if (st == "DROP") 0L
+        else a.getOrElse(st, 0L)
+      for (_ <- 1 to iters)
+        a = transient.map(s => s ->
+          es.collect { case (`s`, d, pe) => pe * v(d) }.sum / 1000000L).toMap
+      a.getOrElse("START", 0L)
+    }
+    val aBase = absorb(edges)
+    val channels = edges.map(_._1).filter(_ != "START").distinct.sorted
+    val re = channels.map { c =>
+      val removed = edges.filter(_._1 != c)
+        .map { case (s, d, pe) => (s, if (d == c) "DROP" else d, pe) }
+      val aRem = absorb(removed)
+      c -> (if (aBase > 0) (aBase - aRem) * 1000000L / aBase else 0L)
+    }
+    val reTot = re.map(_._2).sum
+    import spark.implicits._
+    re.map { case (c, r) =>
+      (c, r, if (reTot > 0) r * 1000000L / reTot else 0L)
+    }.toDF("channel", "removal_effect_e6", "share_e6")
+  }
 }

@@ -171,6 +171,34 @@ class Round8OpsSpec extends SparkTestBase {
     assert(out == batch, s"stream $out vs batch $batch")
   }
 
+  test("markovRemovalAttribution: hand-computed chain, exact integer outputs") {
+    // u1: view -> purchase; u2: view -> click -> purchase; u3: click (no conv)
+    // chain: START->{view 2/3, click 1/3}; view->{CONV .5, click .5};
+    // click->{CONV .5, DROP .5}; aBase=666666, remove(view)->166666,
+    // remove(click)->333333 => re 750000/500000, shares 600000/400000
+    val ev = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "purchase"),
+      (2L, 10L, 200L, "view"), (2L, 20L, 201L, "click"), (2L, 30L, 202L, "purchase"),
+      (3L, 10L, 300L, "click"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val out = graft.operators.Marketing.markovRemovalAttribution(
+        ev, "user_id", "us", "event_id", "event_type", "purchase")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("view") === ((750000L, 600000L)), out)
+    assert(out("click") === ((500000L, 400000L)), out)
+  }
+
+  test("q_markov_attribution: effects in [0,1e6], shares sum to ~1e6") {
+    val rows = SparkEntry.queries("q_markov_attribution")(spark, sf("sf0.001"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 1000000L), rows.toSeq)
+    val shareSum = rows.map(_._3).sum
+    // integer floors: total within #channels of exactly 1e6
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length - 1,
+      s"share sum $shareSum")
+  }
+
   test("q7/q10: shapes and deterministic cuts") {
     // sf0.001 has ~10 suppliers over 25 nations — the two-nation slice can
     // be legitimately empty there; the correctness scale is sf0.01
