@@ -4444,6 +4444,69 @@ object SparkEntry {
         col("event_id"), col("event_type")),
       "user_id", "us", "event_id", "event_type", convType = "purchase")
 
+  /** TextRank keywords over the corpus word-adjacency graph
+    * ([[graft.operators.Retrieval.textRankKeywords]]): integer-exact
+    * weighted PageRank, top-10 terms — the unsupervised keyword ranker
+    * next to `t_tfidf_keywords`' frequency statistics. The oracle unrolls
+    * the 10 integer power rounds over the vocabulary-bounded chain.
+    */
+  private def tTextrank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.textRankKeywords(t(s, dir, "documents"), "text")
+
+  /** Cohort LTV curve: cumulative purchase revenue per signup cohort by
+    * week-of-life — the payback-curve complement of `q_cohort_retention`
+    * (same first-touch cohorting, revenue instead of presence). Revenue is
+    * integer-1e6-scaled before summing (the q_seasonality device), and the
+    * cumulative column is a per-cohort window over integer sums — exact
+    * cross-engine, and ≤ weeks-of-life rows per cohort in window state.
+    */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(timestamp_micros(tsUs)).as("day"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val wk = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        (datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_offset"))
+      .agg(sum(round(col("value") * 1000000.0, 0).cast("long")).as("wk_revenue_e6"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.withColumn("cum_revenue_e6", sum(col("wk_revenue_e6")).over(w))
+  }
+
+  /** Campaign incrementality read: deterministic exposed/control split
+    * (user_id parity — the planted A/B assignment), purchase-rate per
+    * segment before and after the fixed 2024-01-16 campaign boundary, and
+    * the difference-in-differences as the incrementality number. All
+    * rates integer-1e6 (purchasers·1e6 div actives), DiD an integer
+    * difference of differences — bit-exact cross-engine. One conditional-
+    * aggregation pass over (segment, user) rollups; two rows out.
+    */
+  private def qIncrementality(s: SparkSession, dir: String): DataFrame = {
+    val SplitNs = 1705363200000000000L
+    val perUser = t(s, dir, "events")
+      .groupBy((col("user_id") % 2 === 0).as("exposed"), col("user_id"))
+      .agg(
+        max(when(col("ts") < SplitNs, lit(1L)).otherwise(lit(0L))).as("act_pre"),
+        max(when(col("ts") >= SplitNs, lit(1L)).otherwise(lit(0L))).as("act_post"),
+        max(when(col("ts") < SplitNs && col("event_type") === "purchase",
+          lit(1L)).otherwise(lit(0L))).as("buy_pre"),
+        max(when(col("ts") >= SplitNs && col("event_type") === "purchase",
+          lit(1L)).otherwise(lit(0L))).as("buy_post"))
+    val seg = perUser.groupBy(col("exposed"))
+      .agg(sum(col("act_pre")).as("n_pre"), sum(col("act_post")).as("n_post"),
+        sum(col("buy_pre")).as("k_pre"), sum(col("buy_post")).as("k_post"))
+      .select(col("exposed"), col("n_pre"), col("n_post"), col("k_pre"),
+        col("k_post"),
+        expr("k_pre * 1000000L div n_pre").as("rate_pre_e6"),
+        expr("k_post * 1000000L div n_post").as("rate_post_e6"))
+      .withColumn("lift_e6", col("rate_post_e6") - col("rate_pre_e6"))
+    val w = Window.partitionBy()
+    seg.withColumn("did_e6",
+      sum(when(col("exposed"), col("lift_e6")).otherwise(-col("lift_e6"))).over(w))
+  }
+
   /** Per-event-type value quantiles from the grouped histogram sketch
     * ([[graft.operators.Sketches.groupedHistogramQuantiles]]): the
     * "p50/p95/p99 of every segment" pass with no per-group sort — one
@@ -4843,6 +4906,9 @@ object SparkEntry {
     "t_llr_phrases" -> (tLlrPhrases _),
     "s_f2_stream" -> (sF2Stream _),
     "q_markov_attribution" -> (qMarkovAttribution _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_incrementality" -> (qIncrementality _),
+    "t_textrank" -> (tTextrank _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -5283,6 +5349,42 @@ object SparkEntry {
        SELECT channel, re::BIGINT AS removal_effect_e6,
          (CASE WHEN rt > 0 THEN (re * 1000000) // rt ELSE 0 END)::BIGINT AS share_e6
        FROM res, rtot"""
+  }
+
+  /** The TextRank oracle: symmetric bigram edges → integer-1e6 transition
+    * weights → 10 unrolled integer power rounds (the Markov-attribution
+    * device at vocabulary scale) → top-10 cut.
+    */
+  private lazy val sqlTextrank: String = {
+    val iters = 10
+    val rounds = (1 to iters).map { kk =>
+      s"""r$kk AS (SELECT p.v AS node,
+           ((SELECT 150000000 // n FROM nn) +
+            (85 * ((sum(p.p_e6 * rp.r))::BIGINT // 1000000)) // 100)::BIGINT AS r
+         FROM p JOIN r${kk - 1} rp ON rp.node = p.u
+         GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+         SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         FROM documents),
+       bi AS (SELECT string_split(ngram, ' ')[1] AS w1,
+             string_split(ngram, ' ')[2] AS w2, count(*) AS n
+           FROM (SELECT array_to_string(tk[i:i+1], ' ') AS ngram
+                 FROM toks, unnest(range(1, len(tk))) AS u(i))
+           GROUP BY 1, 2),
+       ed AS (SELECT w1 AS u, w2 AS v, n FROM bi
+              UNION ALL SELECT w2, w1, n FROM bi),
+       e2 AS (SELECT u, v, sum(n)::BIGINT AS w FROM ed GROUP BY 1, 2),
+       ow AS (SELECT u, sum(w)::BIGINT AS ow FROM e2 GROUP BY 1),
+       p AS MATERIALIZED (SELECT e2.u, v, (w * 1000000 // ow)::BIGINT AS p_e6
+           FROM e2 JOIN ow USING (u)),
+       nn AS MATERIALIZED (SELECT count(DISTINCT u)::BIGINT AS n FROM p),
+       r0 AS (SELECT u AS node, (SELECT 1000000000 // n FROM nn)::BIGINT AS r
+           FROM (SELECT DISTINCT u FROM p)),
+       $rounds
+       SELECT (row_number() OVER (ORDER BY r DESC, node))::BIGINT AS rank,
+         node AS term, r AS score_e9
+       FROM r$iters ORDER BY r DESC, node LIMIT 10"""
   }
 
   /** The HLL oracle: replays [[graft.operators.Sketches.hllDistinct]] —
@@ -7769,6 +7871,41 @@ object SparkEntry {
          FROM cells
          ORDER BY llr DESC, ngram LIMIT 50""",
     "q_markov_attribution" -> sqlMarkovAttribution,
+    "t_textrank" -> sqlTextrank,
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS day, event_type, value FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+         wk AS (SELECT cohort_day,
+             (date_diff('day', cohort_day, day) // 7)::BIGINT AS week_offset,
+             sum(round(value * 1000000.0, 0)::BIGINT)::BIGINT AS wk_revenue_e6
+           FROM ev JOIN f USING (user_id)
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT cohort_day, week_offset, wk_revenue_e6,
+           (sum(wk_revenue_e6) OVER (PARTITION BY cohort_day ORDER BY week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS cum_revenue_e6
+         FROM wk""",
+    "q_incrementality" ->
+      """WITH pu AS (SELECT user_id % 2 = 0 AS exposed, user_id,
+             max(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END)::BIGINT AS act_pre,
+             max(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END)::BIGINT AS act_post,
+             max(CASE WHEN epoch_us(ts) < 1705363200000000 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END)::BIGINT AS buy_pre,
+             max(CASE WHEN epoch_us(ts) >= 1705363200000000 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END)::BIGINT AS buy_post
+           FROM events GROUP BY 1, 2),
+         seg AS (SELECT exposed,
+             sum(act_pre)::BIGINT AS n_pre, sum(act_post)::BIGINT AS n_post,
+             sum(buy_pre)::BIGINT AS k_pre, sum(buy_post)::BIGINT AS k_post
+           FROM pu GROUP BY 1),
+         rates AS (SELECT exposed, n_pre, n_post, k_pre, k_post,
+             (k_pre * 1000000 // n_pre)::BIGINT AS rate_pre_e6,
+             (k_post * 1000000 // n_post)::BIGINT AS rate_post_e6,
+             ((k_post * 1000000 // n_post) - (k_pre * 1000000 // n_pre))::BIGINT AS lift_e6
+           FROM seg)
+         SELECT *, (sum(CASE WHEN exposed THEN lift_e6 ELSE -lift_e6 END)
+           OVER ())::BIGINT AS did_e6
+         FROM rates""",
     "s_f2_stream" -> {
       val half = Dedup.MinhashP / 2
       val coefRows = Dedup.minhashCoeffs(32).zipWithIndex

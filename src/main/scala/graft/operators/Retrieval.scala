@@ -137,4 +137,62 @@ object Retrieval {
         row_number().over(Window.orderBy(col("rrf_score").desc, col("id")))
           .cast("long"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): weighted PageRank
+    * over the word-adjacency graph (symmetric bigram co-occurrence), top-k
+    * terms by stationary score — the unsupervised keyword ranker that
+    * beats raw frequency by rewarding terms that co-occur with other
+    * central terms.
+    *
+    * Determinism contract: transition weights are integer 1e6-ratios and
+    * every power step runs in INTEGER arithmetic — `r_k(v) = 0.15·1e9/N +
+    * 85·((Σ_u p_e6(u,v)·r_{k-1}(u)) div 1e6) div 100`, scores 1e9-scaled —
+    * so the fold is order-independent and the DuckDB oracle's unrolled
+    * rounds replay it bit for bit (the same device as the Markov
+    * attribution chain; a double-valued rank would not survive
+    * cross-engine sum reordering).
+    *
+    * Plan shape: one tokenize pass builds the vocabulary-bounded edge
+    * list; each of the `iters` rounds is one keyed join + aggregation
+    * over (vocab²)-bounded frames, lineage cut per round; the final cut
+    * is TakeOrdered-then-rank over k rows. The corpus text is read once —
+    * nodes, edges, and every iteration are vocabulary-scale, never
+    * corpus-scale.
+    *
+    * @return (rank, term, score_e9) for the top-k terms
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, iters: Int = 10,
+      k: Int = 10): DataFrame = {
+    require(iters >= 1 && k >= 1, s"need iters>=1 and k>=1, got $iters/$k")
+    val bi = docs.select(explode(
+        graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 2))
+        .as("ngram"))
+      .select(element_at(split(col("ngram"), " "), 1).as("w1"),
+        element_at(split(col("ngram"), " "), 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val edges = bi.select(col("w1").as("u"), col("w2").as("v"), col("n"))
+      .union(bi.select(col("w2").as("u"), col("w1").as("v"), col("n")))
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).as("w"))
+    val outw = edges.groupBy(col("u")).agg(sum(col("w")).as("ow"))
+    val p = edges.join(outw, "u")
+      .select(col("u"), col("v"), expr("w * 1000000L div ow").as("p_e6"))
+      .localCheckpoint(true) // the loop invariant: every round joins it
+    val nodes = p.select(col("u")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "textRank needs a non-empty co-occurrence graph")
+    val teleport = 150000000L / n
+    var r = nodes.select(col("u").as("node"), lit(1000000000L / n).as("r"))
+    for (_ <- 1 to iters)
+      r = p.join(r, p("u") === r("node"))
+        .groupBy(col("v"))
+        .agg(sum(expr("p_e6 * r")).as("s"))
+        .select(col("v").as("node"),
+          (lit(teleport) + expr("85L * (s div 1000000L) div 100")).as("r"))
+        .localCheckpoint(true) // vocab-bounded; cuts the 10-round lineage
+    r.orderBy(col("r").desc, col("node")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("node")))
+          .cast("long"))
+      .select(col("rank"), col("node").as("term"), col("r").as("score_e9"))
+  }
 }

@@ -199,6 +199,39 @@ class Round8OpsSpec extends SparkTestBase {
       s"share sum $shareSum")
   }
 
+  test("textRankKeywords: the co-occurrence hub outranks peripheral terms") {
+    val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta",
+      "alpha beta").toDF("text")
+    val out = graft.operators.Retrieval.textRankKeywords(docs, "text", k = 5)
+      .as[(Long, String, Long)].collect()
+    assert(out.head._2 == "hub", out.toSeq)
+    assert(out.map(_._1).toSeq == (1L to out.length), out.toSeq)
+    assert(out.forall(_._3 > 0), out.toSeq)
+    // ordered by score desc
+    val ss = out.map(_._3).toSeq
+    assert(ss == ss.sorted.reverse, ss)
+  }
+
+  test("q_cohort_ltv: cumulative column is the running sum per cohort") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf("sf0.001"))
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cd, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val running = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+      assert(sorted.map(_._4).toSeq == running.toSeq, s"cohort $cd")
+    }
+  }
+
+  test("q_incrementality: two segments, DiD consistent with the lifts") {
+    val rows = SparkEntry.queries("q_incrementality")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(7), r.getLong(8)))
+    assert(rows.length == 2)
+    val lift = rows.map(r => r._1 -> r._2).toMap
+    val did = lift(true) - lift(false)
+    assert(rows.forall(_._3 == did), s"$rows")
+  }
+
   test("q7/q10: shapes and deterministic cuts") {
     // sf0.001 has ~10 suppliers over 25 nations — the two-nation slice can
     // be legitimately empty there; the correctness scale is sf0.01
