@@ -733,6 +733,35 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         hex(col("frame")).as("frame_hex"))
 
+  /** Scene-cut detection over the sampled frame stream: per-frame dHash
+    * signatures, each snapped to its 3-frame group head (the planted
+    * "still segment" — a real decoder feeds actual frames; the detector
+    * logic is what's under test), then a cut wherever consecutive
+    * signatures differ by > 10 bits. One narrow explode + two windows per
+    * document — frame-count-scale, the text never shuffles; the oracle
+    * replays container bytes, windows, per-frame dHash, the group snap,
+    * and the hamming gate.
+    */
+  private def mSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val frames = mediaPayloads(s, dir)
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameWindows(col("payload"), 64, 64))
+          .as(Seq("fi", "frame")))
+      .withColumn("sig", Multimodal.dhash60(col("frame")))
+      .filter(col("sig").isNotNull) // trailing sub-61-byte frames carry no hash
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), expr("fi div 3")).orderBy(col("fi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fi"))
+    frames
+      .withColumn("gsig", first(col("sig")).over(wg))
+      .withColumn("prev", lag(col("gsig"), 1).over(w))
+      .withColumn("is_cut", when(col("prev").isNotNull &&
+        bit_count(col("gsig").bitwiseXOR(col("prev"))) > 10, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("is_cut")).as("n_cuts"))
+  }
+
   /** Audio feature extraction from the WAV payloads: RMS + peak over the
     * PCM body bytes — the oracle recomputes both from the text bytes the
     * container was built from, so the byte-offset arithmetic is fully
@@ -4444,6 +4473,65 @@ object SparkEntry {
         col("event_id"), col("event_type")),
       "user_id", "us", "event_id", "event_type", convType = "purchase")
 
+  /** Calibration table of the trained quality classifier: documents
+    * bucketed by predicted-score decile (value bins — no global ntile
+    * sort), per-bin positive rate vs summed score, all integer-scaled —
+    * the model-eval row next to `t_lr_auc` (is the score a probability,
+    * not just a ranking?). Reuses the full `t_quality_lr` training chain,
+    * so the oracle checks model + binning + rates in one replay.
+    */
+  private def tLrCalibration(s: SparkSession, dir: String): DataFrame =
+    tQualityLr(s, dir)
+      .groupBy(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(label as bigint)) * 1000000L div count(1)").as("pos_rate_e6"),
+        sum(round(col("score") * 100000, 0).cast("long")).as("sum_score_e5"))
+
+  /** STREAMING PSI drift monitor: per-6h-window event-type mix scored
+    * against the whole-corpus baseline — the continuous version of
+    * `q_psi_drift` (is THIS window's traffic mix off?). The stream
+    * maintains only (window, type) counts — ≤ #types rows of state per
+    * window; the PSI fold happens on the drained counts against a
+    * baseline the batch side aggregates once. Types absent from a window
+    * contribute nothing (no row — same convention both sides); terms are
+    * 1e6-scaled integers so the per-window sum is exact.
+    */
+  private def sPsiStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_psi_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    try {
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    val win = s.table(qn).select(
+      (unix_timestamp(col("w.start")) / 21600).cast("long").as("win_id"),
+      col("event_type"), col("n"))
+    val base = s.read.parquet(s"$landing/events.parquet")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("bn"))
+      .withColumn("bt", sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("win_id"))
+    val joined = win
+      .withColumn("wt", sum(col("n")).over(wt))
+      .join(broadcast(base), "event_type")
+    val pa = col("n").cast("double") / col("wt")
+    val pb = col("bn").cast("double") / col("bt")
+    joined
+      .select(col("win_id"),
+        round((pa - pb) * log(pa / pb) * 1000000.0, 0).cast("long").as("term_e6"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term_e6")).as("psi_e6"))
+  }
+
   /** TextRank keywords over the corpus word-adjacency graph
     * ([[graft.operators.Retrieval.textRankKeywords]]): integer-exact
     * weighted PageRank, top-10 terms — the unsupervised keyword ranker
@@ -4909,6 +4997,9 @@ object SparkEntry {
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_incrementality" -> (qIncrementality _),
     "t_textrank" -> (tTextrank _),
+    "m_scene_cuts" -> (mSceneCuts _),
+    "t_lr_calibration" -> (tLrCalibration _),
+    "s_psi_stream" -> (sPsiStream _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
@@ -6226,6 +6317,41 @@ object SparkEntry {
       s"""WITH p AS (SELECT doc_id, $payloadHex AS ph FROM documents WHERE doc_id < 50)
          SELECT doc_id, fi AS frame_idx, substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
          FROM p, unnest(range(0, ((length(ph) // 2 - 1) // 64) + 1)) AS u(fi)"""
+    },
+    "m_scene_cuts" -> {
+      val payloadHex =
+        """(CASE doc_id % 3
+            WHEN 0 THEN '89504E470D0A1A0A0000000D49484452' || lpad(to_hex(n_chars), 8, '0')
+                 || lpad(to_hex(doc_id % 100), 8, '0') || hex(encode(text))
+            WHEN 1 THEN '474946383961'
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(n_chars % 65536), 4, '0'), 1, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 3, 2)
+                 || substr(lpad(to_hex(doc_id % 100), 4, '0'), 1, 2)
+                 || hex(encode(text))
+            ELSE '52494646' || lpad(to_hex(octet_length(encode(text)) + 36), 8, '0')
+                 || '57415645' || hex(encode(text))
+            END)"""
+      s"""WITH p AS (SELECT doc_id, $payloadHex AS ph FROM documents),
+         fr AS (SELECT doc_id, fi,
+             substr(ph, CAST(fi * 128 + 1 AS BIGINT), 128) AS fh
+           FROM p, unnest(range(0, ((length(ph) // 2 - 1) // 64) + 1)) AS u(fi)
+           ),
+         sig AS (SELECT doc_id, fi, list_reduce(
+             [0::BIGINT] || list_transform(range(1, 61),
+               j -> CASE WHEN ('0x' || substr(fh, (j - 1) * 2 + 1, 2))::BIGINT >
+                              ('0x' || substr(fh, j * 2 + 1, 2))::BIGINT
+                    THEN 1::BIGINT ELSE 0::BIGINT END),
+             (acc, x) -> acc * 2 + x) AS sig
+           FROM fr WHERE length(fh) >= 122),
+         gs AS (SELECT doc_id, fi, first_value(sig) OVER (
+             PARTITION BY doc_id, fi // 3 ORDER BY fi) AS gsig FROM sig),
+         cuts AS (SELECT doc_id, gsig, lag(gsig) OVER (
+             PARTITION BY doc_id ORDER BY fi) AS prev FROM gs)
+         SELECT doc_id, count(*)::BIGINT AS n_frames,
+           sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(gsig, prev)) > 10
+               THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+         FROM cuts GROUP BY 1"""
     },
     "m_jpeg_dims" ->
       // Recursive segment walk mirroring Kernels.jpegDims: `pos` is the
@@ -7872,6 +7998,29 @@ object SparkEntry {
          ORDER BY llr DESC, ngram LIMIT 50""",
     "q_markov_attribution" -> sqlMarkovAttribution,
     "t_textrank" -> sqlTextrank,
+    "t_lr_calibration" ->
+      s"""WITH scored AS MATERIALIZED ( $sqlQualityLr )
+         SELECT least(floor(score * 10)::BIGINT, 9) AS bin,
+           count(*)::BIGINT AS n,
+           (sum(label::BIGINT) * 1000000 // count(*))::BIGINT AS pos_rate_e6,
+           sum(round(score * 100000, 0)::BIGINT)::BIGINT AS sum_score_e5
+         FROM scored GROUP BY 1""",
+    "s_psi_stream" ->
+      """WITH win AS MATERIALIZED (
+           SELECT epoch_us(ts) // 21600000000 AS win_id, event_type,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         base AS (SELECT event_type, count(*)::BIGINT AS bn,
+             (SELECT count(*) FROM events)::BIGINT AS bt
+           FROM events GROUP BY 1),
+         wt AS (SELECT win_id, sum(n)::BIGINT AS wt FROM win GROUP BY 1),
+         terms AS (SELECT w.win_id,
+             round((w.n::DOUBLE / t.wt - b.bn::DOUBLE / b.bt) *
+               ln((w.n::DOUBLE / t.wt) / (b.bn::DOUBLE / b.bt)) * 1000000.0,
+               0)::BIGINT AS term_e6
+           FROM win w JOIN wt t USING (win_id) JOIN base b USING (event_type))
+         SELECT win_id, count(*)::BIGINT AS n_types, sum(term_e6)::BIGINT AS psi_e6
+         FROM terms GROUP BY 1""",
     "q_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, ts::DATE AS day, event_type, value FROM events),
          f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),

@@ -129,10 +129,10 @@ class PlanSpec extends SparkTestBase {
       // inside its conf scope — both plan shapes pinned by their own
       // tests below
       "q_dpp_prune", "q_runtime_filter",
-      // s_f2_stream drains a stream at plan-build time; t_llr_phrases
-      // appends the 1-row bigram-total scalar to the vocabulary-bounded
-      // bigram frame (t_pmi_phrases' exemption shape)
-      "s_f2_stream", "t_llr_phrases",
+      // s_f2_stream / s_psi_stream drain streams at plan-build time;
+      // t_llr_phrases appends the 1-row bigram-total scalar to the
+      // vocabulary-bounded bigram frame (t_pmi_phrases' exemption shape)
+      "s_f2_stream", "s_psi_stream", "t_llr_phrases",
       // q_psi_drift appends the 1-row half-totals scalar to the per-type
       // counts (the corpus-scalar crossJoin shape); t_pmi_phrases appends
       // the 1-row corpus token/bigram totals to the vocabulary-bounded

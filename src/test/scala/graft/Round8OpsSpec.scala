@@ -232,6 +232,39 @@ class Round8OpsSpec extends SparkTestBase {
     assert(rows.forall(_._3 == did), s"$rows")
   }
 
+  test("m_scene_cuts: still segments suppress cuts; counts bounded by groups") {
+    val rows = SparkEntry.queries("m_scene_cuts")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, nc) =>
+      // a cut can only sit at a 3-frame group boundary
+      val boundaries = (nf - 1) / 3
+      assert(nc >= 0 && nc <= boundaries, s"doc $id: $nc cuts for $nf frames")
+    }
+    // the planted payloads are text-random across groups: some doc cuts
+    assert(rows.map(_._3).sum > 0, "no cuts detected anywhere")
+  }
+
+  test("t_lr_calibration: bins partition the corpus; rates are probabilities") {
+    val rows = SparkEntry.queries("t_lr_calibration")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 1000000L))
+    val total = rows.map(_._2).sum
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(total == docs, s"calibration covered $total of $docs docs")
+  }
+
+  test("s_psi_stream: per-window PSI non-negative, windows cover the stream") {
+    val rows = SparkEntry.queries("s_psi_stream")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // (pa-pb)*ln(pa/pb) >= 0 per term, so the integer sum is >= -n_types
+    // (each term's rounding can only lose half a unit)
+    assert(rows.forall(r => r._3 >= -r._2), rows.toSeq)
+  }
+
   test("q7/q10: shapes and deterministic cuts") {
     // sf0.001 has ~10 suppliers over 25 nations — the two-nation slice can
     // be legitimately empty there; the correctness scale is sf0.01
