@@ -3998,11 +3998,19 @@ object SparkEntry {
     * proven (the planted type must flag, the others must not). Shape:
     * one bounded aggregation (types × 720 hours), one window pass.
     */
-  private def qCusumShift(s: SparkSession, dir: String): DataFrame = {
-    val hourly = t(s, dir, "events")
+  private def qCusumShift(s: SparkSession, dir: String): DataFrame =
+    cusumScore(t(s, dir, "events")
       .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour_id"))
       .groupBy(col("event_type"), col("hour_id"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Shared CUSUM scoring over an (event_type, hour_id, c) feed — the
+    * plant + window arithmetic of q_cusum_shift, also fed by the
+    * streaming drain in s_cusum_stream so both paths prove the same
+    * detection arithmetic against one oracle form.
+    */
+  private def cusumScore(hourlyCounts: DataFrame): DataFrame = {
+    val hourly = hourlyCounts
       .withColumn("rh", col("hour_id") -
         min(col("hour_id")).over(Window.partitionBy()))
       .withColumn("c2",
@@ -4029,6 +4037,112 @@ object SparkEntry {
         (-col("m.nrh")).as("shift_rh"),
         round(col("m.abs_s") / (col("sd1") * sqrt(col("m.n"))), 6).as("stat"),
         (col("m.abs_s") / (col("sd1") * sqrt(col("m.n"))) > 3.0).as("shifted"))
+  }
+
+  /** Robust (MAD-based) outlier audit per order priority: median and
+    * median-absolute-deviation of order totals, and how many orders sit
+    * beyond 3·1.4826·MAD — the heavy-tail-immune sibling of
+    * `q_zscore_outliers` (one planted whale can't inflate a median the way
+    * it inflates a stddev). All medians run over 2×-cents LONGS, so the
+    * even-count midpoint is an exact .0/.5 double and Spark's
+    * lower+(higher−lower)·f interpolation and DuckDB's quantile_cont agree
+    * bit for bit — never a raw-double percentile. Three bounded passes
+    * (medians are exact sort-based percentiles per group; the per-group
+    * stats frames broadcast back, ≤|priorities| rows each).
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+      (round(col("o_totalprice") * 100.0, 0).cast("long") * 2).as("v2"))
+    val med = v.groupBy(col("prio"))
+      .agg(expr("percentile(v2, 0.5)").cast("long").as("med2"))
+    val dev = v.join(broadcast(med), "prio")
+      .select(col("prio"), abs(col("v2") - col("med2")).as("dev2"), col("med2"))
+    val mad = dev.groupBy(col("prio"))
+      .agg(expr("percentile(dev2, 0.5)").cast("long").as("mad2"))
+    dev.join(broadcast(mad), "prio")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2_e2"),
+        max(col("mad2")).as("mad2_e2"),
+        sum(when(col("dev2").cast("double") >
+          lit(3.0) * lit(1.4826) * col("mad2").cast("double"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Benford first-digit audit of order totals — the classic synthetic-
+    * data / fraud detector (fabricated amounts don't follow log-law digit
+    * frequencies). The digit comes off the STRING of exact integer cents
+    * (never log10, whose last ulp can flip a 99.999… boundary); observed
+    * shares are exact `n·1e6 div total` integers, the Benford expectation
+    * is a fixed literal integer table on both engines, and the per-digit
+    * chi-square term is rounded before anything sums it. One scan, one
+    * 9-row aggregate.
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val expE6: Column = // round(1e6·log10(1+1/d)) as literals, d = 1..9
+      when(col("digit") === "1", 301030L).when(col("digit") === "2", 176091L)
+        .when(col("digit") === "3", 124939L).when(col("digit") === "4", 96910L)
+        .when(col("digit") === "5", 79181L).when(col("digit") === "6", 66947L)
+        .when(col("digit") === "7", 57992L).when(col("digit") === "8", 51153L)
+        .otherwise(45757L)
+    t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100.0, 0).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div total").as("share_e6"),
+        expE6.as("benford_e6"))
+      .withColumn("chi_term_e6",
+        round(pow(col("share_e6").cast("double") - col("benford_e6").cast("double"), 2)
+          / col("benford_e6").cast("double"), 0).cast("long"))
+  }
+
+  /** Exact distinct users per event type via bitmap-OR — the roaring-style
+    * alternative to count(DISTINCT): each user sets one bit in a 32-bit
+    * word keyed by user_id div 32, `bit_or` is map-side combinable (unlike
+    * distinct's expand), and the popcount sum is exact. The shuffle carries
+    * ≤|users|/32 masked words per type instead of every (type, user) pair —
+    * the device that makes exact cardinality affordable at 100 TB when the
+    * key space is dense integers (HLL/KMV cover the sparse/string case).
+    * The oracle is the straight count(DISTINCT) — the bitmap path must
+    * reproduce it exactly.
+    */
+  private def qBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), expr("user_id div 32").as("word"),
+        expr("shiftleft(1L, cast(user_id % 32 as int))").as("bit"))
+      .groupBy(col("event_type"), col("word"))
+      .agg(expr("bit_or(bit)").as("mask"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(mask)").cast("long")).as("n_users"))
+
+  /** STREAMING CUSUM feed-health monitor: the hourly per-type counts come
+    * off a watermarked streaming window aggregate (≤ types×hours rows of
+    * state), then the drained counts run through the SAME scoring as
+    * `q_cusum_shift` ([[cusumScore]] — plant, exact-integer cumsum, argmax
+    * hour, σ√n normalization). The continuous level-shift alarm next to
+    * s_psi_stream's mix alarm; one oracle form proves both paths.
+    */
+  private def sCusumStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_cusum_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    try {
+      val query = ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    cusumScore(s.table(qn).select(col("event_type"),
+      (unix_timestamp(col("w.start")) / 3600).cast("long").as("hour_id"),
+      col("c")))
   }
 
   /** Flesch-style readability per document: words, sentence marks, and
@@ -4818,6 +4932,229 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("c_custkey"))
   }
 
+  /** Exact 1e-4-scaled revenue term (see q10: integer money makes sums
+    * order-independent, so cross-engine hash compares can't drift on
+    * summation order or a round(sum(double)) tie).
+    */
+  private def revE4: Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000.0, 0)
+      .cast("long")
+
+  /** TPC-H-Q4-shaped priority check: EXISTS rewritten as a LEFT SEMI join
+    * with the non-equi lateness predicate (l_shipdate > o_orderdate, the
+    * schema's commit/receipt proxy) folded into the join condition — each
+    * order emits at most once with no distinct, and the quarter filter
+    * pushes to the orders scan before the probe. At scale the semi join
+    * shuffles both sides on orderkey once; nothing is materialized per
+    * matching lineitem.
+    */
+  private def q4PriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("date") &&
+        col("o_orderdate") < lit("1996-10-01").cast("date"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H-Q6-shaped forecast revenue: one scan, every predicate pushed to
+    * the parquet reader (ship-year range, discount band, quantity cap),
+    * one scalar aggregate — the canonical "filter-agg must never shuffle
+    * more than 32 partial rows" query.
+    */
+  private def q6RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((sum(round(col("l_extendedprice") * col("l_discount") * 10000.0, 0)
+        .cast("long")).cast("double") / 10000.0).as("revenue"))
+
+  /** TPC-H-Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
+    * revenue sold to ASIA-region customers, by order year. The nation⋈region
+    * slice (≤|nations| rows) is the only forced broadcast; supplier is
+    * hinted (classic 1000×-smaller dim); customer and part legs are left to
+    * AQE — at 100 TB a region slice of customers is NOT broadcastable and
+    * must shuffle. The share is a ratio of two exact 1e-4-scaled longs, so
+    * the division is bit-identical across engines.
+    */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNat = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(s, dir, "customer").join(broadcast(asiaNat),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    t(s, dir, "lineitem")
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_1", revE4).otherwise(0L))
+          .cast("double") / sum(revE4).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H-Q12-shaped late-line priority split: conditional aggregation
+    * (high/low order priority) over the ship-year slice of late lines,
+    * grouped by returnflag (the schema's shipmode stand-in). The lineitem
+    * filter pushes to the scan; the lateness predicate runs post-join.
+    */
+  private def q12LateLines(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H-Q14-shaped promo share: one ship-month slice joined to part,
+    * conditional-vs-total exact-integer sums in a single aggregate pass.
+    * The part leg is left to AQE (a 20B-row part table at 100 TB is not a
+    * static broadcast; at test scale AQE broadcasts it at runtime).
+    */
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("date") &&
+        col("l_shipdate") < lit("1996-10-01").cast("date"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", revE4).otherwise(0L)).cast("double") /
+        sum(revE4).cast("double")).as("promo_share"))
+
+  /** TPC-H-Q15-shaped top supplier: per-supplier quarter revenue, then the
+    * max as a 1-row scalar broadcast (the corpus-scalar crossJoin shape) —
+    * never a global sort. Ties all surface (WHERE rev = max), so the result
+    * set is deterministic without a limit. Revenue rides the exact e4 long;
+    * the equality join on it cannot ulp-miss.
+    */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey")).agg(sum(revE4).as("rev_e4"))
+    val top = rev.agg(max(col("rev_e4")).as("max_e4"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H-Q17-shaped small-quantity revenue: the correlated per-part
+    * average subquery rewritten as aggregate-then-join — one groupBy over
+    * the brand slice computes (count, sum_qty) per part, joined back so the
+    * threshold test `qty < 0.5·avg` runs as the EXACT integer inequality
+    * `2·qty·cnt < sum_qty` (quantities are integral): no double-avg
+    * boundary can flip a row in or out across engines. Both sides of the
+    * self-join are the same brand slice, so AQE broadcasts the (per-part,
+    * 2-column) aggregate at runtime.
+    */
+  private def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brand = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(brand, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("price_e2"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("qty") * col("cnt") * 2 < col("sum_qty"))
+      .agg((sum(col("price_e2")).cast("double") / 700.0).as("avg_yearly"))
+  }
+
+  /** TPC-H-Q19-shaped disjunctive predicate: an OR of brand×quantity×size
+    * conjunctions that straddles the join, which no optimizer can push as
+    * written — so the HULL predicates (brand IN the three-brand set,
+    * quantity in the union range) are stated explicitly on each side
+    * before the join, the manual pushdown that keeps a 100 TB scan from
+    * feeding the join rows only the disjunction will drop.
+    */
+  private def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#11", "Brand#12", "Brand#13")
+    val p = t(s, dir, "part").filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#13" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg((sum(revE4).cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** TPC-H-Q21-shaped sole-latest supplier: for finished multi-supplier
+    * orders, the supplier who ALONE holds the order's latest ship date
+    * (the exists/not-exists pair of the original, rewritten as two
+    * aggregates over the same orderkey-partitioned frame instead of two
+    * correlated self-joins — one shuffle key end to end, no per-row
+    * subquery). Emits every qualifying supplier (only ~|suppliers| rows),
+    * so no limit-boundary tie can make the result nondeterministic.
+    */
+  private def q21SoleMax(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val st = f.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        max(col("l_shipdate")).as("max_ship"))
+      .filter(col("nsupp") >= 2)
+    val sole = f.join(st, col("l_orderkey") === col("ok") &&
+        col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nmax"),
+        min(col("l_suppkey")).as("supp"))
+      .filter(col("nmax") === 1)
+    sole.groupBy(col("supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(t(s, dir, "supplier"), col("supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H-Q22-shaped idle balances: customers above the positive-balance
+    * average with no orders, per segment. The average threshold is a 1-row
+    * scalar broadcast tested as the exact integer cross-multiplication
+    * `bal·n_pos > sum_pos` (cents-scaled longs — no double-avg boundary);
+    * "lapsed" is a LEFT ANTI join against the recent-order keys (the date
+    * filter pushes to the orders scan before the anti probe).
+    */
+  private def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100.0, 0).cast("long").as("bal_e2"))
+    val thr = cust.filter(col("bal_e2") > 0)
+      .agg(sum(col("bal_e2")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_e2") * col("n_pos") > col("sum_pos"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_e2")).cast("double") / 100.0).as("totacctbal"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4910,6 +5247,10 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_cusum_shift" -> (qCusumShift _),
+    "s_cusum_stream" -> (sCusumStream _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_benford" -> (qBenford _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
     "c_temperature_mix" -> (cTemperatureMix _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
@@ -4982,6 +5323,16 @@ object SparkEntry {
     "q18_large_orders" -> (q18LargeOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q4_priority_count" -> (q4PriorityCount _),
+    "q6_revenue_filter" -> (q6RevenueFilter _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q12_late_lines" -> (q12LateLines _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_sole_max" -> (q21SoleMax _),
+    "q22_idle_balance" -> (q22IdleBalance _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -5730,6 +6081,41 @@ object SparkEntry {
     val ms = markers.map(m => s"'$m'").mkString(", ")
     s"{'score': len(list_filter(toks, x -> x IN ($ms))), 'lang': '$lang'}"
   }.mkString(", ")
+
+  /** Shared by q_cusum_shift and s_cusum_stream: the streaming drain's
+    * hourly counts feed the same scoring, so one batch replay proves both.
+    */
+  private lazy val sqlCusumShift: String =
+    """WITH h AS MATERIALIZED (SELECT event_type,
+           epoch_us(ts) // 3600000000 AS hour_id, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       mn AS (SELECT min(hour_id) AS m FROM h),
+       h2 AS (SELECT event_type, hour_id,
+           hour_id - (SELECT m FROM mn) AS rh,
+           c + CASE WHEN event_type = 'purchase'
+                     AND hour_id - (SELECT m FROM mn) >= 500
+               THEN 37 ELSE 0 END AS c2
+         FROM h),
+       sc AS (SELECT event_type, rh,
+           avg(c2) OVER (PARTITION BY event_type) AS mean,
+           stddev_pop(c2) OVER (PARTITION BY event_type) AS sd,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           sum(c2) OVER (PARTITION BY event_type ORDER BY hour_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           row_number() OVER (PARTITION BY event_type ORDER BY hour_id) AS rn
+         FROM h2),
+       s2 AS (SELECT event_type, rh, n, sd,
+           abs(cum - rn * mean) AS abs_s FROM sc),
+       pick AS (SELECT event_type, n,
+           CASE WHEN sd = 0 THEN 1.0 ELSE sd END AS sd, rh, abs_s,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY abs_s DESC, rh ASC) AS rnk
+         FROM s2)
+       SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+         CAST(rh AS BIGINT) AS shift_rh,
+         round(abs_s / (sd * sqrt(n)), 6) AS stat,
+         abs_s / (sd * sqrt(n)) > 3.0 AS shifted
+       FROM pick WHERE rnk = 1"""
 
   def oracleSql: Map[String, String] = Map(
     "p_pipeline_idempotence" ->
@@ -6618,37 +7004,44 @@ object SparkEntry {
                      WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
            count(*) AS n_cells, CAST(sum(k) AS BIGINT) AS n_users
          FROM c GROUP BY 1""",
-    "q_cusum_shift" ->
-      """WITH h AS MATERIALIZED (SELECT event_type,
-             epoch_us(ts) // 3600000000 AS hour_id, count(*)::BIGINT AS c
-           FROM events GROUP BY 1, 2),
-         mn AS (SELECT min(hour_id) AS m FROM h),
-         h2 AS (SELECT event_type, hour_id,
-             hour_id - (SELECT m FROM mn) AS rh,
-             c + CASE WHEN event_type = 'purchase'
-                       AND hour_id - (SELECT m FROM mn) >= 500
-                 THEN 37 ELSE 0 END AS c2
-           FROM h),
-         sc AS (SELECT event_type, rh,
-             avg(c2) OVER (PARTITION BY event_type) AS mean,
-             stddev_pop(c2) OVER (PARTITION BY event_type) AS sd,
-             count(*) OVER (PARTITION BY event_type) AS n,
-             sum(c2) OVER (PARTITION BY event_type ORDER BY hour_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             row_number() OVER (PARTITION BY event_type ORDER BY hour_id) AS rn
-           FROM h2),
-         s2 AS (SELECT event_type, rh, n, sd,
-             abs(cum - rn * mean) AS abs_s FROM sc),
-         pick AS (SELECT event_type, n,
-             CASE WHEN sd = 0 THEN 1.0 ELSE sd END AS sd, rh, abs_s,
-             row_number() OVER (PARTITION BY event_type
-               ORDER BY abs_s DESC, rh ASC) AS rnk
-           FROM s2)
-         SELECT event_type, CAST(n AS BIGINT) AS n_hours,
-           CAST(rh AS BIGINT) AS shift_rh,
-           round(abs_s / (sd * sqrt(n)), 6) AS stat,
-           abs_s / (sd * sqrt(n)) > 3.0 AS shifted
-         FROM pick WHERE rnk = 1""",
+    "q_cusum_shift" -> sqlCusumShift,
+    // streaming dual: the drained hourly counts run through the same
+    // scoring, so the batch replay IS the oracle
+    "s_cusum_stream" -> sqlCusumShift,
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS prio,
+             2 * round(o_totalprice * 100.0, 0)::BIGINT AS v2 FROM orders),
+         med AS (SELECT prio, quantile_cont(v2::DOUBLE, 0.5)::BIGINT AS med2
+                 FROM v GROUP BY 1),
+         dev AS (SELECT v.prio, abs(v2 - med2)::BIGINT AS dev2
+                 FROM v JOIN med USING (prio)),
+         mad AS (SELECT prio, quantile_cont(dev2::DOUBLE, 0.5)::BIGINT AS mad2
+                 FROM dev GROUP BY 1)
+         SELECT dev.prio, count(*)::BIGINT AS n,
+           max(med2)::BIGINT AS med2_e2, max(mad2)::BIGINT AS mad2_e2,
+           sum(CASE WHEN dev2::DOUBLE > 3.0 * 1.4826 * mad2::DOUBLE
+               THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+         FROM dev JOIN mad USING (prio) JOIN med USING (prio)
+         GROUP BY 1""",
+    "q_benford" ->
+      """WITH d AS (SELECT substr((round(o_totalprice * 100.0, 0)::BIGINT)::VARCHAR,
+             1, 1) AS digit FROM orders),
+         g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS total FROM g),
+         e AS (SELECT digit, n, n * 1000000 // total AS share_e6,
+             CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+               WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+               WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+               ELSE 45757 END AS benford_e6
+           FROM g, t)
+         SELECT digit, n, share_e6::BIGINT AS share_e6,
+           benford_e6::BIGINT AS benford_e6,
+           round(pow(share_e6::DOUBLE - benford_e6::DOUBLE, 2)
+             / benford_e6::DOUBLE, 0)::BIGINT AS chi_term_e6
+         FROM e""",
+    "q_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events GROUP BY 1""",
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
@@ -7861,6 +8254,123 @@ object SparkEntry {
          SELECT c_custkey, c_name, c_mktsegment,
            rev_e4::DOUBLE / 10000.0 AS revenue
          FROM rev JOIN customer ON o_custkey = c_custkey""",
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+         FROM orders
+         WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY 1""",
+    "q6_revenue_filter" ->
+      """SELECT sum(round(l_extendedprice * l_discount * 10000.0, 0)::BIGINT)
+               ::BIGINT::DOUBLE / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q8_market_share" ->
+      """WITH vol AS (
+           SELECT year(o_orderdate)::BIGINT AS o_year,
+             round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT
+               AS vol_e4,
+             n1.n_name AS supp_nation
+           FROM lineitem, orders, customer, supplier, part,
+                nation n1, nation n2, region
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+             AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             AND p_type = 'PROMO')
+         SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_1' THEN vol_e4 ELSE 0 END)
+             ::BIGINT::DOUBLE / sum(vol_e4)::BIGINT::DOUBLE AS mkt_share
+         FROM vol GROUP BY 1""",
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey
+           AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           AND l_shipdate > o_orderdate
+         GROUP BY 1""",
+    "q14_promo_share" ->
+      """SELECT 100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT
+               ELSE 0 END)::BIGINT::DOUBLE /
+           sum(round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT)
+             ::BIGINT::DOUBLE AS promo_share
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             sum(round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT)
+               ::BIGINT AS rev_e4
+           FROM lineitem
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_e4::DOUBLE / 10000.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)""",
+    "q17_small_qty" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity::BIGINT AS qty,
+             round(l_extendedprice * 100.0, 0)::BIGINT AS price_e2
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey AND p_brand = 'Brand#11'),
+         pp AS (
+           SELECT l_partkey AS pk, count(*)::BIGINT AS cnt,
+             sum(qty)::BIGINT AS sum_qty
+           FROM li GROUP BY 1)
+         SELECT sum(price_e2)::BIGINT::DOUBLE / 700.0 AS avg_yearly
+         FROM li JOIN pp ON l_partkey = pk
+         WHERE qty * cnt * 2 < sum_qty""",
+    "q19_disjunctive" ->
+      """SELECT sum(round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT)
+               ::BIGINT::DOUBLE / 10000.0 AS revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey AND (
+           (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5) OR
+           (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10) OR
+           (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15))""",
+    "q21_sole_max" ->
+      """WITH f AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         st AS (
+           SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship
+           FROM f GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+         sole AS (
+           SELECT f.l_orderkey, min(f.l_suppkey) AS supp
+           FROM f JOIN st ON f.l_orderkey = st.ok AND f.l_shipdate = st.max_ship
+           GROUP BY 1 HAVING count(DISTINCT f.l_suppkey) = 1)
+         SELECT s_name, count(*)::BIGINT AS numwait
+         FROM sole JOIN supplier ON supp = s_suppkey
+         GROUP BY 1""",
+    "q22_idle_balance" ->
+      """WITH c AS (
+           SELECT c_custkey, c_mktsegment,
+             round(c_acctbal * 100.0, 0)::BIGINT AS bal_e2
+           FROM customer),
+         thr AS (
+           SELECT sum(bal_e2)::BIGINT AS sum_pos, count(*)::BIGINT AS n_pos
+           FROM c WHERE bal_e2 > 0)
+         SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+           sum(bal_e2)::BIGINT::DOUBLE / 100.0 AS totacctbal
+         FROM c, thr
+         WHERE bal_e2 * n_pos > sum_pos
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= '2000-01-01')
+         GROUP BY 1""",
     "q_hll_distinct" -> sqlHllDistinct,
     "q_dpp_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,

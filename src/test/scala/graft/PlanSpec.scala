@@ -132,17 +132,46 @@ class PlanSpec extends SparkTestBase {
       // s_f2_stream / s_psi_stream drain streams at plan-build time;
       // t_llr_phrases appends the 1-row bigram-total scalar to the
       // vocabulary-bounded bigram frame (t_pmi_phrases' exemption shape)
-      "s_f2_stream", "s_psi_stream", "t_llr_phrases",
+      "s_f2_stream", "s_psi_stream", "s_cusum_stream", "t_llr_phrases",
       // q_psi_drift appends the 1-row half-totals scalar to the per-type
       // counts (the corpus-scalar crossJoin shape); t_pmi_phrases appends
       // the 1-row corpus token/bigram totals to the vocabulary-bounded
       // bigram frame (same shape)
-      "q_psi_drift", "t_pmi_phrases")
+      "q_psi_drift", "t_pmi_phrases",
+      // q15_top_supplier / q22_idle_balance append a 1-row scalar (max
+      // revenue / positive-balance average) via broadcast crossJoin — the
+      // corpus-scalar shape, same exemption class as q_retention_filter
+      "q15_top_supplier", "q22_idle_balance")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
+  }
+
+  test("q4_priority_count: EXISTS runs as a single left-semi hash join") {
+    val p = planOf("q4_priority_count")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q19_disjunctive: the brand hull reaches the part scan as PushedFilters") {
+    // the OR straddles the join and can't push as written — the explicit
+    // hull predicate must land in the part scan's pushed filters
+    val p = planOf("q19_disjunctive")
+    val scan = p.linesIterator.filter(_.contains("PushedFilters"))
+      .find(_.contains("p_brand")).getOrElse("")
+    assert(scan.contains("In(p_brand"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q22_idle_balance: lapsed-customer check is a left-anti join with the date pushed") {
+    val p = planOf("q22_idle_balance")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(8).mkString("\n"))
+    val ordScan = p.linesIterator.filter(_.contains("PushedFilters"))
+      .find(_.contains("o_orderdate")).getOrElse("")
+    assert(ordScan.contains("GreaterThanOrEqual(o_orderdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("q_dpp_prune: fact scan carries the dynamic partition pruning subquery") {
