@@ -4145,6 +4145,87 @@ object SparkEntry {
       col("c")))
   }
 
+  /** Gaps-and-islands activity streaks: per-user runs of CONSECUTIVE
+    * active days (day_number − row_number is constant within a run — the
+    * classic islands device, one window pass on the user partitioning),
+    * rolled up to a streak-length histogram. Everything is exact integer
+    * day arithmetic; distinct-days first so duplicate events can't split
+    * a run. The engagement-tenure signal next to q_cohort_retention.
+    */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
+    days
+      .withColumn("grp", col("day_id") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"))
+      .groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Cramér's V association between event type and day-of-week — the
+    * one-number "is traffic mix day-dependent?" audit next to
+    * q_seasonality's heatmap. Chi-square terms come from exact integer
+    * (obs, row, col, n) counts with each cell's term rounded to 1e-6
+    * BEFORE summation (9-or-so cells summed as longs — order-independent),
+    * and V = sqrt of a division of exacts. One contingency aggregation
+    * over ≤ types×7 cells; no row-scale shuffle after the first groupBy.
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type"), expr("((ts div 1000) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val withMargins = cells
+      .withColumn("row_tot", sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_tot", sum(col("obs")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      .withColumn("exp_cnt",
+        col("row_tot").cast("double") * col("col_tot").cast("double") / col("n").cast("double"))
+      .withColumn("term_e6", round(
+        pow(col("obs").cast("double") - col("exp_cnt"), 2) / col("exp_cnt") * 1000000.0, 0)
+        .cast("long"))
+    withMargins
+      .groupBy()
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        sum(col("term_e6")).as("chi2_e6"))
+      .select(col("n"), col("n_types"), col("n_dows"), col("chi2_e6"),
+        round(sqrt(col("chi2_e6").cast("double") / 1000000.0 /
+          (col("n").cast("double") *
+            (least(col("n_types"), col("n_dows")).cast("double") - 1.0))), 6)
+          .as("cramers_v"))
+  }
+
+  /** The ANSI SQL front door: the IDENTICAL query text runs through
+    * `spark.sql` over temp views AND through the DuckDB oracle — the
+    * dialect-portable subset (CAST, year(), JOIN..ON, integer-cents money)
+    * proving a SQL user can drive the engine without the DataFrame API.
+    * Catalyst plans it like the hand-built q5 (dimension legs broadcast,
+    * one fact shuffle).
+    */
+  private def qSqlGateway(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sqlGatewayText)
+  }
+
+  /** One query text, two engines (see [[qSqlGateway]]). */
+  private lazy val sqlGatewayText: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_e2
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, CAST(year(o_orderdate) AS BIGINT)"""
+
   /** Flesch-style readability per document: words, sentence marks, and
     * vowel-group syllable proxies all come from `regexp_count` — one
     * codegen'd scan, integer counts, the score a single per-row double
@@ -5251,6 +5332,9 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_benford" -> (qBenford _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_streaks" -> (qStreaks _),
+    "q_cramers_v" -> (qCramersV _),
+    "q_sql_gateway" -> (qSqlGateway _),
     "c_temperature_mix" -> (cTemperatureMix _),
     "c_curation_pipeline" -> (cCurationPipeline _),
     "c_domain_cap" -> (cDomainCap _),
@@ -7042,6 +7126,49 @@ object SparkEntry {
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
          FROM events GROUP BY 1""",
+    "q_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
+           FROM events),
+         runs AS (
+           SELECT user_id,
+             day_id - row_number() OVER (PARTITION BY user_id ORDER BY day_id)
+               AS grp
+           FROM days),
+         streaks AS (
+           SELECT user_id, count(*)::BIGINT AS streak_days
+           FROM runs GROUP BY user_id, grp)
+         SELECT streak_days, count(*)::BIGINT AS n_streaks,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM streaks GROUP BY 1""",
+    "q_cramers_v" ->
+      """WITH cells AS (
+           SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             count(*)::BIGINT AS obs
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT obs,
+             sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+             sum(obs) OVER (PARTITION BY dow) AS col_tot,
+             sum(obs) OVER () AS n,
+             event_type, dow
+           FROM cells),
+         terms AS (
+           SELECT n, event_type, dow,
+             round(pow(obs::DOUBLE - row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE, 2)
+               / (row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE) * 1000000.0, 0)::BIGINT
+               AS term_e6
+           FROM m)
+         SELECT max(n)::BIGINT AS n,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           count(DISTINCT dow)::BIGINT AS n_dows,
+           sum(term_e6)::BIGINT AS chi2_e6,
+           round(sqrt(sum(term_e6)::BIGINT::DOUBLE / 1000000.0 /
+             (max(n)::BIGINT::DOUBLE *
+              (least(count(DISTINCT event_type), count(DISTINCT dow))::BIGINT::DOUBLE
+                - 1.0))), 6) AS cramers_v
+         FROM terms""",
+    "q_sql_gateway" -> sqlGatewayText,
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
