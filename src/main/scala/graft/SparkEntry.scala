@@ -4098,24 +4098,16 @@ object SparkEntry {
           / col("benford_e6").cast("double"), 0).cast("long"))
   }
 
-  /** Exact distinct users per event type via bitmap-OR — the roaring-style
-    * alternative to count(DISTINCT): each user sets one bit in a 32-bit
-    * word keyed by user_id div 32, `bit_or` is map-side combinable (unlike
-    * distinct's expand), and the popcount sum is exact. The shuffle carries
-    * ≤|users|/32 masked words per type instead of every (type, user) pair —
-    * the device that makes exact cardinality affordable at 100 TB when the
-    * key space is dense integers (HLL/KMV cover the sparse/string case).
-    * The oracle is the straight count(DISTINCT) — the bitmap path must
+  /** Exact distinct users per event type via bitmap-OR
+    * ([[graft.operators.Sketches.bitmapDistinct]] — sign-safe shift/mask
+    * bit slots, map-side-combinable `bit_or`, exact popcount sum). The
+    * oracle is the straight count(DISTINCT) — the bitmap path must
     * reproduce it exactly.
     */
   private def qBitmapDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(col("event_type"), expr("user_id div 32").as("word"),
-        expr("shiftleft(1L, cast(user_id % 32 as int))").as("bit"))
-      .groupBy(col("event_type"), col("word"))
-      .agg(expr("bit_or(bit)").as("mask"))
-      .groupBy(col("event_type"))
-      .agg(sum(expr("bit_count(mask)").cast("long")).as("n_users"))
+    graft.operators.Sketches.bitmapDistinct(
+      t(s, dir, "events"), Seq("event_type"), "user_id")
+      .withColumnRenamed("n_distinct", "n_users")
 
   /** STREAMING CUSUM feed-health monitor: the hourly per-type counts come
     * off a watermarked streaming window aggregate (≤ types×hours rows of
@@ -5183,32 +5175,23 @@ object SparkEntry {
       .agg((sum(revE4).cast("double") / 10000.0).as("revenue"))
   }
 
-  /** TPC-H-Q21-shaped sole-latest supplier: for finished multi-supplier
-    * orders, the supplier who ALONE holds the order's latest ship date
-    * (the exists/not-exists pair of the original, rewritten as two
-    * aggregates over the same orderkey-partitioned frame instead of two
-    * correlated self-joins — one shuffle key end to end, no per-row
-    * subquery). Emits every qualifying supplier (only ~|suppliers| rows),
-    * so no limit-boundary tie can make the result nondeterministic.
+  /** TPC-H-Q21-shaped sole-latest supplier
+    * ([[graft.operators.Temporal.soleLatestActor]] — the exists/not-exists
+    * pair rewritten as two aggregates on one shuffle key; tie semantics
+    * spec'd on planted groups in Round8OpsSpec). Emits every qualifying
+    * supplier (only ~|suppliers| rows), so no limit-boundary tie can make
+    * the result nondeterministic.
     */
   private def q21SoleMax(s: SparkSession, dir: String): DataFrame = {
     val f = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val st = f.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        max(col("l_shipdate")).as("max_ship"))
-      .filter(col("nsupp") >= 2)
-    val sole = f.join(st, col("l_orderkey") === col("ok") &&
-        col("l_shipdate") === col("max_ship"))
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("nmax"),
-        min(col("l_suppkey")).as("supp"))
-      .filter(col("nmax") === 1)
-    sole.groupBy(col("supp"))
+    graft.operators.Temporal
+      .soleLatestActor(f, "l_orderkey", "l_suppkey", "l_shipdate")
+      .groupBy(col("actor"))
       .agg(count(lit(1)).as("numwait"))
-      .join(t(s, dir, "supplier"), col("supp") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("actor") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
   }
 

@@ -475,4 +475,26 @@ object Sketches {
       .select(col(groupCol), explode(col("qs")).as("q_pm"),
         (col("bin") * binWidth).as("est"))
   }
+
+  /** EXACT distinct count of an integer id per group via bitmap-OR — the
+    * roaring-style device: each id sets one bit in a 32-bit word keyed by
+    * its arithmetic-shifted high bits, `bit_or` is map-side combinable
+    * (unlike count(DISTINCT)'s Expand), and the popcount sum is exact.
+    * The shuffle carries ≤ |ids|/32 masked words per group instead of
+    * every (group, id) pair — what makes exact cardinality affordable at
+    * 100 TB when the key space is dense INTEGERS (HLL/KMV above cover the
+    * sparse/string case). Bit math is sign-safe for the full long range:
+    * `shiftright(id, 5)` is a floor division and `id & 31` the matching
+    * non-negative residue, so negative ids land in distinct (word, bit)
+    * slots — `div 32`/`pmod` would collide −1 with 31.
+    */
+  def bitmapDistinct(df: DataFrame, groupCols: Seq[String],
+      idCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        expr(s"shiftright($idCol, 5)").as("word") :+
+        expr(s"shiftleft(1L, cast($idCol & 31 as int))").as("bit"): _*)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(bit)").as("mask"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("bit_count(mask)").cast("long")).as("n_distinct"))
 }

@@ -174,4 +174,26 @@ object Temporal {
         col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin", "__pbin")
   }
+
+  /** Per group (only groups with ≥ 2 distinct actors), the actor who ALONE
+    * holds the group's latest timestamp — the TPC-H-Q21 exists/not-exists
+    * pair (another actor exists; no other actor acted later) rewritten as
+    * two aggregates over one grouping key instead of two correlated
+    * self-joins. A timestamp TIE between distinct actors disqualifies the
+    * group (no sole owner); ties WITHIN one actor's own rows don't.
+    * Returns (groupCol, actor) — one row per qualifying group.
+    */
+  def soleLatestActor(df: DataFrame, groupCol: String, actorCol: String,
+      tsCol: String): DataFrame = {
+    val st = df.groupBy(col(groupCol).as("__g"))
+      .agg(countDistinct(col(actorCol)).as("__nact"),
+        max(col(tsCol)).as("__maxts"))
+      .filter(col("__nact") >= 2)
+    df.join(st, col(groupCol) === col("__g") && col(tsCol) === col("__maxts"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(actorCol)).as("__nmax"),
+        min(col(actorCol)).as("actor"))
+      .filter(col("__nmax") === 1)
+      .select(col(groupCol), col("actor"))
+  }
 }

@@ -276,4 +276,37 @@ class Round8OpsSpec extends SparkTestBase {
       .collect()
     assert(q10.length <= 20 && q10.nonEmpty)
   }
+
+  test("bitmapDistinct: exact on boundary and NEGATIVE ids (sign-safe slots)") {
+    // -1 and 31 collide under div/pmod bit math (both → word 0, bit 31);
+    // shiftright/& must keep them distinct. 0, word-edge 31/32/63/64, and
+    // duplicates round out the edges.
+    val ids = Seq(-33L, -32L, -1L, 0L, 31L, 32L, 63L, 64L, -1L, 31L, 0L)
+    val out = Sketches.bitmapDistinct(
+        ids.map(("g", _)).toDF("g", "id"), Seq("g"), "id")
+      .as[(String, Long)].collect().toMap
+    assert(out("g") === ids.distinct.length.toLong, out)
+    // cross-check against count(DISTINCT) on a dense spread incl. negatives
+    val big = (-2500L to 2500L by 3L).toSeq
+    val got = Sketches.bitmapDistinct(
+        (big ++ big).map(("h", _)).toDF("g", "id"), Seq("g"), "id")
+      .as[(String, Long)].collect().head._2
+    assert(got === big.length.toLong)
+  }
+
+  test("soleLatestActor: tie between actors disqualifies, own ties don't") {
+    val rows = Seq(
+      // A: actor 2 alone at the max → qualifies
+      ("A", 1L, 10L), ("A", 2L, 20L),
+      // B: actors 1 and 2 tie at the max → no sole owner
+      ("B", 1L, 30L), ("B", 2L, 30L),
+      // C: single actor → excluded (needs >= 2 distinct actors)
+      ("C", 7L, 40L), ("C", 7L, 50L),
+      // D: actor 3's OWN two rows at the max — still sole vs actor 4
+      ("D", 3L, 60L), ("D", 3L, 60L), ("D", 4L, 10L))
+    val out = graft.operators.Temporal
+      .soleLatestActor(rows.toDF("grp", "actor", "ts"), "grp", "actor", "ts")
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("A" -> 2L, "D" -> 3L), out)
+  }
 }
