@@ -535,6 +535,25 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** FILTERED vector search — ANN under a metadata predicate (the RAG/
+    * curation staple: "nearest neighbors among label-1 vectors only").
+    * PRE-filter semantics: the predicate lands on the corpus scan BEFORE
+    * cell assignment joins, so recall within the probed cells is exact and
+    * the filter pushes to parquet like any other predicate — against
+    * post-filtering a fixed candidate cut, which silently loses recall as
+    * the filter gets more selective. Cell layout is per-vector, so
+    * filtering the corpus leg changes no cell assignment; the oracle
+    * replays the same chain with the same WHERE on the corpus CTE.
+    */
+  private def eFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5),
+      emb.filter(col("label") === 1),
+      "vec_id", "embedding", centroids = VectorOps.rademacherPlanes(8, 64),
+      k = 10, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Hard-negative mining for contrastive retrieval training (DPR/ANCE
     * recipe): per query, the highest-cosine candidates BELOW a similarity
     * ceiling τ — close enough to be informative negatives, but candidates
@@ -4137,6 +4156,23 @@ object SparkEntry {
       col("c")))
   }
 
+  /** 7-day TRAILING revenue via a RANGE window frame — the value-based
+    * frame (`RANGE 6 PRECEDING` on the integer day) that q_rolling_window's
+    * ROWS frame cannot express once days go missing: a gap day must shrink
+    * the trailing sum, not slide it. State is the day-grain table
+    * (types×days rows), never raw events; revenue is 1e-6 integers so the
+    * frame sums are exact.
+    */
+  private def qTrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day_id"))
+      .agg(sum(round(col("value") * 1000000.0, 0).cast("long")).as("rev_e6"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_id"))
+      .rangeBetween(-6, 0)
+    daily.withColumn("trailing7_e6", sum(col("rev_e6")).over(w))
+  }
+
   /** Gaps-and-islands activity streaks: per-user runs of CONSECUTIVE
     * active days (day_number − row_number is constant within a run — the
     * classic islands device, one window pass on the user partitioning),
@@ -5272,6 +5308,7 @@ object SparkEntry {
     "e_neardup_pairs" -> (eNeardupPairs _),
     "e_ann_srp_topk" -> (eAnnSrpTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
+    "e_filtered_topk" -> (eFilteredTopK _),
     "e_ivf_trained_topk" -> (eIvfTrainedTopK _),
     "e_ivf_index_topk" -> (eIvfIndexTopK _),
     "e_semdedup_keep" -> (eSemdedupKeep _),
@@ -5316,6 +5353,7 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_streaks" -> (qStreaks _),
+    "q_trailing_window" -> (qTrailingWindow _),
     "q_cramers_v" -> (qCramersV _),
     "q_sql_gateway" -> (qSqlGateway _),
     "c_temperature_mix" -> (cTemperatureMix _),
@@ -6021,16 +6059,17 @@ object SparkEntry {
   /** The plain-IVF candidate chain cut at `rank <= k` — shared by the
     * e_ivf_topk oracle (k=10) and the hard-negative oracle's wider cut.
     */
-  private def sqlIvfCand(k: Int): String = {
+  private def sqlIvfCand(k: Int, corpusPred: String = "TRUE"): String = {
     val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
     s"""WITH sgt AS (SELECT ${sqlSigns(8, 64)}::DOUBLE[] AS sg),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
+         e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id, label, v,
              list_transform(list_sort(list_transform(range(0, 8), ci ->
                {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
                st -> st.cell) AS sorted_cells
            FROM e CROSS JOIN sgt),
-         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell FROM cells),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, sorted_cells[1] AS cell
+               FROM cells WHERE $corpusPred),
          q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
                FROM cells WHERE vec_id < 5),
          cand AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS cos
@@ -6041,6 +6080,7 @@ object SparkEntry {
          WHERE rank <= $k"""
   }
   private lazy val sqlIvfTopK: String = sqlIvfCand(10)
+  private lazy val sqlFilteredTopK: String = sqlIvfCand(10, "label = 1")
 
   /** The exact-decontamination result both the plain and the bloom-prefilter
     * formulations must produce (the bloom is a performance layer, not a
@@ -6643,6 +6683,7 @@ object SparkEntry {
              ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 10""",
     "e_ivf_topk" -> sqlIvfTopK,
+    "e_filtered_topk" -> sqlFilteredTopK,
     "e_mips_ivf_topk" -> sqlMipsIvfTopK,
     // the materialized-index variant is semantically identical — same oracle
     "e_ivf_index_topk" -> sqlIvfTopK,
@@ -7152,6 +7193,15 @@ object SparkEntry {
                 - 1.0))), 6) AS cramers_v
          FROM terms""",
     "q_sql_gateway" -> sqlGatewayText,
+    "q_trailing_window" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+             sum(round(value * 1000000.0, 0)::BIGINT)::BIGINT AS rev_e6
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day_id, rev_e6,
+           sum(rev_e6) OVER (PARTITION BY event_type ORDER BY day_id
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS trailing7_e6
+         FROM daily""",
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
