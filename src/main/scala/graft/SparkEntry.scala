@@ -4173,6 +4173,37 @@ object SparkEntry {
     daily.withColumn("trailing7_e6", sum(col("rev_e6")).over(w))
   }
 
+  /** Poisson bootstrap of the mean order value — the resampling scheme
+    * that works on a DISTRIBUTED scan: drawing n rows with replacement
+    * needs a global sample, but giving each row an independent Poisson(1)
+    * weight per replicate is embarrassingly parallel and asymptotically
+    * the same bootstrap. Weights come from a deterministic row-content
+    * hash mapped through floor(1e6·CDF) literal thresholds, so the oracle
+    * replays every draw bit for bit. One scan: the 32 replicates explode
+    * map-side and collapse into 32 (Σw, Σw·x) counters via partial
+    * aggregation — the shuffle carries 32 rows per task, never 32× the
+    * data. The 32-row output IS the bootstrap distribution of the mean
+    * (its spread is the CI); sums are exact integers, divided once.
+    */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val u = pmod(Dedup.shingleHash(concat(col("o_orderkey").cast("string"),
+      lit(":"), col("b").cast("string"))), lit(1000000L))
+    val w = when(u < 367879L, 0L).when(u < 735758L, 1L).when(u < 919698L, 2L)
+      .when(u < 981011L, 3L).when(u < 996340L, 4L).when(u < 999405L, 5L)
+      .when(u < 999916L, 6L).when(u < 999989L, 7L).otherwise(8L)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("w", w)
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("wx"))
+      .select(col("b"), col("n_eff"),
+        (col("wx").cast("double") / col("n_eff").cast("double") / 100.0)
+          .as("mean_price"))
+  }
+
   /** Gaps-and-islands activity streaks: per-user runs of CONSECUTIVE
     * active days (day_number − row_number is constant within a run — the
     * classic islands device, one window pass on the user partitioning),
@@ -5354,6 +5385,7 @@ object SparkEntry {
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_streaks" -> (qStreaks _),
     "q_trailing_window" -> (qTrailingWindow _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_cramers_v" -> (qCramersV _),
     "q_sql_gateway" -> (qSqlGateway _),
     "c_temperature_mix" -> (cTemperatureMix _),
@@ -7202,6 +7234,24 @@ object SparkEntry {
            sum(rev_e6) OVER (PARTITION BY event_type ORDER BY day_id
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS trailing7_e6
          FROM daily""",
+    "q_bootstrap_ci" -> {
+      val h = sqlPh("o_orderkey::VARCHAR || ':' || b::VARCHAR", 31L, 1000000007L)
+      s"""WITH r AS (SELECT o_orderkey,
+             round(o_totalprice * 100.0, 0)::BIGINT AS cents FROM orders),
+         bs AS (SELECT unnest(range(0, 32))::BIGINT AS b),
+         h AS (SELECT b, cents, $h % 1000000 AS u FROM r CROSS JOIN bs),
+         w AS (SELECT b, cents,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                  WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+                  ELSE 8 END AS w
+           FROM h)
+         SELECT b, sum(w)::BIGINT AS n_eff,
+           sum(w * cents)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE / 100.0
+             AS mean_price
+         FROM w GROUP BY 1"""
+    },
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,
              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
