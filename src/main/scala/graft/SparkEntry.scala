@@ -4173,6 +4173,28 @@ object SparkEntry {
     daily.withColumn("trailing7_e6", sum(col("rev_e6")).over(w))
   }
 
+  /** Join-key skew diagnostic — the audit you run BEFORE choosing between
+    * a plain shuffle join, salting (q_salted_skew_join), or an AQE skew
+    * split: per candidate key, the frequency distribution's size, max, and
+    * median, and the max/median skew factor. One groupBy per key (the
+    * frequency table is |keys|-sized); the median rides the 2× trick so
+    * the even-count midpoint is an exact .0/.5 (q_mad_outliers' device)
+    * and the skew factor is an exact integer division.
+    */
+  private def qSkewDiagnose(s: SparkSession, dir: String): DataFrame = {
+    def keyStats(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("f"))
+        .agg(lit(label).as("key"), count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_f"),
+          (expr("percentile(f, 0.5)") * 2).cast("long").as("p50_x2"))
+        .withColumn("skew_e6",
+          expr("max_f * 2000000L div p50_x2"))
+    keyStats(t(s, dir, "events"), "user_id", "events.user_id")
+      .unionAll(keyStats(t(s, dir, "lineitem"), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionAll(keyStats(t(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+  }
+
   /** Poisson bootstrap of the mean order value — the resampling scheme
     * that works on a DISTRIBUTED scan: drawing n rows with replacement
     * needs a global sample, but giving each row an independent Poisson(1)
@@ -5386,6 +5408,7 @@ object SparkEntry {
     "q_streaks" -> (qStreaks _),
     "q_trailing_window" -> (qTrailingWindow _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_skew_diagnose" -> (qSkewDiagnose _),
     "q_cramers_v" -> (qCramersV _),
     "q_sql_gateway" -> (qSqlGateway _),
     "c_temperature_mix" -> (cTemperatureMix _),
@@ -7251,6 +7274,18 @@ object SparkEntry {
            sum(w * cents)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE / 100.0
              AS mean_price
          FROM w GROUP BY 1"""
+    },
+    "q_skew_diagnose" -> {
+      def ks(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key, count(*)::BIGINT AS n_keys,
+             max(f)::BIGINT AS max_f,
+             (quantile_cont(f::DOUBLE, 0.5) * 2)::BIGINT AS p50_x2,
+             max(f)::BIGINT * 2000000 // (quantile_cont(f::DOUBLE, 0.5) * 2)::BIGINT
+               AS skew_e6
+           FROM (SELECT $key, count(*)::BIGINT AS f FROM $table GROUP BY 1)"""
+      s"""${ks("events", "user_id")}
+         UNION ALL ${ks("lineitem", "l_orderkey")}
+         UNION ALL ${ks("orders", "o_custkey")}"""
     },
     "q_l_diversity" ->
       """WITH c AS (SELECT event_type,

@@ -406,4 +406,37 @@ class PropertySpec extends SparkTestBase {
     }
     assert(out.length == toks.size)
   }
+
+  test("bitmapDistinct == count(DISTINCT) on arbitrary longs incl. negatives") {
+    samples(Gen.listOfN(300,
+        Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-5000L, 5000L))), 8)
+      .foreach { rows =>
+        val df = rows.toDF("g", "id")
+        val got = graft.operators.Sketches.bitmapDistinct(df, Seq("g"), "id")
+          .as[(String, Long)].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(_._2).distinct.length.toLong }
+        assert(got == want, s"got $got want $want")
+      }
+  }
+
+  test("soleLatestActor: output groups have >=2 actors and a strict sole max") {
+    samples(Gen.listOfN(120, Gen.zip(Gen.chooseNum(1, 12),
+        Gen.chooseNum(1L, 6L), Gen.chooseNum(1L, 9L))), 6)
+      .foreach { rows =>
+        val df = rows.map { case (g, a, t) => (s"g$g", a, t) }
+          .toDF("grp", "actor", "ts")
+        val got = graft.operators.Temporal
+          .soleLatestActor(df, "grp", "actor", "ts")
+          .as[(String, Long)].collect().toMap
+        val byGrp = rows.groupBy(r => s"g${r._1}")
+        // reference model: per group, distinct actors at the global max ts
+        val want = byGrp.collect { case (g, rs)
+            if rs.map(_._2).distinct.size >= 2 &&
+              rs.filter(_._3 == rs.map(_._3).max).map(_._2).distinct.size == 1 =>
+          g -> rs.filter(_._3 == rs.map(_._3).max).head._2
+        }
+        assert(got == want.toMap, s"got $got want $want")
+      }
+  }
 }
