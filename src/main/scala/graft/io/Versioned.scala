@@ -13,10 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    is the only publication point, and parquet files are immutable).
   *  - Readers resolve the manifest ONCE at plan time; a concurrent
   *    publish doesn't shift a running query.
-  *  - Single-writer, like the reference's `_uploaded` control table
+  *  - Multi-writer safe: version numbers are claimed with an exclusive
+  *    marker create (see [[write]]), so concurrent publishers land
+  *    distinct immutable versions — stronger than the reference's
+  *    single-writer `_uploaded` control table
   *    (`/root/reference/megalista_dataflow/data_sources/big_query/
-  *    big_query_data_source.py:105-116` has the same property); serialize
-  *    publishers externally or per-path-lock like `UploadedLog`.
+  *    big_query_data_source.py:105-116`).
   */
 object Versioned {
 
@@ -37,16 +39,6 @@ object Versioned {
     }
   }
 
-  /** Write `df` as the next version and publish it. Returns the version.
-    *
-    * The manifest flips via write-temp + delete + rename, never an
-    * in-place truncate: a reader racing an in-place rewrite could observe
-    * an empty `_LATEST` (and a writer crash mid-rewrite would wedge the
-    * store). With the rename protocol the worst case is a missing-manifest
-    * window, which reads as "no published version yet" — fail-stop, not
-    * corrupt. (On HDFS the rename is atomic; a plain delete+rename window
-    * is accepted on filesystems without atomic replace.)
-    */
   /** Highest `v=N` directory on disk — the version AUTHORITY for writers.
     * The manifest only publishes; deriving `next` from it would let a lost
     * manifest (writer crash between delete and rename) restart numbering at
@@ -58,25 +50,75 @@ object Versioned {
     if (!f.exists(dir)) None
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .collect {
+        case n if n.startsWith("v=") => n.stripPrefix("v=")
+        // a claimed-but-unwritten version must not be reassigned: count
+        // claim markers as occupied numbers too
+        case n if n.startsWith("_claim_") => n.stripPrefix("_claim_")
+      }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .maxOption
   }
 
+  /** Claim version `n` via an exclusive marker create. On HDFS the
+    * namenode makes `create(overwrite=false)` atomic, so cross-process
+    * writers can never both own `n`; Hadoop's LOCAL filesystem implements
+    * it as a non-atomic exists-check + create, so in-process claims are
+    * additionally serialized by [[claimLock]] (which covers the common
+    * local/driver case — the spec races real threads through it). The
+    * marker stays: tiny, and [[maxVersionOnDisk]] counts it so numbering
+    * never reuses a claimed slot even if the claimant crashed before
+    * writing its directory.
+    */
+  private def tryClaim(f: org.apache.hadoop.fs.FileSystem, path: String,
+      n: Int): Boolean =
+    try {
+      val out = f.create(new Path(s"$path/_claim_$n"), false)
+      out.close(); true
+    } catch { case _: java.io.IOException => false }
+
+  /** Write `df` as the next version and publish it. Returns the version.
+    *
+    * MULTI-WRITER SAFE via optimistic claims: each writer claims the next
+    * free number with an exclusive marker create and retries upward on
+    * loss, so concurrent writers land DISTINCT immutable versions (spec:
+    * `BucketingSpec` races real threads). Publication only ever moves the
+    * manifest FORWARD — a slow writer finishing after a newer publish does
+    * not regress the pointer (best-effort under a racing flip window;
+    * exact where rename is atomic, e.g. HDFS). The manifest flips via
+    * write-temp + delete + rename, never an in-place truncate: the worst
+    * case is a missing-manifest window, which reads as "no published
+    * version yet" — fail-stop, not corrupt.
+    */
   def write(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    val next = maxVersionOnDisk(spark, path).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$path/v=$next")
     val f = fs(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(manifest(path).toString + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(manifest(path))) f.delete(manifest(path), false)
-    require(f.rename(tmp, manifest(path)),
-      s"failed to publish ${manifest(path)}")
+    f.mkdirs(new Path(path))
+    val next = claimLock.synchronized {
+      var n = maxVersionOnDisk(spark, path).getOrElse(0) + 1
+      while (!tryClaim(f, path, n)) n += 1
+      n
+    }
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    // the forward-only check-then-flip is made atomic for in-process
+    // writers (the common local/driver case); cross-process racing flips
+    // remain best-effort-monotonic as documented above
+    publishLock.synchronized {
+      if (latestVersion(spark, path).forall(_ < next)) {
+        val tmp = new org.apache.hadoop.fs.Path(manifest(path).toString + ".tmp." + next)
+        val out = f.create(tmp, true)
+        try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.exists(manifest(path))) f.delete(manifest(path), false)
+        require(f.rename(tmp, manifest(path)),
+          s"failed to publish ${manifest(path)}")
+      }
+    }
     next
   }
+
+  private val publishLock = new Object
+  private val claimLock = new Object
 
   /** Snapshot read: the requested version, or the published latest. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {

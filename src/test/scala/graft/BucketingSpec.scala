@@ -150,4 +150,29 @@ class BucketingSpec extends SparkTestBase {
     assert(salted == plain)
     assert(plain.count(_._1 == 42L) == 900)
   }
+
+  test("versioned table: RACING writers land distinct versions, manifest at the head") {
+    import graft.io.Versioned
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = java.nio.file.Files.createTempDirectory("graft_ver_race").toString
+    // 6 writers race from a cold store: the exclusive claim markers must
+    // hand out 6 DISTINCT version numbers (no lost update, no overwrite of
+    // a published immutable snapshot)
+    val versions = Await.result(
+      Future.sequence((1 to 6).map(i => Future {
+        Versioned.write(Seq((i.toLong, s"w$i")).toDF("k", "v"), path)
+      })), 120.seconds)
+    assert(versions.toSet.size === 6, s"duplicate versions: $versions")
+    assert(versions.toSet === (1 to 6).toSet, versions)
+    // every claimed version is readable and holds exactly its writer's row
+    versions.zipWithIndex.foreach { case (v, i) =>
+      val rows = Versioned.read(spark, path, Some(v))
+        .as[(Long, String)].collect()
+      assert(rows.toSeq === Seq(((i + 1).toLong, s"w${i + 1}")))
+    }
+    // publication is monotonic: the manifest points at the max version
+    assert(Versioned.latestVersion(spark, path) === Some(6))
+  }
 }
