@@ -4247,6 +4247,103 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Exact 7-day sliding distinct active users per day WITHOUT re-counting
+    * a distinct per window: each user's activity days merge into coverage
+    * intervals [day, day+6] (gaps-and-islands on the user partitioning —
+    * a new island starts when the gap exceeds the window), and each merged
+    * interval explodes into the days it covers. Islands of one user never
+    * overlap, so a plain count per day IS the distinct count — total
+    * exploded rows are bounded by 7× the distinct (user, day) pairs, vs
+    * the naive 7× full distinct re-aggregation per day.
+    */
+  private def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
+    days
+      .withColumn("new_isl",
+        when(col("day_id") - lag(col("day_id"), 1).over(w) > 6, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("day_id")).as("d0"), (max(col("day_id")) + 6).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day_id"))
+      .groupBy(col("day_id"))
+      .agg(count(lit(1)).as("active_users_7d"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the purchase and
+    * click value distributions — the "did the distribution shift?" audit
+    * next to q_psi_drift's binned PSI. The empirical CDFs ride
+    * [[graft.operators.Scan.prefixSum]] (range-partitioned two-pass scan)
+    * instead of a global window, so the cumulative never single-
+    * partitions the distinct-value frame. D is the max of exact integer
+    * cross-multiplications |c1·N2 − c2·N1| (ties broken toward the
+    * smallest value via struct ordering), divided once at the end.
+    */
+  private def qKsStat(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100.0, 0).cast("long").as("val_e2"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+    val perVal = ev.groupBy(col("val_e2"))
+      .agg(sum(col("is_p")).as("n1"), sum(lit(1L) - col("is_p")).as("n2"))
+    val cum = graft.operators.Scan
+      .prefixSum(perVal, "val_e2", "n1", "c1", Seq("n2"))
+    val tot = ev.agg(sum(col("is_p")).as("tot1"),
+      sum(lit(1L) - col("is_p")).as("tot2"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        abs(col("c1") * col("tot2") - col("cum_n2") * col("tot1")).as("adiff"),
+        (-col("val_e2")).as("negv"), col("tot1"), col("tot2"))
+      .agg(max(struct(col("adiff"), col("negv"), col("tot1"), col("tot2")))
+        .as("m"))
+      .select(
+        round(col("m.adiff").cast("double") /
+          (col("m.tot1") * col("m.tot2")).cast("double"), 6).as("ks_stat"),
+        ((-col("m.negv")).cast("double") / 100.0).as("at_value"),
+        col("m.tot1").as("n_purchase"), col("m.tot2").as("n_click"))
+  }
+
+  /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
+    * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
+    * every term an exact long — integer cents × a power of two — so the
+    * weighted numerator and the day-dependent weight total are both exact
+    * and the ewma division is bit-identical cross-engine. Day gaps (not
+    * row offsets) drive the weights: each active day explodes its ≤14
+    * forward contributions, one groupBy re-collects them, and early days
+    * normalize by the closed-form partial weight sum. The spike flag is
+    * the exact integer cross-multiplication 2·rev·wsum > 3·num
+    * (rev > 1.5 × ewma).
+    */
+  private def qEwmaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts div 1000) div 86400000000").as("day_id"),
+        round(col("value") * 100.0, 0).cast("long").as("v_e2"))
+      .groupBy(col("day_id")).agg(sum(col("v_e2")).as("rev_e2"))
+    val span = daily.agg(min(col("day_id")).as("min_day"),
+      max(col("day_id")).as("max_day"))
+    daily
+      .select(col("day_id").as("src_day"), col("rev_e2"),
+        explode(sequence(lit(0L), lit(13L))).as("k"))
+      .select((col("src_day") + col("k")).as("day_id"),
+        expr("rev_e2 * shiftleft(1L, cast(13 - k AS INT))").as("num_part"),
+        when(col("k") === 0L, col("rev_e2")).otherwise(0L).as("rev_part"))
+      .groupBy(col("day_id"))
+      .agg(sum(col("num_part")).as("num"), sum(col("rev_part")).as("rev_e2"))
+      .crossJoin(broadcast(span))
+      .filter(col("day_id") <= col("max_day"))
+      .withColumn("m", least(lit(13L), col("day_id") - col("min_day")))
+      .withColumn("wsum", expr("16384L - shiftleft(1L, cast(13 - m AS INT))"))
+      .select(col("day_id"),
+        (col("rev_e2").cast("double") / 100.0).as("revenue"),
+        round(col("num").cast("double") / col("wsum").cast("double") / 100.0, 6)
+          .as("ewma"),
+        when(col("rev_e2") * 2L * col("wsum") > col("num") * 3L, 1L)
+          .otherwise(0L).as("spike"))
+  }
+
   /** Cramér's V association between event type and day-of-week — the
     * one-number "is traffic mix day-dependent?" audit next to
     * q_seasonality's heatmap. Chi-square terms come from exact integer
@@ -5308,6 +5405,175 @@ object SparkEntry {
         (sum(col("bal_e2")).cast("double") / 100.0).as("totacctbal"))
   }
 
+  /** Derived part-supplier relation for the five partsupp-shaped TPC-H
+    * queries (Q2/Q9/Q11/Q16/Q20): the corpus has no partsupp table, so its
+    * role is reconstructed from lineitem — one row per (partkey, suppkey)
+    * with availqty = total quantity ever shipped and supplycost = the
+    * cheapest observed extended price, both exact integers so every
+    * downstream comparison is bit-identical across engines.
+    *
+    * Callers pass a pre-filtered lineitem when their part/supplier
+    * predicates apply: both are GROUP-KEY predicates on this relation, so
+    * filtering before the aggregation is semantics-preserving and keeps
+    * the derivation shuffle at the size of the slice instead of the full
+    * 100 TB fact table.
+    */
+  private def partSupp(li: DataFrame): DataFrame =
+    li.groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("ps_availqty"),
+        min(round(col("l_extendedprice") * 100.0, 0).cast("long"))
+          .as("ps_cost_e2"))
+
+  /** TPC-H-Q2-shaped minimum-cost supplier: for each small PROMO part, the
+    * EUROPE supplier(s) offering the lowest derived supply cost. The
+    * correlated min subquery runs as aggregate-then-join on the exact
+    * integer cost (ties all surface — no limit, so the result is
+    * deterministic). The nation⋈region slice and the region's suppliers
+    * are the forced broadcasts (≤|suppliers| rows); the per-part min is
+    * left to AQE. The part and supplier slices are pushed below the
+    * derived-relation aggregation (see [[partSupp]]).
+    */
+  private def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    val eur = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val esupp = t(s, dir, "supplier")
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        (round(col("s_acctbal") * 100.0, 0).cast("long").cast("double") / 100.0)
+          .as("s_acctbal"))
+    val pslice = t(s, dir, "part")
+      .filter(col("p_type") === "PROMO" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val cand = partSupp(
+        t(s, dir, "lineitem")
+          .join(pslice.select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(esupp.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi"))
+      .join(pslice, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
+    val mn = cand.groupBy(col("p_partkey").as("pk"))
+      .agg(min(col("ps_cost_e2")).as("min_e2"))
+    cand.join(mn, col("p_partkey") === col("pk") &&
+        col("ps_cost_e2") === col("min_e2"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"),
+        (col("ps_cost_e2").cast("double") / 100.0).as("supply_cost"))
+  }
+
+  /** TPC-H-Q9-shaped product-type profit: nation × order-year profit on
+    * 'widget' parts, cost carried by the derived relation joined back on
+    * the composite (partkey, suppkey) — the one genuine fact-to-derived-
+    * fact join in the suite, shuffling both sides once on the same key.
+    * Profit is an exact 1e-4-scaled long (revenue e4 minus cost_e2·qty·100)
+    * so summation order cannot drift the double. The widget slice pushes
+    * below the derivation ([[partSupp]]); supplier⋈nation is the broadcast
+    * dim.
+    */
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val wid = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"))
+    val supp = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val li = t(s, dir, "lineitem")
+      .join(wid, col("l_partkey") === col("p_partkey"), "left_semi")
+    li.join(partSupp(li),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((sum(revE4 -
+          col("ps_cost_e2") * col("l_quantity").cast("long") * 100L)
+        .cast("double") / 10000.0).as("profit"))
+  }
+
+  /** TPC-H-Q11-shaped important stock: per-part inventory value held by
+    * NATION_1 suppliers, kept where the part exceeds 1/500 of the nation's
+    * total — the group-HAVING-against-a-global-scalar shape. The threshold
+    * rides the 1-row broadcast crossJoin and the test is the exact integer
+    * cross-multiplication value·500 > total (no double-fraction boundary).
+    * The nation's supplier keys push below the derivation as a left-semi
+    * probe.
+    */
+  private def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = partSupp(
+        t(s, dir, "lineitem").join(broadcast(n1),
+          col("l_suppkey") === col("s_suppkey"), "left_semi"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_e2") * col("ps_availqty")).as("value_e2"))
+    val tot = v.agg(sum(col("value_e2")).as("total_e2"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_e2") * 500L > col("total_e2"))
+      .select(col("ps_partkey"),
+        (col("value_e2").cast("double") / 100.0).as("value"))
+  }
+
+  /** TPC-H-Q16-shaped supplier-relationship count: distinct suppliers per
+    * (brand, type, size) over an 8-size slice, excluding negative-balance
+    * suppliers (the schema's complaints stand-in) — NOT IN rewritten as a
+    * broadcast left-anti join against the tiny exclusion set. The part
+    * slice pushes below the derivation; the countDistinct is the only
+    * wide aggregation.
+    */
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pslice = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partSupp(
+        t(s, dir, "lineitem").join(pslice.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi"))
+      .join(broadcast(excl), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pslice, col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H-Q20-shaped excess stock: NATION_2 suppliers holding more than
+    * twice what they shipped of any 'small…' part in 1996 — the nested
+    * semi-join chain (part slice → per-(part,supp) derived stock vs the
+    * 1996 shipment aggregate → distinct suppliers → semi probe into the
+    * nation's suppliers). Both aggregations group the SAME sliced lineitem
+    * on the SAME composite key, so AQE reuses one exchange; the
+    * availqty > 2·qty96 test is exact integers.
+    */
+  private def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val sm = t(s, dir, "part").filter(col("p_name").like("small%"))
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(sm, col("l_partkey") === col("p_partkey"), "left_semi")
+    val ship96 = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .groupBy(col("l_partkey").as("sk_pk"), col("l_suppkey").as("sk_sk"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty96"))
+    val excess = partSupp(li)
+      .join(ship96, col("ps_partkey") === col("sk_pk") &&
+        col("ps_suppkey") === col("sk_sk"))
+      .filter(col("ps_availqty") > col("qty96") * 2L)
+      .select(col("ps_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"),
+        (round(col("s_acctbal") * 100.0, 0).cast("long").cast("double") / 100.0)
+          .as("s_acctbal"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5493,6 +5759,14 @@ object SparkEntry {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_sole_max" -> (q21SoleMax _),
     "q22_idle_balance" -> (q22IdleBalance _),
+    "q2_min_cost_supp" -> (q2MinCostSupp _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_excess_stock" -> (q20ExcessStock _),
+    "q_sliding_distinct" -> (qSlidingDistinct _),
+    "q_ks_stat" -> (qKsStat _),
+    "q_ewma_anomaly" -> (qEwmaAnomaly _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -8616,6 +8890,151 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= '2000-01-01')
          GROUP BY 1""",
+    "q2_min_cost_supp" ->
+      """WITH esupp AS (
+           SELECT s_suppkey, s_name, n_name,
+             round(s_acctbal * 100.0, 0)::BIGINT::DOUBLE / 100.0 AS s_acctbal
+           FROM supplier, nation, region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'EUROPE'),
+         ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(round(l_extendedprice * 100.0, 0)::BIGINT) AS ps_cost_e2
+           FROM lineitem GROUP BY 1, 2),
+         cand AS (
+           SELECT p_partkey, p_brand, s_acctbal, s_name, n_name, ps_cost_e2
+           FROM part JOIN ps ON p_partkey = ps_partkey
+           JOIN esupp ON ps_suppkey = s_suppkey
+           WHERE p_type = 'PROMO' AND p_size <= 10),
+         mn AS (SELECT p_partkey AS pk, min(ps_cost_e2) AS min_e2
+                FROM cand GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_cost_e2::DOUBLE / 100.0 AS supply_cost
+         FROM cand JOIN mn ON p_partkey = pk AND ps_cost_e2 = min_e2""",
+    "q9_product_profit" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(round(l_extendedprice * 100.0, 0)::BIGINT) AS ps_cost_e2
+           FROM lineitem GROUP BY 1, 2)
+         SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           sum(round(l_extendedprice * (1 - l_discount) * 10000.0, 0)::BIGINT
+             - ps_cost_e2 * l_quantity::BIGINT * 100)::BIGINT::DOUBLE
+             / 10000.0 AS profit
+         FROM lineitem, orders, supplier, nation, part, ps
+         WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+           AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           AND p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+    "q11_important_stock" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             sum(l_quantity)::BIGINT AS ps_availqty,
+             min(round(l_extendedprice * 100.0, 0)::BIGINT) AS ps_cost_e2
+           FROM lineitem GROUP BY 1, 2),
+         v AS (
+           SELECT ps_partkey,
+             sum(ps_cost_e2 * ps_availqty)::BIGINT AS value_e2
+           FROM ps, supplier, nation
+           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_1'
+           GROUP BY 1),
+         tot AS (SELECT sum(value_e2)::BIGINT AS total_e2 FROM v)
+         SELECT ps_partkey, value_e2::DOUBLE / 100.0 AS value
+         FROM v, tot WHERE value_e2 * 500 > total_e2""",
+    "q16_supplier_cnt" ->
+      """WITH ps AS (
+           SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+           FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+         FROM part JOIN ps ON p_partkey = ps_partkey
+         WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           AND ps_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "q20_excess_stock" ->
+      """WITH sm AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+         sml AS (SELECT * FROM lineitem
+                 WHERE l_partkey IN (SELECT p_partkey FROM sm)),
+         ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             sum(l_quantity)::BIGINT AS ps_availqty
+           FROM sml GROUP BY 1, 2),
+         ship96 AS (
+           SELECT l_partkey AS sk_pk, l_suppkey AS sk_sk,
+             sum(l_quantity)::BIGINT AS qty96
+           FROM sml
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           GROUP BY 1, 2),
+         excess AS (
+           SELECT DISTINCT ps_suppkey
+           FROM ps JOIN ship96 ON ps_partkey = sk_pk AND ps_suppkey = sk_sk
+           WHERE ps_availqty > 2 * qty96)
+         SELECT s_name,
+           round(s_acctbal * 100.0, 0)::BIGINT::DOUBLE / 100.0 AS s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_2'
+           AND s_suppkey IN (SELECT ps_suppkey FROM excess)""",
+    // Independent oracle: brute-force windowed distinct (a range join per
+    // day), NOT the engine's interval-coverage rewrite — so a coverage
+    // logic error cannot self-confirm.
+    "q_sliding_distinct" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
+           FROM events),
+         dom AS (SELECT DISTINCT day_id + o AS day FROM days, range(0, 7) t(o))
+         SELECT day AS day_id, count(DISTINCT user_id)::BIGINT AS active_users_7d
+         FROM dom JOIN days ON day_id BETWEEN day - 6 AND day
+         GROUP BY 1""",
+    "q_ks_stat" ->
+      """WITH ev AS (
+           SELECT round(value * 100.0, 0)::BIGINT AS val_e2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         pv AS (SELECT val_e2, sum(is_p)::BIGINT AS n1,
+                  sum(1 - is_p)::BIGINT AS n2
+                FROM ev GROUP BY 1),
+         cum AS (SELECT val_e2,
+                  sum(n1) OVER (ORDER BY val_e2)::BIGINT AS c1,
+                  sum(n2) OVER (ORDER BY val_e2)::BIGINT AS c2 FROM pv),
+         tot AS (SELECT sum(is_p)::BIGINT AS tot1,
+                  (count(*) - sum(is_p))::BIGINT AS tot2 FROM ev),
+         d AS (SELECT val_e2, abs(c1 * tot2 - c2 * tot1)::BIGINT AS adiff,
+                 tot1, tot2 FROM cum, tot),
+         best AS (SELECT * FROM d ORDER BY adiff DESC, val_e2 ASC LIMIT 1)
+         SELECT round(adiff::DOUBLE / (tot1 * tot2), 6) AS ks_stat,
+           val_e2::DOUBLE / 100.0 AS at_value,
+           tot1 AS n_purchase, tot2 AS n_click FROM best""",
+    // Independent oracle: the trailing weighted sum as a range self-join
+    // per day, NOT the engine's forward-explode rewrite.
+    "q_ewma_anomaly" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day_id,
+             sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS rev_e2
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         span AS (SELECT min(day_id) AS min_day, max(day_id) AS max_day
+                  FROM daily),
+         dom AS (SELECT DISTINCT day_id + o AS day
+                 FROM daily, range(0, 14) t(o), span
+                 WHERE day_id + o <= max_day),
+         acc AS (
+           SELECT day,
+             sum(rev_e2 * (1::BIGINT << (13 - (day - day_id))::INT))::BIGINT
+               AS num,
+             sum(CASE WHEN day_id = day THEN rev_e2 ELSE 0 END)::BIGINT
+               AS rev_e2
+           FROM dom JOIN daily ON day_id BETWEEN day - 13 AND day
+           GROUP BY 1)
+         SELECT day AS day_id, rev_e2::DOUBLE / 100.0 AS revenue,
+           round(num::DOUBLE /
+             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
+             / 100.0, 6) AS ewma,
+           CASE WHEN rev_e2 * 2 *
+             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
+             > num * 3 THEN 1 ELSE 0 END::BIGINT AS spike
+         FROM acc, span""",
     "q_hll_distinct" -> sqlHllDistinct,
     "q_dpp_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,

@@ -138,10 +138,13 @@ class PlanSpec extends SparkTestBase {
       // the 1-row corpus token/bigram totals to the vocabulary-bounded
       // bigram frame (same shape)
       "q_psi_drift", "t_pmi_phrases",
-      // q15_top_supplier / q22_idle_balance append a 1-row scalar (max
-      // revenue / positive-balance average) via broadcast crossJoin — the
-      // corpus-scalar shape, same exemption class as q_retention_filter
-      "q15_top_supplier", "q22_idle_balance")
+      // q15_top_supplier / q22_idle_balance / q11_important_stock /
+      // q_ks_stat / q_ewma_anomaly append a 1-row scalar (max revenue /
+      // positive-balance average / national stock total / group totals /
+      // day span) via broadcast crossJoin — the corpus-scalar shape,
+      // same exemption class as q_retention_filter
+      "q15_top_supplier", "q22_idle_balance", "q11_important_stock",
+      "q_ks_stat", "q_ewma_anomaly")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -172,6 +175,32 @@ class PlanSpec extends SparkTestBase {
       .find(_.contains("o_orderdate")).getOrElse("")
     assert(ordScan.contains("GreaterThanOrEqual(o_orderdate"),
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q2_min_cost_supp: slice predicates push below the derived-relation aggregation") {
+    // the part/supplier slices are group-key predicates on the derived
+    // part-supplier relation — they must run as semi probes BEFORE the
+    // (partkey, suppkey) aggregation, not as post-agg filters, or the
+    // derivation shuffles the full fact table at 100 TB
+    val p = planOf("q2_min_cost_supp")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(12).mkString("\n"))
+    // part-type slice reaches the part scan as a pushed filter
+    val partScan = p.linesIterator.filter(_.contains("PushedFilters"))
+      .find(_.contains("p_type")).getOrElse("")
+    assert(partScan.contains("EqualTo(p_type,PROMO)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q16_supplier_cnt: supplier exclusion is a broadcast left-anti join") {
+    val p = planOf("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20_excess_stock: the nested-exists chain runs as semi joins") {
+    val p = planOf("q20_excess_stock")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q_dpp_prune: fact scan carries the dynamic partition pruning subquery") {

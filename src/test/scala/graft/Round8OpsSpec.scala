@@ -309,4 +309,52 @@ class Round8OpsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(out === Map("A" -> 2L, "D" -> 3L), out)
   }
+
+  test("Scan.prefixSum: matches the sequential scan across many range partitions") {
+    // Deterministic pseudo-random values over shuffled unique keys; 16
+    // range partitions so partition offsets genuinely matter.
+    val rows = (1 to 5000).map(i => ((i * 2654435761L) % 100000, (i % 97).toLong))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+    val out = graft.operators.Scan
+      .prefixSum(rows.toDF("k", "v"), "k", "v", "cum", numPartitions = 16)
+      .select("k", "v", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).tail
+    assert(out.length === rows.length)
+    out.map(_._3).zip(expect).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got === want, s"row $i: cum $got != $want")
+    }
+  }
+
+  test("Scan.prefixSum: multi-column scan carries each value independently") {
+    val rows = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L), (4L, 40L, 4L))
+    val out = graft.operators.Scan
+      .prefixSum(rows.toDF("k", "a", "b"), "k", "a", "cum_a0", Seq("b"),
+        numPartitions = 3)
+      .select("k", "cum_a0", "cum_b").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 10L, 1L), (2L, 30L, 3L), (3L, 60L, 6L),
+      (4L, 100L, 10L)))
+  }
+
+  test("qSlidingDistinct coverage: interval merge equals brute-force windowed distinct") {
+    // Planted: user 1 active days 0 and 3 (one merged island 0..9),
+    // user 2 active days 0 and 20 (two islands), user 3 day 5 only.
+    val days = Seq((1L, 0L), (1L, 3L), (2L, 0L), (2L, 20L), (3L, 5L))
+    val brute = (0L to 26L).map { d =>
+      d -> days.collect { case (u, ad) if ad <= d && d <= ad + 6 => u }
+        .distinct.size.toLong
+    }.filter(_._2 > 0).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
+    val got = days.toDF("user_id", "day_id")
+      .withColumn("new_isl",
+        when(col("day_id") - lag(col("day_id"), 1).over(w) > 6, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("day_id")).as("d0"), (max(col("day_id")) + 6).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_id"))
+      .groupBy(col("day_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute, s"got $got\nwant $brute")
+  }
 }
