@@ -2448,6 +2448,33 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming trailing 7-day distinct active users under the oracle gate
+    * ([[graft.streaming.Streaming.activeEntitiesWindow]]): bounded
+    * coverage fan-out + streaming dedup + count — chained multi-stateful
+    * (dedup→agg), never a distinct re-count per day. Hash-equal to the
+    * batch interval-coverage rewrite's independent brute-force oracle.
+    */
+  private def sActiveUsersStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_active_users_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    try {
+      val query = graft.streaming.Streaming
+        .activeEntitiesWindow(ev, "user_id", "ts")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    s.table(qn)
+      .select((unix_timestamp(col("covered_ts")) / 86400).cast("long")
+          .as("day_id"),
+        col("n_distinct").as("active_users_7d"))
+  }
+
   /** Streaming as-of enrichment under the oracle gate
     * ([[graft.streaming.Streaming.asofEnrich]]): the event stream and the
     * order-update stream union into one keyed stateful walk; every event
@@ -4259,17 +4286,8 @@ object SparkEntry {
   private def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
     val days = t(s, dir, "events")
       .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day_id"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
-    days
-      .withColumn("new_isl",
-        when(col("day_id") - lag(col("day_id"), 1).over(w) > 6, 1).otherwise(0))
-      .withColumn("isl", sum(col("new_isl")).over(w))
-      .groupBy(col("user_id"), col("isl"))
-      .agg(min(col("day_id")).as("d0"), (max(col("day_id")) + 6).as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day_id"))
-      .groupBy(col("day_id"))
-      .agg(count(lit(1)).as("active_users_7d"))
+    graft.operators.Temporal.slidingDistinct(days, "user_id", "day_id", 7)
+      .withColumnRenamed("n_distinct", "active_users_7d")
   }
 
   /** Two-sample Kolmogorov–Smirnov distance between the purchase and
@@ -5767,6 +5785,7 @@ object SparkEntry {
     "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_ks_stat" -> (qKsStat _),
     "q_ewma_anomaly" -> (qEwmaAnomaly _),
+    "s_active_users_stream" -> (sActiveUsersStream _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -8981,6 +9000,15 @@ object SparkEntry {
     // day), NOT the engine's interval-coverage rewrite — so a coverage
     // logic error cannot self-confirm.
     "q_sliding_distinct" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
+           FROM events),
+         dom AS (SELECT DISTINCT day_id + o AS day FROM days, range(0, 7) t(o))
+         SELECT day AS day_id, count(DISTINCT user_id)::BIGINT AS active_users_7d
+         FROM dom JOIN days ON day_id BETWEEN day - 6 AND day
+         GROUP BY 1""",
+    // The streaming dual must converge to the same brute-force answer.
+    "s_active_users_stream" ->
       """WITH days AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
            FROM events),

@@ -196,4 +196,36 @@ object Temporal {
       .filter(col("__nmax") === 1)
       .select(col(groupCol), col("actor"))
   }
+
+  /** Exact trailing-window distinct entities per period WITHOUT a distinct
+    * re-count per period: the interval-coverage rewrite. Each entity's
+    * active periods merge into coverage islands [p, p + windowPeriods − 1]
+    * (gaps-and-islands on the entity partitioning — a new island starts
+    * when the gap exceeds the window), each merged island explodes into
+    * the periods it covers, and a plain count per period IS the distinct
+    * count because one entity's islands never overlap.
+    *
+    * Scale: the naive form re-aggregates a distinct per period (window×
+    * data work, or a single-partition global window); this is one window
+    * pass per entity + a bounded explode (≤ windowPeriods × distinct
+    * (entity, period) rows) + one count shuffle. Output periods cover
+    * every period within windowPeriods−1 after an active period — i.e.
+    * trailing windows with at least one active entity.
+    */
+  def slidingDistinct(df: DataFrame, entityCol: String, periodCol: String,
+      windowPeriods: Int): DataFrame = {
+    require(windowPeriods >= 1, s"windowPeriods must be >= 1: $windowPeriods")
+    val pad = windowPeriods - 1
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__p"))
+    df.select(col(entityCol), col(periodCol).cast("long").as("__p"))
+      .distinct()
+      .withColumn("__new_isl",
+        when(col("__p") - lag(col("__p"), 1).over(w) > pad, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new_isl")).over(w))
+      .groupBy(col(entityCol), col("__isl"))
+      .agg(min(col("__p")).as("__d0"), (max(col("__p")) + pad).as("__d1"))
+      .select(explode(sequence(col("__d0"), col("__d1"))).as(periodCol))
+      .groupBy(col(periodCol))
+      .agg(count(lit(1)).as("n_distinct"))
+  }
 }

@@ -352,6 +352,30 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming trailing-window distinct entities per day — the incremental
+    * dual of [[graft.operators.Temporal.slidingDistinct]]. Each event
+    * fans out to the `windowDays` days it keeps its entity active for
+    * (covered_ts, a bounded ≤windowDays× explode), streaming dedup keeps
+    * ONE state row per (entity, covered day), and the downstream count per
+    * day never re-aggregates a distinct. The watermark rides covered_ts
+    * (≥ the true event time, so lateness semantics only loosen) and must
+    * exceed windowDays for the dedup state to evict only settled days;
+    * chained dedup→aggregation is one of Spark's supported multi-stateful
+    * shapes.
+    */
+  def activeEntitiesWindow(df: DataFrame, entityCol: String, tsCol: String,
+      windowDays: Int = 7, watermark: String = "8 days"): DataFrame =
+    df.select(col(entityCol),
+        explode(sequence(lit(0L), lit(windowDays - 1L))).as("__k"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("__day"))
+      .select(col(entityCol),
+        timestamp_seconds((col("__day") + col("__k")) * 86400L)
+          .as("covered_ts"))
+      .withWatermark("covered_ts", watermark)
+      .dropDuplicates(entityCol, "covered_ts")
+      .groupBy(col("covered_ts"))
+      .agg(count(lit(1)).as("n_distinct"))
+
   /** Stream-static anti-join: the activation-side transactional dedup
     * ([[graft.transform.Transforms.antiJoinUploaded]]) as a stream — each
     * micro-batch drops rows whose keys already sit in the static uploaded /

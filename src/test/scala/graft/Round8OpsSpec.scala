@@ -336,25 +336,26 @@ class Round8OpsSpec extends SparkTestBase {
       (4L, 100L, 10L)))
   }
 
-  test("qSlidingDistinct coverage: interval merge equals brute-force windowed distinct") {
+  test("slidingDistinct coverage: interval merge equals brute-force windowed distinct") {
     // Planted: user 1 active days 0 and 3 (one merged island 0..9),
-    // user 2 active days 0 and 20 (two islands), user 3 day 5 only.
-    val days = Seq((1L, 0L), (1L, 3L), (2L, 0L), (2L, 20L), (3L, 5L))
+    // user 2 active days 0 and 20 (two islands), user 3 day 5 only —
+    // plus a duplicate activity row that must not double-count.
+    val days = Seq((1L, 0L), (1L, 3L), (1L, 3L), (2L, 0L), (2L, 20L), (3L, 5L))
     val brute = (0L to 26L).map { d =>
       d -> days.collect { case (u, ad) if ad <= d && d <= ad + 6 => u }
         .distinct.size.toLong
     }.filter(_._2 > 0).toMap
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
-    val got = days.toDF("user_id", "day_id")
-      .withColumn("new_isl",
-        when(col("day_id") - lag(col("day_id"), 1).over(w) > 6, 1).otherwise(0))
-      .withColumn("isl", sum(col("new_isl")).over(w))
-      .groupBy(col("user_id"), col("isl"))
-      .agg(min(col("day_id")).as("d0"), (max(col("day_id")) + 6).as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day_id"))
-      .groupBy(col("day_id")).agg(count(lit(1)).as("n"))
+    val got = graft.operators.Temporal
+      .slidingDistinct(days.toDF("user_id", "day_id"), "user_id", "day_id", 7)
       .as[(Long, Long)].collect().toMap
     assert(got === brute, s"got $got\nwant $brute")
+  }
+
+  test("slidingDistinct window=1 degenerates to per-period distinct counts") {
+    val days = Seq((1L, 0L), (1L, 0L), (2L, 0L), (1L, 2L))
+    val got = graft.operators.Temporal
+      .slidingDistinct(days.toDF("u", "p"), "u", "p", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 2L -> 1L), got)
   }
 }
