@@ -315,6 +315,17 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.2)
 
+  /** Prefix-filtered EXACT high-threshold Jaccard pairs
+    * ([[Dedup.prefixJaccardPairs]], τ = 0.9): the lossless candidate bound
+    * — every true pair must collide inside the rarest ~10% of each side's
+    * shingles — so the independent all-pairs DuckDB oracle matches
+    * exactly with NO cap caveat, at a fraction of [[dNgramJaccardPairs]]'s
+    * index volume.
+    */
+  private def dPrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.9)
+
   /** Contamination-detection shape for [[Dedup.containmentPairs]]: every
     * 11th document yields a PROBE (its first half, word-boundary-safe,
     * re-keyed past the id range — the "eval excerpt" side), and the query
@@ -3578,6 +3589,36 @@ object SparkEntry {
       .select(col("id"), col("hops").cast("long").as("hops"))
   }
 
+  /** Time-respecting reachability over the PURCHASE-SEQUENCE temporal
+    * graph: part A → part B with timestamp t whenever some customer's
+    * order containing A is immediately followed (by date, orderkey
+    * tiebreak) by an order containing B on day t — per-customer bounded
+    * edges (consecutive order pairs × ≤7×7 lines). From part 1 at day 0,
+    * [[graft.operators.Graph.temporalEarliestArrival]] relaxes 3 rounds of
+    * min-arrival Bellman-Ford (edge usable only at/after arrival at its
+    * source); the oracle unrolls the identical relaxation one CTE per
+    * round — state per node is ONE long, never a path enumeration.
+    */
+  private def gTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seqo = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("nk", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("nd", lead(col("o_orderdate"), 1).over(w))
+      .where(col("nk").isNotNull)
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = seqo
+      .join(li.as("a"), col("a.l_orderkey") === col("o_orderkey"))
+      .join(li.as("b"), col("b.l_orderkey") === col("nk"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"),
+        expr("unix_micros(cast(nd AS timestamp)) div 86400000000").as("ts"))
+    val seeds = t(s, dir, "part").where(col("p_partkey") === 1)
+      .select(col("p_partkey"), lit(0L).as("t0"))
+    graft.operators.Graph.temporalEarliestArrival(edges, "src", "dst", "ts",
+      seeds, "p_partkey", "t0", rounds = 3)
+  }
+
   /** Deterministic label-propagation communities over the co-order part
     * graph — [[graft.operators.Graph.labelPropagation]], 3 synchronous
     * rounds, most-frequent-then-smallest label. The oracle unrolls the
@@ -5786,6 +5827,8 @@ object SparkEntry {
     "q_ks_stat" -> (qKsStat _),
     "q_ewma_anomaly" -> (qEwmaAnomaly _),
     "s_active_users_stream" -> (sActiveUsersStream _),
+    "d_prefix_jaccard" -> (dPrefixJaccard _),
+    "g_temporal_reach" -> (gTemporalReach _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -6759,6 +6802,55 @@ object SparkEntry {
                        len(list_distinct(a.g3 || b.g3)) END AS jac
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.2"""
+    },
+    // Independent all-pairs oracle: the prefix filter is lossless, so the
+    // engine's output must equal brute force with NO cap caveat.
+    "d_prefix_jaccard" -> {
+      s"""WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> ${sqlPh("array_to_string(toks[i:i+2], ' ')", 31L, 1000000007L)})) END AS g3
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                 FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(a.g3 || b.g3)) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.g3, b.g3))::DOUBLE /
+                       len(list_distinct(a.g3 || b.g3)) END AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.9"""
+    },
+    "g_temporal_reach" -> {
+      // Bellman-Ford min-arrival relaxation unrolled one CTE per round —
+      // identical arithmetic to Graph.temporalEarliestArrival, never a
+      // path enumeration (state per node is one BIGINT).
+      val rounds = 3
+      val relax = (1 to rounds).map { k =>
+        s"""a$k AS (
+             SELECT id, min(arrival)::BIGINT AS arrival FROM (
+               SELECT id, arrival FROM a${k - 1}
+               UNION ALL
+               SELECT e.dst AS id, e.ts AS arrival
+               FROM a${k - 1} p JOIN e ON p.id = e.src AND e.ts >= p.arrival)
+             GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH seqo AS (
+           SELECT o_orderkey, o_custkey,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nk,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nd
+           FROM orders),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+             (epoch_us(nd::TIMESTAMP) // 86400000000)::BIGINT AS ts
+           FROM seqo JOIN lineitem a ON a.l_orderkey = o_orderkey
+                     JOIN lineitem b ON b.l_orderkey = nk
+           WHERE nk IS NOT NULL),
+         a0 AS (SELECT 1::BIGINT AS id, 0::BIGINT AS arrival),
+         $relax
+         SELECT id, arrival FROM a$rounds"""
     },
     "d_containment_pairs" -> {
       s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks

@@ -255,6 +255,57 @@ object Dedup {
     exactByCount.unionByName(verified)
   }
 
+  /** Exact Jaccard-threshold pair join via PREFIX FILTERING — the
+    * PPJoin/All-Pairs candidate bound (Bayardo et al., WWW'07; Xiao et
+    * al., WWW'08), the EXACT high-threshold dual of [[minhashLshPairs]]
+    * (probabilistic) and [[ngramJaccardPairs]] (whose df-cap can lose
+    * boilerplate-only pairs): two sets with Jaccard ≥ τ MUST share a
+    * shingle inside each side's first |S| − ⌈τ·|S|⌉ + 1 shingles under any
+    * agreed global order, so indexing ONLY those prefixes loses no true
+    * pair. With τ = 0.9 the index is ~1/10 of the full inverted index and
+    * shrinks as τ rises — the cap-free exactness comes from the threshold
+    * itself, not from dropping hot shingles.
+    *
+    * Scale shape: one df aggregation fixes the global rarest-first order
+    * (df ASC, hash — ties broken by the hash so the order is total);
+    * prefix selection is a per-doc window over the doc's own shingles;
+    * the candidate self-join touches only prefix postings, pre-pruned by
+    * the size filter |small| ≥ τ·|large| (a true pair cannot violate it);
+    * survivors are re-verified EXACTLY against the full sorted-hash
+    * arrays (merge-scan kernel). Prefix length and size filter use a
+    * 1e-9 slack so double rounding can only ADD candidates, never drop a
+    * true pair.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n)
+        .as("shingles"))
+    val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("shingle"))
+    val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("sdf"), col("shingle"))
+    val prefix = exploded.join(dfs, "shingle")
+      .withColumn("rn", row_number().over(w))
+      // ⌈τ·sz⌉ computed with a slack that can only lengthen the prefix
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("shingle"), col("id"), col("sz"))
+    val cand = prefix.select(col("shingle"), col("id").as("id_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("shingle").as("shingle_b"), col("id").as("id_b"),
+          col("sz").as("sz_b")),
+        col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
+      // size filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
+          - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cand, shingled, threshold)
+  }
+
   /** Directional n-gram CONTAINMENT pairs: containment(src→dst) =
     * |S(src) ∩ S(dst)| / |S(src)| over distinct word-n-gram shingle sets.
     * The asymmetric near-dup measure — an excerpt quoted inside a much

@@ -228,6 +228,46 @@ object Graph {
     settled
   }
 
+  /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
+    * list (src, dst, ts): a node is reached when some path's edge
+    * timestamps are non-decreasing and its first edge departs no earlier
+    * than the source's start time. State per node is one long — the
+    * EARLIEST arrival — because any continuation of an earliest-arrival
+    * path dominates every later-arrival alternative (the canonical
+    * temporal-graph invariant), so the walk is Bellman-Ford relaxation,
+    * never path enumeration: each round joins the current arrival table
+    * to the edges (hash join on src; the time test `ts >= arrival` is the
+    * join's residual filter) and keeps the per-node minimum. `rounds`
+    * bounds path length in hops; a round that improves nothing is a
+    * fixpoint reached early. Lineage cuts per round (same guard as
+    * [[pageRank]]).
+    *
+    * @param sources (id, t0) start nodes with their start times
+    * @return (id, arrival) — earliest arrival per reachable node,
+    *         arrival = t0 for the sources themselves
+    */
+  def temporalEarliestArrival(edges: DataFrame, srcCol: String,
+      dstCol: String, tsCol: String, sources: DataFrame, idCol: String,
+      t0Col: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(tsCol).cast("long").as("ts")).distinct()
+      .localCheckpoint(true)
+    var arr = sources.select(col(idCol).as("id"),
+        col(t0Col).cast("long").as("arrival"))
+      .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
+    var r = 0
+    while (r < rounds) {
+      val relax = arr.join(e, arr("id") === e("src") && e("ts") >= arr("arrival"))
+        .select(e("dst").as("id"), e("ts").as("arrival"))
+      arr = arr.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    arr
+  }
+
   /** Top-k most similar node pairs by neighborhood Jaccard — the
     * "customers like this one" / entity-resolution primitive (Neo4j GDS
     * `nodeSimilarity`, SimRank's one-hop special case): two nodes are

@@ -358,4 +358,70 @@ class Round8OpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 2L, 2L -> 1L), got)
   }
+
+  test("prefixJaccardPairs: lossless at the exact threshold boundary") {
+    // Docs A/B share 9 of 10 3-shingles (J = 9/11 < 0.8... construct
+    // instead around τ = 0.5): A vs B share exactly half their union.
+    // 12 tokens → 10 shingles; B = A with the last 5 tokens replaced →
+    // shared shingles = first 6, each side 10 → J = 6/14 ≈ 0.4286 < 0.5;
+    // easier: plant EXACT duplicates and a disjoint doc, τ = 0.99 —
+    // the boundary case J = 1.0 must survive the ceil/slack arithmetic.
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (20 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("id", "text")
+    val out = graft.operators.Dedup
+      .prefixJaccardPairs(docs, "id", "text", n = 3, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)), out.toSeq)
+  }
+
+  test("prefixJaccardPairs agrees with the brute-force exact pair set") {
+    // 40 docs drawn from a tiny vocab — heavy overlap stresses the
+    // filter's no-false-negative guarantee rather than its pruning.
+    val docs = (1L to 40L).map { i =>
+      val toks = (0 until 10).map(j => s"v${(i * 7 + j * j) % 13}")
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val got = graft.operators.Dedup
+      .prefixJaccardPairs(df, "id", "text", n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // brute force over the same kernel shingle sets
+    val sh = df.select(col("id"), graft.functions.KernelExpressions
+        .wordShingleHashes(col("text"), 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = sh(a).toSet; sb = sh(b).toSet
+      if sa.nonEmpty || sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(got === want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
+  test("temporalEarliestArrival: time-respecting only, min arrival wins") {
+    // 1→2 at t=5; 2→3 at t=3 (BEFORE arrival at 2 — unusable) and at
+    // t=8 (usable); 1→3 direct at t=20 (usable but LATER than via 2);
+    // 4 unreachable (its only in-edge departs from an unreached node).
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 8L), (1L, 3L, 20L),
+      (5L, 4L, 9L))
+    val seeds = Seq((1L, 0L)).toDF("id", "t0")
+    val got = graft.operators.Graph.temporalEarliestArrival(
+        edges.toDF("src", "dst", "ts"), "src", "dst", "ts",
+        seeds, "id", "t0", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 8L), got)
+  }
+
+  test("temporalEarliestArrival: rounds bound path length in hops") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L))
+    val seeds = Seq((1L, 0L)).toDF("id", "t0")
+    val oneHop = graft.operators.Graph.temporalEarliestArrival(
+        chain.toDF("src", "dst", "ts"), "src", "dst", "ts",
+        seeds, "id", "t0", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneHop === Map(1L -> 0L, 2L -> 1L), oneHop)
+  }
 }
