@@ -1309,6 +1309,19 @@ object SparkEntry {
       .groupBy(col("l_bucket"))
       .agg(count(lit(1)).as("n_cells"), sum(col("l")).as("sum_l"))
 
+  /** Mondrian k-anonymization of the customer quasi-identifiers
+    * ([[graft.operators.Safety.mondrianCells]], k = 50, 4 rounds over
+    * (acctbal, nationkey)) — the GENERALIZER next to q_k_anonymity's
+    * audit: every published cell carries ≥ 50 customers, ranges replace
+    * values. The oracle unrolls the identical median splits one CTE pair
+    * per round (shared p·(n−1) percentile rule, ties left, round-robin
+    * dims).
+    */
+  private def qMondrianAnon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Safety.mondrianCells(
+      t(s, dir, "customer"), Seq("c_acctbal", "c_nationkey"),
+      k = 50, rounds = 4)
+
   /** Encoding-hygiene audit — per-source counts of U+FFFD replacement
     * characters (the scar a lossy decode leaves) and C0 control characters
     * (minus tab/newline/CR): the standard "was this shard decoded with the
@@ -4375,12 +4388,12 @@ object SparkEntry {
     * the exact integer cross-multiplication 2·rev·wsum > 3·num
     * (rev > 1.5 × ewma).
     */
-  private def qEwmaAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(expr("(ts div 1000) div 86400000000").as("day_id"),
-        round(col("value") * 100.0, 0).cast("long").as("v_e2"))
-      .groupBy(col("day_id")).agg(sum(col("v_e2")).as("rev_e2"))
+  /** Shared dyadic-EWMA scoring of a day-grain (day_id, rev_e2) frame —
+    * the arithmetic of [[qEwmaAnomaly]], reused verbatim by the streaming
+    * dual so one oracle form proves both paths (the [[sCusumStream]]
+    * precedent).
+    */
+  private def ewmaScore(daily: DataFrame): DataFrame = {
     val span = daily.agg(min(col("day_id")).as("min_day"),
       max(col("day_id")).as("max_day"))
     daily
@@ -4401,6 +4414,42 @@ object SparkEntry {
           .as("ewma"),
         when(col("rev_e2") * 2L * col("wsum") > col("num") * 3L, 1L)
           .otherwise(0L).as("spike"))
+  }
+
+  private def qEwmaAnomaly(s: SparkSession, dir: String): DataFrame =
+    ewmaScore(t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts div 1000) div 86400000000").as("day_id"),
+        round(col("value") * 100.0, 0).cast("long").as("v_e2"))
+      .groupBy(col("day_id")).agg(sum(col("v_e2")).as("rev_e2")))
+
+  /** STREAMING EWMA anomaly bands: daily purchase revenue comes off a
+    * watermarked 1-day streaming window aggregate (≤ days rows of state),
+    * then the drained day-grain frame runs through the SAME dyadic-decay
+    * scoring as `q_ewma_anomaly` ([[ewmaScore]]) — the revenue-level
+    * alarm next to [[sCusumStream]]'s count-level alarm; one oracle form
+    * proves both paths.
+    */
+  private def sEwmaStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val ev = graft.streaming.Streaming.readParquetStream(s, landing)
+      .transform(graft.io.EventTs.toTimestamp)
+    val qn = s"s_ewma_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    try {
+      val query = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("rev_e2"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    ewmaScore(s.table(qn).select(
+      (unix_timestamp(col("w.start")) / 86400).cast("long").as("day_id"),
+      col("rev_e2")))
   }
 
   /** Cramér's V association between event type and day-of-week — the
@@ -5829,6 +5878,8 @@ object SparkEntry {
     "s_active_users_stream" -> (sActiveUsersStream _),
     "d_prefix_jaccard" -> (dPrefixJaccard _),
     "g_temporal_reach" -> (gTemporalReach _),
+    "s_ewma_stream" -> (sEwmaStream _),
+    "q_mondrian_anon" -> (qMondrianAnon _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -6332,6 +6383,37 @@ object SparkEntry {
     * Scala-side scale literal ([[graft.operators.Sketches.hllScaleNum]])
     * so the single floating division is identical on both engines.
     */
+  /** Independent EWMA oracle (trailing weighted range self-join per day,
+    * NOT the engine's forward-explode rewrite) — shared by the batch
+    * query and its streaming dual.
+    */
+  private lazy val sqlEwmaAnomaly: String =
+    """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day_id,
+             sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS rev_e2
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         span AS (SELECT min(day_id) AS min_day, max(day_id) AS max_day
+                  FROM daily),
+         dom AS (SELECT DISTINCT day_id + o AS day
+                 FROM daily, range(0, 14) t(o), span
+                 WHERE day_id + o <= max_day),
+         acc AS (
+           SELECT day,
+             sum(rev_e2 * (1::BIGINT << (13 - (day - day_id))::INT))::BIGINT
+               AS num,
+             sum(CASE WHEN day_id = day THEN rev_e2 ELSE 0 END)::BIGINT
+               AS rev_e2
+           FROM dom JOIN daily ON day_id BETWEEN day - 13 AND day
+           GROUP BY 1)
+         SELECT day AS day_id, rev_e2::DOUBLE / 100.0 AS revenue,
+           round(num::DOUBLE /
+             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
+             / 100.0, 6) AS ewma,
+           CASE WHEN rev_e2 * 2 *
+             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
+             > num * 3 THEN 1 ELSE 0 END::BIGINT AS spike
+         FROM acc, span"""
+
   private lazy val sqlHllDistinct: String = {
     val Seq((a1, b1), (a2, b2)) = Dedup.minhashCoeffs(2)
     val p = 12; val m = 1 << p
@@ -9127,34 +9209,41 @@ object SparkEntry {
          SELECT round(adiff::DOUBLE / (tot1 * tot2), 6) AS ks_stat,
            val_e2::DOUBLE / 100.0 AS at_value,
            tot1 AS n_purchase, tot2 AS n_click FROM best""",
+    // One oracle form proves both the batch and the streaming EWMA path
+    // (the s_cusum_stream precedent).
+    "s_ewma_stream" -> sqlEwmaAnomaly,
+    "q_mondrian_anon" -> {
+      // unrolled Mondrian: one (median, side-counts, re-cell) CTE trio per
+      // round — identical splits to Safety.mondrianCells (quantile_cont
+      // shares Spark percentile's p·(n-1) rule; ties go left)
+      val rounds = 4
+      val dims = Seq("d1", "d2")
+      val steps = (1 to rounds).map { r =>
+        val d = dims((r - 1) % dims.length)
+        s"""m$r AS (SELECT cell, quantile_cont($d, 0.5) AS med
+             FROM c${r - 1} GROUP BY 1),
+           s$r AS (SELECT c.cell, d1, d2,
+               CASE WHEN c.$d <= m.med THEN 0 ELSE 1 END AS side
+             FROM c${r - 1} c JOIN m$r m USING (cell)),
+           k$r AS (SELECT cell,
+               (sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) >= 50 AND
+                sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) >= 50) AS ok
+             FROM s$r GROUP BY 1),
+           c$r AS (SELECT (CASE WHEN ok THEN s.cell * 2 + side
+                                ELSE s.cell * 2 END)::BIGINT AS cell, d1, d2
+             FROM s$r s JOIN k$r USING (cell))"""
+      }.mkString(",\n")
+      s"""WITH c0 AS (SELECT 0::BIGINT AS cell, c_acctbal::DOUBLE AS d1,
+             c_nationkey::DOUBLE AS d2 FROM customer),
+         $steps
+         SELECT cell, count(*)::BIGINT AS n,
+           min(d1) AS c_acctbal_lo, max(d1) AS c_acctbal_hi,
+           min(d2) AS c_nationkey_lo, max(d2) AS c_nationkey_hi
+         FROM c$rounds GROUP BY 1"""
+    },
     // Independent oracle: the trailing weighted sum as a range self-join
     // per day, NOT the engine's forward-explode rewrite.
-    "q_ewma_anomaly" ->
-      """WITH daily AS (
-           SELECT epoch_us(ts) // 86400000000 AS day_id,
-             sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS rev_e2
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         span AS (SELECT min(day_id) AS min_day, max(day_id) AS max_day
-                  FROM daily),
-         dom AS (SELECT DISTINCT day_id + o AS day
-                 FROM daily, range(0, 14) t(o), span
-                 WHERE day_id + o <= max_day),
-         acc AS (
-           SELECT day,
-             sum(rev_e2 * (1::BIGINT << (13 - (day - day_id))::INT))::BIGINT
-               AS num,
-             sum(CASE WHEN day_id = day THEN rev_e2 ELSE 0 END)::BIGINT
-               AS rev_e2
-           FROM dom JOIN daily ON day_id BETWEEN day - 13 AND day
-           GROUP BY 1)
-         SELECT day AS day_id, rev_e2::DOUBLE / 100.0 AS revenue,
-           round(num::DOUBLE /
-             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
-             / 100.0, 6) AS ewma,
-           CASE WHEN rev_e2 * 2 *
-             (16384 - (1::BIGINT << (13 - least(13, day - min_day))::INT))
-             > num * 3 THEN 1 ELSE 0 END::BIGINT AS spike
-         FROM acc, span""",
+    "q_ewma_anomaly" -> sqlEwmaAnomaly,
     "q_hll_distinct" -> sqlHllDistinct,
     "q_dpp_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,

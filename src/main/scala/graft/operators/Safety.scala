@@ -142,4 +142,60 @@ object Safety {
       .select(keys.map(col) :+
         round(col("n_true") + noise, 4).as("n_dp"): _*)
   }
+
+  /** Mondrian multidimensional k-anonymity GENERALIZATION (LeFevre et
+    * al., ICDE'06) — the fix for what [[graft.SparkEntry]]'s
+    * `q_k_anonymity` audit only reports: recursively median-split the
+    * quasi-identifier space, round-robin over the dimensions, accepting a
+    * split only when BOTH children keep ≥ k rows, then publish each leaf
+    * cell as (ranges, count). Every published cell holds ≥ k rows by
+    * construction (the k-anonymity guarantee, assuming the input has
+    * ≥ k rows).
+    *
+    * Deterministic and oracle-replayable: the split point is the exact
+    * p·(n−1)-interpolated median (the percentile rule both engines
+    * share), ties go left (v ≤ median), and the dimension order is fixed
+    * — an unrolled SQL replica takes the identical splits.
+    *
+    * Scale shape: each round is ONE aggregation over (cell) for the
+    * medians + ONE over (cell, side) for the child sizes, both
+    * 2^round-bounded outputs, broadcast-joined back; rows shuffle only on
+    * their cell id. Nothing row-scale ever reaches the driver.
+    *
+    * @param dims  numeric quasi-identifier columns (cast to double)
+    * @param k     minimum rows per published cell
+    * @param rounds maximum split depth (≤ 2^rounds cells)
+    * @return one row per leaf cell: cell id, n, and per-dim lo/hi bounds
+    *         (`<dim>_lo`, `<dim>_hi`)
+    */
+  def mondrianCells(df: DataFrame, dims: Seq[String], k: Int,
+      rounds: Int): DataFrame = {
+    require(dims.nonEmpty && k >= 1 && rounds >= 0,
+      s"dims=$dims k=$k rounds=$rounds")
+    var cur = df.select(dims.map(d => col(d).cast("double").as(d)): _*)
+      .withColumn("cell", lit(0L))
+    var r = 0
+    while (r < rounds) {
+      val dim = dims(r % dims.length)
+      val med = cur.groupBy(col("cell"))
+        .agg(expr(s"percentile($dim, 0.5)").as("med"))
+      val sided = cur.join(broadcast(med), "cell")
+        .withColumn("side", when(col(dim) <= col("med"), 0L).otherwise(1L))
+      val ok = sided.groupBy(col("cell"))
+        .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nl"),
+          sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nr"))
+        .select(col("cell"),
+          (col("nl") >= k && col("nr") >= k).as("split_ok"))
+      cur = sided.join(broadcast(ok), "cell")
+        .withColumn("cell",
+          when(col("split_ok"), col("cell") * 2L + col("side"))
+            .otherwise(col("cell") * 2L))
+        .drop("med", "side", "split_ok")
+      r += 1
+    }
+    val aggs = count(lit(1)).as("n") +:
+      dims.flatMap(d => Seq(min(col(d)).as(s"${d}_lo"),
+        max(col(d)).as(s"${d}_hi")))
+    cur.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+  }
 }

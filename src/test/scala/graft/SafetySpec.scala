@@ -65,4 +65,34 @@ class SafetySpec extends SparkTestBase {
     // draws are per-key, not a shared constant
     assert(a.values.toSeq.distinct.size > 1)
   }
+
+  test("mondrianCells: every published cell holds >= k rows; ranges cover the data") {
+    val rows = (1 to 400).map(i => (i.toDouble, (i % 7).toDouble))
+    val out = Safety.mondrianCells(rows.toDF("a", "b"), Seq("a", "b"),
+        k = 50, rounds = 5)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.map(_._2).sum === 400L)
+    assert(out.forall(_._2 >= 50L), out.toSeq)
+    assert(out.length > 1, "no split happened at all")
+    // cells partition: a-ranges of sibling splits cannot overlap-count rows
+    assert(out.forall(c => c._3 <= c._4 && c._5 <= c._6))
+  }
+
+  test("mondrianCells: refuses a split that would starve a child below k") {
+    // 60 rows, k=50: the first median split would give 30/30 — both < k,
+    // so NO split may happen at any depth; one cell with all 60 rows.
+    val rows = (1 to 60).map(i => (i.toDouble, 0.0))
+    val out = Safety.mondrianCells(rows.toDF("a", "b"), Seq("a", "b"),
+        k = 50, rounds = 4)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.length === 1 && out.head._2 === 60L, out.toSeq)
+  }
+
+  test("mondrianCells: deterministic — identical cells on re-run") {
+    val rows = (1 to 300).map(i => ((i * 37 % 101).toDouble, (i % 11).toDouble))
+    def run() = Safety.mondrianCells(rows.toDF("a", "b"), Seq("a", "b"),
+        k = 30, rounds = 4)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+    assert(run() === run())
+  }
 }
