@@ -4377,6 +4377,39 @@ object SparkEntry {
         col("m.tot1").as("n_purchase"), col("m.tot2").as("n_click"))
   }
 
+  /** Exact Gini coefficient of per-customer revenue — the inequality /
+    * concentration audit (is 80% of revenue held by 2% of customers?).
+    * The rank-sum formula G = 2·Σᵢ i·x₍ᵢ₎ / (N·Σx) − (N+1)/N needs every
+    * row's global rank; instead of a single-partition sort, VALUE-GROUPED
+    * counts ride [[graft.operators.Scan.prefixSum]]: a tied block of n
+    * equal values x whose cumulative count ends at c contributes
+    * x·(n·(c−n) + n(n+1)/2) — exact integers end to end (decimal(38,0)
+    * accumulators, cents inputs), ONE double division at the end; both
+    * engines cast the same exact integers, so the rounding is identical.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("v_e2"))
+    val perVal = rev.groupBy(col("v_e2")).agg(count(lit(1)).as("nv"))
+    graft.operators.Scan.prefixSum(perVal, "v_e2", "nv", "cum_n")
+      .select(
+        (col("v_e2").cast("decimal(38,0)") *
+          expr("nv * (cum_n - nv) + (nv * (nv + 1)) div 2")
+            .cast("decimal(38,0)")).as("contrib"),
+        col("nv"),
+        (col("v_e2").cast("decimal(38,0)") * col("nv").cast("decimal(38,0)"))
+          .as("tot"))
+      .agg(sum(col("contrib")).as("s"), sum(col("nv")).as("n"),
+        sum(col("tot")).as("t"))
+      .select(
+        round(lit(2.0) * col("s").cast("double") /
+            (col("n").cast("double") * col("t").cast("double")) -
+          (col("n").cast("double") + 1.0) / col("n").cast("double"), 6)
+          .as("gini"),
+        col("n").as("n_customers"))
+  }
+
   /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
     * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
     * every term an exact long — integer cents × a power of two — so the
@@ -5880,6 +5913,7 @@ object SparkEntry {
     "g_temporal_reach" -> (gTemporalReach _),
     "s_ewma_stream" -> (sEwmaStream _),
     "q_mondrian_anon" -> (qMondrianAnon _),
+    "q_gini" -> (qGini _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -9212,6 +9246,21 @@ object SparkEntry {
     // One oracle form proves both the batch and the streaming EWMA path
     // (the s_cusum_stream precedent).
     "s_ewma_stream" -> sqlEwmaAnomaly,
+    "q_gini" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(round(o_totalprice * 100.0, 0)::BIGINT)::BIGINT AS v_e2
+           FROM orders GROUP BY 1),
+         pv AS (SELECT v_e2, count(*)::BIGINT AS nv FROM rev GROUP BY 1),
+         cum AS (SELECT v_e2, nv,
+                   sum(nv) OVER (ORDER BY v_e2)::BIGINT AS cum_n FROM pv),
+         agg AS (SELECT
+             sum(v_e2 * (nv * (cum_n - nv) + (nv * (nv + 1)) // 2)) AS s,
+             sum(nv)::BIGINT AS n, sum(v_e2 * nv) AS t
+           FROM cum)
+         SELECT round(2.0 * s::DOUBLE / (n::DOUBLE * t::DOUBLE)
+             - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini,
+           n AS n_customers FROM agg""",
     "q_mondrian_anon" -> {
       // unrolled Mondrian: one (median, side-counts, re-cell) CTE trio per
       // round — identical splits to Safety.mondrianCells (quantile_cont

@@ -144,7 +144,13 @@ class PlanSpec extends SparkTestBase {
       // day span) via broadcast crossJoin — the corpus-scalar shape,
       // same exemption class as q_retention_filter
       "q15_top_supplier", "q22_idle_balance", "q11_important_stock",
-      "q_ks_stat", "q_ewma_anomaly")
+      "q_ks_stat", "q_ewma_anomaly",
+      // s_ewma_stream's post-drain scoring is the same ewmaScore scalar
+      "s_ewma_stream",
+      // Mondrian round 1 has ONE cell (cell = literal 0 both sides), so
+      // Catalyst constant-folds the key and the 1-row median join is a
+      // broadcast scalar — same class; rounds 2+ plan as hash joins
+      "q_mondrian_anon")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
