@@ -3663,7 +3663,10 @@ object SparkEntry {
       // peel rounds stack two joins each on the previous round's `alive`;
       // without a per-round lineage cut, round r re-executes rounds
       // 1..r-1's joins inside its own plan (quadratic recompute)
-      checkpointEvery = 1)
+      checkpointEvery = 1,
+      // coOrderEdges emits both directions by construction — skip the
+      // mirror union that would double the edge-distinct's input
+      symmetric = true)
 
   /** Graph × relational composition: line revenue rolled up per LPA
     * community (≥5 members) — the community labels from [[qCommunities]]

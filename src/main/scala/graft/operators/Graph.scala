@@ -332,12 +332,18 @@ object Graph {
     */
   def kCorePeel(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+      k: Int, rounds: Int, checkpointEvery: Int = 5,
+      symmetric: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
-    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    // `symmetric = true`: caller guarantees the edge list already carries
+    // both directions (e.g. a co-occurrence self-join) — mirroring it
+    // again would double the input of the one edge-scale distinct, the
+    // derivation's dominant cost.
+    val sym = (if (symmetric) und
+      else und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint(true)
@@ -345,6 +351,8 @@ object Graph {
     var removed = n.limit(0).select(col("id"), lit(0L).as("removed_round"))
     var r = 1
     while (r <= rounds) {
+      // alive is vertex-scale — AQE broadcasts both probes, so the edge
+      // set is filtered map-side and only the degree aggregation shuffles
       val deg = sym
         .join(alive.select(col("id").as("src")), Seq("src"))
         .join(alive.select(col("id").as("dst")), Seq("dst"))
