@@ -1043,6 +1043,36 @@ object SparkEntry {
       .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
       .select("doc_id", "quality")
 
+  /** Cohen's kappa agreement between the corpus's two quality raters —
+    * the heuristic gate (t_quality_filter's exact predicate) and the
+    * trained LR classifier at 0.5 (t_quality_lr's rounded score): the
+    * standard rater-agreement audit run before trusting either gate to
+    * curate alone (raw accuracy overstates agreement when both raters
+    * mostly say "keep"; kappa subtracts chance). One join on doc_id +
+    * one 2×2 contingency aggregation; kappa is exact integer counts until
+    * a final double expression.
+    */
+  private def tRaterKappa(s: SparkSession, dir: String): DataFrame = {
+    val heur = t(s, dir, "documents").select(col("doc_id"),
+      when(TextAnalysis.qualityScore(col("text")) >= 0.25 &&
+        round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6) <= 0.2 &&
+        TextAnalysis.tokenCount(col("text")).cast("long") >= 5, 1L)
+        .otherwise(0L).as("a"))
+    val lr = tQualityLr(s, dir).select(col("doc_id"),
+      when(col("score") >= 0.5, 1L).otherwise(0L).as("b"))
+    val pe = (col("na") * col("nb") +
+      (col("n") - col("na")) * (col("n") - col("nb"))).cast("double") /
+      (col("n") * col("n")).cast("double")
+    heur.join(lr, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"),
+        sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      .select(col("n"), col("n11"), col("n00"), col("na"), col("nb"),
+        round(((col("n11") + col("n00")).cast("double") /
+          col("n").cast("double") - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** EXACT per-language length deciles — corpus QA profiling (the
     * distribution sheet a curation run starts and ends with). Formulated as
     * cumulative-rank arithmetic (row_number / count per partition) so the
@@ -5917,6 +5947,7 @@ object SparkEntry {
     "s_ewma_stream" -> (sEwmaStream _),
     "q_mondrian_anon" -> (qMondrianAnon _),
     "q_gini" -> (qGini _),
+    "t_rater_kappa" -> (tRaterKappa _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -7481,6 +7512,40 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
     "t_quality_lr" -> sqlQualityLr,
+    "t_rater_kappa" ->
+      s"""WITH scored AS MATERIALIZED ( $sqlQualityLr ),
+         hr AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+           (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             x -> x IN ($stopwordsSql)))::DOUBLE /
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         FROM documents),
+         hg AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM hr),
+         hq AS (SELECT doc_id,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
+             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
+             n_tokens
+           FROM hg),
+         lab AS (SELECT hq.doc_id,
+             CASE WHEN quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5
+               THEN 1 ELSE 0 END AS a,
+             CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS b
+           FROM hq JOIN scored ON hq.doc_id = scored.doc_id),
+         c AS (SELECT count(*)::BIGINT AS n, sum(a * b)::BIGINT AS n11,
+             sum((1 - a) * (1 - b))::BIGINT AS n00,
+             sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+           FROM lab)
+         SELECT n, n11, n00, na, nb,
+           round(((n11 + n00)::DOUBLE / n::DOUBLE
+               - (na * nb + (n - na) * (n - nb))::DOUBLE / (n * n)::DOUBLE)
+             / (1.0 - (na * nb + (n - na) * (n - nb))::DOUBLE / (n * n)::DOUBLE),
+             6) AS kappa
+         FROM c""",
     "t_lr_auc" ->
       s"""WITH g AS (
            SELECT score, count(*)::DOUBLE AS n_eq, sum(label)::DOUBLE AS n_pos_eq
