@@ -1035,13 +1035,23 @@ object SparkEntry {
   /** C4/Gopher-style composite keep-filter: quality score + duplicate-3-gram
     * bound + minimum length, the canonical pre-training cleanup gate.
     */
-  private def tQualityFilter(s: SparkSession, dir: String): DataFrame =
+  /** The heuristic quality gate's signals — ONE definition shared by the
+    * filter query and the kappa rater audit (and mirrored by ONE shared
+    * oracle CTE block, [[sqlQualityGateCtes]]): a threshold tweak edits
+    * exactly two places, never four.
+    */
+  private def qualityGateFrame(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6).as("dup3"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .filter(col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5)
-      .select("doc_id", "quality")
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6).as("dup3"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  /** The gate predicate over [[qualityGateFrame]]'s columns. */
+  private def qualityGate: Column =
+    col("quality") >= 0.25 && col("dup3") <= 0.2 && col("n_tokens") >= 5
+
+  private def tQualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityGateFrame(s, dir).filter(qualityGate).select("doc_id", "quality")
 
   /** Cohen's kappa agreement between the corpus's two quality raters —
     * the heuristic gate (t_quality_filter's exact predicate) and the
@@ -1053,11 +1063,8 @@ object SparkEntry {
     * a final double expression.
     */
   private def tRaterKappa(s: SparkSession, dir: String): DataFrame = {
-    val heur = t(s, dir, "documents").select(col("doc_id"),
-      when(TextAnalysis.qualityScore(col("text")) >= 0.25 &&
-        round(TextAnalysis.duplicateNgramFraction(col("text"), 3), 6) <= 0.2 &&
-        TextAnalysis.tokenCount(col("text")).cast("long") >= 5, 1L)
-        .otherwise(0L).as("a"))
+    val heur = qualityGateFrame(s, dir)
+      .select(col("doc_id"), when(qualityGate, 1L).otherwise(0L).as("a"))
     val lr = tQualityLr(s, dir).select(col("doc_id"),
       when(col("score") >= 0.5, 1L).otherwise(0L).as("b"))
     val pe = (col("na") * col("nb") +
@@ -4393,10 +4400,11 @@ object SparkEntry {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
     val perVal = ev.groupBy(col("val_e2"))
       .agg(sum(col("is_p")).as("n1"), sum(lit(1L) - col("is_p")).as("n2"))
+      .localCheckpoint() // two consumers: the scan and the totals
     val cum = graft.operators.Scan
       .prefixSum(perVal, "val_e2", "n1", "c1", Seq("n2"))
-    val tot = ev.agg(sum(col("is_p")).as("tot1"),
-      sum(lit(1L) - col("is_p")).as("tot2"))
+    // totals from the distinct-value frame — never a second row-scale scan
+    val tot = perVal.agg(sum(col("n1")).as("tot1"), sum(col("n2")).as("tot2"))
     cum.crossJoin(broadcast(tot))
       .select(
         abs(col("c1") * col("tot2") - col("cum_n2") * col("tot1")).as("adiff"),
@@ -4443,17 +4451,6 @@ object SparkEntry {
         col("n").as("n_customers"))
   }
 
-  /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
-    * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
-    * every term an exact long — integer cents × a power of two — so the
-    * weighted numerator and the day-dependent weight total are both exact
-    * and the ewma division is bit-identical cross-engine. Day gaps (not
-    * row offsets) drive the weights: each active day explodes its ≤14
-    * forward contributions, one groupBy re-collects them, and early days
-    * normalize by the closed-form partial weight sum. The spike flag is
-    * the exact integer cross-multiplication 2·rev·wsum > 3·num
-    * (rev > 1.5 × ewma).
-    */
   /** Shared dyadic-EWMA scoring of a day-grain (day_id, rev_e2) frame —
     * the arithmetic of [[qEwmaAnomaly]], reused verbatim by the streaming
     * dual so one oracle form proves both paths (the [[sCusumStream]]
@@ -4482,6 +4479,17 @@ object SparkEntry {
           .otherwise(0L).as("spike"))
   }
 
+  /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
+    * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
+    * every term an exact long — integer cents × a power of two — so the
+    * weighted numerator and the day-dependent weight total are both exact
+    * and the ewma division is bit-identical cross-engine. Day gaps (not
+    * row offsets) drive the weights: each active day explodes its ≤14
+    * forward contributions, one groupBy re-collects them, and early days
+    * normalize by the closed-form partial weight sum. The spike flag is
+    * the exact integer cross-multiplication 2·rev·wsum > 3·num
+    * (rev > 1.5 × ewma).
+    */
   private def qEwmaAnomaly(s: SparkSession, dir: String): DataFrame =
     ewmaScore(t(s, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -6201,6 +6209,30 @@ object SparkEntry {
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** The heuristic quality gate's CTE chain ending in
+    * `qg_q(doc_id, quality, dup3, n_tokens)` — ONE definition shared by
+    * the t_quality_filter oracle and the kappa rater audit, mirroring
+    * [[qualityGateFrame]].
+    */
+  private lazy val sqlQualityGateCtes: String =
+    s"""qg_r AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+           (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
+           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             x -> x IN ($stopwordsSql)))::DOUBLE /
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         FROM documents),
+         qg_g AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM qg_r),
+         qg_q AS (SELECT doc_id,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
+               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
+             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
+             n_tokens
+           FROM qg_g)"""
+
   /** DuckDB replay of tQualityLr's EXACT 5-iteration full-batch GD: a
     * generated chain of (gradient, weight) CTEs with the same operation
     * order as [[graft.operators.Classifier.trainLogistic]] (sums, then
@@ -7514,28 +7546,12 @@ object SparkEntry {
     "t_quality_lr" -> sqlQualityLr,
     "t_rater_kappa" ->
       s"""WITH scored AS MATERIALIZED ( $sqlQualityLr ),
-         hr AS (SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
-           (length(text) - length(regexp_replace(text,
-             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-             x -> x IN ($stopwordsSql)))::DOUBLE /
-             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-         FROM documents),
-         hg AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM hr),
-         hq AS (SELECT doc_id,
-             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
-               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
-             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
-               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
-             n_tokens
-           FROM hg),
-         lab AS (SELECT hq.doc_id,
+         $sqlQualityGateCtes,
+         lab AS (SELECT qg_q.doc_id,
              CASE WHEN quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5
                THEN 1 ELSE 0 END AS a,
              CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS b
-           FROM hq JOIN scored ON hq.doc_id = scored.doc_id),
+           FROM qg_q JOIN scored ON qg_q.doc_id = scored.doc_id),
          c AS (SELECT count(*)::BIGINT AS n, sum(a * b)::BIGINT AS n11,
              sum((1 - a) * (1 - b))::BIGINT AS n00,
              sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
@@ -7642,24 +7658,8 @@ object SparkEntry {
              '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS clean
          FROM r""",
     "t_quality_filter" ->
-      s"""WITH r AS (SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
-           (length(text) - length(regexp_replace(text,
-             '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text) AS pr,
-           len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-             x -> x IN ($stopwordsSql)))::DOUBLE /
-             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sr,
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-         FROM documents),
-         g AS (SELECT doc_id, n_tokens, pr, sr, ${sqlWordNgramHashes(3)} AS g3 FROM r),
-         q AS (SELECT doc_id,
-             round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - pr)
-               * (0.5 + least(sr * 5.0, 1.0) * 0.5), 6) AS quality,
-             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
-               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3,
-             n_tokens
-           FROM g)
-         SELECT doc_id, quality FROM q
+      s"""WITH $sqlQualityGateCtes
+         SELECT doc_id, quality FROM qg_q
          WHERE quality >= 0.25 AND dup3 <= 0.2 AND n_tokens >= 5""",
     "c_decontaminate" -> sqlDecontaminate,
     "c_contamination_report" -> {

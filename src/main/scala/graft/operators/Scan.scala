@@ -66,14 +66,17 @@ object Scan {
           org.apache.spark.sql.types.IntegerType, nullable = false) +:
         vals.map(v => org.apache.spark.sql.types.StructField(s"_off_$v",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    // Pass 2: partition-local running sum + the broadcast offset.
+    // Pass 2: partition-local running sum + the broadcast offset. The
+    // join is INNER on purpose — every non-empty partition has exactly
+    // one offsets row, so a missing offset is a logic error that must
+    // surface as dropped rows (loud), not be masked as a 0 offset.
     val w = Window.partitionBy(col("_scan_pid")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val named = (v: String) => if (v == valCol) cumCol else s"cum_$v"
     val withCum = vals.foldLeft(
         ranged.join(broadcast(offDf), col("_scan_pid") === col("_scan_pid_o"))) {
       (acc, v) => acc.withColumn(named(v),
-        sum(col(v)).over(w) + coalesce(col(s"_off_$v"), lit(0L)))
+        sum(col(v)).over(w) + col(s"_off_$v"))
     }
     withCum.drop("_scan_pid", "_scan_pid_o").drop(vals.map(v => s"_off_$v"): _*)
   }

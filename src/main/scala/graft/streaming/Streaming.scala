@@ -357,21 +357,28 @@ object Streaming {
     * fans out to the `windowDays` days it keeps its entity active for
     * (covered_ts, a bounded ≤windowDays× explode), streaming dedup keeps
     * ONE state row per (entity, covered day), and the downstream count per
-    * day never re-aggregates a distinct. The watermark rides covered_ts
-    * (≥ the true event time, so lateness semantics only loosen) and must
-    * exceed windowDays for the dedup state to evict only settled days;
-    * chained dedup→aggregation is one of Spark's supported multi-stateful
-    * shapes.
+    * day never re-aggregates a distinct; chained dedup→aggregation is one
+    * of Spark's supported multi-stateful shapes.
+    *
+    * Watermark semantics: the watermark rides covered_ts, which sits up
+    * to windowDays−1 days AHEAD of the true event time — so a delay of D
+    * days on covered_ts tolerates only D − (windowDays − 1) days of real
+    * event disorder (an event's EARLIEST covered day is its own day,
+    * while the global watermark chases the latest fan-out). The
+    * `latenessDays` parameter is therefore the true tolerated disorder;
+    * the covered_ts delay is derived as latenessDays + windowDays − 1 so
+    * callers reason in event time, not fan-out time.
     */
   def activeEntitiesWindow(df: DataFrame, entityCol: String, tsCol: String,
-      windowDays: Int = 7, watermark: String = "8 days"): DataFrame =
+      windowDays: Int = 7, latenessDays: Int = 2): DataFrame =
     df.select(col(entityCol),
         explode(sequence(lit(0L), lit(windowDays - 1L))).as("__k"),
         floor(unix_timestamp(col(tsCol)) / 86400L).as("__day"))
       .select(col(entityCol),
         timestamp_seconds((col("__day") + col("__k")) * 86400L)
           .as("covered_ts"))
-      .withWatermark("covered_ts", watermark)
+      .withWatermark("covered_ts",
+        s"${latenessDays + windowDays - 1} days")
       .dropDuplicates(entityCol, "covered_ts")
       .groupBy(col("covered_ts"))
       .agg(count(lit(1)).as("n_distinct"))
