@@ -3639,6 +3639,25 @@ object SparkEntry {
       .select(col("id"), col("hops").cast("long").as("hops"))
   }
 
+  /** Personalized PageRank from part 1 over the WEIGHTED co-order part
+    * graph (edge weight = number of co-orders) —
+    * [[graft.operators.Graph.personalizedPageRank]], 3 power iterations:
+    * "parts most related to part 1" by random-walk-with-restart, the
+    * item-to-item recommendation primitive next to [[qReachHops]]'s
+    * plain reachability. The oracle unrolls the identical fixed-point
+    * arithmetic one CTE per round (the [[qPagerank]] precedent), teleport
+    * vector concentrated on the seed.
+    */
+  private def gPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(s, dir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.operators.Graph.personalizedPageRank(
+        t(s, dir, "part"), "p_partkey", e, "src", "dst", "w",
+        t(s, dir, "part").where(col("p_partkey") === 1), "p_partkey",
+        iterations = 3)
+      .select(col("id"), round(col("rank"), 8).as("ppr"))
+  }
+
   /** Time-respecting reachability over the PURCHASE-SEQUENCE temporal
     * graph: part A → part B with timestamp t whenever some customer's
     * order containing A is immediately followed (by date, orderkey
@@ -5956,6 +5975,7 @@ object SparkEntry {
     "q_mondrian_anon" -> (qMondrianAnon _),
     "q_gini" -> (qGini _),
     "t_rater_kappa" -> (tRaterKappa _),
+    "g_ppr" -> (gPpr _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -7002,6 +7022,34 @@ object SparkEntry {
                        len(list_distinct(a.g3 || b.g3)) END AS jac
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.9"""
+    },
+    "g_ppr" -> {
+      // unrolled random-walk-with-restart: teleport vector concentrated
+      // on the seed part; identical per-round arithmetic to
+      // Graph.personalizedPageRank (the g_pagerank oracle precedent)
+      val iters = 3
+      val rk = (1 to iters).map { k =>
+        s"""r$k AS (SELECT n.id,
+             0.15::DOUBLE * n.t + 0.85::DOUBLE * coalesce(c.s, 0) AS r
+           FROM n LEFT JOIN (
+             SELECT tr.dst AS id, sum(tr.p * p.r) AS s
+             FROM tr JOIN r${k - 1} p ON tr.src = p.id GROUP BY 1) c
+           ON n.id = c.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             count(*)::DOUBLE AS w
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+                FROM e),
+         n AS (SELECT p_partkey AS id,
+             CASE WHEN p_partkey = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS t
+           FROM part),
+         r0 AS (SELECT id, t AS r FROM n),
+         $rk
+         SELECT n.id, round(r$iters.r, 8) AS ppr
+         FROM r$iters JOIN n ON r$iters.id = n.id"""
     },
     "g_temporal_reach" -> {
       // Bellman-Ford min-arrival relaxation unrolled one CTE per round —

@@ -70,6 +70,57 @@ object Graph {
     r.select(col("id"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank: random walks restart at the SEED set instead
+    * of everywhere, so rank mass concentrates around the seeds — the
+    * "nodes most related to X" primitive behind item-to-item
+    * recommendation and seed-expansion labeling. Same power-iteration
+    * shape and loop invariants as [[pageRank]]; the only change is the
+    * teleport vector (uniform over seeds, zero elsewhere), materialized
+    * once and carried through every round. Nodes unreachable from the
+    * seeds keep rank 0 — mass is NOT redistributed from dangling nodes
+    * (the [[pageRank]] convention).
+    *
+    * @return (id, rank) — one row per node in `nodes`
+    */
+  def personalizedPageRank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      seeds: DataFrame, seedIdCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val sd = seeds.select(col(seedIdCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val sCount = sd.count().toDouble
+    require(sCount > 0, "seed set is empty")
+    val tele = n.join(sd.withColumn("t", lit(1.0 / sCount)), Seq("id"),
+        "left_outer")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))
+      .localCheckpoint(true)
+    val trans = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint(true)
+    var r = tele.select(col("id"), col("t").as("r"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = trans.join(r, trans("src") === r("id"))
+        .groupBy(trans("dst").as("id"))
+        .agg(sum(col("p") * col("r")).as("c"))
+      r = tele.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations)
+        r = r.localCheckpoint(true)
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph given as a
     * directed edge list (direction and duplicates are erased first).
     *
