@@ -1035,6 +1035,50 @@ object SparkEntry {
   /** C4/Gopher-style composite keep-filter: quality score + duplicate-3-gram
     * bound + minimum length, the canonical pre-training cleanup gate.
     */
+  /** Split-conformal prediction sets for the LR quality classifier — the
+    * distribution-free coverage guarantee (Vovk; Angelopoulos & Bates):
+    * calibrate on the deterministic doc_id%5 split, q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest true-class nonconformity (an EXACT order
+    * statistic — found via [[graft.operators.Scan.prefixSum]] over
+    * value-grouped counts, never a global sort), then each test doc's
+    * prediction set keeps every class whose nonconformity ≤ q̂. Reports
+    * the set-type census and empirical coverage, which the conformal
+    * theorem lower-bounds by 1−α = 0.9 in expectation. Scores are the
+    * rounded LR outputs, so every comparison is over identical doubles
+    * cross-engine.
+    */
+  private def tConformal(s: SparkSession, dir: String): DataFrame = {
+    val scored = tQualityLr(s, dir)
+      .select(col("doc_id"), col("score"), col("label"))
+      .localCheckpoint() // LR trains once; cal + test both read it
+    val cal = scored.filter(col("doc_id") % 5 === 0)
+      .select(when(col("label") === 1.0, lit(1.0) - col("score"))
+        .otherwise(col("score")).as("s"))
+    val grouped = cal.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val nCal = cal.count() // driver scalar: calibration size is metadata
+    val k = math.ceil((nCal + 1) * 0.9).toLong
+    val qh = graft.operators.Scan.prefixSum(grouped, "s", "c", "cum")
+      .filter(col("cum") >= k).agg(min(col("s")).as("qhat"))
+    scored.filter(col("doc_id") % 5 =!= 0)
+      .crossJoin(broadcast(qh))
+      .select(col("label"),
+        ((lit(1.0) - col("score")) <= col("qhat")).as("has1"),
+        (col("score") <= col("qhat")).as("has0"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("has1") && col("has0"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("has1") && !col("has0"), 1L).otherwise(0L)).as("n_only1"),
+        sum(when(col("has0") && !col("has1"), 1L).otherwise(0L)).as("n_only0"),
+        sum(when(!col("has0") && !col("has1"), 1L).otherwise(0L)).as("n_empty"),
+        sum(when((col("label") === 1.0 && col("has1")) ||
+          (col("label") === 0.0 && col("has0")), 1L).otherwise(0L)).as("n_cov"),
+        max(col("qhat")).as("qhat"))
+      .select(lit(nCal).as("n_cal"), round(col("qhat"), 5).as("qhat"),
+        col("n_test"), col("n_both"), col("n_only1"), col("n_only0"),
+        col("n_empty"),
+        round(col("n_cov").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** The heuristic quality gate's signals — ONE definition shared by the
     * filter query and the kappa rater audit (and mirrored by ONE shared
     * oracle CTE block, [[sqlQualityGateCtes]]): a threshold tweak edits
@@ -5976,6 +6020,7 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "t_rater_kappa" -> (tRaterKappa _),
     "g_ppr" -> (gPpr _),
+    "t_conformal" -> (tConformal _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -7592,6 +7637,32 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang""",
     "t_quality_lr" -> sqlQualityLr,
+    "t_conformal" ->
+      s"""WITH scored AS MATERIALIZED ( $sqlQualityLr ),
+         cal AS (SELECT CASE WHEN label = 1.0 THEN 1.0 - score
+                             ELSE score END AS s
+                 FROM scored WHERE doc_id % 5 = 0),
+         nc AS (SELECT count(*)::BIGINT AS ncal FROM cal),
+         kk AS (SELECT ceil((ncal + 1) * 0.9)::BIGINT AS k FROM nc),
+         g AS (SELECT s, count(*)::BIGINT AS c FROM cal GROUP BY 1),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s)::BIGINT AS cum FROM g),
+         qh AS (SELECT min(s) AS qhat FROM cum, kk WHERE cum >= k),
+         test AS (SELECT label,
+             (1.0 - score) <= qhat AS has1, score <= qhat AS has0
+           FROM scored, qh WHERE doc_id % 5 <> 0),
+         agg AS (SELECT count(*)::BIGINT AS n_test,
+             sum(CASE WHEN has1 AND has0 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+             sum(CASE WHEN has1 AND NOT has0 THEN 1 ELSE 0 END)::BIGINT AS n_only1,
+             sum(CASE WHEN has0 AND NOT has1 THEN 1 ELSE 0 END)::BIGINT AS n_only0,
+             sum(CASE WHEN NOT has0 AND NOT has1 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+             sum(CASE WHEN (label = 1.0 AND has1) OR (label = 0.0 AND has0)
+               THEN 1 ELSE 0 END)::BIGINT AS n_cov
+           FROM test)
+         SELECT (SELECT ncal FROM nc) AS n_cal,
+           round((SELECT qhat FROM qh), 5) AS qhat,
+           n_test, n_both, n_only1, n_only0, n_empty,
+           round(n_cov::DOUBLE / n_test::DOUBLE, 6) AS coverage
+         FROM agg""",
     "t_rater_kappa" ->
       s"""WITH scored AS MATERIALIZED ( $sqlQualityLr ),
          $sqlQualityGateCtes,

@@ -150,7 +150,9 @@ class PlanSpec extends SparkTestBase {
       // Mondrian round 1 has ONE cell (cell = literal 0 both sides), so
       // Catalyst constant-folds the key and the 1-row median join is a
       // broadcast scalar — same class; rounds 2+ plan as hash joins
-      "q_mondrian_anon")
+      "q_mondrian_anon",
+      // t_conformal appends the 1-row conformal threshold via crossJoin
+      "t_conformal")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")

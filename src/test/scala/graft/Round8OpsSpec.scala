@@ -424,4 +424,36 @@ class Round8OpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(oneHop === Map(1L -> 0L, 2L -> 1L), oneHop)
   }
+
+  test("new operators tolerate empty and single-row inputs") {
+    val emptyKV = Seq.empty[(Long, Long)].toDF("k", "v")
+    // prefixSum: empty input -> empty output, no offset-collect crash
+    assert(graft.operators.Scan.prefixSum(emptyKV, "k", "v", "cum")
+      .count() === 0L)
+    // prefixSum: one row -> its own value
+    val one = graft.operators.Scan
+      .prefixSum(Seq((5L, 7L)).toDF("k", "v"), "k", "v", "cum")
+      .select("cum").as[Long].collect()
+    assert(one.toSeq === Seq(7L))
+    // slidingDistinct: empty input -> empty output
+    assert(graft.operators.Temporal
+      .slidingDistinct(emptyKV.toDF("u", "p"), "u", "p", 7).count() === 0L)
+    // prefixJaccardPairs: corpus of empty/short texts -> no pairs, no crash
+    val shorts = Seq((1L, ""), (2L, "a"), (3L, "a b")).toDF("id", "text")
+    assert(graft.operators.Dedup
+      .prefixJaccardPairs(shorts, "id", "text", n = 3, threshold = 0.9)
+      .count() === 0L)
+    // temporalEarliestArrival: zero rounds -> just the seeds
+    val z = graft.operators.Graph.temporalEarliestArrival(
+        Seq((1L, 2L, 1L)).toDF("src", "dst", "ts"), "src", "dst", "ts",
+        Seq((9L, 4L)).toDF("id", "t0"), "id", "t0", rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(z === Map(9L -> 4L), z)
+    // mondrianCells: fewer than k rows total -> one unsplit cell
+    val tiny = graft.operators.Safety.mondrianCells(
+        Seq((1.0, 1.0), (2.0, 2.0)).toDF("a", "b"), Seq("a", "b"),
+        k = 50, rounds = 3)
+      .select("n").as[Long].collect()
+    assert(tiny.toSeq === Seq(2L), tiny.toSeq)
+  }
 }
