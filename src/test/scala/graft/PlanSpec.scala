@@ -381,6 +381,22 @@ class PlanSpec extends SparkTestBase {
       "scalar broadcast, not sum() OVER () through one partition")
   }
 
+  test("prefix-sum scan windows are partition-local, never a global sort") {
+    // Scan.prefixSum's running sums must ride Window(partitionBy _scan_pid)
+    // — a Window with an empty partition spec would funnel the whole
+    // distinct-value frame through ONE task, the exact cliff the operator
+    // exists to avoid. q_gini and q_ks_stat both route through it.
+    for (q <- Seq("q_gini", "q_ks_stat")) {
+      val p = planOf(q)
+      val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(winLines.nonEmpty, s"$q lost its scan window")
+      winLines.foreach { l =>
+        assert(l.contains("_scan_pid"),
+          s"$q has a window not keyed by the scan partition id: $l")
+      }
+    }
+  }
+
   test("EXISTS audit plans as a LEFT SEMI hash join with no post-join distinct") {
     val p = planOf("q_semi_join")
     assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))
