@@ -4542,6 +4542,58 @@ object SparkEntry {
           .otherwise(0L).as("spike"))
   }
 
+  /** Lorenz concentration deciles — [[qGini]]'s business-facing companion
+    * ("the top 10% of customers hold X% of revenue"): customers sorted by
+    * revenue, cut into 10 EXACT rank deciles, each reporting its customer
+    * count, revenue share, and the cumulative share up to it. Global
+    * ranks come from the same value-grouped prefix-sum scan as Gini (ties
+    * split deterministically: a tied block's rows fill ranks
+    * cum−n+1 … cum, so decile boundaries inside a block allocate by rank
+    * arithmetic, not by row order) — never a single-partition sort. All
+    * integer cents until the final share divisions.
+    */
+  private def qLorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("v_e2"))
+    val perVal = rev.groupBy(col("v_e2")).agg(count(lit(1)).as("nv"))
+    val cum = graft.operators.Scan.prefixSum(perVal, "v_e2", "nv", "cum_n")
+      .localCheckpoint() // read by the totals agg AND the decile explode
+    val tot = cum.agg(max(col("cum_n")).as("n_tot"),
+      sum(col("v_e2") * col("nv")).as("t_e2"))
+    // ranks cum_n−nv+1 … cum_n belong to this value block; a rank r sits
+    // in decile ((r−1)·10) div n_tot — explode each block into the (≤10)
+    // deciles it spans, allocating its per-rank revenue exactly
+    cum.crossJoin(broadcast(tot))
+      .select(col("v_e2"), col("nv"), col("cum_n"), col("n_tot"), col("t_e2"),
+        explode(sequence(
+          expr("((cum_n - nv) * 10) div n_tot"),
+          expr("((cum_n - 1) * 10) div n_tot"))).as("decile"))
+      // ranks of this block inside this decile: decile d owns global ranks
+      // [⌈d·n/10⌉+1, ⌈(d+1)·n/10⌉] (decile(r) = ((r−1)·10) div n is
+      // nondecreasing, so the overlap with the block is contiguous)
+      .withColumn("lo", greatest(col("cum_n") - col("nv") + 1,
+        expr("(decile * n_tot + 9) div 10 + 1")))
+      .withColumn("hi", least(col("cum_n"),
+        expr("((decile + 1) * n_tot + 9) div 10")))
+      .filter(col("hi") >= col("lo"))
+      .withColumn("k", col("hi") - col("lo") + 1)
+      .groupBy(col("decile"))
+      .agg(sum(col("k")).as("n_customers"),
+        sum(col("k") * col("v_e2")).as("rev_e2"))
+      .withColumn("share",
+        round(col("rev_e2").cast("double") /
+          sum(col("rev_e2")).over(Window.partitionBy()), 6))
+      .withColumn("cum_share",
+        round(sum(col("rev_e2")).over(Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") /
+          sum(col("rev_e2")).over(Window.partitionBy()), 6))
+      .select(col("decile"), col("n_customers"),
+        (col("rev_e2").cast("double") / 100.0).as("revenue"),
+        col("share"), col("cum_share"))
+  }
+
   /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
     * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
     * every term an exact long — integer cents × a power of two — so the
@@ -6021,6 +6073,7 @@ object SparkEntry {
     "t_rater_kappa" -> (tRaterKappa _),
     "g_ppr" -> (gPpr _),
     "t_conformal" -> (tConformal _),
+    "q_lorenz_deciles" -> (qLorenzDeciles _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_psi_drift" -> (qPsiDrift _),
     "t_pmi_phrases" -> (tPmiPhrases _),
@@ -9433,6 +9486,32 @@ object SparkEntry {
     // One oracle form proves both the batch and the streaming EWMA path
     // (the s_cusum_stream precedent).
     "s_ewma_stream" -> sqlEwmaAnomaly,
+    "q_lorenz_deciles" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(round(o_totalprice * 100.0, 0)::BIGINT)::BIGINT AS v_e2
+           FROM orders GROUP BY 1),
+         pv AS (SELECT v_e2, count(*)::BIGINT AS nv FROM rev GROUP BY 1),
+         cum AS (SELECT v_e2, nv,
+                   sum(nv) OVER (ORDER BY v_e2)::BIGINT AS cum_n FROM pv),
+         tot AS (SELECT max(cum_n)::BIGINT AS n_tot FROM cum),
+         ex AS (SELECT v_e2, nv, cum_n, n_tot, d::BIGINT AS decile
+           FROM cum, tot,
+             unnest(range(((cum_n - nv) * 10) // n_tot,
+                          ((cum_n - 1) * 10) // n_tot + 1)) AS t(d)),
+         seg AS (SELECT decile, v_e2,
+             greatest(cum_n - nv + 1, (decile * n_tot + 9) // 10 + 1) AS lo,
+             least(cum_n, ((decile + 1) * n_tot + 9) // 10) AS hi
+           FROM ex),
+         agg AS (SELECT decile, sum(hi - lo + 1)::BIGINT AS n_customers,
+             sum((hi - lo + 1) * v_e2)::BIGINT AS rev_e2
+           FROM seg WHERE hi >= lo GROUP BY 1),
+         tt AS (SELECT sum(rev_e2)::BIGINT AS t FROM agg)
+         SELECT decile, n_customers, rev_e2::DOUBLE / 100.0 AS revenue,
+           round(rev_e2::DOUBLE / t, 6) AS share,
+           round((sum(rev_e2) OVER (ORDER BY decile))::DOUBLE / t, 6)
+             AS cum_share
+         FROM agg, tt""",
     "q_gini" ->
       """WITH rev AS (
            SELECT o_custkey,

@@ -151,8 +151,9 @@ class PlanSpec extends SparkTestBase {
       // Catalyst constant-folds the key and the 1-row median join is a
       // broadcast scalar — same class; rounds 2+ plan as hash joins
       "q_mondrian_anon",
-      // t_conformal appends the 1-row conformal threshold via crossJoin
-      "t_conformal")
+      // t_conformal / q_lorenz_deciles append a 1-row scalar (conformal
+      // threshold / corpus totals) via broadcast crossJoin
+      "t_conformal", "q_lorenz_deciles")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")

@@ -439,4 +439,38 @@ class PropertySpec extends SparkTestBase {
         assert(got == want.toMap, s"got $got want $want")
       }
   }
+
+  test("prefixSum equals the sequential scan for random unique-key frames") {
+    // random (key, value) sets with random partition counts — the scan's
+    // offsets must agree with a driver-side sequential fold every time
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-5000L, 5000L),
+        Gen.chooseNum(-100L, 100L))).map(_.toMap.toSeq), // unique keys
+      Gen.chooseNum(1, 13))
+    samples(gen, 8).foreach { case (rows, parts) =>
+      val got = graft.operators.Scan
+        .prefixSum(rows.toDF("k", "v"), "k", "v", "cum", numPartitions = parts)
+        .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+      val want = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).tail
+      assert(got.map(_._2).toSeq == want,
+        s"parts=$parts rows=${rows.size}: ${got.toSeq} vs $want")
+    }
+  }
+
+  test("slidingDistinct equals brute-force windowed distinct on random activity") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 25L))),
+      Gen.chooseNum(1, 9))
+    samples(gen, 8).foreach { case (rows, w) =>
+      val got = graft.operators.Temporal
+        .slidingDistinct(rows.toDF("u", "p"), "u", "p", w)
+        .as[(Long, Long)].collect().toMap
+      val lo = rows.map(_._2).min; val hi = rows.map(_._2).max + w - 1
+      val want = (lo to hi).map { d =>
+        d -> rows.collect { case (u, ad) if ad <= d && d < ad + w => u }
+          .distinct.size.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"w=$w rows=$rows:\n$got\nvs\n$want")
+    }
+  }
 }
