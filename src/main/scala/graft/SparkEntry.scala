@@ -7118,7 +7118,11 @@ object SparkEntry {
              CASE WHEN len(list_distinct(a.g3 || b.g3)) = 0 THEN 0.0
                   ELSE len(list_intersect(a.g3, b.g3))::DOUBLE /
                        len(list_distinct(a.g3 || b.g3)) END AS jac
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             -- lossless pre-filter: J >= 0.9 forces min >= 0.9*max, so
+             -- the expensive intersect runs only on size-compatible pairs
+             AND least(len(a.g3), len(b.g3)) * 10 >=
+                 greatest(len(a.g3), len(b.g3)) * 9)
          SELECT id_a, id_b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.9"""
     },
     "g_ppr" -> {
