@@ -1057,8 +1057,12 @@ object SparkEntry {
     val grouped = cal.groupBy(col("s")).agg(count(lit(1)).as("c"))
     val nCal = cal.count() // driver scalar: calibration size is metadata
     val k = math.ceil((nCal + 1) * 0.9).toLong
+    // conformal convention: too few calibration points (k > n_cal) means
+    // no finite threshold exists — q̂ = +∞, every class enters every set,
+    // coverage 1 (NOT a NULL that would zero the census)
     val qh = graft.operators.Scan.prefixSum(grouped, "s", "c", "cum")
-      .filter(col("cum") >= k).agg(min(col("s")).as("qhat"))
+      .filter(col("cum") >= k)
+      .agg(coalesce(min(col("s")), lit(Double.PositiveInfinity)).as("qhat"))
     scored.filter(col("doc_id") % 5 =!= 0)
       .crossJoin(broadcast(qh))
       .select(col("label"),
@@ -4559,13 +4563,12 @@ object SparkEntry {
     val perVal = rev.groupBy(col("v_e2")).agg(count(lit(1)).as("nv"))
     val cum = graft.operators.Scan.prefixSum(perVal, "v_e2", "nv", "cum_n")
       .localCheckpoint() // read by the totals agg AND the decile explode
-    val tot = cum.agg(max(col("cum_n")).as("n_tot"),
-      sum(col("v_e2") * col("nv")).as("t_e2"))
+    val tot = cum.agg(max(col("cum_n")).as("n_tot"))
     // ranks cum_n−nv+1 … cum_n belong to this value block; a rank r sits
     // in decile ((r−1)·10) div n_tot — explode each block into the (≤10)
     // deciles it spans, allocating its per-rank revenue exactly
     cum.crossJoin(broadcast(tot))
-      .select(col("v_e2"), col("nv"), col("cum_n"), col("n_tot"), col("t_e2"),
+      .select(col("v_e2"), col("nv"), col("cum_n"), col("n_tot"),
         explode(sequence(
           expr("((cum_n - nv) * 10) div n_tot"),
           expr("((cum_n - 1) * 10) div n_tot"))).as("decile"))
@@ -7703,7 +7706,8 @@ object SparkEntry {
          kk AS (SELECT ceil((ncal + 1) * 0.9)::BIGINT AS k FROM nc),
          g AS (SELECT s, count(*)::BIGINT AS c FROM cal GROUP BY 1),
          cum AS (SELECT s, sum(c) OVER (ORDER BY s)::BIGINT AS cum FROM g),
-         qh AS (SELECT min(s) AS qhat FROM cum, kk WHERE cum >= k),
+         qh AS (SELECT coalesce(min(s), 'infinity'::DOUBLE) AS qhat
+                FROM cum, kk WHERE cum >= k),
          test AS (SELECT label,
              (1.0 - score) <= qhat AS has1, score <= qhat AS has0
            FROM scored, qh WHERE doc_id % 5 <> 0),

@@ -80,6 +80,12 @@ object Graph {
     * seeds keep rank 0 — mass is NOT redistributed from dangling nodes
     * (the [[pageRank]] convention).
     *
+    * NOTE: the power-iteration loop here and in [[pageRank]] are
+    * deliberately parallel copies (pageRank's teleport term is a planning-
+    * time scalar constant whose exact double its oracle replays; folding
+    * it through this column-valued teleport would change that arithmetic)
+    * — a fix to either loop's structure belongs in both.
+    *
     * @return (id, rank) — one row per node in `nodes`
     */
   def personalizedPageRank(nodes: DataFrame, idCol: String,
@@ -90,10 +96,14 @@ object Graph {
     require(iterations >= 0, "iterations must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    // restrict seeds to the node set BEFORE sizing the teleport: a seed id
+    // absent from `nodes` would otherwise keep its 1/|S| share of restart
+    // mass while the join drops it — silently deflating every rank
     val sd = seeds.select(col(seedIdCol).as("id")).distinct()
+      .join(n, Seq("id"), "left_semi")
       .localCheckpoint(true)
     val sCount = sd.count().toDouble
-    require(sCount > 0, "seed set is empty")
+    require(sCount > 0, "seed set is empty or disjoint from the node set")
     val tele = n.join(sd.withColumn("t", lit(1.0 / sCount)), Seq("id"),
         "left_outer")
       .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))

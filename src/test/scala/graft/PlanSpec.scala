@@ -386,8 +386,10 @@ class PlanSpec extends SparkTestBase {
     // Scan.prefixSum's running sums must ride Window(partitionBy _scan_pid)
     // — a Window with an empty partition spec would funnel the whole
     // distinct-value frame through ONE task, the exact cliff the operator
-    // exists to avoid. q_gini and q_ks_stat both route through it.
-    for (q <- Seq("q_gini", "q_ks_stat")) {
+    // exists to avoid. Every consumer whose ONLY windows are the scan's is
+    // pinned (q_lorenz_deciles is exempt: its 10-row decile-share windows
+    // are legitimately global at metadata scale).
+    for (q <- Seq("q_gini", "q_ks_stat", "t_conformal")) {
       val p = planOf(q)
       val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
       assert(winLines.nonEmpty, s"$q lost its scan window")
