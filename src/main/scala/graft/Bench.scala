@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Same overrides as Verify: SPARK_GRAFT_MASTER for multi-process runs
+    // (local-cluster), SPARK_GRAFT_RELIABLE_CKPT for durable loop pins.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
+      builder.config("graft.checkpoint.reliable", "true")
+    }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -14,6 +23,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { d =>
+      spark.sparkContext.setCheckpointDir(d)
+    }
     // Untimed JVM/codegen warmup so per-query numbers measure steady-state
     // plans, not first-query JIT (the first timed query used to absorb
     // ~4s of warmup regardless of which query it was).
@@ -77,7 +89,25 @@ object Bench {
     // second run shrank its `queries` entry.
     val firstPass = results.filter { case (k, _) => retry(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firstPass,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firstPass,"sf":"$sfDir"}"""
+    println(line)
+    // Repo artifact: the driver's tail capture truncates long output, so
+    // cross-round per-query comparison needs the FULL json somewhere
+    // stable. One file per (sf, day), host metadata included so a noisy
+    // run is attributable. regen_scaling.py reads these.
+    try {
+      val sfName = sfDir.replaceAll("/+$", "").split('/').last
+      val day = java.time.LocalDate.now().toString
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
+      java.nio.file.Files.createDirectories(outDir)
+      val host = s""""host":{"master":"$master","cpus":"$cpus","jvm_max_mem_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"available_processors":${Runtime.getRuntime.availableProcessors()},"date":"$day"}"""
+      java.nio.file.Files.writeString(
+        outDir.resolve(s"bench_${sfName}_$day.json"),
+        line.dropRight(1) + "," + host + "}\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
     // A broken query must fail the bench, not silently report a fast time.
     if (failed.nonEmpty) {

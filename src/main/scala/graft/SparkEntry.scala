@@ -1,5 +1,7 @@
 package graft
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -457,7 +459,7 @@ object SparkEntry {
     * sizes join back on the comp key both sides already shuffle on.
     */
   private def dSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val comp = dNeardupComponents(s, dir).localCheckpoint()
+    val comp = dNeardupComponents(s, dir).pinned()
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "comp")
       .select(col("doc_id"), col("comp"), col("cluster_size"),
@@ -954,7 +956,7 @@ object SparkEntry {
       (length(col("text")).cast("double") / size(words)).as("f3"),
       (size(array_distinct(words)).cast("double") / size(words)).as("f4"),
       when(size(words) >= 40, 1.0).otherwise(0.0).as("y"))
-      .localCheckpoint(true) // read by stats + 5 gradient jobs + scoring
+      .pinned(true) // read by stats + 5 gradient jobs + scoring
     val fcols = Seq("f1", "f2", "f3", "f4")
     // standardize (all-positive raw features would saturate the sigmoid
     // before GD can discriminate): one agg job -> 2k driver doubles
@@ -965,7 +967,18 @@ object SparkEntry {
         val sd = st.getDouble(2 * i + 1)
         ((col(c) - lit(st.getDouble(2 * i))) /
           lit(if (sd == 0.0) 1.0 else sd)).as(c) }: _*)
-    val w = graft.operators.Classifier.trainLogistic(feats, fcols, "y",
+    // Bounded training sample (deterministic, oracle-replayable): the 5
+    // gradient passes are the only ∝-corpus loop here, and at 100 TB they
+    // dominate everything downstream of this model (auc, calibration,
+    // conformal, kappa). Train on doc_id % m == 0 with
+    // m = max(1, n_docs / 4000): caps gradient input near 4-8k rows at any
+    // scale while standardization and SCORING stay full-corpus. m == 1
+    // below 8k docs, so small-SF results are bit-identical to full-batch
+    // (the Similarity.boundedTrainingSample precedent).
+    val m = math.max(1L, raw.count() / 4000L)
+    val train = if (m == 1L) feats
+      else feats.filter(col("doc_id") % m === 0).pinned(true)
+    val w = graft.operators.Classifier.trainLogistic(train, fcols, "y",
       iterations = 5, learningRate = 0.5)
     feats.select(col("doc_id"), col("y").as("label"),
       round(graft.operators.Classifier.scoreLogistic(fcols.map(col), w), 5).as("score"),
@@ -1050,7 +1063,7 @@ object SparkEntry {
   private def tConformal(s: SparkSession, dir: String): DataFrame = {
     val scored = tQualityLr(s, dir)
       .select(col("doc_id"), col("score"), col("label"))
-      .localCheckpoint() // LR trains once; cal + test both read it
+      .pinned() // LR trains once; cal + test both read it
     val cal = scored.filter(col("doc_id") % 5 === 0)
       .select(when(col("label") === 1.0, lit(1.0) - col("score"))
         .otherwise(col("score")).as("s"))
@@ -1124,8 +1137,13 @@ object SparkEntry {
         sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"),
         sum(col("a")).as("na"), sum(col("b")).as("nb"))
       .select(col("n"), col("n11"), col("n00"), col("na"), col("nb"),
-        round(((col("n11") + col("n00")).cast("double") /
-          col("n").cast("double") - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        // Degenerate-rater guard: if both raters are constant (pe = 1 —
+        // e.g. both always "keep"), kappa is 0/0-undefined; emit NULL
+        // (mirrored in the oracle CASE) instead of NaN, which Spark and
+        // DuckDB would not hash-agree on.
+        when(pe === 1.0, lit(null).cast("double")).otherwise(
+          round(((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double") - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** EXACT per-language length deciles — corpus QA profiling (the
@@ -1613,7 +1631,7 @@ object SparkEntry {
     // ONE corpus scan: exact counts materialize once (vocabulary-sized),
     // then both the weighted sketch and the candidate set derive from them
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
-      .localCheckpoint()
+      .pinned()
     val sketch = graft.operators.Sketches
       .countMinSketchWeighted(counts, "tok", "exact_n")
     val cand = counts.orderBy(col("exact_n").desc, col("tok")).limit(50)
@@ -1957,7 +1975,7 @@ object SparkEntry {
   private def cTemperatureMix(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-      .localCheckpoint(true) // read by the weight pass + twice in selection
+      .pinned(true) // read by the weight pass + twice in selection
     val tok = col("n_tok")
     val w = graft.operators.Importance.temperatureWeights(docs, "source", tok, 0.5)
     val wTable = s.createDataFrame(w).toDF("source", "w")
@@ -2016,7 +2034,7 @@ object SparkEntry {
     val curated = scrubbed.drop("text")
       .join(Dedup.lineDedup(scrubbed, "doc_id", "text", maxDf = 5)
         .select(col("id").as("doc_id"), col("clean_text").as("text")), "doc_id")
-      .localCheckpoint()
+      .pinned()
     scrubbed.unpersist() // curated is materialized; the scrub tree is done
     // Stage 4: near-dup clusters over the CLEANED text; keep representatives.
     val pairs = Dedup.minhashLshPairs(curated, "doc_id", "text",
@@ -2104,7 +2122,7 @@ object SparkEntry {
       // the verified pair list is tiny (near-dups are rare by definition);
       // materializing it keeps the two embedding fetches from re-running
       // the whole minhash chain once per join side
-      .localCheckpoint()
+      .pinned()
     val emb = t(s, dir, "embeddings")
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
@@ -4467,7 +4485,7 @@ object SparkEntry {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
     val perVal = ev.groupBy(col("val_e2"))
       .agg(sum(col("is_p")).as("n1"), sum(lit(1L) - col("is_p")).as("n2"))
-      .localCheckpoint() // two consumers: the scan and the totals
+      .pinned() // two consumers: the scan and the totals
     val cum = graft.operators.Scan
       .prefixSum(perVal, "val_e2", "n1", "c1", Seq("n2"))
     // totals from the distinct-value frame — never a second row-scale scan
@@ -4562,7 +4580,7 @@ object SparkEntry {
       .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("v_e2"))
     val perVal = rev.groupBy(col("v_e2")).agg(count(lit(1)).as("nv"))
     val cum = graft.operators.Scan.prefixSum(perVal, "v_e2", "nv", "cum_n")
-      .localCheckpoint() // read by the totals agg AND the decile explode
+      .pinned() // read by the totals agg AND the decile explode
     val tot = cum.agg(max(col("cum_n")).as("n_tot"))
     // ranks cum_n−nv+1 … cum_n belong to this value block; a rank r sits
     // in decile ((r−1)·10) div n_tot — explode each block into the (≤10)
@@ -5026,13 +5044,13 @@ object SparkEntry {
     val uni = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds the N total and both term joins
+      .pinned(true) // feeds the N total and both term joins
     val bi = docs
       .select(explode(
         graft.functions.KernelExpressions.wordNgramStrings(col("text"), 2)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 5)
-      .localCheckpoint(true) // feeds the B total and the PMI join
+      .pinned(true) // feeds the B total and the PMI join
     val totals = uni.agg(sum(col("cnt")).as("tot_uni"))
       .crossJoin(
         docs.select(greatest(size(TextAnalysis.tokens(col("text"))) - 1, lit(0))
@@ -5067,7 +5085,7 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(count(when(col("ts") < SplitNs, lit(1))).as("na"),
         count(when(col("ts") >= SplitNs, lit(1))).as("nb"))
-      .localCheckpoint(true) // feeds the scalar totals and the PSI rows
+      .pinned(true) // feeds the scalar totals and the PSI rows
     val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val pa = col("na").cast("double") / col("ta")
     val pb = col("nb").cast("double") / col("tb")
@@ -5090,7 +5108,7 @@ object SparkEntry {
   private def qF2SelfJoin(s: SparkSession, dir: String): DataFrame = {
     val keys = t(s, dir, "lineitem")
       .select(Dedup.shingleHash(col("l_orderkey").cast("string")).as("h"))
-      .localCheckpoint(true) // one key scan feeds the sketch AND exact F2
+      .pinned(true) // one key scan feeds the sketch AND exact F2
     val est = graft.operators.Sketches.amsF2(keys, col("h"))
     val exact = keys.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("exact_f2"))
@@ -5296,7 +5314,7 @@ object SparkEntry {
       .groupBy(col("ngram")).agg(count(lit(1)).as("k11"))
       .withColumn("w1", element_at(split(col("ngram"), " "), 1))
       .withColumn("w2", element_at(split(col("ngram"), " "), 2))
-      .localCheckpoint(true) // feeds marginals, the total, and the scored rows
+      .pinned(true) // feeds marginals, the total, and the scored rows
     val r = bi.groupBy(col("w1")).agg(sum(col("k11")).as("r1"))
     val c = bi.groupBy(col("w2")).agg(sum(col("k11")).as("c1"))
     val tot = bi.agg(sum(col("k11")).as("nn"))
@@ -6369,7 +6387,7 @@ object SparkEntry {
            sum(r*f3) AS g3, sum(r*f4) AS g4
          FROM (SELECT (1.0/(1.0+exp(-($prev.wb + f1*$prev.w1 + f2*$prev.w2
              + f3*$prev.w3 + f4*$prev.w4))) - y) AS r, f1, f2, f3, f4
-           FROM f, $prev)),
+           FROM tr, $prev)),
        it$k AS (SELECT $prev.wb - 0.5*gr$k.gb/(SELECT n FROM nn) AS wb,
            $prev.w1 - 0.5*gr$k.g1/(SELECT n FROM nn) AS w1,
            $prev.w2 - 0.5*gr$k.g2/(SELECT n FROM nn) AS w2,
@@ -6397,7 +6415,10 @@ object SparkEntry {
          SELECT doc_id, (f1 - m1)/s1 AS f1, (f2 - m2)/s2 AS f2,
            (f3 - m3)/s3 AS f3, (f4 - m4)/s4 AS f4, y
          FROM raw, st),
-       nn AS (SELECT count(*)::DOUBLE AS n FROM f),
+       mm AS (SELECT greatest(1, count(*)::BIGINT // 4000) AS m FROM raw),
+       tr AS MATERIALIZED (
+         SELECT f.* FROM f WHERE doc_id % (SELECT m FROM mm) = 0),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM tr),
        it0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
          0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
        $iters
@@ -7735,13 +7756,15 @@ object SparkEntry {
          c AS (SELECT count(*)::BIGINT AS n, sum(a * b)::BIGINT AS n11,
              sum((1 - a) * (1 - b))::BIGINT AS n00,
              sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
-           FROM lab)
+           FROM lab),
+         p AS (SELECT *,
+             (na * nb + (n - na) * (n - nb))::DOUBLE / (n * n)::DOUBLE AS pe
+           FROM c)
          SELECT n, n11, n00, na, nb,
-           round(((n11 + n00)::DOUBLE / n::DOUBLE
-               - (na * nb + (n - na) * (n - nb))::DOUBLE / (n * n)::DOUBLE)
-             / (1.0 - (na * nb + (n - na) * (n - nb))::DOUBLE / (n * n)::DOUBLE),
-             6) AS kappa
-         FROM c""",
+           CASE WHEN pe = 1.0 THEN NULL
+             ELSE round(((n11 + n00)::DOUBLE / n::DOUBLE - pe) / (1.0 - pe), 6)
+           END AS kappa
+         FROM p""",
     "t_lr_auc" ->
       s"""WITH g AS (
            SELECT score, count(*)::DOUBLE AS n_eq, sum(label)::DOUBLE AS n_pos_eq

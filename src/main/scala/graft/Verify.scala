@@ -7,9 +7,24 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Master override for multi-process runs — e.g.
+    // SPARK_GRAFT_MASTER='local-cluster[4,4,6144]' exercises real
+    // executors, real exchanges, real serialization (SCALING.md §cluster).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    // local-cluster workers spawn executor JVMs that don't inherit the
+    // sbt/driver classpath; hand it over explicitly.
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    // Route iterative-operator loop pins to reliable checkpoints
+    // (graft.util.Checkpoints): the cluster-safe mode where an executor
+    // loss recomputes from the checkpoint file instead of failing the job.
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
+      builder.config("graft.checkpoint.reliable", "true")
+    }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -20,6 +35,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { d =>
+      spark.sparkContext.setCheckpointDir(d)
+    }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for targeted local parity runs
     // (absent → the full registry, which is what the driver dumps).

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -101,7 +103,7 @@ object Dedup {
     val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
     unseen.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+      .pinned()
   }
 
   /** Append the survivors' digests to the log (second half of
@@ -913,7 +915,7 @@ object Dedup {
       pairs: DataFrame, localEdgeLimit: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .pinned()
     // LongType only: the collect below reads getLong, and widening an
     // IntegerType id here would change the output comp type between the
     // two paths — int-keyed graphs take the distributed iteration
@@ -933,7 +935,7 @@ object Dedup {
     // majority of a deduped corpus — never enter the iteration.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+      .pinned()
     var materialized = labels
     var changed = 1L
     while (changed > 0) {
@@ -958,7 +960,7 @@ object Dedup {
         .select(agg("id"),
           least(col("comp"), coalesce(col("__jcomp"), col("comp"))).as("comp"),
           col("old"))
-      val next = jumped.localCheckpoint()
+      val next = jumped.pinned()
       changed = next.filter(col("comp") < col("old")).count()
       materialized.unpersist()
       materialized = next

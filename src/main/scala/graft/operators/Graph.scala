@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -43,7 +45,7 @@ object Graph {
     // iteration's plan re-derives the node set and the normalized
     // transition table from source (ReuseExchange may or may not
     // collapse the copies; at 5+ rounds the rebuild dominates)
-    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     // driver-side scalar: node count is metadata (like the centroid
     // collects in Similarity), not row data
     val nCount = n.count().toDouble
@@ -52,7 +54,7 @@ object Graph {
         col(wCol).cast("double").as("w"))
       .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("p"))
-      .localCheckpoint(true)
+      .pinned(true)
     var r = n.select(col("id"), lit(1.0 / nCount).as("r"))
     var i = 0
     while (i < iterations) {
@@ -65,7 +67,7 @@ object Graph {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
       i += 1
       if (i % checkpointEvery == 0 && i < iterations)
-        r = r.localCheckpoint(true)
+        r = r.pinned(true)
     }
     r.select(col("id"), col("r").as("rank"))
   }
@@ -95,25 +97,25 @@ object Graph {
       checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     // restrict seeds to the node set BEFORE sizing the teleport: a seed id
     // absent from `nodes` would otherwise keep its 1/|S| share of restart
     // mass while the join drops it — silently deflating every rank
     val sd = seeds.select(col(seedIdCol).as("id")).distinct()
       .join(n, Seq("id"), "left_semi")
-      .localCheckpoint(true)
+      .pinned(true)
     val sCount = sd.count().toDouble
     require(sCount > 0, "seed set is empty or disjoint from the node set")
     val tele = n.join(sd.withColumn("t", lit(1.0 / sCount)), Seq("id"),
         "left_outer")
       .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))
-      .localCheckpoint(true)
+      .pinned(true)
     val trans = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
       .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("p"))
-      .localCheckpoint(true)
+      .pinned(true)
     var r = tele.select(col("id"), col("t").as("r"))
     var i = 0
     while (i < iterations) {
@@ -126,7 +128,7 @@ object Graph {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
       i += 1
       if (i % checkpointEvery == 0 && i < iterations)
-        r = r.localCheckpoint(true)
+        r = r.pinned(true)
     }
     r.select(col("id"), col("r").as("rank"))
   }
@@ -153,7 +155,7 @@ object Graph {
     // lookup all consume it (tree-shaped reuse would re-dedup per consumer)
     val und = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .pinned(true)
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient each edge toward the higher (deg, id) endpoint
@@ -165,7 +167,7 @@ object Graph {
         struct(col("a").as("lo"), col("b").as("hi")))
         .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .localCheckpoint(true) // self-joined below — two consumers
+      .pinned(true) // self-joined below — two consumers
     // wedges at the lowest apex; y < z by id, so the closing edge can be
     // looked up in the CANONICAL (a < b) list with a plain two-column
     // equi-join — an OR over the oriented list would plan as a nested loop
@@ -199,7 +201,7 @@ object Graph {
       symmetric: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
     // `symmetric = true`: the caller guarantees every edge already appears
@@ -215,7 +217,7 @@ object Graph {
        else und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint(true)
+      .pinned(true)
     var lab = n.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < rounds) {
@@ -241,12 +243,12 @@ object Graph {
         .select(col("id"), coalesce(col("newLabel"), col("id")).as("label"))
       i += 1
       if (i % checkpointEvery == 0 && i < rounds)
-        lab = lab.localCheckpoint(true)
+        lab = lab.pinned(true)
     }
     // the RESULT is checkpointed too (V rows — cheap): callers compose it
     // into further joins/aggregations, and without this every downstream
     // reference replays the whole round chain
-    if (rounds > 0) lab.localCheckpoint(true) else lab
+    if (rounds > 0) lab.pinned(true) else lab
   }
 
   /** Minimum hop count from a set of source nodes by frontier BFS.
@@ -266,7 +268,7 @@ object Graph {
     // the edge list is the loop invariant — materialize once (see
     // pageRank) instead of re-deriving it for every frontier expansion
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint(true)
+      .pinned(true)
     var settled = sources.select(col(sourceIdCol).as("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = settled
@@ -277,7 +279,7 @@ object Graph {
         .select(e("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
-      settled = settled.union(next).localCheckpoint(true)
+      settled = settled.union(next).pinned(true)
       // re-derive the frontier from the checkpointed set so BOTH loop
       // variables have flat lineage; an empty frontier ends the walk —
       // graphs of diameter d pay d rounds, not maxHops (the emptiness
@@ -313,7 +315,7 @@ object Graph {
     require(rounds >= 0, "rounds must be non-negative")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(tsCol).cast("long").as("ts")).distinct()
-      .localCheckpoint(true)
+      .pinned(true)
     var arr = sources.select(col(idCol).as("id"),
         col(t0Col).cast("long").as("arrival"))
       .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
@@ -323,7 +325,7 @@ object Graph {
         .select(e("dst").as("id"), e("ts").as("arrival"))
       arr = arr.unionByName(relax)
         .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
-        .localCheckpoint(true)
+        .pinned(true)
       r += 1
     }
     arr
@@ -358,7 +360,7 @@ object Graph {
     val adj = edges.select(a.as("id"), b.as("nb"))
       .union(edges.select(b.as("id"), a.as("nb")))
       .where(col("id") =!= col("nb")).distinct()
-      .localCheckpoint(true) // feeds degrees, candidates, and the cap
+      .pinned(true) // feeds degrees, candidates, and the cap
     val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // skew guard: hub NEIGHBORS above the cap leave candidate generation
     val hubs = deg.where(col("deg") > maxDegree)
@@ -396,7 +398,7 @@ object Graph {
       k: Int, rounds: Int, checkpointEvery: Int = 5,
       symmetric: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
-    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
     // `symmetric = true`: caller guarantees the edge list already carries
@@ -407,7 +409,7 @@ object Graph {
       else und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint(true)
+      .pinned(true)
     var alive = n
     var removed = n.limit(0).select(col("id"), lit(0L).as("removed_round"))
     var r = 1
@@ -424,8 +426,8 @@ object Graph {
       removed = removed.unionByName(doomed)
       alive = alive.join(doomed.select(col("id")), Seq("id"), "left_anti")
       if (r % checkpointEvery == 0 && r < rounds) {
-        alive = alive.localCheckpoint(true)
-        removed = removed.localCheckpoint(true)
+        alive = alive.pinned(true)
+        removed = removed.pinned(true)
       }
       r += 1
     }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -148,12 +150,12 @@ object Marketing {
       col(idCol).as("eid"), col(typeCol).as("ch"))
     val w = Window.partitionBy(col("u")).orderBy(col("t"), col("eid"))
     val pos = base.withColumn("pos", row_number().over(w))
-      .localCheckpoint(true) // feeds first-purchase, journeys, and starts
+      .pinned(true) // feeds first-purchase, journeys, and starts
     val fp = pos.filter(col("ch") === convType)
       .groupBy(col("u")).agg(min(col("pos")).as("fp"))
     val journey = pos.join(fp, Seq("u"), "left")
       .filter(col("fp").isNull || col("pos") < col("fp"))
-      .localCheckpoint(true) // two window passes below share one build
+      .pinned(true) // two window passes below share one build
     val wj = Window.partitionBy(col("u")).orderBy(col("pos"))
     val tr = journey
       .withColumn("dst", coalesce(lead(col("ch"), 1).over(wj),

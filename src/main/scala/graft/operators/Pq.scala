@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -194,7 +196,7 @@ object Pq {
     val subs = corpus.select(explode(array((0 until numSub).map(m =>
         struct(lit(m).as("m"), sub(col(vecCol), m, dsub).as("sub"))): _*)).as("s"))
       .select(col("s.m").as("m"), col("s.sub").as("sub"))
-      .localCheckpoint(true)
+      .pinned(true)
     var books: Seq[Seq[Seq[Double]]] =
       Seq.fill(numSub)(VectorOps.rademacherPlanes(ksub, dsub))
     for (_ <- 0 until iters) {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -39,7 +41,7 @@ object Retrieval {
       explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
         .as("term"))
       .groupBy(col("id"), col("grp"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pinned(true)
     val nDocs = docs.filter(trim(col(textCol)) =!= "")
       .agg(count(lit(1)).as("n_docs"))
     val tf = perDoc.groupBy(col("grp"), col("term")).agg(sum(col("c")).as("tf"))
@@ -82,7 +84,7 @@ object Retrieval {
       explode(graft.functions.KernelExpressions.wordNgramStrings(col(textCol), 1))
         .as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pinned(true)
     val hits = perDoc.filter(col("term").isin(queryTerms: _*))
     val dl = perDoc.groupBy(col("id")).agg(sum(col("c")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
@@ -176,8 +178,8 @@ object Retrieval {
     val outw = edges.groupBy(col("u")).agg(sum(col("w")).as("ow"))
     val p = edges.join(outw, "u")
       .select(col("u"), col("v"), expr("w * 1000000L div ow").as("p_e6"))
-      .localCheckpoint(true) // the loop invariant: every round joins it
-    val nodes = p.select(col("u")).distinct().localCheckpoint(true)
+      .pinned(true) // the loop invariant: every round joins it
+    val nodes = p.select(col("u")).distinct().pinned(true)
     val n = nodes.count()
     require(n > 0, "textRank needs a non-empty co-occurrence graph")
     val teleport = 150000000L / n
@@ -188,7 +190,7 @@ object Retrieval {
         .agg(sum(expr("p_e6 * r")).as("s"))
         .select(col("v").as("node"),
           (lit(teleport) + expr("85L * (s div 1000000L) div 100")).as("r"))
-        .localCheckpoint(true) // vocab-bounded; cuts the 10-round lineage
+        .pinned(true) // vocab-bounded; cuts the 10-round lineage
     r.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("r").desc, col("node")))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `keyCol` must be unique per row (aggregate to one row per
   * key first — that is also what keeps the scan's input at distinct-key
-  * scale rather than raw-row scale).
+  * scale rather than raw-row scale), and every value column must be
+  * LongType — the scan is exact-integer so the result cannot depend on
+  * where partition boundaries land (scale doubles to cents/fixed-point
+  * first). Both are checked up front with actionable errors.
   */
 object Scan {
 
@@ -39,13 +44,26 @@ object Scan {
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val vals = valCol +: moreVals
+    // The scan is exact-integer by contract: pass 1 collects per-partition
+    // totals as Long (`getAs[Long]`), so a double/decimal value column
+    // would fail later with an opaque ClassCastException at collect time.
+    // Fail HERE with the fix spelled out instead.
+    val badTypes = vals.filterNot(v =>
+      df.schema(v).dataType == org.apache.spark.sql.types.LongType)
+    require(badTypes.isEmpty,
+      "prefixSum requires LongType value columns (exact integer " +
+        "arithmetic — totals are summed and re-added across partitions, " +
+        "so float rounding would depend on partition boundaries); got: " +
+        badTypes.map(v => s"$v: ${df.schema(v).dataType.simpleString}")
+          .mkString(", ") +
+        ". Scale to integer units first (e.g. cents, 1e4-fixed-point).")
     // localCheckpoint pins ONE materialized range partitioning: the range
     // sampler re-draws boundaries per execution, so without it pass 1's
     // collected offsets and pass 2's final plan could see DIFFERENT
     // partition assignments and the offsets would misalign.
     val ranged = df.repartitionByRange(n, col(keyCol))
       .withColumn("_scan_pid", spark_partition_id())
-      .localCheckpoint()
+      .pinned()
     // Pass 1: per-partition totals — ≤ n rows reach the driver.
     val totals = ranged.groupBy(col("_scan_pid"))
       .agg(vals.map(v => sum(col(v)).as(v)).head,
@@ -67,16 +85,24 @@ object Scan {
         vals.map(v => org.apache.spark.sql.types.StructField(s"_off_$v",
           org.apache.spark.sql.types.LongType, nullable = false))))
     // Pass 2: partition-local running sum + the broadcast offset. The
-    // join is INNER on purpose — every non-empty partition has exactly
-    // one offsets row, so a missing offset is a logic error that must
-    // surface as dropped rows (loud), not be masked as a 0 offset.
+    // join is LEFT so a missing offsets row cannot silently DROP the
+    // partition's rows; the offset expression itself raises on the null
+    // (every non-empty partition has exactly one offsets row, so a null
+    // means the pinned-partitioning invariant broke — e.g. the pin above
+    // was removed and the range sampler re-drew boundaries).
     val w = Window.partitionBy(col("_scan_pid")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val named = (v: String) => if (v == valCol) cumCol else s"cum_$v"
     val withCum = vals.foldLeft(
-        ranged.join(broadcast(offDf), col("_scan_pid") === col("_scan_pid_o"))) {
+        ranged.join(broadcast(offDf),
+          col("_scan_pid") === col("_scan_pid_o"), "left")) {
       (acc, v) => acc.withColumn(named(v),
-        sum(col(v)).over(w) + col(s"_off_$v"))
+        sum(col(v)).over(w) + when(col(s"_off_$v").isNotNull, col(s"_off_$v"))
+          .otherwise(raise_error(concat(
+            lit("prefixSum offset misalignment: partition "),
+            col("_scan_pid").cast("string"),
+            lit(" has rows but no collected offset — the pinned range " +
+              "partitioning invariant is broken")))))
     }
     withCum.drop("_scan_pid", "_scan_pid_o").drop(vals.map(v => s"_off_$v"): _*)
   }

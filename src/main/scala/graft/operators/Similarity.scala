@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -214,7 +216,7 @@ object Similarity {
         df.sample(withReplacement = false,
           math.min(1.0, maxRows.toDouble * 1.1 / total), seed).limit(n)
       }
-    sampled.localCheckpoint(true)
+    sampled.pinned(true)
   }
 
   /** [[trainCentroids]] behind an EXECUTABLE sample-first contract: the

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -156,7 +158,7 @@ object Sketches {
     val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
     val d = df.select(col(groupCol).cast("string").as("scope"), mixed.as("__h"))
       .filter(col("__h").isNotNull).distinct()
-      .localCheckpoint(true) // feeds per-group sketches AND the global exact
+      .pinned(true) // feeds per-group sketches AND the global exact
     def estimate(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
       .agg(count(lit(1)).as("exact_distinct"),
         graft.functions.TopKAggregate.topKByScore(
@@ -204,7 +206,7 @@ object Sketches {
     val mixed = pmod(lit(ca) * hashCol + lit(cb), lit(Dedup.MinhashP))
     val d = df.select(col(groupCol).cast("string").as("g"), mixed.as("__h"))
       .filter(col("__h").isNotNull).distinct()
-      .localCheckpoint(true) // feeds sketches, sizes, and the exact join
+      .pinned(true) // feeds sketches, sizes, and the exact join
     val sk = d.groupBy(col("g"))
       .agg(graft.functions.TopKAggregate.topKByScore(
         col("__h").cast("double") * -1, col("__h"), k).as("__mins"))
@@ -335,11 +337,11 @@ object Sketches {
     require(p >= 7 && p <= 16, s"p in [7,16], got $p")
     val d = df.select(col(groupCol).cast("string").as("scope"), hashCol.as("__h"))
       .filter(col("__h").isNotNull).distinct()
-      .localCheckpoint(true) // feeds registers AND both exact counts
+      .pinned(true) // feeds registers AND both exact counts
     val regs = d.select(col("scope"), hllRegister(col("__h"), p).as("__reg"),
         hllRank(col("__h")).as("__rho"))
       .groupBy(col("scope"), col("__reg")).agg(max(col("__rho")).as("rho"))
-      .localCheckpoint(true) // feeds per-scope AND the '__all__' merge
+      .pinned(true) // feeds per-scope AND the '__all__' merge
     val perScope = hllEstimate(regs, Seq("scope"), p)
       .join(d.groupBy(col("scope")).agg(count(lit(1)).as("exact_distinct")),
         Seq("scope"))

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.util.Checkpoints._
+
 import graft.error.{ErrorHandler, ErrorNotifier, LogNotifier}
 import graft.io.UploadedLog
 import graft.model._
@@ -321,7 +323,7 @@ object Pipeline {
       // read instead, and the `_uploaded` anti-join keeps a retried RUN
       // idempotent). At cluster scale a durable checkpoint/table takes this
       // role.
-      spark.createDataset(outcomes).toDF().localCheckpoint()
+      spark.createDataset(outcomes).toDF().pinned()
 
     if (!branch.needsIteration) {
       checkpointed(rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -343,7 +345,7 @@ object Pipeline {
       val synthetic = errs.headOption.toSeq.map(msg =>
         RowOutcome(execKey, Map.empty, success = false,
           Some(s"Error uploading data: $msg")))
-      spark.createDataset(synthetic).toDF().localCheckpoint()
+      spark.createDataset(synthetic).toDF().pinned()
     } else {
       // Iteration-1 requests carry SIDE EFFECTS later batches depend on
       // (REPLACE remove_all, job create, data-import erase) — with all
@@ -363,7 +365,7 @@ object Pipeline {
           else sendBatch(rows, offset + localIdx + 1)
         }
       })
-      phaseA.unionByName(phaseB).localCheckpoint()
+      phaseA.unionByName(phaseB).pinned()
     }
   }
 

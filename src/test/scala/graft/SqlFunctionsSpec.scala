@@ -138,6 +138,60 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(out.getLong(1) == (1L << 60) - 1)
     assert(out.getLong(2) == -1L)
   }
+  test("EVERY registered graft_* function executes through spark.sql (drift sweep)") {
+    // Auto-enumerated from the registration list: registering a new SQL
+    // function without adding a literal-args vector here FAILS this test,
+    // and an arity/signature drift in GraftExtensions fails the execution
+    // below — the front door can't drift silently either way.
+    val hex61 = (0 until 61).map(i => f"$i%02x").mkString
+    val png = "89504E470D0A1A0A0000000D494844520000000300000002"
+    val jpeg = "FFD8" + "FFC0" + "0011" + "08" + "0002" + "0003" + "03" // SOI+SOF0 h=2 w=3
+    val wav = "52494646" + "24000000" + "57415645" + // RIFF size WAVE
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" + // fmt, pcm, 2ch, 44100
+      "10B10200" + "0400" + "1000" // byterate, align, 16 bits
+    val mp4 = "000000106674797069736F6D00000000" + "000000246D6F6F76" +
+      "0000001C6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00000007"
+    val argsFor = Map(
+      "graft_cosine" -> "array(1.0D, 2.0D), array(2.0D, 1.0D)",
+      "graft_int8_quantize" -> "array(0.5D, -1.0D)",
+      "graft_vec_dot" -> "array(1.0D, 2.0D), array(3.0D, 4.0D)",
+      "graft_dhash60" -> s"unhex('$hex61')",
+      "graft_jaro_winkler" -> "'martha', 'marhta'",
+      "graft_dot_long" -> "array(2L, 3L), array(4L, 5L)",
+      "graft_minhash_sig" -> "'the quick brown fox jumps', 5, 16",
+      "graft_simhash" -> "'the quick brown fox'",
+      "graft_char_shingles" -> "'abcdefgh', 5",
+      "graft_word_shingles" -> "'a b c d e', 3",
+      "graft_char_ngram_hashes" -> "'abcdef', 3",
+      "graft_sorted_intersect" -> "array(1L, 2L, 5L), array(2L, 3L, 5L)",
+      "graft_quality_stats" -> "'the quick brown fox.'",
+      "graft_ngram_stats" -> "'a b a b a', 2",
+      "graft_bpe_count" -> "'the quick brown fox'",
+      "graft_image_dims" -> s"unhex('$png')",
+      "graft_jpeg_dims" -> s"unhex('$jpeg')",
+      "graft_wav_format" -> s"unhex('$wav')",
+      "graft_mp4_meta" -> s"unhex('$mp4')",
+      "graft_zvalue" -> "3, 1, 6",
+      "graft_winnow" -> "'the quick brown fox jumps over the lazy dog', 8, 4",
+      "graft_topk" -> "1.5D, 7L, 3",
+      "graft_srp_buckets" -> "array(1.0D, 0.0D), 2, 4, 2")
+    val registered = GraftFunctions.all.map(_._1.funcName)
+    val missing = registered.filterNot(argsFor.contains)
+    assert(missing.isEmpty,
+      s"no sweep vector for: ${missing.mkString(", ")} — add literal args " +
+        "to SqlFunctionsSpec's drift sweep when registering a SQL function")
+    for (name <- registered) {
+      // executes and returns a value on a well-formed vector...
+      val row = spark.sql(s"SELECT $name(${argsFor(name)}) AS r").head()
+      assert(!row.isNullAt(0), s"$name returned NULL on its sweep vector")
+      // ...and the arity contract is enforced (zero args is never valid)
+      val e = intercept[Exception](spark.sql(s"SELECT $name()").collect())
+      assert(e.getMessage.contains("argument"),
+        s"$name arity error lost its actionable message: ${e.getMessage.take(200)}")
+    }
+  }
+
   test("tokenCount pins the empty-filtered whitespace definition on adversarial text") {
     // The oracle-side canonical form is
     //   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
