@@ -4849,6 +4849,72 @@ object SparkEntry {
       "user_id", "t_us", "event_id", "event_type",
       Seq("view", "click"), "purchase")
 
+  /** Time-decay multi-touch attribution
+    * ([[graft.operators.Marketing.attributeTimeDecay]]): recency-weighted
+    * credit with a 7-day half-life — dyadic 0.5^k weights so channel
+    * totals are bit-deterministic in any summation order.
+    */
+  private def qTimeDecayAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.attributeTimeDecay(
+      t(s, dir, "events").select(col("user_id"), tsUs.as("t_us"),
+        col("event_id"), col("event_type")),
+      "user_id", "t_us", "event_id", "event_type",
+      Seq("view", "click"), "purchase",
+      halfLifeUs = 7L * 86400L * 1000000L)
+
+  /** Sample-ratio-mismatch audit — the first gate every experimentation
+    * pipeline runs before reading an A/B result: arms assigned
+    * deterministically off user_id (one healthy 50/50 split, one planted
+    * 40/60 bug), chi-square against the expected even split, flag over
+    * the 3.841 critical value (α = 0.05, df = 1). All-integer counts; the
+    * statistic is a single division (no double summation anywhere), so
+    * the flag is bit-deterministic cross-engine. One distinct + one
+    * explode + one aggregation — no shuffle wider than the user dedup.
+    */
+  private def qAbSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").select(col("user_id")).distinct()
+    val assigned = users.select(explode(array(
+      struct(lit("exp_even").as("experiment"),
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("arm")),
+      struct(lit("exp_skewed").as("experiment"),
+        when(pmod(col("user_id"), lit(10)) < 4, "A").otherwise("B").as("arm"))))
+      .as("e")).select(col("e.experiment").as("experiment"), col("e.arm").as("arm"))
+    assigned.groupBy(col("experiment"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("experiment"), col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")), 6).as("chi2"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")) > 3.841459).as("srm"))
+  }
+
+  /** Winsorized group means — the robust-stats complement to
+    * `q_mad_outliers`: per order priority, clamp totals into the
+    * [p05, p95] nearest-rank band before averaging (the standard
+    * heavy-tail guard for revenue KPIs). Rank bounds are exact integers
+    * (ceil via (5n+99) div 100) over a per-group window sort; the bounds
+    * come back through a broadcast join (≤|groups| rows), so the only
+    * data-scale shuffle is the group partition itself.
+    */
+  private def qWinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+      col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val bounds = ranked.groupBy(col("grp")).agg(
+      max(when(col("rn") === expr("(5 * n_g + 99) div 100"), col("v"))).as("lo"),
+      max(when(col("rn") === expr("(95 * n_g + 99) div 100"), col("v"))).as("hi"))
+    ranked.join(broadcast(bounds), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 4).as("raw_mean"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("v")))), 4)
+          .as("winsor_mean"))
+  }
+
   /** RFM quintile segmentation of the order history
     * ([[graft.operators.Marketing.rfmSegments]]).
     */
@@ -6153,6 +6219,9 @@ object SparkEntry {
     "q_trend_fit" -> (qTrendFit _),
     "q_array_hof" -> (qArrayHof _),
     "q_attribution" -> (qAttribution _),
+    "q_time_decay_attribution" -> (qTimeDecayAttribution _),
+    "q_ab_srm_check" -> (qAbSrmCheck _),
+    "q_winsorized_mean" -> (qWinsorizedMean _),
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
@@ -10223,6 +10292,51 @@ object SparkEntry {
              WHEN pos = 1 OR pos = n THEN 0.4::DOUBLE
              ELSE 0.2::DOUBLE / (n - 2) END), 4) AS credit
          FROM rk GROUP BY 1""",
+    "q_time_decay_attribution" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+             event_type AS ch,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         wc AS (SELECT *, min(CASE WHEN side = 0 THEN t END) OVER
+             (PARTITION BY u ORDER BY t DESC, side DESC, eid DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_t
+           FROM e),
+         tk AS (SELECT ch,
+             least((conv_t - t) // 604800000000, 40)::BIGINT AS k
+           FROM wc WHERE side = 1 AND conv_t IS NOT NULL)
+         SELECT ch AS channel, count(*) AS n_touches,
+           round(sum(1.0::DOUBLE / (1::BIGINT << k)), 4) AS credit
+         FROM tk GROUP BY 1""",
+    "q_ab_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         a AS (
+           SELECT 'exp_even' AS experiment,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM u
+           UNION ALL
+           SELECT 'exp_skewed' AS experiment,
+             CASE WHEN user_id % 10 < 4 THEN 'A' ELSE 'B' END AS arm FROM u),
+         c AS (SELECT experiment,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b
+           FROM a GROUP BY 1)
+         SELECT experiment, n_a, n_b,
+           round(((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b), 6) AS chi2,
+           ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b) > 3.841459 AS srm
+         FROM c""",
+    "q_winsorized_mean" ->
+      """WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n_g
+           FROM orders),
+         b AS (SELECT grp,
+             max(CASE WHEN rn = (5 * n_g + 99) // 100 THEN v END) AS lo,
+             max(CASE WHEN rn = (95 * n_g + 99) // 100 THEN v END) AS hi
+           FROM r GROUP BY 1)
+         SELECT r.grp AS grp, count(*) AS n, round(avg(v), 4) AS raw_mean,
+           round(avg(greatest(lo, least(hi, v))), 4) AS winsor_mean
+         FROM r JOIN b ON r.grp = b.grp
+         GROUP BY 1""",
     "q_rfm_segments" ->
       """WITH pc AS (SELECT o_custkey AS cust, max(o_orderdate::DATE) AS last_day,
              count(*) AS freq, round(sum(o_totalprice), 2) AS monetary

@@ -75,6 +75,59 @@ object Marketing {
         round(sum(col("credit")), 4).as("credit"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the recency-weighted
+    * complement to [[attributeU]]'s position weights: a touch `Δ` before
+    * its conversion earns `0.5^floor(Δ / halfLife)` credit (piecewise-
+    * constant exponential decay with integer exponents, capped at
+    * 2^-`maxK`).
+    *
+    * Why integer exponents: `0.5^k` for integer k is a dyadic rational —
+    * EXACTLY representable in a double, and sums of (bounded-count,
+    * ≥2^-maxK) dyadic terms are exact in ANY summation order. A
+    * continuous `exp(-λΔ)` would hash-diverge across engines at the last
+    * ulp and make the channel totals order-dependent; this variant is
+    * bit-deterministic end to end, the same trade
+    * [[graft.SparkEntry]]'s exact-integer scan family makes.
+    *
+    * Plan shape: identical to [[attributeU]] — same conversion-ownership
+    * window walk, one extra pure-column weight expression, two shuffles.
+    *
+    * @param halfLifeUs  decay half-life in the timestamp column's units
+    * @return (channel, n_touches, credit) — credit rounded 1e-4
+    */
+  def attributeTimeDecay(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      halfLifeUs: Long, maxK: Int = 40): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    require(maxK > 0 && maxK < 62, "maxK must be in (0, 62)")
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(idCol).as("eid"), col(typeCol).as("ch"))
+    val tagged = base
+      .filter(col("ch").isin(touchTypes: _*) || col("ch") === convType)
+      .withColumn("side", when(col("ch") === convType, 0).otherwise(1))
+    val wDesc = Window.partitionBy(col("u"))
+      .orderBy(col("t").desc, col("side").desc, col("eid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withConv = tagged
+      .withColumn("conv_t",
+        min(when(col("side") === 0, col("t"))).over(wDesc))
+      .filter(col("side") === 1 && col("conv_t").isNotNull)
+    // exact integer exponent: subtract the remainder BEFORE dividing so
+    // the double division is exactly divisible (floor(long/long) would
+    // round through an inexact double quotient)
+    val delta = col("conv_t") - col("t")
+    val k = least((delta - pmod(delta, lit(halfLifeUs))) / lit(halfLifeUs),
+      lit(maxK.toDouble)).cast("int")
+    // column-valued shift via SQL (the Scala shiftleft wrapper only takes
+    // a literal bit count); 1L << k is the exact dyadic denominator
+    val credit = lit(1.0) / expr("shiftleft(1L, __decay_k)").cast("double")
+    withConv.withColumn("__decay_k", k)
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(credit), 4).as("credit"))
+  }
+
   /** RFM segmentation: per-customer Recency (most recent order day),
     * Frequency (order count), Monetary (total spend), each scored into
     * quintiles, rolled up to segment cells.
