@@ -1,15 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Memory-sink stream tables register as temp views and hold EVERY
+    * drained row on the driver — at sf10 two undropped drains exhaust a
+    * 24g heap before the retry pass. Queries re-create what they need.
+    */
+  private def dropTempViews(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Same overrides as Verify: SPARK_GRAFT_MASTER for multi-process runs
     // (local-cluster), SPARK_GRAFT_RELIABLE_CKPT for durable loop pins.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Shuffle width decouples from core count above sf0.1: per-task
+    // hash-aggregate state is (rows / partitions)-sized, so a 100x corpus
+    // on the same 32 partitions can exhaust task memory where 128+
+    // partitions stream through comfortably (observed: g_kcore at sf10).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
@@ -60,6 +74,7 @@ object Bench {
       // timed query starts from the same clean JVM state.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dropTempViews(spark)
       name -> dt
     }
     // The bench host shows multi-minute I/O-stall windows that inflate
@@ -72,12 +87,17 @@ object Bench {
       if (!retry(name) || failed.contains(name)) name -> t1
       else {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () } // keep the pass-1 time
+        // a retry that FAILS must keep the pass-1 time: its fast failure
+        // wall-clock is not a measurement (observed at sf10 when a dying
+        // JVM recorded 0.03s "retries" through the old min())
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t2 = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        name -> math.min(t1, t2)
+        dropTempViews(spark)
+        name -> (if (ok) math.min(t1, t2) else t1)
       }
     }
     val qs = retried.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -3705,6 +3705,30 @@ object SparkEntry {
       .select(col("id"), col("hops").cast("long").as("hops"))
   }
 
+  /** Hop-truncated harmonic centrality of parts 1–8 over the co-order
+    * graph ([[graft.operators.Graph.harmonicCentrality]]): Σ 1/d over
+    * nodes within 3 hops — the "influence within k degrees" audit next
+    * to [[qReachHops]]'s single-source reachability. One simultaneous
+    * multi-source BFS carrying the seed column; the oracle replays the
+    * identical walk as a recursive CTE over the same seed set.
+    */
+  private def gHarmonic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.harmonicCentrality(coOrderEdges(s, dir),
+      "src", "dst",
+      t(s, dir, "part").where(col("p_partkey") <= 8), "p_partkey",
+      maxHops = 3)
+
+  /** Embedding outlier audit over the trained cells
+    * ([[graft.operators.Similarity.embeddingOutliers]]): within-cell
+    * z-score of each vector's own-centroid cosine, top 25 — the
+    * OOD/garbage detector a curation run executes before trusting
+    * cluster-level decisions (SemDeDup, leakage splits, k-center).
+    */
+  private def eOodOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.embeddingOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", graft.operators.TrainedCentroids.sf001, 25)
+      .select(col("id").as("vec_id"), col("cell"), col("cos"), col("z"))
+
   /** Personalized PageRank from part 1 over the WEIGHTED co-order part
     * graph (edge weight = number of co-orders) —
     * [[graft.operators.Graph.personalizedPageRank]], 3 power iterations:
@@ -6186,6 +6210,8 @@ object SparkEntry {
     "g_pagerank" -> (qPagerank _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
+    "g_harmonic" -> (gHarmonic _),
+    "e_ood_outliers" -> (eOodOutliers _),
     "g_communities" -> (qCommunities _),
     "g_kcore" -> (gKcore _),
     "g_community_rollup" -> (qCommunityRollup _),
@@ -8522,6 +8548,33 @@ object SparkEntry {
              / count(*) / 1000000.0, 6) AS avg_cos
          FROM p GROUP BY cell"""
     },
+    "e_ood_outliers" -> {
+      val flat = graft.operators.TrainedCentroids.sf001.flatten
+        .map(_.toString).mkString("[", ", ", "]")
+      val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      s"""WITH sgt AS (SELECT $flat::DOUBLE[] AS sg),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cells AS (SELECT vec_id,
+             (list_sort(list_transform(range(0, 8), ci ->
+               {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})))[1] AS best
+           FROM e CROSS JOIN sgt),
+         b AS (SELECT vec_id, CAST(best.cell AS BIGINT) AS cell,
+             round(-best.negCos, 6) AS cos,
+             CAST(round(round(-best.negCos, 6) * 1000000, 0) AS BIGINT) AS cos_e6
+           FROM cells),
+         st AS (SELECT cell, count(*)::BIGINT AS n_cell,
+             sum(cos_e6)::BIGINT AS s1, sum(cos_e6 * cos_e6)::BIGINT AS s2
+           FROM b GROUP BY 1),
+         sc AS (SELECT cell, s1::DOUBLE / n_cell AS mu,
+             sqrt(greatest(s2::DOUBLE / n_cell
+               - (s1::DOUBLE / n_cell) * (s1::DOUBLE / n_cell), 0.0)) AS sigma
+           FROM st)
+         SELECT vec_id, b.cell AS cell, cos,
+           round((mu - cos_e6::DOUBLE) / sigma, 4) AS z
+         FROM b JOIN sc ON b.cell = sc.cell
+         WHERE sigma > 0.0
+         ORDER BY z DESC, vec_id LIMIT 25"""
+    },
     "e_silhouette" -> {
       val flat = graft.operators.TrainedCentroids.sf001.flatten
         .map(_.toString).mkString("[", ", ", "]")
@@ -10000,6 +10053,25 @@ object SparkEntry {
            SELECT e.dst AS id, r.h + 1 AS h
            FROM r JOIN e ON e.src = r.id WHERE r.h < 3)
          SELECT id, CAST(min(h) AS BIGINT) AS hops FROM r GROUP BY 1""",
+    "g_harmonic" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         r AS (SELECT p_partkey AS seed, p_partkey AS id, 0 AS h
+           FROM part WHERE p_partkey <= 8
+           UNION
+           SELECT r.seed, e.dst AS id, r.h + 1 AS h
+           FROM r JOIN e ON e.src = r.id WHERE r.h < 3),
+         m AS (SELECT seed, id, min(h) AS d FROM r GROUP BY 1, 2),
+         c AS (SELECT seed,
+             sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_1,
+             sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS n_2,
+             sum(CASE WHEN d = 3 THEN 1 ELSE 0 END)::BIGINT AS n_3
+           FROM m WHERE d > 0 GROUP BY 1)
+         SELECT seed, n_1, n_2, n_3,
+           round(n_1::DOUBLE / 1.0 + n_2::DOUBLE / 2.0 + n_3::DOUBLE / 3.0, 6)
+             AS harmonic
+         FROM c""",
     "q_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

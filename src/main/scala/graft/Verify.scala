@@ -11,9 +11,11 @@ object Verify {
     // SPARK_GRAFT_MASTER='local-cluster[4,4,6144]' exercises real
     // executors, real exchanges, real serialization (SCALING.md §cluster).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // see Bench: shuffle width decouples from core count at larger SFs
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
     // local-cluster workers spawn executor JVMs that don't inherit the
     // sbt/driver classpath; hand it over explicitly.
     if (master.startsWith("local-cluster"))
@@ -56,6 +58,10 @@ object Verify {
       // don't accumulate storage blocks (same isolation as Bench).
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // memory-sink stream tables are temp views holding drained rows on
+      // the driver — drop them so 268 sequential queries don't accumulate
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(tv => spark.catalog.dropTempView(tv.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

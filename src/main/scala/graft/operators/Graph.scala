@@ -291,6 +291,60 @@ object Graph {
     settled
   }
 
+  /** Harmonic centrality of a bounded SEED set: for each seed,
+    * `H(s) = Σ_{v ≠ s reachable} 1 / d(s, v)` truncated at `maxHops` —
+    * the centrality that stays finite on disconnected graphs (Boldi &
+    * Vigna's preferred closeness variant) and, hop-truncated, the
+    * standard "influence within k degrees" audit.
+    *
+    * Scale shape: one simultaneous multi-source BFS carrying a `seed`
+    * column — state is (seed, id, hops), at most |seeds|·|V| rows and in
+    * practice frontier-sized per round; per round ONE join of the
+    * frontier against the pinned edge list + a left-anti against the
+    * settled set (the [[shortestHops]] discipline, keyed by (seed, id)).
+    * Seeds are a bounded audit set (single-digit to hundreds), so the
+    * state multiplier is a constant, not a data term. The final harmonic
+    * sum folds the ≤`maxHops` per-distance counts in a FIXED literal
+    * order (n_1/1 + n_2/2 + …) — each term is one exact long→double
+    * division, so the result is bit-deterministic cross-engine.
+    *
+    * @param seeds  (seedIdCol) — the nodes to score
+    * @return (seed, n_1 … n_maxHops, harmonic) — one row per seed that
+    *         reaches at least one node
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .pinned(true)
+    var settled = seeds.select(col(seedIdCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0).as("hops"))
+      .pinned(true)
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val frontier = settled.where(col("hops") === h - 1)
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(frontier("seed").as("seed"), e("dst").as("id")).distinct()
+        .join(settled, Seq("seed", "id"), "left_anti")
+        .withColumn("hops", lit(h))
+      settled = settled.union(next).pinned(true)
+      exhausted = settled.where(col("hops") === h).isEmpty
+      h += 1
+    }
+    val counts = (1 to maxHops).map(d =>
+      sum(when(col("hops") === d, 1L).otherwise(0L)).as(s"n_$d"))
+    val harmonic = (1 to maxHops)
+      .map(d => col(s"n_$d").cast("double") / lit(d.toDouble))
+      .reduce(_ + _)
+    settled.filter(col("hops") > 0)
+      .groupBy(col("seed"))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("seed") +: (1 to maxHops).map(d => col(s"n_$d")) :+
+        round(harmonic, 6).as("harmonic"): _*)
+  }
+
   /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
     * list (src, dst, ts): a node is reached when some path's edge
     * timestamps are non-decreasing and its first edge departs no earlier

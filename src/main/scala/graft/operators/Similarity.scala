@@ -650,6 +650,59 @@ object Similarity {
         round(col("s_e6") / col("n") / 1000000.0, 6).as("avg_silhouette"))
   }
 
+  /** Embedding OUTLIER audit — the OOD-detection pass a curation
+    * pipeline runs before trusting its clusters: each vector's cosine to
+    * its OWN (max-cos) trained centroid is z-scored WITHIN its cell, and
+    * the `topN` farthest-below-mean vectors surface (high z = far out in
+    * its own neighborhood = mislabeled / garbage / off-distribution).
+    *
+    * Determinism device (the [[clusterProfile]] convention): per-vector
+    * cosine rounds to 1e-6 and is summed as an exact long, so the cell
+    * mean/stddev are single exact divisions — bit-stable under any
+    * partitioning; z is then one more deterministic division, ranked
+    * with the id as final tiebreak.
+    *
+    * Scale shape: one codegen'd centroid scan per row (no join), one
+    * k-cell aggregation, cell stats broadcast back (≤ |centroids| rows),
+    * and a TakeOrdered top-N — no global sort, nothing row-scale on the
+    * driver.
+    *
+    * @return (id, cell, cos, z) — topN rows, z descending
+    */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], topN: Int): DataFrame = {
+    require(centroids.nonEmpty && topN > 0)
+    val best = element_at(slice(array_sort(array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        struct((vecCosine(col("v"), typedLit(ctr)) * -1).as("negCos"),
+          lit(i).as("cell"))
+    }: _*)), 1, 1), 1)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("best", best)
+      .select(col("id"), col("best").getField("cell").cast("long").as("cell"),
+        round(col("best").getField("negCos") * -1, 6).as("cos"))
+      .withColumn("cos_e6", round(col("cos") * 1000000, 0).cast("long"))
+      .pinned(true) // read by the cell stats AND the scoring pass
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"),
+        sum(col("cos_e6")).as("s1"),
+        sum(col("cos_e6") * col("cos_e6")).as("s2"))
+      .select(col("cell"), col("n_cell"),
+        (col("s1").cast("double") / col("n_cell")).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n_cell") -
+            (col("s1").cast("double") / col("n_cell")) *
+            (col("s1").cast("double") / col("n_cell")),
+          lit(0.0))).as("sigma"))
+    assigned.join(broadcast(stats), "cell")
+      .filter(col("sigma") > 0.0) // a constant cell has no outliers
+      .select(col("id"), col("cell"), col("cos"),
+        round((col("mu") - col("cos_e6").cast("double")) / col("sigma"), 4)
+          .as("z"))
+      .orderBy(col("z").desc, col("id"))
+      .limit(topN)
+  }
+
   private def rankCells(queries: DataFrame, cellsCorpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
       broadcastGateBytes: Long): DataFrame = {

@@ -8,6 +8,12 @@ Usage:
       2>&1 | grep '"metric"' > /tmp/bench_sf01.json
   python3 tools/regen_scaling.py /tmp/bench_sf001.json /tmp/bench_sf01.json
 
+Since round 9 Bench also writes its full JSON (incl. host metadata) to
+bench/bench_<sf>_<date>.json — those committed artifacts are accepted
+here directly, e.g.
+  python3 tools/regen_scaling.py bench/bench_sf0.01_<d1>.json \
+      bench/bench_sf0.1_<d2>.json
+
 Prints the per-query ratio table (sorted worst-first) and the median /
 total summary to paste into SCALING.md. The prose around the numbers is
 maintained by hand.
