@@ -122,8 +122,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
       java.nio.file.Files.createDirectories(outDir)
       val host = s""""host":{"master":"$master","cpus":"$cpus","jvm_max_mem_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"available_processors":${Runtime.getRuntime.availableProcessors()},"date":"$day"}"""
-      java.nio.file.Files.writeString(
-        outDir.resolve(s"bench_${sfName}_$day.json"),
+      // never clobber an earlier same-day pass (the SCALING.md method
+      // min-merges two passes — both must survive)
+      val target = Iterator.from(0)
+        .map(i => outDir.resolve(
+          if (i == 0) s"bench_${sfName}_$day.json"
+          else s"bench_${sfName}_${day}_p${i + 1}.json"))
+        .find(p => !java.nio.file.Files.exists(p)).get
+      java.nio.file.Files.writeString(target,
         line.dropRight(1) + "," + host + "}\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")

@@ -2519,6 +2519,51 @@ object SparkEntry {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** STREAMING sample-ratio-mismatch guardrail — the continuous dual of
+    * [[qAbSrmCheck]]: per 6-hour tumbling window, the same deterministic
+    * arm assignments aggregate to per-(window, experiment, arm) counts
+    * inside a watermarked streaming groupBy (O(arms) state per window),
+    * and the drained table folds to the chi-square per (window,
+    * experiment) with the identical one-division arithmetic — the alarm
+    * that pages BEFORE a skewed assignment poisons a week of data. One
+    * oracle (the batch window replay) proves both paths.
+    */
+  private def sSrmStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = sharedLanding(dir, "events")
+    val qn = s"s_srm_stream_${System.nanoTime()}"
+    val prevConfs = narrowStreamConfs(s, dir)
+    try {
+      val ev = graft.streaming.Streaming.readParquetStream(s, landing.toString)
+        .transform(graft.io.EventTs.toTimestamp)
+        .select(col("ts"), explode(array(
+          struct(lit("exp_even").as("experiment"),
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("arm")),
+          struct(lit("exp_skewed").as("experiment"),
+            when(pmod(col("user_id"), lit(10)) < 4, "A").otherwise("B").as("arm"))))
+          .as("e"))
+        .select(col("ts"), col("e.experiment").as("experiment"),
+          col("e.arm").as("arm"))
+      val query = ev.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "6 hours"), col("experiment"), col("arm"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("experiment"),
+          col("arm"), col("n"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally restoreStreamConfs(s, prevConfs)
+    s.table(qn)
+      .groupBy((unix_timestamp(col("w_start")) / 21600).cast("long").as("w_id"),
+        col("experiment"))
+      .agg(sum(when(col("arm") === "A", col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", col("n")).otherwise(0L)).as("n_b"))
+      .select(col("w_id"), col("experiment"), col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")), 6).as("chi2"))
+  }
+
   /** The custom bounded top-k AGGREGATE under INCREMENTAL streaming
     * execution: per tumbling hour, the top-3 events by value through
     * [[graft.functions.TopKAggregate]] inside a watermarked streaming
@@ -5994,6 +6039,7 @@ object SparkEntry {
     "q_rank_suite" -> (qRankSuite _),
     "q_sessionize" -> (qSessionize _),
     "s_rollup_stream" -> (sRollupStream _),
+    "s_srm_stream" -> (sSrmStream _),
     "s_topk_stream" -> (sTopkStream _),
     "s_sessionize_stream" -> (sSessionizeStream _),
     "s_session_window_stream" -> (sSessionWindowStream _),
@@ -9743,6 +9789,22 @@ object SparkEntry {
                 FROM (SELECT h, count(*)::BIGINT AS n FROM h GROUP BY 1))
          SELECT exact_f2, ams_f2_est FROM ex, est"""
     },
+    "s_srm_stream" ->
+      """WITH u AS (SELECT epoch_us(ts) // 21600000000 AS w_id, user_id
+           FROM events),
+         a AS (
+           SELECT w_id, 'exp_even' AS experiment,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM u
+           UNION ALL
+           SELECT w_id, 'exp_skewed' AS experiment,
+             CASE WHEN user_id % 10 < 4 THEN 'A' ELSE 'B' END AS arm FROM u),
+         c AS (SELECT w_id, experiment,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b
+           FROM a GROUP BY 1, 2)
+         SELECT w_id, experiment, n_a, n_b,
+           round(((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b), 6) AS chi2
+         FROM c""",
     "s_hll_stream" -> {
       val Seq((a1, b1), (a2, b2)) = Dedup.minhashCoeffs(2)
       val p = 9; val m = 1 << p
