@@ -76,6 +76,13 @@ object GraftFunctions {
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible variant)",
       args => { arity("graft_jaro_winkler", args, 2)
         K.JaroWinkler(args(0), args(1)) }),
+    fd("graft_sign_bits",
+      "graft_sign_bits(v) - 1-bit sign quantization packed into longs (64 dims/word)",
+      args => { arity("graft_sign_bits", args, 1); K.SignBits(castArr(args(0), D)) }),
+    fd("graft_hamming",
+      "graft_hamming(a, b) - Hamming distance of two packed bit arrays (xor + popcount)",
+      args => { arity("graft_hamming", args, 2)
+        K.HammingLong(castArr(args(0), L), castArr(args(1), L)) }),
     fd("graft_dot_long", "graft_dot_long(a, b) - integer dot product of long arrays",
       args => { arity("graft_dot_long", args, 2)
         K.DotLong(castArr(args(0), L), castArr(args(1), L)) }),

@@ -2208,6 +2208,19 @@ object SparkEntry {
       "embedding", k = 10, candidates = 30)
   }
 
+  /** Binary (1-bit sign) quantized flat ANN with exact rescore
+    * ([[Similarity.binaryTopK]]): the packed-bit Hamming scan — 1/32 of the
+    * float bytes read per candidate pass — then fetch-on-verify cosine. The
+    * oracle replays the Hamming ranking WITHOUT packing: popcount(xor) of
+    * sign words equals the count of positions whose sign bits differ, so
+    * the per-position `(q_i > 0) <> (c_i > 0)` sum is the same integer.
+    */
+  private def eBinaryTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.binaryTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+      "embedding", k = 10, candidates = 30)
+  }
+
   /** Cluster profile of the trained coarse quantization
     * ([[Similarity.clusterProfile]]): per-cell population and mean cosine —
     * the corpus-mixture / IVF-balance audit over the same frozen centroids
@@ -3823,6 +3836,29 @@ object SparkEntry {
       seeds, "p_partkey", "t0", rounds = 3)
   }
 
+  /** Weighted single-source shortest paths over the ship-lag part graph
+    * ([[graft.operators.Graph.ssspWeighted]], 3 Bellman-Ford rounds):
+    * co-ordered parts are adjacent with weight = |ship-day gap| + 1, so
+    * distance measures how tightly a part's supply chain couples to part 1
+    * through near-simultaneous shipments — the weighted-proximity dual of
+    * `g_reach_hops` (hop BFS) and `g_temporal_reach` (time-respecting
+    * reachability). Day numbers are exact epoch-micros integer division on
+    * both engines; all arithmetic is integer, zero rounding steps.
+    */
+  private def gSsspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      expr("unix_micros(cast(l_shipdate AS timestamp)) div 86400000000").as("day"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"),
+        (abs(col("a.day") - col("b.day")) + 1).as("w"))
+    val seeds = t(s, dir, "part").where(col("p_partkey") === 1)
+      .select(col("p_partkey"))
+    graft.operators.Graph.ssspWeighted(edges, "src", "dst", "w",
+      seeds, "p_partkey", rounds = 3)
+  }
+
   /** Deterministic label-propagation communities over the co-order part
     * graph — [[graft.operators.Graph.labelPropagation]], 3 synchronous
     * rounds, most-frequent-then-smallest label. The oracle unrolls the
@@ -3858,6 +3894,23 @@ object SparkEntry {
       // coOrderEdges emits both directions by construction — skip the
       // mirror union that would double the edge-distinct's input
       symmetric = true)
+
+  /** Modularity audit of the LPA communities
+    * ([[graft.operators.Graph.modularity]]): per community, the exact
+    * Newman q_term = intra/m − (deg/(2m))² over the co-order part graph —
+    * the standard "did the community detection find real structure" gate
+    * (Q near 0 = no better than random wiring). Same labels as
+    * [[qCommunities]]; all counts exact integers, one rounded division
+    * per community.
+    */
+  private def gModularity(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.Graph.labelPropagation(
+      t(s, dir, "part"), "p_partkey",
+      coOrderEdges(s, dir), "src", "dst", rounds = 3,
+      symmetric = true, checkpointEvery = 1)
+    graft.operators.Graph.modularity(labels, "id", "label",
+      coOrderEdges(s, dir), "src", "dst", symmetric = true)
+  }
 
   /** Graph × relational composition: line revenue rolled up per LPA
     * community (≥5 members) — the community labels from [[qCommunities]]
@@ -4982,6 +5035,75 @@ object SparkEntry {
         round(avg(col("v")), 4).as("raw_mean"),
         round(avg(greatest(col("lo"), least(col("hi"), col("v")))), 4)
           .as("winsor_mean"))
+  }
+
+  /** Exact Shapley-value attribution over the observed touch-channel
+    * coalitions ([[graft.operators.Marketing.shapleyAttribution]]):
+    * channels {view, click, signup}, conversion = purchase. The
+    * axiomatically-fair complement to the heuristic (U-shaped/time-decay)
+    * and Markov attribution rows; coalition values are integer 1e9
+    * conversion-rate ratios, so the credit sums are bit-exact.
+    */
+  private def qShapleyAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.shapleyAttribution(
+      t(s, dir, "events").select(col("user_id"), col("event_type")),
+      "user_id", "event_type", Seq("view", "click", "signup"), "purchase")
+
+  /** Kaplan-Meier customer-lifetime survival
+    * ([[graft.operators.Marketing.kaplanMeier]]): duration = days between
+    * a customer's first and last order; customers whose last order falls
+    * within 90 days of the corpus end are right-censored (still active) —
+    * they hold places in the risk sets without counting as churn, the
+    * correction naive retention curves skip.
+    */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy(col("cust"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val maxd = per.agg(max(col("last_day")).as("max_day"))
+    val lifetimes = per.crossJoin(broadcast(maxd))
+      .select((col("last_day") - col("first_day")).as("dur"),
+        (col("last_day") > col("max_day") - 90).as("cens"))
+    graft.operators.Marketing.kaplanMeier(lifetimes, "dur", "cens")
+  }
+
+  /** Theil-Sen robust trend of per-nation monthly revenue: the median of
+    * all pairwise slopes — the estimator that shrugs off the outlier
+    * months OLS (`q_trend_fit`) chases (29% breakdown point). Months are
+    * 30-day epoch buckets, revenue exact integer cents; slopes are
+    * identical long-ratio doubles on both engines, so the nearest-rank
+    * median row (slope, then month-pair tiebreak) is the SAME row — no
+    * floating aggregation anywhere. Pair generation is per-nation over
+    * month-grain aggregates: bounded by (nations × months²), independent
+    * of row scale.
+    */
+  private def qTheilsenTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 div 30")
+          .as("month"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_e2"))
+    val a = monthly.select(col("nation"), col("month").as("m1"),
+      col("rev_e2").as("r1"))
+    val b = monthly.select(col("nation"), col("month").as("m2"),
+      col("rev_e2").as("r2"))
+    val pairs = a.join(b, Seq("nation")).where(col("m1") < col("m2"))
+      .select(col("nation"), col("m1"), col("m2"),
+        ((col("r2") - col("r1")).cast("double") /
+          (col("m2") - col("m1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("slope"), col("m1"), col("m2"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("nation"))))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("nation"), col("np").as("n_pairs"),
+        round(col("slope"), 4).as("ts_slope_e2"))
   }
 
   /** RFM quintile segmentation of the order history
@@ -6143,6 +6265,7 @@ object SparkEntry {
     "q_topk_agg" -> (qTopkAgg _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "e_quantized_topk" -> (eQuantizedTopK _),
+    "e_binary_topk" -> (eBinaryTopK _),
     "e_cluster_profile" -> (eClusterProfile _),
     "e_cell_drift" -> (eCellDrift _),
     "e_silhouette" -> (eSilhouette _),
@@ -6224,6 +6347,7 @@ object SparkEntry {
     "s_active_users_stream" -> (sActiveUsersStream _),
     "d_prefix_jaccard" -> (dPrefixJaccard _),
     "g_temporal_reach" -> (gTemporalReach _),
+    "g_sssp_weighted" -> (gSsspWeighted _),
     "s_ewma_stream" -> (sEwmaStream _),
     "q_mondrian_anon" -> (qMondrianAnon _),
     "q_gini" -> (qGini _),
@@ -6259,6 +6383,7 @@ object SparkEntry {
     "g_harmonic" -> (gHarmonic _),
     "e_ood_outliers" -> (eOodOutliers _),
     "g_communities" -> (qCommunities _),
+    "g_modularity" -> (gModularity _),
     "g_kcore" -> (gKcore _),
     "g_community_rollup" -> (qCommunityRollup _),
     "g_node_similarity" -> (gNodeSimilarity _),
@@ -6294,6 +6419,9 @@ object SparkEntry {
     "q_time_decay_attribution" -> (qTimeDecayAttribution _),
     "q_ab_srm_check" -> (qAbSrmCheck _),
     "q_winsorized_mean" -> (qWinsorizedMean _),
+    "q_shapley_attribution" -> (qShapleyAttribution _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_theilsen_trend" -> (qTheilsenTrend _),
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
@@ -7348,6 +7476,32 @@ object SparkEntry {
          a0 AS (SELECT 1::BIGINT AS id, 0::BIGINT AS arrival),
          $relax
          SELECT id, arrival FROM a$rounds"""
+    },
+    "g_sssp_weighted" -> {
+      // synchronous Bellman-Ford unrolled one min-fold CTE per round —
+      // identical integer arithmetic to Graph.ssspWeighted
+      val rounds = 3
+      val relax = (1 to rounds).map { k =>
+        s"""d$k AS (
+             SELECT id, min(dist)::BIGINT AS dist FROM (
+               SELECT id, dist FROM d${k - 1}
+               UNION ALL
+               SELECT e.dst AS id, p.dist + e.w AS dist
+               FROM d${k - 1} p JOIN e ON p.id = e.src)
+             GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey,
+             (epoch_us(l_shipdate) // 86400000000)::BIGINT AS day
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             min(abs(a.day - b.day) + 1)::BIGINT AS w
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         d0 AS (SELECT 1::BIGINT AS id, 0::BIGINT AS dist),
+         $relax
+         SELECT id, dist FROM d$rounds"""
     },
     "d_containment_pairs" -> {
       s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
@@ -8546,6 +8700,29 @@ object SparkEntry {
          top AS (SELECT query_id, neighbor_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY qdot DESC, neighbor_id) AS crank FROM cand)
+           WHERE crank <= 30),
+         res AS (SELECT query_id, neighbor_id,
+             ${sqlCos("eq.v", "ec.v")} AS cos
+           FROM top JOIN e eq ON eq.vec_id = query_id
+                JOIN e ec ON ec.vec_id = neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id) AS rank FROM res)
+         WHERE rank <= 10""",
+    // popcount(xor) of packed sign words == count of positions whose sign
+    // bits differ, so the oracle ranks by the unpacked per-position sum —
+    // exact integers on both sides, no packing arithmetic to replay.
+    "e_binary_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cand AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qq.v) + 1),
+               i -> CASE WHEN (qq.v[i] > 0) <> (cc.v[i] > 0)
+                         THEN 1 ELSE 0 END))::BIGINT AS hd
+           FROM e cc JOIN e qq
+             ON qq.vec_id < 5 AND qq.vec_id <> cc.vec_id),
+         top AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hd, neighbor_id) AS crank FROM cand)
            WHERE crank <= 30),
          res AS (SELECT query_id, neighbor_id,
              ${sqlCos("eq.v", "ec.v")} AS cos
@@ -10367,6 +10544,28 @@ object SparkEntry {
     "g_communities" ->
       s"""WITH $sqlLpaCtes
          SELECT id, label FROM r$LpaRounds""",
+    "g_modularity" ->
+      // per-community Newman terms over the same LPA labels; q_term is one
+      // exact-integer numerator over one exact denominator, divided once
+      s"""WITH $sqlLpaCtes,
+         lab AS MATERIALIZED (SELECT id, label FROM r$LpaRounds),
+         umod AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+         mmod AS (SELECT count(*)::BIGINT AS m FROM umod),
+         degm AS (SELECT id, count(*)::BIGINT AS deg FROM (
+             SELECT a AS id FROM umod UNION ALL SELECT b AS id FROM umod)
+           GROUP BY 1),
+         ns AS (SELECT lab.label AS community, count(*)::BIGINT AS n_nodes,
+             sum(coalesce(degm.deg, 0))::BIGINT AS degree_sum
+           FROM lab LEFT JOIN degm ON lab.id = degm.id GROUP BY 1),
+         ie AS (SELECT la.label AS community, count(*)::BIGINT AS intra_edges
+           FROM umod JOIN lab la ON umod.a = la.id
+                     JOIN lab lb ON umod.b = lb.id
+           WHERE la.label = lb.label GROUP BY 1)
+         SELECT community, n_nodes,
+           coalesce(intra_edges, 0)::BIGINT AS intra_edges, degree_sum,
+           round((4 * m * coalesce(intra_edges, 0)
+                  - degree_sum * degree_sum)::DOUBLE / (4 * m * m), 9) AS q_term
+         FROM ns LEFT JOIN ie USING (community) CROSS JOIN mmod""",
     "g_kcore" -> sqlKcore,
     "g_community_rollup" ->
       s"""WITH $sqlLpaCtes,
@@ -10471,6 +10670,91 @@ object SparkEntry {
            round(avg(greatest(lo, least(hi, v))), 4) AS winsor_mean
          FROM r JOIN b ON r.grp = b.grp
          GROUP BY 1""",
+    "q_shapley_attribution" ->
+      // coalition values as exact integer 1e9 conversion-rate ratios, then
+      // an integer Shapley sum — identical arithmetic to
+      // Marketing.shapleyAttribution's driver fold (n=3: weights 2/1/2 by
+      // |S|, denominator 3!·1e9)
+      """WITH u AS (SELECT user_id,
+             (max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             )::BIGINT AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             )::BIGINT AS conv
+           FROM events GROUP BY 1),
+         c AS (SELECT mask, count(*)::BIGINT AS nu, sum(conv)::BIGINT AS k
+           FROM u GROUP BY 1),
+         sets AS (SELECT range::BIGINT AS s FROM range(0, 8)),
+         -- cumulative coalition value: every user whose whole touched set
+         -- fits inside s (the dummy-axiom-preserving game; see
+         -- Marketing.shapleyAttribution)
+         v AS (SELECT sets.s AS mask,
+             CASE WHEN coalesce(sum(c.nu), 0) = 0 THEN 0
+                  ELSE ((2 * sum(c.k) * 1000000000 + sum(c.nu))
+                        // (2 * sum(c.nu)))::BIGINT END AS v9
+           FROM sets LEFT JOIN c ON (c.mask & sets.s) = c.mask
+           GROUP BY 1),
+         ch AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'),
+             (2, 'signup')) t(i, channel)),
+         terms AS (SELECT ch.channel,
+             (CASE bit_count(sets.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+               * (vi.v9 - vs.v9) AS term
+           FROM ch JOIN sets ON (sets.s & (1::BIGINT << ch.i)) = 0
+           JOIN v vi ON vi.mask = sets.s + (1::BIGINT << ch.i)
+           JOIN v vs ON vs.mask = sets.s)
+         SELECT channel, sum(term)::BIGINT AS shapley_e9,
+           round(sum(term)::DOUBLE / 6000000000.0, 6) AS shapley
+         FROM terms GROUP BY 1""",
+    "q_kaplan_meier" ->
+      // each ln factor rounds to an integer 1e12-ratio BEFORE the running
+      // sum, so the product is an order-free integer prefix sum — identical
+      // to Marketing.kaplanMeier
+      """WITH per AS (SELECT o_custkey,
+             min(epoch_us(o_orderdate) // 86400000000) AS first_day,
+             max(epoch_us(o_orderdate) // 86400000000) AS last_day
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(last_day) AS max_day FROM per),
+         lt AS (SELECT last_day - first_day AS t,
+             last_day > max_day - 90 AS cens FROM per CROSS JOIN mx),
+         g AS (SELECT t, count(*)::BIGINT AS n_all,
+             sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS n_deaths
+           FROM lt GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS total FROM lt),
+         r AS (SELECT t, n_deaths,
+             (total - coalesce(sum(n_all) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             )::BIGINT AS at_risk
+           FROM g CROSS JOIN tot),
+         d AS (SELECT t, at_risk, n_deaths,
+             CASE WHEN at_risk = n_deaths THEN 0
+                  ELSE round(ln((at_risk - n_deaths)::DOUBLE / at_risk)
+                         * 1e12)::BIGINT END AS term_e12
+           FROM r WHERE n_deaths > 0)
+         SELECT t, at_risk AS n_at_risk, n_deaths,
+           CASE WHEN at_risk = n_deaths THEN 0.0
+                ELSE round(exp((sum(term_e12) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                )::DOUBLE / 1e12), 6) END AS survival
+         FROM d""",
+    "q_theilsen_trend" ->
+      // slopes are identical long-ratio doubles on both engines, so the
+      // nearest-rank median row is the same ROW — no double aggregation
+      """WITH m AS (SELECT c_nationkey AS nation,
+             epoch_us(o_orderdate) // 86400000000 // 30 AS month,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_e2
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         p AS (SELECT a.nation, a.month AS m1, b.month AS m2,
+             (b.rev_e2 - a.rev_e2)::DOUBLE / (b.month - a.month) AS slope
+           FROM m a JOIN m b ON a.nation = b.nation AND a.month < b.month),
+         r AS (SELECT nation, slope,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY slope, m1, m2) AS rn,
+             count(*) OVER (PARTITION BY nation)::BIGINT AS np
+           FROM p)
+         SELECT nation, np AS n_pairs, round(slope, 4) AS ts_slope_e2
+         FROM r WHERE rn = (np + 1) // 2""",
     "q_rfm_segments" ->
       """WITH pc AS (SELECT o_custkey AS cust, max(o_orderdate::DATE) AS last_day,
              count(*) AS freq, round(sum(o_totalprice), 2) AS monetary

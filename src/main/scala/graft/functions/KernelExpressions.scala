@@ -154,6 +154,34 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 1-bit sign quantization to packed longs ([[Kernels.signBits]]) —
+    * the binary-quantized ANN coarse representation (64 dims per word).
+    */
+  case class SignBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.signBits(v.asInstanceOf[ArrayData], isFloatArr(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.Kernels.signBits($v, ${isFloatArr(child)})")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Hamming distance of two packed bit arrays ([[Kernels.hammingLong]]) —
+    * xor + popcount per word, the binary-ANN scan kernel.
+    */
+  case class HammingLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkBothArrays(left, right, Set(LongType))
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.hammingLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hammingLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** 60-bit dHash of a binary column's first 61 bytes ([[Kernels.dhash60]];
     * -1 = payload too short). */
   case class Dhash60(child: Expression) extends UnaryExpression {
@@ -483,6 +511,10 @@ object KernelExpressions {
   def int8Quantize(v: Column): Column = c(Int8Quantize(e(v)))
 
   def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
+
+  def signBits(v: Column): Column = c(SignBits(e(v)))
+
+  def hammingLong(a: Column, b: Column): Column = c(HammingLong(e(a), e(b)))
 
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
 

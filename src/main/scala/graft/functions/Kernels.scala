@@ -96,6 +96,38 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** 1-bit sign quantization: bit (i mod 64) of word (i div 64) is set iff
+    * x_i > 0 (zero and negatives are 0 bits). ceil(n/64) words, so a 64-dim
+    * embedding packs to exactly one long — a 256× byte reduction vs float64
+    * for the coarse scan. Strictly-positive test (not >= 0) so the oracle's
+    * per-position `x > 0` comparison replays the packing decision exactly.
+    */
+  def signBits(v: ArrayData, vFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (getD(v, i, vFloat) > 0.0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance of two packed bit arrays: Σ popcount(a_i xor b_i).
+    * Exact integer arithmetic — no cross-engine rounding concerns.
+    * Mismatched lengths are an error, matching [[dotLong]]'s strictness.
+    */
+  def hammingLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_hamming: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    acc
+  }
+
   /** Language-ID pick over a pre-tokenized array: score_i = #tokens that
     * are members of profile i's marker set; the winner is the max
     * (score, lang) pair with ties resolving to the lexicographically LATER

@@ -251,6 +251,59 @@ object Graph {
     if (rounds > 0) lab.pinned(true) else lab
   }
 
+  /** Exact Newman modularity terms of a node→community assignment over an
+    * undirected simple graph — the quality audit for [[labelPropagation]]
+    * (and any partition): per community, q_term = intra/m − (deg/(2m))²,
+    * computed as one exact integer numerator (4·m·intra − deg²) over one
+    * exact denominator (4m²) with a single rounded division per community —
+    * no cross-engine double accumulation anywhere. Global Q is the plain
+    * sum of `q_term`s (or of the integer numerators for exactness).
+    *
+    * Scale shape: one canonical-edge distinct (∝ edges, the data term),
+    * one endpoint-explode degree count, one label join keyed by node id,
+    * and community-bounded aggregations; `m` rides a 1-row broadcast.
+    * Integer overflow bound: 4m² must fit a long → m < 1.5e9 undirected
+    * edges, beyond which the terms need decimal widening.
+    *
+    * @param symmetric caller guarantees both directions present (the
+    *        [[labelPropagation]] contract) — canonicalization is then a
+    *        filter instead of a least/greatest rewrite
+    * @return (community, n_nodes, intra_edges, degree_sum, q_term)
+    */
+  def modularity(labels: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      symmetric: Boolean = false): DataFrame = {
+    val lab = labels.select(col(idCol).as("id"), col(labelCol).as("community"))
+      .pinned(true) // three consumers: degrees join, both intra endpoints
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val canon = (if (symmetric) und.where(col("a") < col("b"))
+        else und.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")))
+      .distinct()
+      .pinned(true) // feeds m, degrees, and the intra count
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val nodeStats = lab.join(deg, Seq("id"), "left_outer")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    val intra = canon
+      .join(lab.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val ie = coalesce(col("intra_edges"), lit(0L))
+    nodeStats.join(intra, Seq("community"), "left_outer")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"), ie.as("intra_edges"),
+        col("degree_sum"),
+        round((lit(4L) * col("m") * ie -
+          col("degree_sum") * col("degree_sum")).cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 9).as("q_term"))
+  }
+
   /** Minimum hop count from a set of source nodes by frontier BFS.
     *
     * Scale shape: only the FRONTIER (nodes first reached last round)
@@ -383,6 +436,44 @@ object Graph {
       r += 1
     }
     arr
+  }
+
+  /** Bounded-round weighted single-source shortest paths — synchronous
+    * Bellman-Ford over an integer-weighted edge list: per round every
+    * settled node relaxes its out-edges (`dist + w`), and the new frontier
+    * folds back with a min. `rounds` bounds path length in HOPS, the same
+    * work-bound contract as [[temporalEarliestArrival]] (exact distances up
+    * to `rounds` hops; longer paths are out of scope by construction, which
+    * is what keeps the operator linear in edges per round instead of
+    * all-pairs). State per node is one BIGINT; weights are exact integer
+    * arithmetic, so there is no rounding step anywhere and cross-engine
+    * results are bit-identical.
+    *
+    * Scale shape: each round is one shuffle keyed by `src` (the relax join)
+    * plus one keyed by `id` (the min fold) — both ∝ edges, never paths; the
+    * loop invariant is pinned per round ([[graft.util.Checkpoints.pinned]])
+    * so round r's plan does not replay rounds 1..r-1. Parallel multi-edges
+    * collapse to their min weight once, up front.
+    */
+  def ssspWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .pinned(true)
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    var r = 0
+    while (r < rounds) {
+      val relax = dist.join(e, dist("id") === e("src"))
+        .select(e("dst").as("id"), (dist("dist") + e("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .pinned(true)
+      r += 1
+    }
+    dist
   }
 
   /** Top-k most similar node pairs by neighborhood Jaccard — the

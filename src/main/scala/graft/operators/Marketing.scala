@@ -167,6 +167,123 @@ object Marketing {
         round(sum(col("monetary")), 2).as("total_monetary"))
   }
 
+  /** Exact Shapley-value attribution over the observed channel coalitions
+    * (Zhao/Mahboobi/Bagheri '18's cooperative-game formulation): the
+    * characteristic value of a coalition S is the conversion rate among
+    * users whose ENTIRE touched-channel set lies within S (cumulative
+    * exposure — v(∅) is the no-touch baseline, v(N) the overall rate), and
+    * each channel's credit is its exact Shapley sum
+    * Σ_S |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)). The subset-cumulative v
+    * satisfies the dummy axiom BY CONSTRUCTION: a channel nobody touches
+    * has v(S∪{i}) = v(S) everywhere and earns exactly zero (the
+    * exact-set/zero-default variant hands dummies negative credit).
+    *
+    * Determinism contract: v is rounded to an integer 1e9-ratio FIRST
+    * (round-half-up in pure integer arithmetic), so the Shapley sum is an
+    * integer combination of integers — order-free, bit-identical on any
+    * engine; the single double division happens once at the end.
+    *
+    * Plan shape: ONE data-scale aggregation (per-user bitmask + converted
+    * flag), one coalition rollup (≤2^n rows), then driver arithmetic over
+    * those ≤2^n integers — the same bounded-driver contract as
+    * [[markovRemovalAttribution]]'s absorption loop. `n ≤ 8` keeps the
+    * exact enumeration and the a_m·Δ products safely inside long range;
+    * larger channel sets need sampled Shapley, out of scope here.
+    *
+    * @return (channel, shapley_e9, shapley) — shapley_e9 is the exact
+    *         integer numerator over n!·1e9; shapley = its rounded double
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String, typeCol: String,
+      channels: Seq[String], convType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"exact Shapley enumerates 2^n coalitions; got n=${channels.size}, max 8")
+    require(channels.distinct.size == channels.size, "duplicate channel")
+    val spark = events.sparkSession
+    val n = channels.size
+    val maskAgg = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("ch") === c, lit(1L << i)).otherwise(lit(0L)))
+    }.reduce(_ + _)
+    val observed = events.select(col(userCol).as("u"), col(typeCol).as("ch"))
+      .groupBy(col("u"))
+      .agg(maskAgg.as("mask"),
+        max(when(col("ch") === convType, 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap // exact-mask (nu, k) — ≤2^n rows of bounded metadata
+    // cumulative coalition value: users whose whole mask fits inside s;
+    // v9 = round-half-up(k/nu) in integer 1e9ths, 0 on an empty coalition
+    val v9 = (0 until (1 << n)).map(_.toLong).map { s =>
+      // .toSeq first: collecting (nu, k) PAIRS straight off the Map would
+      // rebuild a Map keyed by nu and silently drop colliding coalitions
+      val (nu, k) = observed.toSeq.collect {
+        case (m, nk) if (m & ~s) == 0L => nk
+      }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      s -> (if (nu == 0L) 0L else (2L * k * 1000000000L + nu) / (2L * nu))
+    }.toMap
+    def fact(m: Int): Long = (1 to m).foldLeft(1L)(_ * _)
+    val shap = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      val e9 = (0 until (1 << n)).map(_.toLong).filter(s => (s & bit) == 0L)
+        .map { s =>
+          val a = fact(java.lang.Long.bitCount(s)) *
+            fact(n - 1 - java.lang.Long.bitCount(s))
+          a * (v9(s | bit) - v9(s))
+        }.sum
+      (c, e9)
+    }
+    import spark.implicits._
+    shap.toDF("channel", "shapley_e9")
+      .select(col("channel"), col("shapley_e9"),
+        round(col("shapley_e9").cast("double") /
+          lit(fact(n) * 1.0e9), 6).as("shapley"))
+  }
+
+  /** Kaplan-Meier survival curve with right-censoring — the standard
+    * churn/retention estimator: at each distinct event (death) time t,
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / r_i), where d_i deaths at t_i and r_i
+    * subjects still at risk (duration ≥ t_i, censored included until they
+    * leave). Censored subjects contribute to the risk sets but never to
+    * deaths — dropping them instead is THE classic retention-curve bias.
+    *
+    * Determinism contract: each factor's ln((r−d)/r) is computed from an
+    * exact long-ratio double and rounded to an integer 1e12-ratio BEFORE
+    * the cumulative sum, so the running product is an integer prefix sum —
+    * order-free cross-engine — and only the final exp/round is floating.
+    * r = d (everyone left at the last time) short-circuits to exactly 0.
+    *
+    * Plan shape: one duration-valued aggregation (the data term), then
+    * windows over DISTINCT durations only — bounded by the observation
+    * range in days, not by subjects, the same distinct-value-bounded
+    * global-window contract as the Lorenz deciles.
+    *
+    * @param lifetimes one row per subject: (durCol integral, censCol bool)
+    * @return (t, n_at_risk, n_deaths, survival) — death times only
+    */
+  def kaplanMeier(lifetimes: DataFrame, durCol: String,
+      censCol: String): DataFrame = {
+    val lt = lifetimes.select(col(durCol).cast("long").as("t"),
+      col(censCol).cast("boolean").as("cens"))
+    val g = lt.groupBy(col("t")).agg(count(lit(1)).as("n_all"),
+      sum(when(not(col("cens")), 1L).otherwise(0L)).as("n_deaths"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val total = lt.agg(count(lit(1)).as("total"))
+    g.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        col("total") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+      .filter(col("n_deaths") > 0)
+      .withColumn("term_e12",
+        when(col("at_risk") === col("n_deaths"), lit(0L)).otherwise(
+          round(log((col("at_risk") - col("n_deaths")).cast("double") /
+            col("at_risk").cast("double")) * 1e12, 0).cast("long")))
+      .withColumn("survival",
+        when(col("at_risk") === col("n_deaths"), lit(0.0)).otherwise(
+          round(exp(sum(col("term_e12")).over(wCum).cast("double") / 1e12), 6)))
+      .select(col("t"), col("at_risk").as("n_at_risk"), col("n_deaths"),
+        col("survival"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. '14 — the
     * "data-driven attribution" model): each user's journey is the ordered
     * event sequence up to their FIRST conversion (absorbed in CONV) or to

@@ -403,6 +403,47 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Binary-quantized flat ANN with exact rescore: vectors pack to 1 bit
+    * per dimension (sign, [[graft.functions.Kernels.signBits]] — a 64-dim
+    * float vector becomes ONE long, a 256× byte reduction), candidates rank
+    * by Hamming distance (xor + popcount per word, exact integer arithmetic
+    * so candidate sets are bit-stable cross-engine with no rounding step),
+    * and only `candidates` ids per query rejoin the full-precision vectors
+    * for exact cosine ranking — the RaBitQ/binary-sketch retrieval baseline.
+    * At 100 TB the packed corpus is what a flat scan reads (1/32 of the
+    * float bytes), and the fetch-on-verify join touches only k·|queries|
+    * full vectors; the query side is size-gated broadcast like every flat
+    * scan in this module.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, candidates: Int = 30,
+      broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
+    import graft.functions.KernelExpressions.{hammingLong, signBits}
+    val qb = queries.select(col(idCol).as("query_id"),
+      signBits(col(vecCol)).as("qb"))
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(vecCol)).as("cb"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("neighbor_id"))
+    val cand = cb.crossJoin(gatedBroadcast(qb, broadcastGateBytes))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hd", hammingLong(col("qb"), col("cb")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(gatedBroadcast(qv, broadcastGateBytes), Seq("query_id"))
+      .withColumn("cosine", vecCosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Prefix-dimension (Matryoshka-style) two-stage retrieval: candidates
     * ranked by dot product over only the FIRST `prefixDim` dimensions —
     * the cheap coarse pass when embeddings are trained front-loaded (MRL)

@@ -71,4 +71,106 @@ class Round9NewOpsSpec extends SparkTestBase {
     assert(got("click") === ((2L, 1.0 + 0.25)))        // k=0 and k=2
     assert(got("view") === ((2L, 0.5 + 0.25)))         // k=1 and k=2 (exact boundary)
   }
+
+  test("shapleyAttribution: two-channel closed form (symmetry + dummy)") {
+    // 4 users: {A}=converted, {A}=not, {B}=not, {A,B}=converted.
+    // Cumulative v: v(∅)=0 (no untouched users), v(A)=1/2 -> 5e8,
+    // v(B)=0/1 -> 0, v(AB)=2/4 -> 5e8.
+    // n=2: weights |S|!·(1-|S|)!/2! -> a(0)=1, a(1)=1, denominator 2·1e9.
+    // A: (v(A)-v(∅)) + (v(AB)-v(B)) = 5e8 + 5e8 = 1e9 -> 0.5
+    // B: (v(B)-v(∅)) + (v(AB)-v(A)) = 0 + 0 = 0 -> 0.0 (B adds nothing)
+    // Efficiency: credits sum to v(N) - v(∅) = 0.5 exactly.
+    val events = Seq(
+      (1L, "a"), (1L, "buy"), (2L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "buy"))
+      .toDF("user_id", "event_type")
+    val got = Marketing.shapleyAttribution(events, "user_id", "event_type",
+        Seq("a", "b"), "buy")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") === ((1000000000L, 0.5)))
+    assert(got("b") === ((0L, 0.0)))
+    // dummy channel never touched: exactly zero credit
+    val got3 = Marketing.shapleyAttribution(events, "user_id", "event_type",
+        Seq("a", "b", "ghost"), "buy")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got3("ghost") === 0L)
+  }
+
+  test("kaplanMeier: the textbook hand-worked curve with censoring") {
+    // durations: deaths at 2 (n=5 at risk -> S=0.8), censored 3,
+    // deaths at 4 (2 of 3 at risk -> S=0.8·(1/3)), censored 5
+    val lt = Seq((2L, false), (3L, true), (4L, false), (4L, false),
+      (5L, true)).toDF("dur", "cens")
+    val got = Marketing.kaplanMeier(lt, "dur", "cens")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 2)
+    assert(got(0) === ((2L, 5L, 1L, 0.8)))
+    assert(got(1)._1 === 4L && got(1)._2 === 3L && got(1)._3 === 2L)
+    assert(math.abs(got(1)._4 - 0.8 / 3.0) < 2e-6, got(1).toString)
+    // everyone dies at the last time -> survival exactly 0.0 there
+    val all = Seq((1L, false), (2L, false), (2L, false)).toDF("dur", "cens")
+    val g2 = Marketing.kaplanMeier(all, "dur", "cens")
+      .orderBy("t").collect()
+    assert(g2.last.getDouble(3) === 0.0)
+    assert(g2.head.getDouble(3) === round6(2.0 / 3.0))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("binaryTopK: Hamming candidates then exact-cosine ranks") {
+    // query 0 = (1,1,-1,-1). Sign pattern matches: id 1 exactly (hd=0),
+    // id 2 in 3 of 4 bits (hd=1), id 3 is the sign-opposite (hd=4).
+    // candidates=2 keeps {1,2}; exact cosine then ranks 1 before 2.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),
+      (1L, Seq(0.9f, 0.8f, -0.7f, -0.6f)),
+      (2L, Seq(1.0f, 1.0f, -1.0f, 0.5f)),
+      (3L, Seq(-1.0f, -1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", k = 2, candidates = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 1), (2L, 2)), got.toSeq.toString)
+  }
+
+  test("ssspWeighted: min over a direct edge vs a cheaper two-hop path") {
+    // 1 -> 3 direct w=10; 1 -> 2 -> 3 total w=3; parallel 1->2 edges
+    // collapse to min(2, 5) = 2. Node 5 pins the HOP-bound contract:
+    // within rounds=3 only the expensive route 1->3->4->5 (10+1+1=12)
+    // fits — the cheaper 4-hop path (2+1+1+1=5) is out of scope by
+    // construction.
+    val edges = Seq(
+      (1L, 3L, 10L), (1L, 2L, 2L), (1L, 2L, 5L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.ssspWeighted(edges, "src", "dst", "w", seeds, "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 12L))
+    // one more round settles 5's true distance
+    val got4 = Graph.ssspWeighted(edges, "src", "dst", "w", seeds, "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4(5L) === 5L)
+  }
+
+  test("modularity: two cliques with one bridge match the hand-computed terms") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: m = 7 undirected edges.
+    // Perfect split: intra = 3 each; degrees (2,2,3 | 3,2,2) sum 7 each.
+    // q_term = (4*7*3 - 49) / (4*49) = 35/196 each; Q = 70/196 ≈ 0.357
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "community")
+    val got = Graph.modularity(labels, "id", "community", edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val want = BigDecimal(35.0 / 196.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) === ((3L, 3L, 7L, want)))
+    assert(got(20L) === ((3L, 3L, 7L, want)))
+    // degenerate all-one-community partition: Q term = intra/m - 1 = 0
+    val one = labels.select($"id", lit(1L).as("community"))
+    val g1 = Graph.modularity(one, "id", "community", edges, "src", "dst").head()
+    assert(g1.getLong(2) === 7L && g1.getDouble(4) === 0.0)
+  }
 }

@@ -58,6 +58,29 @@ class SqlFunctionsSpec extends SparkTestBase {
       e.getCause.getMessage.contains("dimension mismatch"))
   }
 
+  test("graft_sign_bits / graft_hamming: packing and popcount pins") {
+    val row = spark.sql(
+      """SELECT graft_sign_bits(array(0.5D, -1.0D, 0.0D, 2.0D)) AS sb,
+                graft_hamming(array(5L, 1L), array(3L, 1L)) AS hd,
+                graft_hamming(graft_sign_bits(array(1.0D, -1.0D)),
+                              graft_sign_bits(array(-1.0D, 1.0D))) AS flip""").head()
+    // bits: dim0 (+) set, dim1 (-) clear, dim2 (0, strictly-positive test)
+    // clear, dim3 (+) set -> 0b1001 = 9, one word for <= 64 dims
+    assert(row.getSeq[Long](0) == Seq(9L))
+    assert(row.getLong(1) == 2L) // 5^3 = 6 -> two bits
+    assert(row.getLong(2) == 2L) // both sign bits flip
+    // 65 dims -> two words; dim 64 lands in word 1 bit 0
+    val wide = spark.sql(
+      "SELECT graft_sign_bits(transform(sequence(0, 64), " +
+        "i -> CASE WHEN i = 64 THEN 1.0D ELSE -1.0D END)) AS sb").head()
+    assert(wide.getSeq[Long](0) == Seq(0L, 1L))
+    // mismatched word counts fail loudly instead of truncating
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_hamming(array(1L), array(1L, 2L))").collect())
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("parameter arguments must be literals, arity is enforced") {
     spark.range(1).createOrReplaceTempView("sql_one")
     val e1 = intercept[Exception](
@@ -159,6 +182,8 @@ class SqlFunctionsSpec extends SparkTestBase {
       "graft_dhash60" -> s"unhex('$hex61')",
       "graft_jaro_winkler" -> "'martha', 'marhta'",
       "graft_dot_long" -> "array(2L, 3L), array(4L, 5L)",
+      "graft_sign_bits" -> "array(0.5D, -1.0D, 0.0D, 2.0D)",
+      "graft_hamming" -> "array(5L), array(3L)",
       "graft_minhash_sig" -> "'the quick brown fox jumps', 5, 16",
       "graft_simhash" -> "'the quick brown fox'",
       "graft_char_shingles" -> "'abcdefgh', 5",
