@@ -5037,6 +5037,58 @@ object SparkEntry {
           .as("winsor_mean"))
   }
 
+  /** Feature hashing (the Weinberger et al. hashing trick): every token
+    * maps to one of 1024 buckets via the cross-engine 60-bit token hash,
+    * with a ±1 sign from an independent hash bit so collisions cancel in
+    * expectation — the fixed-width featurizer for linear models at corpus
+    * scale (no vocabulary build, no dictionary join, embarrassingly
+    * parallel). Output is the sparse (doc, bucket, signed-count) matrix;
+    * all arithmetic is 64-bit integer.
+    */
+  private def cFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val th = graft.operators.Dedup.tokenHash60(col("tok"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), pmod(th, lit(1024L)).as("bucket"),
+        when(shiftright(th, 10).bitwiseAND(1) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("feat"))
+  }
+
+  /** Holt double-exponential smoothing of weekly revenue with dyadic
+    * α = β = 1/2: the level/trend recursions become arithmetic SHIFTS
+    * (floor-div-by-2 on both engines), so the whole sequential fold is
+    * EXACT integer arithmetic — no float accumulation, bit-identical
+    * replay. The week series is collected once (bounded by the observation
+    * range, not by rows — the distinct-value-bounded contract) and folded
+    * with one `aggregate` HOF; forecasts are l + h·b (h in weeks). Weekly
+    * grain also keeps the oracle's recursive-CTE replay cheap (~340 steps
+    * vs ~2400 daily — measured 8.8 s daily, near the 10 s oracle budget).
+    */
+  private def qHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 div 7")
+        .as("week"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_e2"))
+    weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
+        .as("series"))
+      .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      .select(size(col("ys")).cast("long").as("n_weeks"),
+        expr("""aggregate(slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0], 'b', 0L),
+            (acc, y) -> named_struct(
+              'l', shiftright(y + acc.l + acc.b, 1),
+              'b', shiftright(shiftright(y + acc.l + acc.b, 1) - acc.l + acc.b, 1)),
+            acc -> acc)""").as("hw"))
+      .select(col("n_weeks"), col("hw.l").as("level_e2"),
+        col("hw.b").as("trend_e2"),
+        (col("hw.l") + lit(7L) * col("hw.b")).as("forecast7_e2"),
+        (col("hw.l") + lit(30L) * col("hw.b")).as("forecast30_e2"))
+  }
+
   /** Exact Shapley-value attribution over the observed touch-channel
     * coalitions ([[graft.operators.Marketing.shapleyAttribution]]):
     * channels {view, click, signup}, conversion = purchase. The
@@ -6422,6 +6474,8 @@ object SparkEntry {
     "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_theilsen_trend" -> (qTheilsenTrend _),
+    "c_feature_hash" -> (cFeatureHash _),
+    "q_holt_forecast" -> (qHoltForecast _),
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
@@ -10670,6 +10724,40 @@ object SparkEntry {
            round(avg(greatest(lo, least(hi, v))), 4) AS winsor_mean
          FROM r JOIN b ON r.grp = b.grp
          GROUP BY 1""",
+    "c_feature_hash" ->
+      // the 60-bit token hash replayed exactly; bucket = th mod 1024, sign
+      // from hash bit 10 — all 64-bit integer arithmetic
+      s"""WITH tk AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, ${sqlTokenHash60("tok")} AS th FROM tk)
+         SELECT doc_id, (th % 1024)::BIGINT AS bucket,
+           sum(CASE WHEN (th >> 10) & 1 = 0 THEN 1 ELSE -1 END)::BIGINT AS feat
+         FROM h GROUP BY 1, 2""",
+    "q_holt_forecast" ->
+      // identical integer fold as a recursive CTE; >> is floor-div-by-2 on
+      // both engines (incl. negatives), so every step is exact. NOT
+      // list_reduce: DuckDB 1.0 aliases the accumulator struct with the
+      // output being built, so later fields read already-updated earlier
+      // fields (measured: b picked up the NEW l) — the recursion sidesteps
+      // the bug and reads as the textbook Holt update
+      """WITH weekly AS (SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_e2
+           FROM orders GROUP BY 1),
+         ser AS (SELECT list(rev_e2 ORDER BY week) AS ys,
+             count(*)::BIGINT AS n_weeks FROM weekly),
+         steps AS (
+           WITH RECURSIVE s AS (
+             SELECT 1::BIGINT AS i, ys[1] AS l, 0::BIGINT AS b FROM ser
+             UNION ALL
+             SELECT i + 1, (ys[i + 1] + l + b) >> 1,
+                    (((ys[i + 1] + l + b) >> 1) - l + b) >> 1
+             FROM s, ser WHERE i < n_weeks)
+           SELECT * FROM s)
+         SELECT n_weeks, l AS level_e2, b AS trend_e2,
+           l + 7 * b AS forecast7_e2, l + 30 * b AS forecast30_e2
+         FROM steps CROSS JOIN ser WHERE i = n_weeks""",
     "q_shapley_attribution" ->
       // coalition values as exact integer 1e9 conversion-rate ratios, then
       // an integer Shapley sum — identical arithmetic to

@@ -119,6 +119,52 @@ class Round9NewOpsSpec extends SparkTestBase {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("Holt fold: hand-worked shift recursion incl. negative trends") {
+    // l0=100,b0=0; y=40 -> l=70,b=(-30)>>1=-15 (floor, NOT trunc: -15);
+    // chain ends at l=541,b=225 (verified by hand; the same series pinned
+    // the DuckDB 1.0 list_reduce accumulator-aliasing bug the oracle's
+    // recursive CTE sidesteps)
+    val hw = spark.sql(
+      """SELECT aggregate(slice(ys, 2, size(ys) - 1),
+           named_struct('l', ys[0], 'b', 0L),
+           (acc, y) -> named_struct(
+             'l', shiftright(y + acc.l + acc.b, 1),
+             'b', shiftright(shiftright(y + acc.l + acc.b, 1) - acc.l + acc.b, 1)),
+           acc -> acc) AS hw
+         FROM (SELECT array(100L, 40L, 7L, 253L, 11L, 999L) AS ys)""").head()
+      .getStruct(0)
+    assert((hw.getLong(0), hw.getLong(1)) === ((541L, 225L)))
+    // floor semantics on a negative intermediate: one step from (100, 0)
+    val one = spark.sql(
+      """SELECT shiftright(40 + 100 + 0, 1) AS l,
+                shiftright(shiftright(40 + 100 + 0, 1) - 100 + 0, 1) AS b""").head()
+    assert((one.getInt(0), one.getInt(1)) === ((70, -15)))
+  }
+
+  test("feature hashing: fixed width, sign balance, exact integer counts") {
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "alpha ALPHA"),
+      (3L, "")).toDF("doc_id", "text")
+    val th = graft.operators.Dedup.tokenHash60(col("tok"))
+    val feats = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), pmod(th, lit(1024L)).as("bucket"),
+        when(shiftright(th, 10).bitwiseAND(1) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("sgn")).as("feat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 2: both tokens lowercase to "alpha" -> ONE bucket, |feat| = 2
+    val d2 = feats.collect { case ((2L, b), f) => (b, f) }
+    assert(d2.size === 1 && math.abs(d2.head._2) === 2L)
+    // doc 1: alpha twice + beta + gamma; every bucket in [0, 1024)
+    assert(feats.keys.forall { case (_, b) => b >= 0 && b < 1024 })
+    // doc 3 (empty text) contributes no rows
+    assert(!feats.keys.exists(_._1 == 3L))
+    // doc 1's alpha bucket matches doc 2's (same token, same hash)
+    val aBucket = d2.head._1
+    assert(feats.contains((1L, aBucket)))
+  }
+
   test("binaryTopK: Hamming candidates then exact-cosine ranks") {
     // query 0 = (1,1,-1,-1). Sign pattern matches: id 1 exactly (hd=0),
     // id 2 in 3 of 4 bits (hd=1), id 3 is the sign-opposite (hd=4).
