@@ -3252,6 +3252,20 @@ object SparkEntry {
       graft.operators.TrainedPq.sf001, k = 10, nprobe = 2)
   }
 
+  /** Residual IVF-PQ ([[graft.operators.Pq.ivfPqResidualTopK]]): corpus
+    * codes quantize (vector − coarse centroid) under residual-trained
+    * codebooks ([[graft.operators.TrainedPqResidual]]) and queries compare
+    * per probed cell against their own residual — the textbook Jégou '11
+    * layout next to `e_ivfpq_topk`'s raw-vector codes. The oracle replays
+    * cell assignment, residual subtraction, encode, and ADC bit for bit.
+    */
+  private def eIvfPqResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Pq.ivfPqResidualTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.operators.TrainedCentroids.sf001,
+      graft.operators.TrainedPqResidual.sf001, k = 10, nprobe = 2)
+  }
+
   /** CSV round-trip with an explicit read schema (the third columnar/text
     * format surface next to ORC and JSONL): quoting survives, doubles
     * round-trip via shortest representation, and no inference scan runs.
@@ -5011,6 +5025,80 @@ object SparkEntry {
           .cast("double") / (col("n_a") + col("n_b")) > 3.841459).as("srm"))
   }
 
+  /** CUPED variance reduction (Deng et al. '13 — the standard
+    * experimentation pre-period adjustment): per user, x = pre-period
+    * spend and y = post-period spend (exact integer cents), arms assigned
+    * deterministically off user_id; the adjusted metric is
+    * y − θ(x − x̄) with θ = cov(x,y)/var(x) POOLED across arms. Every
+    * aggregation is an integer sum (n, Σx, Σy, Σxy, Σx², Σy²) — order-free
+    * cross-engine — and θ/ρ² are scalar double expressions over those six
+    * integers, computed once. ρ² is the variance-reduction fraction the
+    * experiment gains (sample size shrinks by 1/(1−ρ²)).
+    */
+  private def qAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100, 0).cast("long").as("v_e2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < 19737, col("v_e2")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= 19737, col("v_e2")).otherwise(0L)).as("y"))
+      .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("arm"),
+        col("x"), col("y"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val pooled = arms.agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxx")).as("psxx"),
+      sum(col("sxy")).as("psxy"), sum(col("syy")).as("psyy"))
+    // θ and ρ² in double space over the exact pooled integers (products
+    // can pass 2^63 at extreme SF; the double forms are scalar and
+    // deterministic — same integers, same ops, both engines)
+    val covN = col("pn").cast("double") * col("psxy") -
+      col("psx").cast("double") * col("psy")
+    val varXN = col("pn").cast("double") * col("psxx") -
+      col("psx").cast("double") * col("psx")
+    val varYN = col("pn").cast("double") * col("psyy") -
+      col("psy").cast("double") * col("psy")
+    val theta = covN / varXN
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n"),
+        round(col("sy").cast("double") / col("n") / 100.0, 4).as("mean_y"),
+        round((col("sy").cast("double") / col("n") -
+          theta * (col("sx").cast("double") / col("n") -
+            col("psx").cast("double") / col("pn"))) / 100.0, 4).as("mean_cuped"),
+        round(theta, 6).as("theta"),
+        round(covN * covN / (varXN * varYN), 6).as("rho2"))
+  }
+
+  /** Experiment power analysis from observed variance: the per-arm sample
+    * size needed to detect a 5% lift of the control mean at α = 0.05 /
+    * power 0.8 — n = 2(z_{α/2}+z_β)²σ²/δ², the go/no-go arithmetic every
+    * experiment design starts with. σ² comes from the same order-free
+    * integer sums as [[qAbCuped]]; the z constants are literals, so the
+    * whole row is one deterministic scalar expression.
+    */
+  private def qPowerMde(s: SparkSession, dir: String): DataFrame = {
+    val sums = t(s, dir, "events")
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("v_e2"))
+      .groupBy(col("user_id")).agg(sum(col("v_e2")).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val meanC = col("sy").cast("double") / col("n") / 100.0
+    val varC = (col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")) /
+      (col("n").cast("double") * (col("n").cast("double") - 1.0)) / 10000.0
+    val delta = meanC * 0.05
+    val zsum2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    sums.select(col("n").as("n_observed"),
+      round(meanC, 4).as("mean_control"),
+      round(varC, 4).as("variance"),
+      round(delta, 4).as("mde_abs"),
+      ceil(lit(2.0) * lit(zsum2) * varC / (delta * delta)).cast("long")
+        .as("n_per_arm_required"))
+  }
+
   /** Winsorized group means — the robust-stats complement to
     * `q_mad_outliers`: per order priority, clamp totals into the
     * [p05, p95] nearest-rank band before averaging (the standard
@@ -6361,6 +6449,7 @@ object SparkEntry {
     "e_pq_topk" -> (ePqTopK _),
     "d_dup_span_stats" -> (dDupSpanStats _),
     "e_ivfpq_topk" -> (eIvfPqTopK _),
+    "e_ivfpq_residual_topk" -> (eIvfPqResidualTopK _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_lead_lag" -> (qLeadLag _),
     "q13_cust_dist" -> (q13CustDist _),
@@ -6476,6 +6565,8 @@ object SparkEntry {
     "q_theilsen_trend" -> (qTheilsenTrend _),
     "c_feature_hash" -> (cFeatureHash _),
     "q_holt_forecast" -> (qHoltForecast _),
+    "q_ab_cuped" -> (qAbCuped _),
+    "q_power_mde" -> (qPowerMde _),
     "q_rfm_segments" -> (qRfmSegments _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
@@ -7043,6 +7134,55 @@ object SparkEntry {
          FROM c CROSS JOIN pqt),
        q AS (SELECT vec_id AS query_id, v AS qv, unnest(sorted_cells[1:2]) AS cell
              FROM cells WHERE vec_id < 5),
+       cand AS (SELECT query_id, neighbor_id,
+           ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
+         FROM enc JOIN q USING (cell) CROSS JOIN pqt
+         WHERE query_id <> neighbor_id)
+       SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(adist, 6) ASC, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 10"""
+  }
+
+  /** Residual IVF-PQ oracle: [[sqlIvfPqTopK]] with the encode/ADC inputs
+    * swapped to residuals — rv = v − centroid(cell) for the corpus, and
+    * per probed cell qrv = qv − centroid(cell) for the query — under the
+    * residual-trained codebook literals.
+    */
+  private lazy val sqlIvfPqResidualTopK: String = {
+    val flatC = graft.operators.TrainedCentroids.sf001.flatten
+      .map(_.toString).mkString("[", ", ", "]")
+    val flatPq = graft.operators.TrainedPqResidual.sf001.flatten.flatten
+      .map(_.toString).mkString("[", ", ", "]")
+    val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+    def subV(v: String, m: String) = s"$v[($m) * 16 + 1 : ($m) * 16 + 16]"
+    def cbV(m: String, j: String) =
+      s"pq[(($m) * 8 + ($j)) * 16 + 1 : (($m) * 8 + ($j)) * 16 + 16]"
+    def term(m: Int) =
+      sqlL2sq(subV("qrv", m.toString), cbV(m.toString, s"codes[$m + 1]"))
+    s"""WITH sgt AS (SELECT $flatC::DOUBLE[] AS sg),
+       pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cells AS (SELECT vec_id, v,
+           list_transform(list_sort(list_transform(range(0, 8), ci ->
+             {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
+             st -> st.cell) AS sorted_cells
+         FROM e CROSS JOIN sgt),
+       c AS (SELECT vec_id AS neighbor_id,
+             list_transform(range(1, 65),
+               i -> v[i] - ${centroidList("sorted_cells[1]")}[i]) AS rv,
+             sorted_cells[1] AS cell
+           FROM cells CROSS JOIN sgt),
+       enc AS (SELECT neighbor_id, cell, list_transform(range(0, 4), m ->
+           (list_sort(list_transform(range(0, 8), j ->
+             {'d': ${sqlL2sq(subV("rv", "m"), cbV("m", "j"))}, 'j': j})))[1].j) AS codes
+         FROM c CROSS JOIN pqt),
+       q AS (SELECT query_id, cell,
+             list_transform(range(1, 65),
+               i -> qv[i] - ${centroidList("cell")}[i]) AS qrv
+           FROM (SELECT vec_id AS query_id, v AS qv,
+                   unnest(sorted_cells[1:2]) AS cell
+                 FROM cells WHERE vec_id < 5) CROSS JOIN sgt),
        cand AS (SELECT query_id, neighbor_id,
            ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adist
          FROM enc JOIN q USING (cell) CROSS JOIN pqt
@@ -9492,6 +9632,7 @@ object SparkEntry {
          LEFT JOIN cov USING (doc_id)"""
     },
     "e_ivfpq_topk" -> sqlIvfPqTopK,
+    "e_ivfpq_residual_topk" -> sqlIvfPqResidualTopK,
     // the materialized-index variant is semantically identical — same oracle
     "e_pq_index_topk" -> sqlIvfPqTopK,
     "q_csv_roundtrip" ->
@@ -10710,6 +10851,55 @@ object SparkEntry {
            round(((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b), 6) AS chi2,
            ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b) > 3.841459 AS srm
          FROM c""",
+    "q_ab_cuped" ->
+      // six order-free integer sums, then scalar double arithmetic —
+      // identical shape to qAbCuped
+      """WITH per AS (SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) // 86400000000 < 19737
+                 THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN epoch_us(ts) // 86400000000 >= 19737
+                 THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+           FROM events GROUP BY 1),
+         pa AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             x, y FROM per),
+         arms AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+           FROM pa GROUP BY 1),
+         pooled AS (SELECT sum(n)::BIGINT AS pn, sum(sx)::BIGINT AS psx,
+             sum(sy)::BIGINT AS psy, sum(sxx)::BIGINT AS psxx,
+             sum(sxy)::BIGINT AS psxy, sum(syy)::BIGINT AS psyy FROM arms)
+         SELECT arm, n,
+           round(sy::DOUBLE / n / 100.0, 4) AS mean_y,
+           round((sy::DOUBLE / n -
+             ((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+              / (pn::DOUBLE * psxx - psx::DOUBLE * psx))
+             * (sx::DOUBLE / n - psx::DOUBLE / pn)) / 100.0, 4) AS mean_cuped,
+           round((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+             / (pn::DOUBLE * psxx - psx::DOUBLE * psx), 6) AS theta,
+           round((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+             * (pn::DOUBLE * psxy - psx::DOUBLE * psy)
+             / ((pn::DOUBLE * psxx - psx::DOUBLE * psx)
+                * (pn::DOUBLE * psyy - psy::DOUBLE * psy)), 6) AS rho2
+         FROM arms CROSS JOIN pooled""",
+    "q_power_mde" ->
+      """WITH u AS (SELECT user_id,
+             sum(round(value * 100)::BIGINT)::BIGINT AS y
+           FROM events GROUP BY 1),
+         s AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+             sum(y * y)::BIGINT AS syy FROM u)
+         SELECT n AS n_observed,
+           round(sy::DOUBLE / n / 100.0, 4) AS mean_control,
+           round((n::DOUBLE * syy - sy::DOUBLE * sy)
+             / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0, 4) AS variance,
+           round(sy::DOUBLE / n / 100.0 * 0.05, 4) AS mde_abs,
+           ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+             * ((n::DOUBLE * syy - sy::DOUBLE * sy)
+                / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0)
+             / ((sy::DOUBLE / n / 100.0 * 0.05)
+                * (sy::DOUBLE / n / 100.0 * 0.05)))::BIGINT
+             AS n_per_arm_required
+         FROM s""",
     "q_winsorized_mean" ->
       """WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
              row_number() OVER (PARTITION BY o_orderpriority

@@ -23,7 +23,15 @@ object TrainPqCodebooks {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      // --residual: train on (vector - nearest trained centroid) — the
+      // codebooks for Pq.ivfPqResidualTopK (pasted into TrainedPqResidual)
+      val emb =
+        if (args.contains("--residual"))
+          emb0.select(graft.operators.Pq.residualExpr(
+            org.apache.spark.sql.functions.col("embedding"),
+            graft.operators.TrainedCentroids.sf001).as("embedding"))
+        else emb0
       val books = graft.operators.Pq.trainCodebooks(
         emb, "embedding", numSub = 4, ksub = 8, dim = 64, iters = 5)
       println("  val sf001: Seq[Seq[Seq[Double]]] = Seq(")

@@ -165,6 +165,19 @@ class Round9NewOpsSpec extends SparkTestBase {
     assert(feats.contains((1L, aBucket)))
   }
 
+  test("residualExpr subtracts the NEAREST coarse centroid elementwise") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.2, 0.8)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.operators.Pq.residualExpr(col("embedding"), centroids).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 }
+    assert(close(got(1L), Seq(-0.1, 0.1)), got(1L).toString)   // cell 0
+    assert(close(got(2L), Seq(0.2, -0.2)), got(2L).toString)   // cell 1
+  }
+
   test("binaryTopK: Hamming candidates then exact-cosine ranks") {
     // query 0 = (1,1,-1,-1). Sign pattern matches: id 1 exactly (hd=0),
     // id 2 in 3 of 4 bits (hd=1), id 3 is the sign-opposite (hd=4).
