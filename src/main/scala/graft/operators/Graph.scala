@@ -251,6 +251,51 @@ object Graph {
     if (rounds > 0) lab.pinned(true) else lab
   }
 
+  /** Deterministic hash-seeded random walks — the DeepWalk/node2vec corpus
+    * generator: from each seed, `steps` hops where hop t picks neighbor
+    * index mix(walk, t) mod degree from the node's SORTED adjacency list.
+    * The "randomness" is a fixed LCG mix of (walk id, step) in modular
+    * arithmetic < 2^31 (products stay < 2^62 — no overflow, no wrap
+    * semantics to disagree on), so every engine reproduces the same walks
+    * — sampled training corpora must be replayable, not merely plausible.
+    *
+    * Scale shape: the indexed adjacency (id-keyed row_number) is built
+    * once and checkpointed; each step is one join keyed by the current
+    * node + one by (node, index) — frontier-sized, ∝ live walks, never
+    * ∝ paths. Walks ending at a sink simply stop (inner join drops them).
+    *
+    * @return (walk, step, node) — step 0 is the seed itself
+    */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, steps: Int): DataFrame = {
+    require(steps >= 0, "steps must be non-negative")
+    val adj = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1L)
+      .pinned(true)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var out = seeds.select(col(idCol).as("walk")).distinct()
+      .select(col("walk"), lit(0L).as("step"), col("walk").as("node"))
+    var frontier = out
+    var t = 1
+    while (t <= steps) {
+      val mix = pmod(col("walk") * lit(1103515245L) + lit(t.toLong * 12345L),
+        lit(2147483647L))
+      val next = frontier
+        .join(deg, frontier("node") === deg("src"))
+        .select(col("walk"), pmod(mix, col("deg")).as("idx"),
+          col("node").as("cur"))
+        .join(adj, Seq("idx"), "inner")
+        .where(col("cur") === adj("src"))
+        .select(col("walk"), lit(t.toLong).as("step"), col("dst").as("node"))
+      frontier = next
+      out = out.unionByName(next)
+      t += 1
+    }
+    out
+  }
+
   /** Exact Newman modularity terms of a node→community assignment over an
     * undirected simple graph — the quality audit for [[labelPropagation]]
     * (and any partition): per community, q_term = intra/m − (deg/(2m))²,
