@@ -3873,6 +3873,41 @@ object SparkEntry {
       seeds, "p_partkey", rounds = 3)
   }
 
+  /** Deterministic hash-seeded random walks over the co-order part graph
+    * ([[graft.operators.Graph.hashWalks]], 3 steps from parts 1–16) — the
+    * DeepWalk/node2vec training-corpus generator: hop t of walk w picks
+    * sorted-neighbor index LCG(w, t) mod degree, so the sampled corpus is
+    * bit-replayable on any engine (the oracle unrolls the identical three
+    * hops as chained CTEs over the same row_number-indexed adjacency).
+    * All arithmetic is 64-bit integer with the walk id reduced mod 2^31−1
+    * before the multiply — no overflow at any id magnitude.
+    */
+  private def gHashWalks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.hashWalks(coOrderEdges(s, dir), "src", "dst",
+      t(s, dir, "part").where(col("p_partkey") <= 16), "p_partkey", steps = 3)
+
+  /** FIFO lot allocation ([[graft.operators.Allocate.fifo]]): returned
+    * units (`l_returnflag = 'R'`) drain available lots (`'A'`) per part
+    * key, both sides in (ship date, line id) order — the inventory/
+    * tax-lot matching primitive. The sequential drain is re-expressed as
+    * the running-interval intersection (two per-key cumsum windows + one
+    * equi-join with an overlap filter), so the per-key output is linear
+    * in demands + lots and quantities are exact longs.
+    */
+  private def qFifoAllocation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("key"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_shipdate"), col("l_returnflag"))
+    val d = li.where(col("l_returnflag") === "R")
+      .select(col("key"), col("lid").as("did"), col("qty"), col("l_shipdate"))
+    val sup = li.where(col("l_returnflag") === "A")
+      .select(col("key"), col("lid").as("lot"), col("qty"), col("l_shipdate"))
+    graft.operators.Allocate.fifo(
+      d, "key", "did", "qty", Seq("l_shipdate"),
+      sup, "key", "lot", "qty", Seq("l_shipdate"))
+  }
+
   /** Deterministic label-propagation communities over the co-order part
     * graph — [[graft.operators.Graph.labelPropagation]], 3 synchronous
     * rounds, most-frequent-then-smallest label. The oracle unrolls the
@@ -4405,21 +4440,39 @@ object SparkEntry {
     * beyond 3·1.4826·MAD — the heavy-tail-immune sibling of
     * `q_zscore_outliers` (one planted whale can't inflate a median the way
     * it inflates a stddev). All medians run over 2×-cents LONGS, so the
-    * even-count midpoint is an exact .0/.5 double and Spark's
-    * lower+(higher−lower)·f interpolation and DuckDB's quantile_cont agree
-    * bit for bit — never a raw-double percentile. Three bounded passes
-    * (medians are exact sort-based percentiles per group; the per-group
-    * stats frames broadcast back, ≤|priorities| rows each).
+    * even-count midpoint is an exact .0/.5 double and DuckDB's
+    * quantile_cont agrees bit for bit — never a raw-double percentile.
+    *
+    * Medians are computed WITHOUT Spark's exact `percentile` (which
+    * buffers every value of a group in one aggregation buffer —
+    * unbounded per-group state, the shape that OOMs first at 100 TB):
+    * each pass collapses to a value-grain count table,
+    * [[Scan.groupedValueRanks]] attaches within-group cumulative counts
+    * via the distributed prefix-sum scan, and the median is
+    * (value-at-rank ⌊(n+1)/2⌋ + value-at-rank ⌈(n+1)/2⌉) div 2 — exact
+    * long arithmetic (v2 is even, so the even-count midpoint divides
+    * exactly). The per-group stats frames broadcast back, ≤|priorities|
+    * rows each; nothing sorts or buffers more than a partition slice.
     */
   private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    // quantile_cont(0.5) over n values sits at position (n+1)/2: lower
+    // rank (n+1) div 2, upper rank (n+2) div 2, midpoint exact on evens
+    def median2(vals: DataFrame, valCol: String, out: String): DataFrame = {
+      val vc = vals.groupBy(col("prio"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("gidx", substring(col("prio"), 1, 1).cast("long"))
+      val ranks = graft.operators.Scan.groupedValueRanks(vc, "gidx", valCol, "cnt")
+      ranks.groupBy(col("prio")).agg(
+        ((min(when(col("cum_grp") >= expr("(n_grp + 1) div 2"), col(valCol))) +
+          min(when(col("cum_grp") >= expr("(n_grp + 2) div 2"), col(valCol))))
+          / lit(2L)).cast("long").as(out))
+    }
     val v = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
       (round(col("o_totalprice") * 100.0, 0).cast("long") * 2).as("v2"))
-    val med = v.groupBy(col("prio"))
-      .agg(expr("percentile(v2, 0.5)").cast("long").as("med2"))
+    val med = median2(v, "v2", "med2")
     val dev = v.join(broadcast(med), "prio")
       .select(col("prio"), abs(col("v2") - col("med2")).as("dev2"), col("med2"))
-    val mad = dev.groupBy(col("prio"))
-      .agg(expr("percentile(dev2, 0.5)").cast("long").as("mad2"))
+    val mad = median2(dev, "dev2", "mad2")
     dev.join(broadcast(mad), "prio")
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n"),
@@ -5102,22 +5155,37 @@ object SparkEntry {
   /** Winsorized group means — the robust-stats complement to
     * `q_mad_outliers`: per order priority, clamp totals into the
     * [p05, p95] nearest-rank band before averaging (the standard
-    * heavy-tail guard for revenue KPIs). Rank bounds are exact integers
-    * (ceil via (5n+99) div 100) over a per-group window sort; the bounds
-    * come back through a broadcast join (≤|groups| rows), so the only
-    * data-scale shuffle is the group partition itself.
+    * heavy-tail guard for revenue KPIs).
+    *
+    * The rank bounds (ceil via (5n+99) div 100) are found WITHOUT any
+    * per-group window sort: order totals collapse to a value-grain count
+    * table (one row per (priority, cent value)), [[Scan.groupedValueRanks]]
+    * attaches each distinct value's within-group cumulative count via the
+    * distributed prefix-sum scan, and "the value at rank r" becomes
+    * `min(v) WHERE cum_grp >= r` — an ordinary aggregation. With 5
+    * priorities, `row_number().over(partitionBy(grp))` would sort the
+    * whole orders table in 5 tasks (~20 TB each at 100 TB); the scan
+    * shape never sorts more than a partition slice. Bounds come back
+    * through a broadcast join (≤|groups| rows), so the only data-scale
+    * shuffles are the value-grain groupBy and the final group partition.
     */
   private def qWinsorizedMean(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
-      col("o_totalprice").as("v"), col("o_orderkey").as("k"))
-    val ranked = o
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))).cast("long"))
-      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val bounds = ranked.groupBy(col("grp")).agg(
-      max(when(col("rn") === expr("(5 * n_g + 99) div 100"), col("v"))).as("lo"),
-      max(when(col("rn") === expr("(95 * n_g + 99) div 100"), col("v"))).as("hi"))
-    ranked.join(broadcast(bounds), "grp")
+      col("o_totalprice").as("v"))
+    // value grain: cent-keyed (totalprice is cent-grain data, so the
+    // double→cents map is injective on observed values); min(v) is the
+    // representative original double for the clamp bounds
+    val vc = o.groupBy(col("grp"),
+        round(col("v") * 100.0, 0).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("vr"))
+      .withColumn("gidx", substring(col("grp"), 1, 1).cast("long"))
+    val ranks = graft.operators.Scan.groupedValueRanks(vc, "gidx", "cents", "cnt")
+    val loRank = expr("(5 * n_grp + 99) div 100")
+    val hiRank = expr("(95 * n_grp + 99) div 100")
+    val bounds = ranks.groupBy(col("grp")).agg(
+      min(when(col("cum_grp") >= loRank, col("vr"))).as("lo"),
+      min(when(col("cum_grp") >= hiRank, col("vr"))).as("hi"))
+    o.join(broadcast(bounds), "grp")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("v")), 4).as("raw_mean"),
@@ -5252,6 +5320,35 @@ object SparkEntry {
   private def qRfmSegments(s: SparkSession, dir: String): DataFrame =
     graft.operators.Marketing.rfmSegments(t(s, dir, "orders"),
       "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** RFM segmentation via exact histogram-cutpoint quintiles
+    * ([[graft.operators.Marketing.rfmHistogramSegments]]) — the
+    * no-global-window scale path beside `q_rfm_segments`' exact-ntile
+    * variant: value-tied customers share a score, all rank arithmetic
+    * rides the prefix-sum scan.
+    */
+  private def qRfmHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Marketing.rfmHistogramSegments(t(s, dir, "orders"),
+      "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** Permutation-sampled Shapley attribution
+    * ([[graft.operators.Marketing.sampledShapley]], m = 24 deterministic
+    * permutations) over a 12-channel universe — past exact Shapley's
+    * n ≤ 8 wall. Channels are the hour-of-day slots mod 12 of a user's
+    * non-purchase events ('c0'…'c11'), conversion = purchase; the oracle
+    * replays the identical LCG permutations, prefix coalitions, and
+    * integer-1e9 coalition values in SQL.
+    */
+  private def qShapleySampled(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", lit("purchase"))
+          .otherwise(concat(lit("c"),
+            expr("(ts_us div 3600000000) % 12").cast("string"))).as("ch"))
+    graft.operators.Marketing.sampledShapley(ev, "user_id", "ch",
+      (0 until 12).map(i => s"c$i"), "purchase", perms = 24)
+  }
 
   /** Typed PII scan with Luhn checksum validation over documents with
     * planted identifiers (email for every third doc, an IPv4, and a
@@ -6489,6 +6586,8 @@ object SparkEntry {
     "d_prefix_jaccard" -> (dPrefixJaccard _),
     "g_temporal_reach" -> (gTemporalReach _),
     "g_sssp_weighted" -> (gSsspWeighted _),
+    "g_hash_walks" -> (gHashWalks _),
+    "q_fifo_allocation" -> (qFifoAllocation _),
     "s_ewma_stream" -> (sEwmaStream _),
     "q_mondrian_anon" -> (qMondrianAnon _),
     "q_gini" -> (qGini _),
@@ -6568,6 +6667,8 @@ object SparkEntry {
     "q_ab_cuped" -> (qAbCuped _),
     "q_power_mde" -> (qPowerMde _),
     "q_rfm_segments" -> (qRfmSegments _),
+    "q_rfm_histogram" -> (qRfmHistogram _),
+    "q_shapley_sampled" -> (qShapleySampled _),
     "t_pii_scan" -> (tPiiScan _),
     "t_secret_entropy" -> (tSecretEntropy _),
     "t_unigram_entropy" -> (tUnigramEntropy _),
@@ -7697,6 +7798,55 @@ object SparkEntry {
          $relax
          SELECT id, dist FROM d$rounds"""
     },
+    "g_hash_walks" -> {
+      // the identical LCG hop unrolled one CTE per step over the same
+      // row_number-indexed sorted adjacency; all operands positive, so
+      // DuckDB's % replays Spark's pmod exactly
+      val steps = 3
+      val hops = (1 to steps).map { k =>
+        s"""s$k AS (SELECT walk, $k::BIGINT AS step, a.dst AS node
+             FROM s${k - 1} JOIN adj a ON a.src = s${k - 1}.node
+               AND a.idx = ((walk % 2147483647) * 1103515245
+                 + $k * 12345) % 2147483647 % a.deg)"""
+      }.mkString(",\n")
+      val unions = (1 to steps)
+        .map(k => s"SELECT walk, step, node FROM s$k").mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+         adj AS MATERIALIZED (SELECT src, dst,
+             (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT AS idx,
+             (count(*) OVER (PARTITION BY src))::BIGINT AS deg
+           FROM e),
+         s0 AS (SELECT p_partkey::BIGINT AS walk, 0::BIGINT AS step,
+             p_partkey::BIGINT AS node FROM part WHERE p_partkey <= 16),
+         $hops
+         SELECT walk, step, node FROM s0 UNION ALL $unions"""
+    },
+    "q_fifo_allocation" ->
+      // the same running-interval intersection: per-key cumsums on both
+      // axes, allocation = interval overlap, zero-width rows dropped
+      """WITH d AS (SELECT l_partkey AS key,
+             l_orderkey * 10 + l_linenumber AS did,
+             CAST(l_quantity AS BIGINT) AS dq,
+             sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey * 10 + l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS dhi
+           FROM lineitem WHERE l_returnflag = 'R'),
+         s AS (SELECT l_partkey AS key,
+             l_orderkey * 10 + l_linenumber AS lot,
+             CAST(l_quantity AS BIGINT) AS sq,
+             sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey * 10 + l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS shi
+           FROM lineitem WHERE l_returnflag = 'A')
+         SELECT d.key AS key, did, lot,
+           (least(dhi, shi) - greatest(dhi - dq, shi - sq))::BIGINT AS qty
+         FROM d JOIN s ON d.key = s.key
+         WHERE dhi - dq < shi AND shi - sq < dhi
+           AND least(dhi, shi) - greatest(dhi - dq, shi - sq) > 0""",
     "d_containment_pairs" -> {
       s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                  FROM documents),
@@ -11046,6 +11196,76 @@ object SparkEntry {
            round(avg(monetary), 2) AS avg_monetary,
            round(sum(monetary), 2) AS total_monetary
          FROM sc GROUP BY 1, 2, 3""",
+    "q_rfm_histogram" ->
+      // exact histogram-cutpoint quintiles: per metric, value-grain
+      // cumulative customer counts → score = ceil(5·cum/n); ties share a
+      // score — identical to Marketing.rfmHistogramSegments' scan device
+      """WITH pc AS (SELECT o_custkey AS cust,
+             max(epoch_us(o_orderdate) // 86400000000)::BIGINT AS r,
+             count(*)::BIGINT AS f,
+             round(sum(o_totalprice), 2) AS monetary,
+             round(round(sum(o_totalprice), 2) * 100.0, 0)::BIGINT AS m
+           FROM orders GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n FROM pc),
+         rs AS (SELECT v, (5 * cum + n - 1) // n AS r_score FROM (
+             SELECT r AS v, sum(count(*)) OVER (ORDER BY r
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM pc GROUP BY r) CROSS JOIN tot),
+         fs AS (SELECT v, (5 * cum + n - 1) // n AS f_score FROM (
+             SELECT f AS v, sum(count(*)) OVER (ORDER BY f
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM pc GROUP BY f) CROSS JOIN tot),
+         ms AS (SELECT v, (5 * cum + n - 1) // n AS m_score FROM (
+             SELECT m AS v, sum(count(*)) OVER (ORDER BY m
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM pc GROUP BY m) CROSS JOIN tot)
+         SELECT r_score, f_score, m_score, count(*) AS n_customers,
+           round(avg(monetary), 2) AS avg_monetary,
+           round(sum(monetary), 2) AS total_monetary
+         FROM pc JOIN rs ON pc.r = rs.v JOIN fs ON pc.f = fs.v
+           JOIN ms ON pc.m = ms.v
+         GROUP BY 1, 2, 3""",
+    "q_shapley_sampled" -> {
+      // the identical LCG permutations, prefix coalitions, cumulative-
+      // exposure game and integer-1e9 values as Marketing.sampledShapley
+      val m = 24
+      s"""WITH u AS (SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'purchase'
+                  ELSE 'c' || ((epoch_us(ts) // 3600000000) % 12) END AS ch
+           FROM events),
+         um AS (SELECT user_id,
+             sum(DISTINCT CASE WHEN ch <> 'purchase'
+               THEN (1::BIGINT << (substr(ch, 2)::BIGINT)) ELSE 0 END
+             )::BIGINT AS mask,
+             max(CASE WHEN ch = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+           FROM u GROUP BY 1),
+         c AS (SELECT mask, count(*)::BIGINT AS nu, sum(conv)::BIGINT AS k
+           FROM um GROUP BY 1),
+         perm AS (SELECT pr.range AS p, ch.range AS i,
+             (row_number() OVER (PARTITION BY pr.range
+               ORDER BY ((pr.range + 1) * 1103515245 + ch.range * 12345)
+                 % 2147483647, ch.range) - 1)::BIGINT AS pos
+           FROM range(0, $m) pr CROSS JOIN range(0, 12) ch),
+         pre AS (SELECT p, i,
+             coalesce(sum(1::BIGINT << i) OVER (PARTITION BY p ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+             )::BIGINT AS pref
+           FROM perm),
+         coal AS (SELECT DISTINCT pref AS s FROM pre
+           UNION SELECT DISTINCT pref + (1::BIGINT << i) FROM pre),
+         v AS (SELECT coal.s,
+             CASE WHEN coalesce(sum(c.nu), 0) = 0 THEN 0
+                  ELSE ((2 * sum(c.k) * 1000000000 + sum(c.nu))
+                        // (2 * sum(c.nu)))::BIGINT END AS v9
+           FROM coal LEFT JOIN c ON (c.mask & coal.s) = c.mask
+           GROUP BY 1)
+         SELECT 'c' || pre.i AS channel,
+           sum(vi.v9 - vs.v9)::BIGINT AS shapley_e9,
+           round(sum(vi.v9 - vs.v9)::DOUBLE / ($m * 1e9), 6) AS shapley
+         FROM pre JOIN v vi ON vi.s = pre.pref + (1::BIGINT << pre.i)
+           JOIN v vs ON vs.s = pre.pref
+         GROUP BY 1"""
+    },
     "t_pii_scan" -> {
       // planted text replayed verbatim; Luhn is the same fixed-position
       // integer fold as Safety.luhnValid16

@@ -38,6 +38,13 @@ object ImageDecode {
     val img =
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null } // truncated/corrupt codec stream
+    gridOf(img, gridW, gridH)
+  }
+
+  /** Luma-grid of an already-decoded image — the shared back half of
+    * [[lumaGrid]] and the per-frame path in [[gifFrameGrids]]. */
+  private def gridOf(img: java.awt.image.BufferedImage,
+      gridW: Int, gridH: Int): Array[Byte] = {
     if (img == null || img.getWidth < 1 || img.getHeight < 1) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Long](gridW * gridH)
@@ -63,6 +70,104 @@ object ImageDecode {
     Array.tabulate[Byte](gridW * gridH) { i =>
       (if (counts(i) == 0) 0 else (sums(i) / counts(i)).toInt).toByte
     }
+  }
+
+  /** REAL multi-frame decode (animated GIF — and any other multi-image
+    * stream `javax.imageio` can iterate): each frame composes onto the
+    * logical-screen canvas at its descriptor offset (draw-over; the rare
+    * restore-to-background disposal renders as draw-over too — a
+    * documented approximation that only affects transparent-patch
+    * animations), then area-averages to the same `gridW`×`gridH` luma
+    * grid as [[lumaGrid]]. The output is exactly the
+    * [[Multimodal.frameWindows]] contract — an array of fixed-size byte
+    * grids — so the EXISTING scene-cut / dHash pipeline runs on real
+    * pixels end-to-end: `posexplode(gifFrameGridsCol(payload, 8, 8))` →
+    * `dhash60` → the `m_scene_cuts` cut test, unchanged.
+    *
+    * Returns null when the payload is not a decodable image stream;
+    * single-frame formats (JPEG/PNG/BMP) yield one grid. `maxFrames`
+    * bounds both output size and decode CPU per row (a hostile 10k-frame
+    * GIF cannot stall a partition).
+    */
+  def gifFrameGrids(bytes: Array[Byte], gridW: Int, gridH: Int,
+      maxFrames: Int = 64): Array[Array[Byte]] = {
+    if (bytes == null || bytes.length == 0) return null
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return null
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return null }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, false) // keep metadata: frame offsets
+      val n = math.min(reader.getNumImages(true), maxFrames)
+      if (n <= 0) return null
+      val (sw, sh) = logicalScreen(reader)
+      var canvas: java.awt.image.BufferedImage = null
+      val out = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        val frame = reader.read(i)
+        val (ox, oy) = frameOffset(reader, i)
+        if (canvas == null) {
+          val w = math.max(sw, frame.getWidth + ox)
+          val h = math.max(sh, frame.getHeight + oy)
+          canvas = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+        }
+        val g = canvas.createGraphics()
+        g.drawImage(frame, ox, oy, null)
+        g.dispose()
+        out(i) = gridOf(canvas, gridW, gridH)
+        i += 1
+      }
+      out
+    } catch { case _: Exception => null }
+    finally { reader.dispose(); try iis.close() catch { case _: Exception => } }
+  }
+
+  /** GIF logical screen dims from stream metadata; (0,0) when absent
+    * (single-frame formats) — the canvas then sizes to frame+offset. */
+  private def logicalScreen(reader: javax.imageio.ImageReader): (Int, Int) =
+    try {
+      val tree = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val d = tree.getElementsByTagName("LogicalScreenDescriptor")
+      if (d.getLength == 0) (0, 0)
+      else {
+        val e = d.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("logicalScreenWidth").toInt,
+          e.getAttribute("logicalScreenHeight").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  /** Per-frame canvas offset from the GIF image descriptor; (0,0) when
+    * the format carries none. */
+  private def frameOffset(reader: javax.imageio.ImageReader,
+      idx: Int): (Int, Int) =
+    try {
+      val tree = reader.getImageMetadata(idx)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val d = tree.getElementsByTagName("ImageDescriptor")
+      if (d.getLength == 0) (0, 0)
+      else {
+        val e = d.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("imageLeftPosition").toInt,
+          e.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  /** Column form of [[gifFrameGrids]]: binary payload → array of
+    * gridW×gridH luma grids (array<binary>), null for non-images —
+    * drop-in where [[Multimodal.frameWindows]] feeds the scene-cut ops.
+    */
+  def gifFrameGridsCol(bin: Column, gridW: Int, gridH: Int): Column = {
+    val f = udf((b: Array[Byte]) => gifFrameGrids(b, gridW, gridH))
+    f(bin)
   }
 
   /** True decoded dimensions (width, height), or null if undecodable —

@@ -115,7 +115,15 @@ object Kernels {
 
   /** Hamming distance of two packed bit arrays: Σ popcount(a_i xor b_i).
     * Exact integer arithmetic — no cross-engine rounding concerns.
-    * Mismatched lengths are an error, matching [[dotLong]]'s strictness.
+    * Mismatched lengths are an error, matching [[dotLong]]'s strictness —
+    * but note the guard is WORD-granular: the original dimensionality is
+    * unrecoverable from ceil(n/64) packed words, so two vectors of
+    * different true dims that pack to the same word count (65 vs 128 dims
+    * → 2 words each) compare without error. [[signBits]] zero-fills the
+    * tail bits, so such a comparison is still a well-defined distance
+    * over the padded 64·words-bit space; callers needing strict dim
+    * equality must compare like-built indexes (the ANN operators do —
+    * both sides pack from the same embedding column).
     */
   def hammingLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()

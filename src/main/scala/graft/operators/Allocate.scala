@@ -54,5 +54,9 @@ object Allocate {
       .select(col("key"), col("did"), col("lot"),
         (least(col("dhi"), col("shi")) -
           greatest(col("dlo"), col("slo"))).as("qty"))
+      // a zero-quantity demand/lot is a zero-WIDTH interval; one sitting
+      // strictly inside the other side's interval still satisfies the
+      // strict overlap test and would emit a spurious qty=0 row
+      .where(col("qty") > 0)
   }
 }

@@ -255,9 +255,11 @@ object Graph {
     * generator: from each seed, `steps` hops where hop t picks neighbor
     * index mix(walk, t) mod degree from the node's SORTED adjacency list.
     * The "randomness" is a fixed LCG mix of (walk id, step) in modular
-    * arithmetic < 2^31 (products stay < 2^62 — no overflow, no wrap
-    * semantics to disagree on), so every engine reproduces the same walks
-    * — sampled training corpora must be replayable, not merely plausible.
+    * arithmetic: the walk id is reduced mod 2^31−1 BEFORE the multiply,
+    * so the product stays < 2^62 for ANY long walk id — no overflow, no
+    * wrap semantics to disagree on — and every engine reproduces the same
+    * walks (sampled training corpora must be replayable, not merely
+    * plausible).
     *
     * Scale shape: the indexed adjacency (id-keyed row_number) is built
     * once and checkpointed; each step is one join keyed by the current
@@ -280,14 +282,21 @@ object Graph {
     var frontier = out
     var t = 1
     while (t <= steps) {
-      val mix = pmod(col("walk") * lit(1103515245L) + lit(t.toLong * 12345L),
-        lit(2147483647L))
+      // reduce the walk id first: (walk mod (2^31−1)) < 2^31, so the
+      // product with the 2^30-ish LCG multiplier stays < 2^62 for any
+      // long walk id (the unreduced form overflowed past ids ~2^33)
+      val mix = pmod(pmod(col("walk"), lit(2147483647L)) * lit(1103515245L) +
+        lit(t.toLong * 12345L), lit(2147483647L))
+      // adj appears both via deg and directly — explicit renames keep the
+      // self-join unambiguous instead of leaning on the lineage pin
       val next = frontier
-        .join(deg, frontier("node") === deg("src"))
-        .select(col("walk"), pmod(mix, col("deg")).as("idx"),
+        .join(deg.select(col("src").as("dsrc"), col("deg")),
+          frontier("node") === col("dsrc"))
+        .select(col("walk"), pmod(mix, col("deg")).as("widx"),
           col("node").as("cur"))
-        .join(adj, Seq("idx"), "inner")
-        .where(col("cur") === adj("src"))
+        .join(adj.select(col("src").as("asrc"), col("dst"),
+            col("idx").as("aidx")),
+          col("cur") === col("asrc") && col("widx") === col("aidx"))
         .select(col("walk"), lit(t.toLong).as("step"), col("dst").as("node"))
       frontier = next
       out = out.unionByName(next)
@@ -344,9 +353,14 @@ object Graph {
       .crossJoin(broadcast(mRow))
       .select(col("community"), col("n_nodes"), ie.as("intra_edges"),
         col("degree_sum"),
-        round((lit(4L) * col("m") * ie -
-          col("degree_sum") * col("degree_sum")).cast("double") /
-          (lit(4L) * col("m") * col("m")).cast("double"), 9).as("q_term"))
+        // m = 0 (empty edge set) would make every q_term 0/0 = NaN —
+        // and NaN round/compare semantics diverge across engines; an
+        // edgeless partition has no intra mass and no degree mass, so
+        // its modularity contribution is exactly 0
+        when(col("m") === 0L, lit(0.0)).otherwise(
+          round((lit(4L) * col("m") * ie -
+            col("degree_sum") * col("degree_sum")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"), 9)).as("q_term"))
   }
 
   /** Minimum hop count from a set of source nodes by frontier BFS.

@@ -141,9 +141,9 @@ object Marketing {
     * Scale note: the three ntile windows are UNPARTITIONED — a global
     * sort over one row per customer. That is |customers|, not |orders|
     * (the orders table is pre-aggregated first), so the window input is
-    * the small frame; at extreme customer counts swap exact ntile for
-    * approx-quantile cutpoints (the segment semantics tolerate it — the
-    * oracle here pins the exact variant).
+    * the small frame; at extreme customer counts use
+    * [[rfmHistogramSegments]] — the exact cent-grain histogram-cutpoint
+    * variant with no global window anywhere (gated as `q_rfm_histogram`).
     *
     * @return (r_score, f_score, m_score, n_customers, avg_monetary,
     *         total_monetary) — one row per populated RFM cell
@@ -162,6 +162,54 @@ object Marketing {
       .withColumn("m_score", ntile(5).over(
         Window.orderBy(col("monetary").desc, col("cust"))).cast("long"))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("monetary")), 2).as("avg_monetary"),
+        round(sum(col("monetary")), 2).as("total_monetary"))
+  }
+
+  /** RFM segmentation at any customer count — the scale path next to
+    * [[rfmSegments]]'s exact-ntile variant: scores come from exact
+    * HISTOGRAM-cutpoint quintiles over the value grain instead of a
+    * global window sort. Per dimension, the per-customer metric collapses
+    * to a value-grain count table (recency: epoch day; frequency: order
+    * count; monetary: exact cents), [[Scan.groupedValueRanks]] attaches
+    * each distinct value's cumulative customer count, and the score is
+    * `ceil(5·cum/n)` — so customers SHARING a metric value share a score
+    * (the histogram semantics; ntile splits ties by customer key), and
+    * higher always means better (more recent / more frequent / more
+    * spend).
+    *
+    * Plan shape: one |orders|→|customers| aggregation, three value-grain
+    * groupBys + prefix-sum scans, three equi-joins back on the metric
+    * value. No window anywhere touches more than a partition slice; all
+    * rank arithmetic is exact integer.
+    *
+    * @return (r_score, f_score, m_score, n_customers, avg_monetary,
+    *         total_monetary) — one row per populated RFM cell
+    */
+  def rfmHistogramSegments(orders: DataFrame, custCol: String,
+      dateCol: String, amountCol: String): DataFrame = {
+    val perCust = orders.groupBy(col(custCol).as("cust"))
+      .agg(max(expr(s"unix_micros(cast($dateCol AS timestamp)) " +
+          "div 86400000000")).as("r"),
+        count(lit(1)).as("f"),
+        round(sum(col(amountCol)), 2).as("monetary"))
+      .withColumn("m", round(col("monetary") * 100.0, 0).cast("long"))
+      .pinned() // four consumers: three score builds + the final join
+    // histogram quintile of one metric: value-grain counts → cumulative
+    // customer count → score = ceil(5·cum/n) ∈ 1..5, ties share a score
+    def scoresOf(metric: String): DataFrame = {
+      val vc = perCust.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt")).withColumn("g", lit(0L))
+      Scan.groupedValueRanks(vc, "g", "v", "cnt")
+        .select(col("v").as(metric),
+          expr("(5 * cum_grp + n_grp - 1) div n_grp").as(s"${metric}_score"))
+    }
+    perCust
+      .join(scoresOf("r"), Seq("r"))
+      .join(scoresOf("f"), Seq("f"))
+      .join(scoresOf("m"), Seq("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         round(avg(col("monetary")), 2).as("avg_monetary"),
         round(sum(col("monetary")), 2).as("total_monetary"))
@@ -188,7 +236,8 @@ object Marketing {
     * those ≤2^n integers — the same bounded-driver contract as
     * [[markovRemovalAttribution]]'s absorption loop. `n ≤ 8` keeps the
     * exact enumeration and the a_m·Δ products safely inside long range;
-    * larger channel sets need sampled Shapley, out of scope here.
+    * larger channel sets take [[sampledShapley]] (real attribution setups
+    * run 10–30 channels).
     *
     * @return (channel, shapley_e9, shapley) — shapley_e9 is the exact
     *         integer numerator over n!·1e9; shapley = its rounded double
@@ -237,6 +286,81 @@ object Marketing {
       .select(col("channel"), col("shapley_e9"),
         round(col("shapley_e9").cast("double") /
           lit(fact(n) * 1.0e9), 6).as("shapley"))
+  }
+
+  /** Permutation-sampled Shapley attribution — [[shapleyAttribution]]
+    * past exact's n ≤ 8 wall (real setups run 10–30 channels): draw m
+    * DETERMINISTIC permutations, average each channel's marginal
+    * v(prefix ∪ {i}) − v(prefix) over them. Same cumulative-exposure game
+    * and integer-1e9 coalition values as exact, so per permutation the
+    * efficiency axiom holds EXACTLY (the marginals telescope to
+    * v(N) − v(∅)) and an untouched channel earns exactly zero.
+    *
+    * Replayability: permutation p orders channel i by the fixed LCG key
+    * ((p+1)·1103515245 + i·12345) mod (2^31−1), ties by i — pure integer
+    * arithmetic any engine reproduces; no RNG state anywhere.
+    *
+    * Plan shape: ONE data-scale aggregation (per-user bitmask → per-mask
+    * counts, ≤2^n rows but in practice the observed-combination count);
+    * the ≤2·m·n distinct sampled coalitions broadcast against that mask
+    * table for a containment aggregation (`mask & s = mask` — the one
+    * non-equi join, build side metadata-sized by construction); the
+    * Shapley sums then fold ≤2·m·n integers on the driver, exactly like
+    * exact's ≤2^n fold.
+    *
+    * @param perms number of sampled permutations m (≥1)
+    * @return (channel, shapley_e9, shapley) — shapley_e9 is the exact
+    *         integer marginal sum over m·1e9; shapley = its rounded double
+    */
+  def sampledShapley(events: DataFrame, userCol: String, typeCol: String,
+      channels: Seq[String], convType: String, perms: Int): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 62,
+      s"bitmask game needs n <= 62, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "duplicate channel")
+    require(perms >= 1, "need at least one permutation")
+    val spark = events.sparkSession
+    val n = channels.size
+    val maskAgg = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("ch") === c, lit(1L << i)).otherwise(lit(0L)))
+    }.reduce(_ + _)
+    val masks = events.select(col(userCol).as("u"), col(typeCol).as("ch"))
+      .groupBy(col("u"))
+      .agg(maskAgg.as("mask"),
+        max(when(col("ch") === convType, 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("k"))
+    // deterministic permutations + their prefix coalitions (driver-side,
+    // m·n tuples of metadata)
+    val trip: Seq[(Int, Int, Long)] = (0 until perms).flatMap { p =>
+      val order = (0 until n).sortBy(i =>
+        (((p + 1).toLong * 1103515245L + i.toLong * 12345L) % 2147483647L, i))
+      var pref = 0L
+      order.map { i => val row = (p, i, pref); pref |= (1L << i); row }
+    }
+    val coals = trip.flatMap { case (_, i, pref) =>
+      Seq(pref, pref | (1L << i)) }.distinct
+    import spark.implicits._
+    // v(s) over the DISTRIBUTED mask table: INNER containment join so the
+    // broadcast-built side is the metadata-sized coalition list (an outer
+    // non-equi join would force Spark to build the data-scale mask side);
+    // coalitions no observed mask fits into simply produce no row and
+    // default to v = 0 at lookup. v9 = round-half-up(k/nu) in integer
+    // 1e9ths, the same ratio arithmetic as exact.
+    val v9 = masks.join(broadcast(coals.toDF("s")),
+        col("mask").bitwiseAND(col("s")) === col("mask"))
+      .groupBy(col("s"))
+      .agg(sum(col("nu")).as("nu"), sum(col("k")).as("k"))
+      .select(col("s"), expr("(2 * k * 1000000000 + nu) div (2 * nu)").as("v9"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shap = channels.zipWithIndex.map { case (c, i) =>
+      val e9 = trip.collect { case (_, `i`, pref) =>
+        v9.getOrElse(pref | (1L << i), 0L) - v9.getOrElse(pref, 0L) }.sum
+      (c, e9)
+    }
+    shap.toDF("channel", "shapley_e9")
+      .select(col("channel"), col("shapley_e9"),
+        round(col("shapley_e9").cast("double") /
+          lit(perms * 1.0e9), 6).as("shapley"))
   }
 
   /** Kaplan-Meier survival curve with right-censoring — the standard

@@ -106,4 +106,55 @@ object Scan {
     }
     withCum.drop("_scan_pid", "_scan_pid_o").drop(vals.map(v => s"_off_$v"): _*)
   }
+
+  /** Per-GROUP cumulative counts at value grain — the exact-rank device
+    * that replaces `row_number().over(partitionBy(grp))` and exact
+    * `percentile` when the group count is small (each group's window
+    * sort would otherwise hold a corpus-scale slice in ONE task).
+    *
+    * Input is the value-grain count table (one row per (group, value),
+    * `cntCol` rows collapsed into it); groups are identified by a dense
+    * long index `gidxCol` < 2^20 and values by a non-negative long
+    * `valueCol` < 2^42, so `gidx·2^42 + value` is a single unique long
+    * whose global ascending order IS (group, value) order. One
+    * [[prefixSum]] over that key gives the global running count; each
+    * group's running count is then the global one minus the total of all
+    * preceding groups (a ≤|groups|-row collect turned into two literal
+    * lookup maps — no join, no window).
+    *
+    * Returns the input plus `cum_grp` (inclusive within-group running
+    * count, i.e. the rank of the LAST raw row carrying this value) and
+    * `n_grp` (group row total). The value at within-group rank r is then
+    * `min(value) WHERE cum_grp >= r` — an ordinary aggregation.
+    *
+    * Scale shape: one value-grain groupBy upstream (caller), one pinned
+    * range shuffle, two metadata-sized collects. Nothing sorts more than
+    * its partition slice.
+    */
+  def groupedValueRanks(vc: DataFrame, gidxCol: String, valueCol: String,
+      cntCol: String): DataFrame = {
+    val keyed = vc.withColumn("_gvr_key",
+      when(col(gidxCol).between(0L, (1L << 20) - 1) &&
+          col(valueCol).between(0L, (1L << 42) - 1),
+        shiftleft(col(gidxCol), 42) + col(valueCol))
+        .otherwise(raise_error(concat(lit("groupedValueRanks key out of " +
+          "range (need 0 <= gidx < 2^20, 0 <= value < 2^42): gidx="),
+          col(gidxCol).cast("string"), lit(" value="),
+          col(valueCol).cast("string")))))
+      .pinned() // two consumers: the scan and the group-total collect
+    val scanned = prefixSum(keyed, "_gvr_key", cntCol, "_gvr_cum")
+    // ≤|groups| rows: total per group → exclusive offsets + group sizes
+    val totals = keyed.groupBy(col(gidxCol))
+      .agg(sum(col(cntCol)).as("_t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = totals.scanLeft(0L -> 0L) { case ((_, acc), (g, t)) =>
+      g -> (acc + t) }.sliding(2)
+      .collect { case Array((_, acc), (g, _)) => g -> acc }.toMap
+    val sizes = totals.toMap
+    scanned
+      .withColumn("cum_grp",
+        col("_gvr_cum") - element_at(typedLit(offs), col(gidxCol)))
+      .withColumn("n_grp", element_at(typedLit(sizes), col(gidxCol)))
+      .drop("_gvr_key", "_gvr_cum")
+  }
 }

@@ -51,113 +51,105 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  // ---- structural BNLJ audit ------------------------------------------
+  // A BroadcastNestedLoopJoin is acceptable at 100 TB in exactly one
+  // shape: the build side is a <=1-row global aggregate shipped under
+  // IdentityBroadcastMode (the "corpus scalar" — n_docs, avgdl, total m,
+  // a conformal threshold — appended map-side to every row). Anything
+  // else (a real relation on the build side) is a data-scale nested loop
+  // and fails. This is checked STRUCTURALLY on the physical plan, so a
+  // new corpus-scalar operator passes automatically and a new data-scale
+  // BNLJ fails loudly — no name list to forget to update.
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(flatten)
+  }
+
+  /** build side is a broadcast of a global (no-grouping-key) aggregate —
+    * guaranteed <=1 row — under IdentityBroadcastMode */
+  private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val side = j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+    flatten(side).exists {
+      case b: BroadcastExchangeExec if b.mode == IdentityBroadcastMode =>
+        scalarTop(b.child)
+      case _ => false
+    }
+  }
+
+  /** the plan's TOP is a no-grouping-key aggregate (exactly 1 output
+    * row), looking through row-preserving unary wrappers only — a
+    * row-multiplying Generate/Expand above the aggregate fails */
+  private def scalarTop(p: SparkPlan): Boolean = p match {
+    case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec => false
+    case u if u.children.size == 1 => scalarTop(u.children.head)
+    case _ => false
+  }
+
   test("no cartesian/nested-loop joins across ALL registered query plans") {
-    // excluded: queries that execute side effects at plan-BUILD time (the
-    // pipeline fixpoint, streaming drains, the index write, the digest-log
-    // double run); q_retention_filter, whose 1-row broadcast crossJoin is
-    // the intended scalar-subquery shape (a BNLJ with a single-row side);
-    // and e_cosine_topk, the deliberate exact brute-force BASELINE — a
-    // broadcast nested-loop of a handful of query vectors against the
-    // corpus (the ANN queries exist precisely to avoid this at scale).
-    // e_quantized_topk joins the brute-force exception: its candidate stage
-    // is the documented flat scan of the int8 index (tiny broadcast query
-    // side × corpus), rescored via equi-joins. The roundtrip queries write
-    // at plan-build time; the interval join drains a stream.
-    // t_tfidf_keywords / t_bm25_topk join q_retention_filter's exemption:
-    // their only nested-loop node is the 1-row corpus-scalar broadcast
-    // (n_docs / avgdl constants appended map-side).
+    // Excluded outright (cannot even be PLANNED side-effect-free, or are
+    // the documented exact baselines whose whole point is the brute-force
+    // shape):
+    //  - plan-BUILD-time side effects: the pipeline fixpoint, streaming
+    //    drains, index/table writes, the digest-log double run — invoking
+    //    the query function executes work, so the blanket audit skips
+    //    them; each has its own plan pin below or in its operator spec.
+    //  - brute-force BASELINES: e_cosine_topk / e_mips_topk and the flat
+    //    index scans (e_quantized_topk, e_pq_topk, e_trunc_rerank) are
+    //    the deliberate exact references the ANN indexes exist to avoid;
+    //    e_ann_recall / d_lsh_recall evaluate against those baselines so
+    //    they contain the same shape; t_hybrid_rrf composes e_cosine_topk.
+    //  - t_kmv_jaccard: groups x groups inequality join of one-sketch-row
+    //    -per-group frames — group-count-scale, never corpus-scale.
+    //  - q_mondrian_anon: round 1 has ONE cell (key constant-folded), so
+    //    the 1-row median join plans as a broadcast scalar of a GROUPED
+    //    aggregate; rounds 2+ plan as hash joins.
+    // Everything else — including every corpus-scalar crossJoin operator —
+    // is audited structurally by scalarBuild: BNLJ passes only with a
+    // <=1-row IdentityBroadcastMode global-aggregate build side.
     val skip = Set("p_pipeline_idempotence", "s_rollup_stream",
       "s_sessionize_stream", "s_dedup_stream", "s_interval_join_stream",
       "s_sliding_stream", "s_asof_stream", "s_anti_join_stream",
       "s_transitions_stream", "s_topk_stream", "s_outer_interval_stream",
       "s_session_window_stream", "s_ingest_dedup_stream",
-      "s_quality_monitor_stream",
+      "s_quality_monitor_stream", "s_hll_stream", "s_f2_stream",
+      "s_psi_stream", "s_cusum_stream", "s_ewma_stream", "s_srm_stream",
       "d_incremental_dedup", "e_ivf_index_topk", "e_pq_index_topk",
       "d_lsh_index_pairs",
-      // e_trunc_rerank's coarse stage is the same documented flat scan
-      // (tiny broadcast query side × corpus prefix slices).
-      "q_retention_filter", "e_cosine_topk", "e_quantized_topk", "e_trunc_rerank",
       "q_orc_roundtrip", "q_jsonl_roundtrip", "q_csv_roundtrip",
       "q_partitioned_prune", "q_time_travel", "q_snapshot_diff",
-      "q_schema_evolution", "t_tfidf_keywords", "t_bm25_topk",
-      // e_ann_recall evaluates the ANN against the exact baseline, so it
-      // necessarily contains e_cosine_topk's brute-force cross join;
-      // e_pq_topk's ADC scan is the documented flat code scan (tiny
-      // broadcast query side × corpus codes), like e_quantized_topk.
-      "e_ann_recall", "e_pq_topk",
-      // d_lsh_recall contains the all-pairs exact GROUND TRUTH cross join
-      // by design (the text dual of e_ann_recall's brute-force baseline)
-      "d_lsh_recall",
-      // q_market_basket / q_revenue_share: the only nested-loop node is a
-      // 1-row corpus-scalar broadcast (the bm25 corpus-stats shape)
-      "q_market_basket", "q_revenue_share", "t_js_divergence",
-      // c_dedup_report / g_clustering_coeff: 1-row scalar aggregates
-      // cross-joined into the report row
-      "c_dedup_report", "g_clustering_coeff",
-      // t_hybrid_rrf composes t_bm25_topk's corpus-scalar broadcast and
-      // e_cosine_topk's brute-force dense side (1 query vector); the
-      // fusion join itself is a 30×30-row full outer
-      "t_hybrid_rrf",
-      // t_kmv_union appends the 1-row global-exact scalar to the merged
-      // sketch row (the corpus-scalar crossJoin shape); t_kmv_jaccard's
-      // pair generation is a groups×groups inequality join of one-sketch-
-      // row-per-group frames (k longs each) — group-count-scale, never
-      // corpus-scale
-      "t_kmv_union", "t_kmv_jaccard",
-      // q_expectations appends the 1-row FK orphan/denominator scalars to
-      // the 1-row metrics frame (the corpus-scalar crossJoin shape)
-      "q_expectations",
-      // q_bucket_join writes the bucketed tables at plan-build time; its
-      // plan shape is pinned by its own test below
-      "q_bucket_join",
-      // e_mips_topk is the deliberate exact DOT-PRODUCT baseline — same
-      // broadcast-nested-loop brute-force shape (and exemption rationale)
-      // as e_cosine_topk; mipsAugment + the ANN indexes are the scale path
-      "e_mips_topk",
-      // q_rtbf_delete / q_delete_vectors publish versioned snapshots /
-      // delete vectors at plan-BUILD time (the q_time_travel exemption
-      // class); their anti-join shape is pinned by the RTBF test below
-      "q_rtbf_delete", "q_delete_vectors",
-      // q_f2_selfjoin appends the 1-row AMS estimate to the 1-row exact-F2
-      // scalar (the corpus-scalar crossJoin shape, both sides single-row);
-      // s_hll_stream drains a stream at plan-build time; q_hll_distinct's
-      // '__all__' row crossJoins the 1-row merged-register estimate with
-      // the 1-row global-exact scalar (t_kmv_union's exemption shape)
-      "q_f2_selfjoin", "s_hll_stream", "q_hll_distinct",
-      // q_dpp_prune writes its partitioned fixture at plan-build time
-      // (the roundtrip exemption class); q_runtime_filter materializes
-      // inside its conf scope — both plan shapes pinned by their own
-      // tests below
-      "q_dpp_prune", "q_runtime_filter",
-      // s_f2_stream / s_psi_stream drain streams at plan-build time;
-      // t_llr_phrases appends the 1-row bigram-total scalar to the
-      // vocabulary-bounded bigram frame (t_pmi_phrases' exemption shape)
-      "s_f2_stream", "s_psi_stream", "s_cusum_stream", "t_llr_phrases",
-      // q_psi_drift appends the 1-row half-totals scalar to the per-type
-      // counts (the corpus-scalar crossJoin shape); t_pmi_phrases appends
-      // the 1-row corpus token/bigram totals to the vocabulary-bounded
-      // bigram frame (same shape)
-      "q_psi_drift", "t_pmi_phrases",
-      // q15_top_supplier / q22_idle_balance / q11_important_stock /
-      // q_ks_stat / q_ewma_anomaly append a 1-row scalar (max revenue /
-      // positive-balance average / national stock total / group totals /
-      // day span) via broadcast crossJoin — the corpus-scalar shape,
-      // same exemption class as q_retention_filter
-      "q15_top_supplier", "q22_idle_balance", "q11_important_stock",
-      "q_ks_stat", "q_ewma_anomaly",
-      // s_ewma_stream's post-drain scoring is the same ewmaScore scalar
-      "s_ewma_stream",
-      // Mondrian round 1 has ONE cell (cell = literal 0 both sides), so
-      // Catalyst constant-folds the key and the 1-row median join is a
-      // broadcast scalar — same class; rounds 2+ plan as hash joins
-      "q_mondrian_anon",
-      // t_conformal / q_lorenz_deciles append a 1-row scalar (conformal
-      // threshold / corpus totals) via broadcast crossJoin
-      "t_conformal", "q_lorenz_deciles")
+      "q_schema_evolution", "q_bucket_join", "q_rtbf_delete",
+      "q_delete_vectors", "q_dpp_prune", "q_runtime_filter",
+      "e_cosine_topk", "e_mips_topk", "e_quantized_topk", "e_pq_topk",
+      // e_binary_topk's coarse stage is the documented flat Hamming scan
+      // of the 1-bit/dim sign index (tiny broadcast query side × packed
+      // corpus words), exact-rescored via equi-joins — e_quantized_topk's
+      // exemption class
+      "e_binary_topk",
+      "e_trunc_rerank", "e_ann_recall", "d_lsh_recall", "t_hybrid_rrf",
+      "t_kmv_jaccard", "q_mondrian_anon")
     SparkEntry.queries.keys.filterNot(skip).foreach { q =>
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+      val nodes = flatten(analyzed(q).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q has a cartesian product")
+      nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        assert(scalarBuild(j),
+          s"$q has a non-scalar nested loop join (build side is not a " +
+            s"<=1-row IdentityBroadcastMode global aggregate):\n" +
+            j.toString.linesIterator.take(6).mkString("\n"))
+      }
     }
   }
 
@@ -394,6 +386,23 @@ class PlanSpec extends SparkTestBase {
       val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
       assert(winLines.nonEmpty, s"$q lost its scan window")
       winLines.foreach { l =>
+        assert(l.contains("_scan_pid"),
+          s"$q has a window not keyed by the scan partition id: $l")
+      }
+    }
+  }
+
+  test("robust-stats ranks ride the scan: no data-scale window, no exact percentile") {
+    // q_winsorized_mean / q_mad_outliers find their rank values via
+    // Scan.groupedValueRanks. The shapes they retired must never come
+    // back: row_number().over(partitionBy(5-value grp)) sorts the whole
+    // orders table in 5 tasks; exact percentile() buffers every group
+    // value in ONE aggregation buffer. Any window in these plans must be
+    // the scan's partition-local one.
+    for (q <- Seq("q_winsorized_mean", "q_mad_outliers")) {
+      val p = planOf(q)
+      assert(!p.contains("percentile"), s"$q reintroduced exact percentile")
+      p.linesIterator.filter(_.contains("Window")).foreach { l =>
         assert(l.contains("_scan_pid"),
           s"$q has a window not keyed by the scan partition id: $l")
       }
