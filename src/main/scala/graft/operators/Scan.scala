@@ -119,8 +119,11 @@ object Scan {
     * whose global ascending order IS (group, value) order. One
     * [[prefixSum]] over that key gives the global running count; each
     * group's running count is then the global one minus the total of all
-    * preceding groups (a ≤|groups|-row collect turned into two literal
-    * lookup maps — no join, no window).
+    * preceding groups — and because the key order is (group, value), that
+    * offset is simply the global running count at the END of the previous
+    * group, read off the scanned frame itself with one ≤|groups|-row
+    * collect turned into two literal lookup maps (no join, no window, no
+    * second materialization of the input).
     *
     * Returns the input plus `cum_grp` (inclusive within-group running
     * count, i.e. the rank of the LAST raw row carrying this value) and
@@ -141,16 +144,18 @@ object Scan {
           "range (need 0 <= gidx < 2^20, 0 <= value < 2^42): gidx="),
           col(gidxCol).cast("string"), lit(" value="),
           col(valueCol).cast("string")))))
-      .pinned() // two consumers: the scan and the group-total collect
     val scanned = prefixSum(keyed, "_gvr_key", cntCol, "_gvr_cum")
-    // ≤|groups| rows: total per group → exclusive offsets + group sizes
-    val totals = keyed.groupBy(col(gidxCol))
-      .agg(sum(col(cntCol)).as("_t")).collect()
+    // ≤|groups| rows, read off the scan itself (prefixSum already pinned
+    // its input, so this aggregation replays no upstream work): the max
+    // global running count inside group g is the total of ALL rows
+    // through g — each group's exclusive offset is the previous group's
+    // cumulative total, its size the difference.
+    val cumTotals = scanned.groupBy(col(gidxCol))
+      .agg(max(col("_gvr_cum")).as("_t")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offs = totals.scanLeft(0L -> 0L) { case ((_, acc), (g, t)) =>
-      g -> (acc + t) }.sliding(2)
-      .collect { case Array((_, acc), (g, _)) => g -> acc }.toMap
-    val sizes = totals.toMap
+    val offs = cumTotals.map(_._1)
+      .zip(0L +: cumTotals.map(_._2).dropRight(1)).toMap
+    val sizes = cumTotals.map { case (g, t) => g -> (t - offs(g)) }.toMap
     scanned
       .withColumn("cum_grp",
         col("_gvr_cum") - element_at(typedLit(offs), col(gidxCol)))
