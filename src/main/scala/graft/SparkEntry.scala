@@ -3665,6 +3665,227 @@ object SparkEntry {
       .select(col("n_name"), round(col("rank"), 8).as("pr"))
   }
 
+  /** HITS hubs & authorities over the directed nation trade graph
+    * (customer nation → supplier nation, revenue-weighted): 4 mutual
+    * L1-normalized power iterations via [[graft.operators.Graph.hits]] —
+    * hub = "buys from good exporters", authority = "sells to good
+    * importers". The oracle unrolls the same arithmetic one CTE pair per
+    * iteration (the [[qPagerank]] precedent); normalizer scalars are
+    * corpus-scalar subqueries on both sides, rounded to 7 decimals
+    * (summation order is the only divergence, ~1e-14).
+    */
+  private def gHits(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+    val ha = graft.operators.Graph.hits(
+      nat.select(col("n_nationkey")), "n_nationkey",
+      nationTradeEdges(s, dir), "src", "dst", "w", iterations = 4)
+    ha.join(broadcast(nat), ha("id") === nat("n_nationkey"))
+      .select(col("n_name"), round(col("hub"), 7).as("hub"),
+        round(col("authority"), 7).as("authority"))
+  }
+
+  /** Sample autocorrelation of the daily order-revenue series at lags
+    * 1–7 days, gap-correct: pairs are matched by DATE ARITHMETIC (day
+    * and day+k both present), not row adjacency, so calendar holes drop
+    * the pair instead of silently pairing non-adjacent days.
+    * `ACF(k) = Σ (x_d−μ)(x_{d+k}−μ) / Σ (x_d−μ)²` with μ and the
+    * denominator over the FULL series (the standard estimator; the
+    * denominator is `var_pop · n`, one order-free aggregate).
+    *
+    * Scale shape: everything after the one fact-scan aggregation is
+    * day-grain — calendar-bounded (~2.4k rows at ANY SF) — so the ×7
+    * lag explode, the self-join, and the corpus-scalar stats broadcast
+    * are scale-free; the fact scan is the only data term.
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice")).as("x"))
+      .pinned(true) // three consumers: stats row, pair-left, pair-right
+    val stats = daily.agg(avg(col("x")).as("mu"),
+      (var_pop(col("x")) * count(lit(1))).as("denom"))
+    val a = daily.select(col("day"), col("x").as("xa"),
+      explode(array((1 to 7).map(lit(_)): _*)).as("lag"))
+    val b = daily.select(col("day").as("b_day"), col("x").as("xb"))
+    a.join(b, date_add(col("day"), col("lag")) === col("b_day"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum((col("xa") - col("mu")) * (col("xb") - col("mu"))) /
+          max(col("denom")), 6).as("acf"))
+  }
+
+  /** Classical additive seasonal decomposition of daily order revenue:
+    * trend = centered 7-day moving average (RANGE ±3 on the epoch-day
+    * number, so calendar gaps shrink the window instead of smearing
+    * non-adjacent days in), seasonal = mean detrended value per
+    * day-of-week index re-centered to sum ≈ 0, residual = the rest.
+    * The dow index is `epoch_day % 7` (0 = Thursday) — pure integer
+    * arithmetic, identical across engines by construction.
+    *
+    * Scale shape: one fact-scan aggregation to day grain, then every
+    * window/join is calendar-bounded (~2.4k rows at any SF); the global
+    * RANGE window rides the aggregate grain, never the fact table.
+    */
+  private def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice")).as("x"))
+      .withColumn("dn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .pinned(true)
+    val wTrend = Window.orderBy(col("dn")).rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("x")).over(wTrend))
+      .withColumn("dow_idx", pmod(col("dn"), lit(7L)))
+      .pinned(true) // feeds the seasonal means and the final join
+    val seas = trended.groupBy(col("dow_idx"))
+      .agg(avg(col("x") - col("trend")).as("s_raw"))
+    val seasC = seas
+      .crossJoin(broadcast(seas.agg(avg(col("s_raw")).as("s_mean"))))
+      .select(col("dow_idx"), (col("s_raw") - col("s_mean")).as("seasonal"))
+    trended.join(broadcast(seasC), Seq("dow_idx"))
+      .select(col("day"), round(col("x"), 2).as("x"),
+        round(col("trend"), 2).as("trend"),
+        round(col("seasonal"), 2).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 2).as("resid"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) of the
+    * `o_orderpriority` quasi-identifier groups against the ORDERED
+    * sensitive attribute "order value on a fixed \$50k grid" (10
+    * buckets): per group, `t = EMD(P_g, Q) = Σ_i |cum_i(P_g − Q)| /
+    * (m−1)` — the ordered-attribute earth-mover's distance, prefix sums
+    * of probability differences. Complements the k-anonymity /
+    * l-diversity rows: l-diversity counts distinct sensitive values,
+    * t-closeness bounds how far a group's DISTRIBUTION drifts from the
+    * corpus's.
+    *
+    * Scale shape: one fact-scan count to (group × bucket) grain —
+    * bounded at 5×10 rows at any SF — then windows and scalar joins on
+    * that grain only.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L))
+    val counts = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), bucket.as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .pinned(true) // feeds group totals, global totals, and the grid
+    val gTot = counts.groupBy(col("grp")).agg(sum(col("c")).as("gn"))
+    val tot = counts.agg(sum(col("c")).as("n"), count_distinct(col("bucket")).as("m"))
+    val q = counts.groupBy(col("bucket")).agg(sum(col("c")).as("bc"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), (col("bc").cast("double") / col("n")).as("q"),
+        col("m"))
+    // dense (grp × observed bucket) grid WITHOUT a cross join: explode
+    // the fixed bucket domain (0..9 by construction of `bucket`) under
+    // each group, then inner-join to the observed buckets — a plain hash
+    // join, and unobserved-globally buckets drop out so m stays honest
+    val grid = gTot
+      .withColumn("bucket", explode(typedLit((0L to 9L).toSeq)))
+      .join(q, Seq("bucket"))
+      .join(counts, Seq("grp", "bucket"), "left_outer")
+      .select(col("grp"), col("bucket"), col("q"), col("m"), col("gn"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("gn")).as("p"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+    grid.withColumn("cumdiff", sum(col("p") - col("q")).over(w))
+      .groupBy(col("grp"))
+      .agg(max(col("gn")).as("n_rows"),
+        round(when(max(col("m")) === 1L, lit(0.0))
+          .otherwise(sum(abs(col("cumdiff"))) /
+            (max(col("m")) - lit(1L)).cast("double")), 6).as("t_closeness"))
+  }
+
+  /** Frequent length-2 event-type sequences (PrefixSpan's unit step):
+    * pattern a→b is supported by a user iff SOME a-occurrence precedes
+    * some b-occurrence — equivalently `min_ts(a) < max_ts(b)`, so the
+    * whole mining runs on the (user × type) first/last-timestamp grain,
+    * ONE aggregation over the event scan. Support-pruned at 5% like an
+    * A-priori pass.
+    *
+    * Scale shape: the self-join is keyed on user_id over a frame with
+    * ≤|event types| rows per user (bounded fan-out); the support
+    * threshold rides a corpus-scalar broadcast.
+    */
+  private def qSeqMining(s: SparkSession, dir: String): DataFrame = {
+    val byType = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs.as("us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .pinned(true) // both sides of the pair join + the user total
+    val tot = byType.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("nu"))
+    val a = byType.select(col("user_id"), col("event_type").as("seq_a"),
+      col("first_us"))
+    val b = byType.select(col("user_id"), col("event_type").as("seq_b"),
+      col("last_us"))
+    a.join(b, Seq("user_id"))
+      .where(col("seq_a") =!= col("seq_b") &&
+        col("first_us") < col("last_us"))
+      .groupBy(col("seq_a"), col("seq_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .where(col("n_users") >= lit(0.05) * col("nu"))
+      .select(col("seq_a"), col("seq_b"), col("n_users"),
+        round(col("n_users").cast("double") / col("nu"), 6).as("support"))
+  }
+
+  /** Quantile treatment effects (p25/p50/p75 lifts) between the A/B
+    * arms of [[qAbCuped]]'s experiment over per-user event-value totals
+    * — medians/quartiles say what the mean hides when the effect is
+    * concentrated in a tail. Nearest-rank quantiles (`min v with
+    * cum(v) ≥ ⌈q·n⌉`) via [[graft.operators.Scan.groupedValueRanks]]:
+    * value-grain counts + the distributed prefix-sum scan, NO
+    * data-scale sort or window anywhere (the q_winsorized_mean device).
+    */
+  private def qQte(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
+      .select(pmod(col("user_id"), lit(2)).as("gidx"), col("v"))
+    val vc = per.groupBy(col("gidx"), col("v")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Scan.groupedValueRanks(vc, "gidx", "v", "cnt")
+    val qs = ranked.select(col("gidx"), col("v"), col("cum_grp"), col("n_grp"),
+        explode(typedLit(Seq(0.25, 0.5, 0.75))).as("q"))
+      .where(col("cum_grp") >= ceil(col("q") * col("n_grp")))
+      .groupBy(col("q"), col("gidx")).agg(min(col("v")).as("qv"))
+    val qa = qs.where(col("gidx") === 0)
+      .select(col("q"), col("qv").as("va"))
+    val qb = qs.where(col("gidx") === 1)
+      .select(col("q").as("qbq"), col("qv").as("vb"))
+    qa.join(qb, col("q") === col("qbq"))
+      .select(col("q").as("quantile"),
+        round(col("va") / 100.0, 2).as("v_a"),
+        round(col("vb") / 100.0, 2).as("v_b"),
+        round((col("vb") - col("va")) / 100.0, 2).as("qte"))
+  }
+
+  /** Positional phrase search — exact adjacency match of the 2-token
+    * phrase "batch part" via a positional inverted index (term, position
+    * within the whitespace-FILTERED token sequence), the IR primitive
+    * behind phrase and proximity queries: a postings self-join on
+    * (doc_id, pos+1), not a string scan. The oracle rebuilds positions
+    * with DuckDB zip-unnest over the same filtered token list.
+    *
+    * Scale shape: the postings explode is the data term; both join
+    * inputs are pruned to the phrase's two terms BEFORE the shuffle, so
+    * the join moves only those postings lists.
+    */
+  private def tPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val a = toks.where(col("term") === "batch")
+      .select(col("doc_id"), col("pos"))
+    val b = toks.where(col("term") === "part")
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+    a.join(b, col("doc_id") === col("b_doc") &&
+        col("b_pos") === col("pos") + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Day-granularity cohort retention over the event stream: users are
     * cohorted by the day of their FIRST event; every later event counts
     * them active at `offset = event day - cohort day`. Two aggregations
@@ -4059,6 +4280,168 @@ object SparkEntry {
       .select(col("part_a"), col("part_b"), col("n_ab"),
         round(col("n_ab") / col("n_a"), 6).as("confidence"),
         round(col("n_ab") * col("n_orders") / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Frequent 3-itemsets — the A-priori candidate-pruning step
+    * ([[qMarketBasket]]'s length-3 extension): a triple can only reach
+    * support ≥ 2 if all three of its pairs do (downward closure), so the
+    * 3-way postings join is gated behind LEFT-SEMI joins against the
+    * frequent-pair set — at scale the pruning, not the counting, is the
+    * operator. The oracle counts triples directly (pruning is lossless,
+    * so the direct count is the same relation).
+    *
+    * Scale shape: all joins key on the basket id (orderkey) with
+    * per-basket bounded fan-out; the frequent-pair prune runs BEFORE the
+    * widest join, and candidate pairs/triples are support-thresholded
+    * aggregations — never an unpruned cross of the item vocabulary.
+    */
+  private def qBasketTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .pinned(true) // three postings sides + the pair mine + order count
+    val freqPairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+      .select(col("pa"), col("pb"))
+      .pinned(true) // reused as the (a,b), (b,c) and (a,c) prune
+    val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
+    val ordPairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("ord"), col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .join(freqPairs, col("part_a") === col("pa") && col("part_b") === col("pb"),
+        "left_semi")
+    ordPairs.join(li.as("c"), col("ord") === col("c.o") && col("c.p") > col("part_b"))
+      .select(col("part_a"), col("part_b"), col("c.p").as("part_c"))
+      .join(freqPairs, col("part_b") === col("pa") && col("part_c") === col("pb"),
+        "left_semi")
+      .join(freqPairs, col("part_a") === col("pa") && col("part_c") === col("pb"),
+        "left_semi")
+      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .where(col("n_abc") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("n_abc"),
+        round(col("n_abc").cast("double") / col("n_orders"), 6).as("support"))
+  }
+
+  /** Holt-Winters ADDITIVE seasonal forecast of weekly revenue
+    * (α = β = γ = ½, season m = 4 weeks): [[qHoltForecast]]'s exact
+    * dyadic-shift device extended with a rotating 4-slot seasonal buffer
+    * inside the same `aggregate` fold — every update is integer adds and
+    * arithmetic shifts, so the fold is bit-exact and the oracle replays
+    * it as a recursive CTE with a list column. Forecast h steps out:
+    * `l + h·b + s[h]` (the seasonal slot h−m steps back).
+    *
+    * Scale shape: identical to Holt — one fact-scan aggregation to week
+    * grain (~350 rows at any SF), then a driverless single-row fold.
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 div 7")
+        .as("week"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_e2"))
+    weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
+        .as("series"))
+      .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      .select(size(col("ys")).cast("long").as("n_weeks"),
+        expr("""aggregate(slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0], 'b', 0L,
+              's', array(0L, 0L, 0L, 0L)),
+            (acc, y) -> named_struct(
+              'l', shiftright(y - acc.s[0] + acc.l + acc.b, 1),
+              'b', shiftright(
+                shiftright(y - acc.s[0] + acc.l + acc.b, 1) - acc.l + acc.b, 1),
+              's', concat(slice(acc.s, 2, 3),
+                array(shiftright(y - acc.l - acc.b + acc.s[0], 1)))),
+            acc -> acc)""").as("hw"))
+      .select(col("n_weeks"), col("hw.l").as("level_e2"),
+        col("hw.b").as("trend_e2"),
+        (col("hw.l") + lit(1L) * col("hw.b") + element_at(col("hw.s"), 1))
+          .as("fc1_e2"),
+        (col("hw.l") + lit(2L) * col("hw.b") + element_at(col("hw.s"), 2))
+          .as("fc2_e2"),
+        (col("hw.l") + lit(3L) * col("hw.b") + element_at(col("hw.s"), 3))
+          .as("fc3_e2"),
+        (col("hw.l") + lit(4L) * col("hw.b") + element_at(col("hw.s"), 4))
+          .as("fc4_e2"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT — Johari et al.,
+    * "Peeking at A/B Tests", KDD 2017): the ALWAYS-VALID p-value for the
+    * running A/B difference, the statistic that lets an experimenter
+    * peek continuously without inflating false positives — the
+    * sequential complement to the fixed-horizon [[qPowerMde]].
+    * `Λ = √(V/(V+τ²)) · exp(δ̂²τ²/(2V(V+τ²)))`, `p = min(1, 1/Λ)` with
+    * `V = s²_A/n_A + s²_B/n_B` and the mixture variance τ² set to the
+    * pooled arm variance. Everything flows from the same order-free
+    * integer sufficient statistics as [[qAbCuped]]; the log/exp pair is
+    * scalar double arithmetic on identical inputs in both engines.
+    */
+  private def qMsprt(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
+      .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+        .as("arm"), col("y"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    // pivot the 2 arms into one row via conditional aggregation (no
+    // window, no join) then do the scalar mSPRT arithmetic in doubles
+    val one = arms.agg(
+      max(when(col("arm") === "A", col("n"))).as("n_a"),
+      max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+      max(when(col("arm") === "A", col("syy"))).as("syy_a"),
+      max(when(col("arm") === "B", col("n"))).as("n_b"),
+      max(when(col("arm") === "B", col("sy"))).as("sy_b"),
+      max(when(col("arm") === "B", col("syy"))).as("syy_b"))
+    def meanD(sy: Column, n: Column): Column = sy.cast("double") / n / 100.0
+    // unbiased sample variance in dollars² from integer sums
+    def varD(n: Column, sy: Column, syy: Column): Column =
+      (n.cast("double") * syy - sy.cast("double") * sy) /
+        (n.cast("double") * (n.cast("double") - 1.0)) / 10000.0
+    val va = varD(col("n_a"), col("sy_a"), col("syy_a"))
+    val vb = varD(col("n_b"), col("sy_b"), col("syy_b"))
+    val delta = meanD(col("sy_b"), col("n_b")) - meanD(col("sy_a"), col("n_a"))
+    val bigV = va / col("n_a") + vb / col("n_b")
+    val tau2 = (va + vb) / 2.0
+    val logLambda = lit(0.5) * log(bigV / (bigV + tau2)) +
+      delta * delta * tau2 / (lit(2.0) * bigV * (bigV + tau2))
+    one.select(col("n_a"), col("n_b"), round(delta, 4).as("delta"),
+      round(logLambda, 6).as("log_lambda"),
+      round(least(lit(1.0), exp(-logLambda)), 6).as("p_always_valid"))
+  }
+
+  /** Degree distribution + Hill power-law tail MLE of the co-order part
+    * graph: the histogram (degree → node count) every graph-data audit
+    * starts with, plus `α̂ = 1 + n_tail / Σ_{d ≥ dmin} ln(d/dmin)` (Hill
+    * 1975; the Clauset-Shalizi-Newman continuous MLE) over the d ≥ 64
+    * tail as a corpus-scalar column — fat-tail degree audits decide
+    * whether hub-capped joins ([[gNodeSimilarity]]) are needed.
+    *
+    * Scale shape: the co-order self-join is the data term (keyed on the
+    * basket id); degrees are one count per node, the histogram one count
+    * per distinct degree, and α̂ one global aggregate riding a 1-row
+    * broadcast.
+    */
+  private def gDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val deg = coOrderEdges(s, dir).distinct()
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .pinned(true) // histogram + tail scalar
+    val dmin = 64
+    val tail = deg.where(col("degree") >= dmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("degree").cast("double") / dmin)).as("sum_ln"))
+    val alphaRow = tail.select(col("n_tail"),
+      when(col("sum_ln") > 0.0,
+        round(lit(1.0) + col("n_tail").cast("double") / col("sum_ln"), 4))
+        .otherwise(lit(null).cast("double")).as("alpha_hill"))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(alphaRow))
   }
 
   /** Per-nation z-score outliers on order value: one stats aggregation
@@ -6618,6 +7001,17 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "c_data_card" -> (cDataCard _),
     "g_pagerank" -> (qPagerank _),
+    "g_hits" -> (gHits _),
+    "q_acf" -> (qAcf _),
+    "q_stl_decompose" -> (qStlDecompose _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_seq_mining" -> (qSeqMining _),
+    "q_qte" -> (qQte _),
+    "t_phrase_search" -> (tPhraseSearch _),
+    "q_basket_triples" -> (qBasketTriples _),
+    "q_holt_winters" -> (qHoltWinters _),
+    "q_msprt" -> (qMsprt _),
+    "g_degree_dist" -> (gDegreeDist _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_harmonic" -> (gHarmonic _),
@@ -10593,6 +10987,224 @@ object SparkEntry {
          SELECT n.n_name, round(r$iters.r, 8) AS pr
          FROM r$iters JOIN n ON r$iters.id = n.id"""
     },
+    "g_hits" -> {
+      // unrolled mutual power iteration: one (authority, hub) CTE pair
+      // per round, identical arithmetic to Graph.hits — raw sums from
+      // the edge join, zero-filled over the node set, divided by the
+      // corpus-scalar L1 mass (coalesced to 0 so an empty round yields
+      // zeros, not NULLs, exactly as the Spark side's `when` guard)
+      // every CTE is MATERIALIZED: the raw-score tables are referenced
+      // multiple times each round, and DuckDB's default CTE inlining
+      // would re-expand the whole upstream chain per reference —
+      // exponential in iteration count (exhausts file handles before it
+      // exhausts patience)
+      val iters = 4
+      val rk = (1 to iters).map { k =>
+        s"""ar$k AS MATERIALIZED (SELECT e.dst AS id, sum(e.w * h.h) AS s
+             FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1),
+           az$k AS MATERIALIZED (SELECT coalesce(sum(abs(s)), 0) AS z
+             FROM ar$k),
+           a$k AS MATERIALIZED (SELECT n.id,
+             CASE WHEN az.z = 0 THEN 0 ELSE coalesce(ar.s, 0) / az.z END AS a
+             FROM n CROSS JOIN az$k az LEFT JOIN ar$k ar ON n.id = ar.id),
+           hr$k AS MATERIALIZED (SELECT e.src AS id, sum(e.w * a.a) AS s
+             FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1),
+           hz$k AS MATERIALIZED (SELECT coalesce(sum(abs(s)), 0) AS z
+             FROM hr$k),
+           h$k AS MATERIALIZED (SELECT n.id,
+             CASE WHEN hz.z = 0 THEN 0 ELSE coalesce(hr.s, 0) / hz.z END AS h
+             FROM n CROSS JOIN hz$k hz LEFT JOIN hr$k hr ON n.id = hr.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT c_nationkey AS src, s_nationkey AS dst,
+             sum(l_extendedprice * (1 - l_discount)) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         n AS MATERIALIZED (SELECT n_nationkey AS id, n_name FROM nation),
+         h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS h FROM n),
+         $rk
+         SELECT n.n_name, round(h$iters.h, 7) AS hub,
+           round(a$iters.a, 7) AS authority
+         FROM n JOIN h$iters ON n.id = h$iters.id
+         JOIN a$iters ON n.id = a$iters.id"""
+    },
+    "q_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS x FROM orders GROUP BY 1),
+         st AS (SELECT avg(x) AS mu, var_pop(x) * count(*) AS denom FROM daily),
+         lg AS (SELECT unnest(range(1, 8)) AS lag),
+         pr AS (SELECT l.lag, a.x AS xa, b.x AS xb
+           FROM daily a CROSS JOIN lg l
+           JOIN daily b ON b.day = a.day + l.lag::INT)
+         SELECT lag, count(*)::BIGINT AS n_pairs,
+           round(sum((xa - mu) * (xb - mu)) / max(denom), 6) AS acf
+         FROM pr CROSS JOIN st GROUP BY 1""",
+    "q_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS x FROM orders GROUP BY 1),
+         d2 AS (SELECT day, x, (day - DATE '1970-01-01')::BIGINT AS dn FROM daily),
+         tr AS (SELECT day, x, dn,
+             avg(x) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS trend,
+             dn % 7 AS dow_idx FROM d2),
+         se AS (SELECT dow_idx, avg(x - trend) AS s_raw FROM tr GROUP BY 1),
+         sc AS (SELECT dow_idx,
+             s_raw - (SELECT avg(s_raw) FROM se) AS seasonal FROM se)
+         SELECT t.day, round(t.x, 2) AS x, round(t.trend, 2) AS trend,
+           round(sc.seasonal, 2) AS seasonal,
+           round(t.x - t.trend - sc.seasonal, 2) AS resid
+         FROM tr t JOIN sc ON t.dow_idx = sc.dow_idx""",
+    "q_t_closeness" ->
+      """WITH cnts AS (SELECT o_orderpriority AS grp,
+             least(floor(o_totalprice / 50000)::BIGINT, 9) AS bucket,
+             count(*)::BIGINT AS c
+           FROM orders GROUP BY 1, 2),
+         gt AS (SELECT grp, sum(c)::BIGINT AS gn FROM cnts GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS n,
+             count(DISTINCT bucket)::BIGINT AS m FROM cnts),
+         q AS (SELECT bucket, sum(c)::DOUBLE / max(n) AS q, max(m) AS m
+           FROM cnts CROSS JOIN tot GROUP BY 1),
+         grid AS (SELECT gt.grp, q.bucket, q.q, q.m, gt.gn,
+             coalesce(c.c, 0)::DOUBLE / gt.gn AS p
+           FROM gt CROSS JOIN q
+           LEFT JOIN cnts c ON c.grp = gt.grp AND c.bucket = q.bucket),
+         cum AS (SELECT grp, m, gn,
+             sum(p - q) OVER (PARTITION BY grp ORDER BY bucket) AS cumdiff
+           FROM grid)
+         SELECT grp, max(gn) AS n_rows,
+           round(CASE WHEN max(m) = 1 THEN 0.0
+             ELSE sum(abs(cumdiff)) / (max(m) - 1) END, 6) AS t_closeness
+         FROM cum GROUP BY 1""",
+    "q_seq_mining" ->
+      """WITH bt AS (SELECT user_id, event_type,
+             min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM bt),
+         pr AS (SELECT a.user_id, a.event_type AS seq_a, b.event_type AS seq_b
+           FROM bt a JOIN bt b ON a.user_id = b.user_id
+             AND a.event_type <> b.event_type AND a.first_us < b.last_us)
+         SELECT seq_a, seq_b, count(*)::BIGINT AS n_users,
+           round(count(*)::DOUBLE / max(nu), 6) AS support
+         FROM pr CROSS JOIN tot GROUP BY 1, 2
+         HAVING count(*) >= 0.05 * max(nu)""",
+    "q_qte" ->
+      """WITH per AS (SELECT user_id,
+             sum(round(value * 100)::BIGINT)::BIGINT AS v
+           FROM events GROUP BY 1),
+         pa AS (SELECT user_id % 2 AS gidx, v FROM per),
+         rk AS (SELECT gidx, v,
+             row_number() OVER (PARTITION BY gidx ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY gidx) AS n FROM pa),
+         qs AS (SELECT qq.q, gidx, min(v) AS qv
+           FROM rk CROSS JOIN
+             (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q) qq
+           WHERE r >= ceil(qq.q * n) GROUP BY 1, 2)
+         SELECT a.q AS quantile, round(a.qv / 100.0, 2) AS v_a,
+           round(b.qv / 100.0, 2) AS v_b,
+           round((b.qv - a.qv) / 100.0, 2) AS qte
+         FROM qs a JOIN qs b ON a.q = b.q AND a.gidx = 0 AND b.gidx = 1""",
+    "q_basket_triples" ->
+      // the oracle counts triples directly — A-priori pruning is
+      // lossless, so the pruned Spark plan and the direct count are the
+      // same relation
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+             l_partkey AS p FROM lineitem),
+         no AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM li),
+         fp AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         li2 AS MATERIALIZED (SELECT * FROM li
+           WHERE p IN (SELECT pa FROM fp UNION SELECT pb FROM fp)),
+         tri AS (SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+             count(*)::BIGINT AS n_abc
+           FROM li2 a JOIN li2 b ON a.o = b.o AND a.p < b.p
+           JOIN li2 c ON a.o = c.o AND b.p < c.p
+           GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         SELECT part_a, part_b, part_c, n_abc,
+           round(n_abc::DOUBLE / (SELECT n_orders FROM no), 6) AS support
+         FROM tri""",
+    "q_holt_winters" ->
+      // same recursive-CTE replay as q_holt_forecast, with the rotating
+      // 4-slot seasonal list; >> is exact on both engines
+      """WITH weekly AS (SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_e2
+           FROM orders GROUP BY 1),
+         ser AS (SELECT list(rev_e2 ORDER BY week) AS ys,
+             count(*)::BIGINT AS n_weeks FROM weekly),
+         steps AS (
+           WITH RECURSIVE s AS (
+             SELECT 1::BIGINT AS i, ys[1] AS l, 0::BIGINT AS b,
+               [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT] AS se FROM ser
+             UNION ALL
+             SELECT i + 1,
+               (ys[i + 1] - se[1] + l + b) >> 1,
+               (((ys[i + 1] - se[1] + l + b) >> 1) - l + b) >> 1,
+               list_append(se[2:4], (ys[i + 1] - l - b + se[1]) >> 1)
+             FROM s, ser WHERE i < n_weeks)
+           SELECT * FROM s)
+         SELECT n_weeks, l AS level_e2, b AS trend_e2,
+           l + 1 * b + se[1] AS fc1_e2, l + 2 * b + se[2] AS fc2_e2,
+           l + 3 * b + se[3] AS fc3_e2, l + 4 * b + se[4] AS fc4_e2
+         FROM steps CROSS JOIN ser WHERE i = n_weeks""",
+    "q_msprt" ->
+      """WITH per AS (SELECT user_id,
+             sum(round(value * 100)::BIGINT)::BIGINT AS y
+           FROM events GROUP BY 1),
+         arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+             sum(y * y)::BIGINT AS syy
+           FROM per GROUP BY 1),
+         one AS (SELECT
+             max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+             max(CASE WHEN arm = 'A' THEN syy END) AS syy_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+             max(CASE WHEN arm = 'B' THEN syy END) AS syy_b
+           FROM arms),
+         sc AS (SELECT n_a, n_b,
+             (n_a::DOUBLE * syy_a - sy_a::DOUBLE * sy_a)
+               / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / 10000.0 AS va,
+             (n_b::DOUBLE * syy_b - sy_b::DOUBLE * sy_b)
+               / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / 10000.0 AS vb,
+             sy_b::DOUBLE / n_b / 100.0 - sy_a::DOUBLE / n_a / 100.0 AS delta
+           FROM one),
+         v AS (SELECT n_a, n_b, delta, va / n_a + vb / n_b AS bigv,
+             (va + vb) / 2.0 AS tau2 FROM sc)
+         SELECT n_a, n_b, round(delta, 4) AS delta,
+           round(0.5 * ln(bigv / (bigv + tau2))
+             + delta * delta * tau2 / (2.0 * bigv * (bigv + tau2)), 6)
+             AS log_lambda,
+           round(least(1.0, exp(-(0.5 * ln(bigv / (bigv + tau2))
+             + delta * delta * tau2 / (2.0 * bigv * (bigv + tau2))))), 6)
+             AS p_always_valid
+         FROM v""",
+    "g_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS id, b.l_partkey AS nb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT id, count(*)::BIGINT AS degree FROM e GROUP BY 1),
+         tail AS (SELECT count(*)::BIGINT AS n_tail,
+             sum(ln(degree::DOUBLE / 64)) AS sum_ln
+           FROM deg WHERE degree >= 64),
+         al AS (SELECT n_tail,
+             CASE WHEN sum_ln > 0.0
+               THEN round(1.0 + n_tail::DOUBLE / sum_ln, 4)
+               ELSE NULL END AS alpha_hill
+           FROM tail)
+         SELECT degree, count(*)::BIGINT AS n_nodes, al.n_tail, al.alpha_hill
+         FROM deg CROSS JOIN al GROUP BY 1, 3, 4""",
+    "t_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(tk) AS term,
+             unnest(range(1, len(tk) + 1)) AS p FROM toks)
+         SELECT a.doc_id, count(*)::BIGINT AS n_occ
+         FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.term = 'batch' AND b.term = 'part'
+         GROUP BY 1""",
     "g_triangles" ->
       """WITH e0 AS (SELECT c_nationkey AS s, s_nationkey AS d,
              sum(l_extendedprice * (1 - l_discount)) AS w

@@ -305,6 +305,65 @@ object Graph {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) by fixed-iteration
+    * mutual power iteration over a DIRECTED weighted edge list: per
+    * iteration `a'(v) = Σ_{u→v} h(u)·w(u,v)` then L1-normalize, followed
+    * by `h'(u) = Σ_{u→v} a'(v)·w(u,v)` then L1-normalize — hubs point at
+    * good authorities, authorities are pointed at by good hubs. Nodes
+    * with no in-edges keep authority 0; no out-edges, hub 0.
+    *
+    * Scale shape: the edge list is the loop invariant (materialized
+    * once); each half-step is one shuffle-join keyed by the edge
+    * endpoint plus one aggregation — the [[pageRank]] cost model. The
+    * L1 normalizers are 1-row global aggregates crossed back in under
+    * `IdentityBroadcastMode` (the corpus-scalar shape the plan audit
+    * admits structurally), NOT driver-side actions, so the whole
+    * iteration chain stays one lazy plan. Lineage is cut every
+    * `checkpointEvery` rounds as in [[pageRank]].
+    *
+    * @return (id, hub, authority) — one row per node in `nodes`
+    */
+  def hits(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iterations: Int = 4, checkpointEvery: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .pinned(true)
+    // one L1-normalized half-step: raw scores from the side that emits
+    // them, zero-filled over the full node set, divided by the global
+    // L1 mass (an empty/zero round degrades to all-zero scores rather
+    // than NULL/NaN — mirrored exactly in the SQL oracle)
+    def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
+        groupTo: String, outCol: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("id"))
+        .groupBy(e(groupTo).as("id"))
+        .agg(sum(col("w") * col(scoreCol)).as("s"))
+      val z = raw.agg(coalesce(sum(abs(col("s"))), lit(0.0)).as("z"))
+      n.join(raw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(z))
+        .select(col("id"),
+          when(col("z") === 0.0, lit(0.0))
+            .otherwise(coalesce(col("s"), lit(0.0)) / col("z")).as(outCol))
+    }
+    var h = n.select(col("id"), lit(1.0).as("h"))
+    var a = n.select(col("id"), lit(0.0).as("a"))
+    var i = 0
+    while (i < iterations) {
+      a = halfStep(h, "h", "src", "dst", "a")
+      h = halfStep(a, "a", "dst", "src", "h")
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        a = a.pinned(true)
+        h = h.pinned(true)
+      }
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Exact Newman modularity terms of a node→community assignment over an
     * undirected simple graph — the quality audit for [[labelPropagation]]
     * (and any partition): per community, q_term = intra/m − (deg/(2m))²,

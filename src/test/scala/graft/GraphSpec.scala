@@ -186,4 +186,42 @@ class GraphSpec extends SparkTestBase {
     // triangle survives every round
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 1L, 9L -> 1L), out)
   }
+
+  private def hitsScores(nodes: Seq[Int], edges: Seq[(Int, Int, Double)],
+      iterations: Int): Map[Int, (Double, Double)] = {
+    val out = Graph.hits(nodes.toDF("id"), "id",
+      edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      iterations = iterations)
+    out.collect().map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+  }
+
+  test("hits: co-citation star — equal hubs, one authority, zeros elsewhere") {
+    // 1 -> 3, 2 -> 3: node 3 is the sole authority (a=1), nodes 1 and 2
+    // are equal hubs (h=0.5 each after L1 normalization) — this IS the
+    // fixed point, so any iteration count returns it exactly
+    val r = hitsScores(Seq(1, 2, 3), Seq((1, 3, 1.0), (2, 3, 1.0)), 4)
+    assert(math.abs(r(1)._1 - 0.5) < 1e-12 && math.abs(r(2)._1 - 0.5) < 1e-12)
+    assert(math.abs(r(3)._2 - 1.0) < 1e-12)
+    assert(r(1)._2 === 0.0 && r(2)._2 === 0.0, "no in-edges -> authority 0")
+    assert(r(3)._1 === 0.0, "no out-edges -> hub 0")
+  }
+
+  test("hits: both score vectors stay L1-normalized; weights skew authority") {
+    // 1 -> 2 (w 3), 1 -> 3 (w 1): authority splits 3:1
+    val r = hitsScores(Seq(1, 2, 3), Seq((1, 2, 3.0), (1, 3, 1.0)), 3)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-12, "hub L1")
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12, "authority L1")
+    assert(math.abs(r(2)._2 - 0.75) < 1e-12 && math.abs(r(3)._2 - 0.25) < 1e-12)
+  }
+
+  test("hits: empty edge set degrades to all-zero scores, never NaN/NULL") {
+    val out = Graph.hits(Seq(1, 2).toDF("id"), "id",
+      spark.emptyDataset[(Int, Int, Double)].toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 2).collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      assert(r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0)
+    }
+  }
 }
