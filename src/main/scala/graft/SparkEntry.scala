@@ -3727,7 +3727,11 @@ object SparkEntry {
     * window/join is calendar-bounded (~2.4k rows at any SF); the global
     * RANGE window rides the aggregate grain, never the fact table.
     */
-  private def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+  /** Shared day-grain decomposition of [[qStlDecompose]] /
+    * [[qStlAnomalies]]: (day, x, trend, seasonal) with the UNROUNDED
+    * doubles so each consumer rounds at its own output edge.
+    */
+  private def stlDaily(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(col("o_totalprice")).as("x"))
@@ -3745,10 +3749,34 @@ object SparkEntry {
       .crossJoin(broadcast(seas.agg(avg(col("s_raw")).as("s_mean"))))
       .select(col("dow_idx"), (col("s_raw") - col("s_mean")).as("seasonal"))
     trended.join(broadcast(seasC), Seq("dow_idx"))
+      .select(col("day"), col("x"), col("trend"), col("seasonal"))
+  }
+
+  private def qStlDecompose(s: SparkSession, dir: String): DataFrame =
+    stlDaily(s, dir)
       .select(col("day"), round(col("x"), 2).as("x"),
         round(col("trend"), 2).as("trend"),
         round(col("seasonal"), 2).as("seasonal"),
         round(col("x") - col("trend") - col("seasonal"), 2).as("resid"))
+
+  /** Residual anomaly days from the [[stlDaily]] decomposition: flag
+    * days whose remainder exceeds 2.5 population standard deviations of
+    * the remainder series — seasonality-aware anomaly detection, the
+    * decomposition's operational payoff (a raw z-score would fire on
+    * every seasonal peak). The cut is applied to the ROUNDED z (the
+    * [[qZscoreOutliers]] discipline) so last-ulp summation noise between
+    * engines can't flip membership at the threshold.
+    */
+  private def qStlAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val withResid = stlDaily(s, dir)
+      .select(col("day"), col("x"),
+        (col("x") - col("trend") - col("seasonal")).as("resid"))
+      .pinned(true) // stats row + the filtered output
+    val stats = withResid.agg(stddev_pop(col("resid")).as("sd"))
+    withResid.crossJoin(broadcast(stats))
+      .select(col("day"), round(col("x"), 2).as("x"),
+        round(col("resid") / col("sd"), 4).as("z"))
+      .where(abs(col("z")) >= 2.5)
   }
 
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) of the
@@ -4367,6 +4395,72 @@ object SparkEntry {
           .as("fc3_e2"),
         (col("hw.l") + lit(4L) * col("hw.b") + element_at(col("hw.s"), 4))
           .as("fc4_e2"))
+  }
+
+  /** Rolling one-step-ahead backtest of the [[qHoltForecast]] recursion:
+    * at every week t the PRE-UPDATE state forecasts `l + b`, the error
+    * against the observed y_t accumulates |err| and signed err INSIDE
+    * the same exact integer fold — so the forecast quality metrics (MAE,
+    * bias) come out of one pass with zero extra scans, and every
+    * intermediate is a bit-exact long. The honest-evaluation complement
+    * to [[qHoltForecast]]: a forecast row without its backtest row is
+    * unfalsifiable.
+    */
+  private def qHoltBacktest(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 div 7")
+        .as("week"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_e2"))
+    weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
+        .as("series"))
+      .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      .select(size(col("ys")).cast("long").as("n_weeks"),
+        expr("""aggregate(slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0], 'b', 0L, 'ae', 0L, 'se', 0L),
+            (acc, y) -> named_struct(
+              'l', shiftright(y + acc.l + acc.b, 1),
+              'b', shiftright(shiftright(y + acc.l + acc.b, 1) - acc.l + acc.b, 1),
+              'ae', acc.ae + abs(y - (acc.l + acc.b)),
+              'se', acc.se + (y - (acc.l + acc.b))),
+            acc -> acc)""").as("bt"))
+      .select(col("n_weeks"),
+        round(col("bt.ae").cast("double") /
+          (col("n_weeks") - 1) / 100.0, 4).as("mae"),
+        round(col("bt.se").cast("double") /
+          (col("n_weeks") - 1) / 100.0, 4).as("bias"))
+  }
+
+  /** Degree assortativity (Newman 2002) of the co-order part graph: the
+    * Pearson correlation of endpoint degrees over all DIRECTED edge
+    * slots — positive means hubs buy with hubs (social-network shape),
+    * negative means hubs pair with the periphery (the usual
+    * catalog/basket shape). Sufficient statistics are exact longs
+    * (bound: Σdeg² per edge must fit 2⁶³ — deg < 2²¹ at 2²¹ edges;
+    * beyond that widen to decimal like modularity's 4m² note); the
+    * final Pearson ratio is one scalar double expression.
+    */
+  private def gAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(s, dir).distinct().pinned(true) // deg + both ends
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .pinned(true)
+    val sums = e
+      .join(deg.select(col("id").as("sid"), col("deg").as("dx")),
+        col("src") === col("sid"))
+      .join(deg.select(col("id").as("did"), col("deg").as("dy")),
+        col("dst") === col("did"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val n = col("n_edges").cast("double")
+    val num = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val den = sqrt(n * col("sxx") - col("sx").cast("double") * col("sx")) *
+      sqrt(n * col("syy") - col("sy").cast("double") * col("sy"))
+    sums.select(col("n_edges"),
+      round(when(den === 0.0, lit(0.0)).otherwise(num / den), 6)
+        .as("assortativity"))
   }
 
   /** Mixture sequential probability ratio test (mSPRT — Johari et al.,
@@ -7012,6 +7106,9 @@ object SparkEntry {
     "q_holt_winters" -> (qHoltWinters _),
     "q_msprt" -> (qMsprt _),
     "g_degree_dist" -> (gDegreeDist _),
+    "q_stl_anomalies" -> (qStlAnomalies _),
+    "q_holt_backtest" -> (qHoltBacktest _),
+    "g_assortativity" -> (gAssortativity _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_harmonic" -> (gHarmonic _),
@@ -11180,6 +11277,64 @@ object SparkEntry {
              + delta * delta * tau2 / (2.0 * bigv * (bigv + tau2))))), 6)
              AS p_always_valid
          FROM v""",
+    "q_stl_anomalies" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS x FROM orders GROUP BY 1),
+         d2 AS (SELECT day, x, (day - DATE '1970-01-01')::BIGINT AS dn FROM daily),
+         tr AS (SELECT day, x, dn,
+             avg(x) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS trend,
+             dn % 7 AS dow_idx FROM d2),
+         se AS (SELECT dow_idx, avg(x - trend) AS s_raw FROM tr GROUP BY 1),
+         sc AS (SELECT dow_idx,
+             s_raw - (SELECT avg(s_raw) FROM se) AS seasonal FROM se),
+         wr AS (SELECT t.day, t.x, t.x - t.trend - sc.seasonal AS resid
+           FROM tr t JOIN sc ON t.dow_idx = sc.dow_idx),
+         st AS (SELECT stddev_pop(resid) AS sd FROM wr)
+         SELECT day, round(x, 2) AS x, round(resid / sd, 4) AS z
+         FROM wr CROSS JOIN st WHERE abs(round(resid / sd, 4)) >= 2.5""",
+    "q_holt_backtest" ->
+      """WITH weekly AS (SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_e2
+           FROM orders GROUP BY 1),
+         ser AS (SELECT list(rev_e2 ORDER BY week) AS ys,
+             count(*)::BIGINT AS n_weeks FROM weekly),
+         steps AS (
+           WITH RECURSIVE s AS (
+             SELECT 1::BIGINT AS i, ys[1] AS l, 0::BIGINT AS b,
+               0::BIGINT AS ae, 0::BIGINT AS sgn FROM ser
+             UNION ALL
+             SELECT i + 1, (ys[i + 1] + l + b) >> 1,
+               (((ys[i + 1] + l + b) >> 1) - l + b) >> 1,
+               ae + abs(ys[i + 1] - (l + b)),
+               sgn + (ys[i + 1] - (l + b))
+             FROM s, ser WHERE i < n_weeks)
+           SELECT * FROM s)
+         SELECT n_weeks,
+           round(ae::DOUBLE / (n_weeks - 1) / 100.0, 4) AS mae,
+           round(sgn::DOUBLE / (n_weeks - 1) / 100.0, 4) AS bias
+         FROM steps CROSS JOIN ser WHERE i = n_weeks""",
+    "g_assortativity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src,
+             b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg
+           FROM e GROUP BY 1),
+         s AS (SELECT count(*)::BIGINT AS n_edges,
+             sum(dx.deg)::BIGINT AS sx, sum(dy.deg)::BIGINT AS sy,
+             sum(dx.deg * dy.deg)::BIGINT AS sxy,
+             sum(dx.deg * dx.deg)::BIGINT AS sxx,
+             sum(dy.deg * dy.deg)::BIGINT AS syy
+           FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id)
+         SELECT n_edges,
+           round(CASE WHEN sqrt(n_edges::DOUBLE * sxx - sx::DOUBLE * sx)
+               * sqrt(n_edges::DOUBLE * syy - sy::DOUBLE * sy) = 0 THEN 0.0
+             ELSE (n_edges::DOUBLE * sxy - sx::DOUBLE * sy)
+               / (sqrt(n_edges::DOUBLE * sxx - sx::DOUBLE * sx)
+                  * sqrt(n_edges::DOUBLE * syy - sy::DOUBLE * sy)) END, 6)
+             AS assortativity
+         FROM s""",
     "g_degree_dist" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS id, b.l_partkey AS nb
            FROM lineitem a JOIN lineitem b
