@@ -4435,29 +4435,47 @@ object SparkEntry {
     * Pearson correlation of endpoint degrees over all DIRECTED edge
     * slots — positive means hubs buy with hubs (social-network shape),
     * negative means hubs pair with the periphery (the usual
-    * catalog/basket shape). Sufficient statistics are exact longs
-    * (bound: Σdeg² per edge must fit 2⁶³ — deg < 2²¹ at 2²¹ edges;
-    * beyond that widen to decimal like modularity's 4m² note); the
-    * final Pearson ratio is one scalar double expression.
+    * catalog/basket shape).
+    *
+    * Scale shape — the directed-slot sums COLLAPSE ONTO THE DEGREE
+    * TABLE: node a is the source of exactly deg_a slots, so
+    * Σ dx = Σ_a deg_a², Σ dx² = Σ_a deg_a³, n = Σ_a deg_a, and by
+    * symmetry sy/syy equal sx/sxx — none of those touch the edge list.
+    * The ONLY edge-scale work is t_a = Σ_{b∈N(a)} deg_b (one join of
+    * the pinned edge list with the node-grain degree table, one
+    * aggregation back to node grain), giving Σ dx·dy = Σ_a deg_a·t_a.
+    * A first draft joined deg onto BOTH endpoints of every edge and
+    * aggregated at edge grain — two chained edge-wide sort-joins that
+    * went 60× at the sf1→sf10 decade; this shape is one edge join +
+    * node-grain everything else. Overflow bound: Σdeg³ must fit 2⁶³
+    * (deg ≤ ~2¹³ at 2²⁴ nodes worst-case) — widen to decimal beyond,
+    * per modularity's 4m² note.
     */
   private def gAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = coOrderEdges(s, dir).distinct().pinned(true) // deg + both ends
+    val e = coOrderEdges(s, dir).distinct().pinned(true) // deg + nbr join
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .pinned(true)
-    val sums = e
-      .join(deg.select(col("id").as("sid"), col("deg").as("dx")),
-        col("src") === col("sid"))
-      .join(deg.select(col("id").as("did"), col("deg").as("dy")),
-        col("dst") === col("did"))
-      .agg(count(lit(1)).as("n_edges"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
+      .pinned(true) // nbr join + the node-grain sums
+    // size-gated broadcast (the Transforms.antiJoinUploaded discipline):
+    // while the node-grain degree table is small (≤4M nodes ≈ tens of
+    // MB) broadcasting it keeps the edge list — the 100 TB side — from
+    // being shuffled AND sorted for this join (measured: the sort-merge
+    // path added ~150 s at the sf10 decade); beyond the gate it falls
+    // back to the plain shuffle join. The count is a metadata-cheap scan
+    // of the just-checkpointed table (the pageRank nCount precedent).
+    val degSmall = deg.select(col("id").as("nid"), col("deg").as("nd"))
+    val degHinted = if (deg.count() <= 4000000L) broadcast(degSmall) else degSmall
+    val nbr = e.join(degHinted, col("dst") === col("nid"))
+      .groupBy(col("src").as("id")).agg(sum(col("nd")).as("tnbr"))
+    val sums = deg.join(nbr, Seq("id"))
+      .agg(sum(col("deg")).as("n_edges"),
+        sum(col("deg") * col("deg")).as("sx"),
+        sum(col("deg") * col("deg") * col("deg")).as("sxx"),
+        sum(col("deg") * col("tnbr")).as("sxy"))
+    // symmetric marginals (sy = sx, syy = sxx) ⇒ the Pearson ratio needs
+    // no sqrt: r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
     val n = col("n_edges").cast("double")
-    val num = n * col("sxy") - col("sx").cast("double") * col("sy")
-    val den = sqrt(n * col("sxx") - col("sx").cast("double") * col("sx")) *
-      sqrt(n * col("syy") - col("sy").cast("double") * col("sy"))
+    val num = n * col("sxy") - col("sx").cast("double") * col("sx")
+    val den = n * col("sxx") - col("sx").cast("double") * col("sx")
     sums.select(col("n_edges"),
       round(when(den === 0.0, lit(0.0)).otherwise(num / den), 6)
         .as("assortativity"))
@@ -5279,6 +5297,61 @@ object SparkEntry {
       .select(col("decile"), col("n_customers"),
         (col("rev_e2").cast("double") / 100.0).as("revenue"),
         col("share"), col("cum_share"))
+  }
+
+  /** ABC / Pareto classification of parts by revenue: class A = parts
+    * reached before the descending-revenue cumulative share crosses 80%,
+    * B before 95%, C the tail — inventory analytics' standard cut.
+    * NO descending sort anywhere: the ASCENDING value-grain prefix sum
+    * ([[graft.operators.Scan.prefixSum]] weighted by block revenue)
+    * gives `desc_excl(v) = T − cum_asc_incl(v)` by algebra, and the
+    * class cuts are EXACT integer comparisons (`desc_excl·100 < 80·T`)
+    * on cent-scaled longs, so no double can flip a boundary part.
+    * Value-tied parts share a block and therefore a class.
+    */
+  private def qAbcClasses(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100.0, 0).cast("long"))
+        .as("v_e2"))
+    val perVal = rev.groupBy(col("v_e2"))
+      .agg(count(lit(1)).as("nv"),
+        (count(lit(1)) * col("v_e2")).as("block_rev"))
+    val cum = graft.operators.Scan
+      .prefixSum(perVal, "v_e2", "block_rev", "cum_rev")
+      .pinned() // totals agg + the classed rollup
+    val tot = cum.agg(max(col("cum_rev")).as("t_rev"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("desc_excl", col("t_rev") - col("cum_rev"))
+      .withColumn("abc_class",
+        when(col("desc_excl") * 100 < col("t_rev") * 80, "A")
+          .when(col("desc_excl") * 100 < col("t_rev") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(sum(col("nv")).as("n_parts"),
+        round(sum(col("block_rev")).cast("double") / 100.0, 2).as("revenue"),
+        round(sum(col("block_rev")).cast("double") /
+          max(col("t_rev")), 6).as("share"))
+  }
+
+  /** Log-log price elasticity of demand per brand: for every line,
+    * x = ln(unit price), y = ln(quantity); elasticity is the OLS slope
+    * `cov(x,y)/var(x)` — the [[qTrendFit]] sufficient-statistics device
+    * pointed at the economist's regression. One aggregation pass over
+    * the part-joined fact scan (brand dimension broadcast); no
+    * iteration, no window.
+    */
+  private def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("lnp"),
+        log(col("l_quantity")).as("lnq"))
+    li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(covar_pop(col("lnp"), col("lnq")) / var_pop(col("lnp")), 4)
+          .as("elasticity"),
+        round(avg(col("lnp")), 4).as("avg_ln_price"))
   }
 
   /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
@@ -7109,6 +7182,8 @@ object SparkEntry {
     "q_stl_anomalies" -> (qStlAnomalies _),
     "q_holt_backtest" -> (qHoltBacktest _),
     "g_assortativity" -> (gAssortativity _),
+    "q_abc_classes" -> (qAbcClasses _),
+    "q_price_elasticity" -> (qPriceElasticity _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_harmonic" -> (gHarmonic _),
@@ -11277,6 +11352,32 @@ object SparkEntry {
              + delta * delta * tau2 / (2.0 * bigv * (bigv + tau2))))), 6)
              AS p_always_valid
          FROM v""",
+    "q_abc_classes" ->
+      // identical integer class cuts on the ascending value-grain
+      // cumulative (window here, distributed scan on the Spark side)
+      """WITH rev AS (SELECT l_partkey,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS v_e2
+           FROM lineitem GROUP BY 1),
+         pv AS (SELECT v_e2, count(*)::BIGINT AS nv,
+             (count(*) * v_e2)::BIGINT AS block_rev
+           FROM rev GROUP BY 1),
+         cum AS (SELECT v_e2, nv, block_rev,
+             sum(block_rev) OVER (ORDER BY v_e2)::BIGINT AS cum_rev FROM pv),
+         tot AS (SELECT max(cum_rev)::BIGINT AS t_rev FROM cum)
+         SELECT CASE WHEN (t_rev - cum_rev) * 100 < t_rev * 80 THEN 'A'
+                     WHEN (t_rev - cum_rev) * 100 < t_rev * 95 THEN 'B'
+                     ELSE 'C' END AS abc_class,
+           sum(nv)::BIGINT AS n_parts,
+           round(sum(block_rev)::DOUBLE / 100.0, 2) AS revenue,
+           round(sum(block_rev)::DOUBLE / max(t_rev), 6) AS share
+         FROM cum CROSS JOIN tot GROUP BY 1""",
+    "q_price_elasticity" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_lines,
+           round(covar_pop(ln(l_extendedprice / l_quantity), ln(l_quantity))
+             / var_pop(ln(l_extendedprice / l_quantity)), 4) AS elasticity,
+           round(avg(ln(l_extendedprice / l_quantity)), 4) AS avg_ln_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
     "q_stl_anomalies" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
              sum(o_totalprice) AS x FROM orders GROUP BY 1),
