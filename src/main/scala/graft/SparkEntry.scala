@@ -5354,6 +5354,35 @@ object SparkEntry {
         round(avg(col("lnp")), 4).as("avg_ln_price"))
   }
 
+  /** Price-volume-mix revenue bridge between two years (1996 → 1997)
+    * per brand — the finance-BI decomposition of "why did revenue
+    * move": `Δrev = volume_effect + price_effect` with the Laspeyres
+    * convention (volume at OLD price: `(q₁−q₀)·p₀`; price at NEW
+    * volume: `(p₁−p₀)·q₁`, p = period revenue / period quantity) — the
+    * two effects telescope to Δrev exactly, by construction. One
+    * conditional-aggregation pass over the part-joined fact scan; brand
+    * grain (~25 rows) for everything after.
+    */
+  private def qMixEffect(s: SparkSession, dir: String): DataFrame = {
+    val y = year(col("l_shipdate").cast("date"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val agg = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .where(y.isin(1996, 1997))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(y === 1996, rev).otherwise(0.0)).as("rev0"),
+        sum(when(y === 1996, col("l_quantity")).otherwise(0.0)).as("q0"),
+        sum(when(y === 1997, rev).otherwise(0.0)).as("rev1"),
+        sum(when(y === 1997, col("l_quantity")).otherwise(0.0)).as("q1"))
+      .where(col("q0") > 0 && col("q1") > 0)
+    val p0 = col("rev0") / col("q0")
+    val p1 = col("rev1") / col("q1")
+    agg.select(col("p_brand"), round(col("rev0"), 2).as("rev0"),
+      round(col("rev1"), 2).as("rev1"),
+      round((col("q1") - col("q0")) * p0, 2).as("volume_effect"),
+      round((p1 - p0) * col("q1"), 2).as("price_effect"))
+  }
+
   /** EWMA anomaly bands over daily purchase revenue with DYADIC decay
     * (half-life 1 day over a 14-day horizon): weight 2^(13−gap) keeps
     * every term an exact long — integer cents × a power of two — so the
@@ -7184,6 +7213,7 @@ object SparkEntry {
     "g_assortativity" -> (gAssortativity _),
     "q_abc_classes" -> (qAbcClasses _),
     "q_price_elasticity" -> (qPriceElasticity _),
+    "q_mix_effect" -> (qMixEffect _),
     "g_triangles" -> (qTriangles _),
     "g_reach_hops" -> (qReachHops _),
     "g_harmonic" -> (gHarmonic _),
@@ -11371,6 +11401,26 @@ object SparkEntry {
            round(sum(block_rev)::DOUBLE / 100.0, 2) AS revenue,
            round(sum(block_rev)::DOUBLE / max(t_rev), 6) AS share
          FROM cum CROSS JOIN tot GROUP BY 1""",
+    "q_mix_effect" ->
+      """WITH agg AS (SELECT p_brand,
+             sum(CASE WHEN year(l_shipdate) = 1996
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS rev0,
+             sum(CASE WHEN year(l_shipdate) = 1996
+               THEN l_quantity ELSE 0 END) AS q0,
+             sum(CASE WHEN year(l_shipdate) = 1997
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS rev1,
+             sum(CASE WHEN year(l_shipdate) = 1997
+               THEN l_quantity ELSE 0 END) AS q1
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1996, 1997)
+           GROUP BY 1 HAVING sum(CASE WHEN year(l_shipdate) = 1996
+               THEN l_quantity ELSE 0 END) > 0
+             AND sum(CASE WHEN year(l_shipdate) = 1997
+               THEN l_quantity ELSE 0 END) > 0)
+         SELECT p_brand, round(rev0, 2) AS rev0, round(rev1, 2) AS rev1,
+           round((q1 - q0) * (rev0 / q0), 2) AS volume_effect,
+           round((rev1 / q1 - rev0 / q0) * q1, 2) AS price_effect
+         FROM agg""",
     "q_price_elasticity" ->
       """SELECT p_brand, count(*)::BIGINT AS n_lines,
            round(covar_pop(ln(l_extendedprice / l_quantity), ln(l_quantity))
