@@ -3711,8 +3711,12 @@ object SparkEntry {
       .crossJoin(broadcast(stats))
       .groupBy(col("lag").cast("long").as("lag"))
       .agg(count(lit(1)).as("n_pairs"),
+        // nullif-guard: a constant series has var_pop 0, and ANSI-mode
+        // double division by zero is a runtime ERROR in Spark 4, not NaN
+        // — degrade to NULL acf (NULLIF in the oracle)
         round(sum((col("xa") - col("mu")) * (col("xb") - col("mu"))) /
-          max(col("denom")), 6).as("acf"))
+          when(max(col("denom")) === 0.0, lit(null)).otherwise(max(col("denom"))),
+          6).as("acf"))
   }
 
   /** Classical additive seasonal decomposition of daily order revenue:
@@ -3775,7 +3779,10 @@ object SparkEntry {
     val stats = withResid.agg(stddev_pop(col("resid")).as("sd"))
     withResid.crossJoin(broadcast(stats))
       .select(col("day"), round(col("x"), 2).as("x"),
-        round(col("resid") / col("sd"), 4).as("z"))
+        // sd = 0 (constant remainder) → NULL z → filtered out below;
+        // ANSI-mode double division by zero would otherwise ERROR
+        round(col("resid") /
+          when(col("sd") === 0.0, lit(null)).otherwise(col("sd")), 4).as("z"))
       .where(abs(col("z")) >= 2.5)
   }
 
@@ -4425,10 +4432,14 @@ object SparkEntry {
               'se', acc.se + (y - (acc.l + acc.b))),
             acc -> acc)""").as("bt"))
       .select(col("n_weeks"),
+        // a 1-week series has no one-step errors: NULL metrics, not an
+        // ANSI division error
         round(col("bt.ae").cast("double") /
-          (col("n_weeks") - 1) / 100.0, 4).as("mae"),
+          when(col("n_weeks") === 1L, lit(null))
+            .otherwise(col("n_weeks") - 1) / 100.0, 4).as("mae"),
         round(col("bt.se").cast("double") /
-          (col("n_weeks") - 1) / 100.0, 4).as("bias"))
+          when(col("n_weeks") === 1L, lit(null))
+            .otherwise(col("n_weeks") - 1) / 100.0, 4).as("bias"))
   }
 
   /** Degree assortativity (Newman 2002) of the co-order part graph: the
@@ -4519,7 +4530,10 @@ object SparkEntry {
     val va = varD(col("n_a"), col("sy_a"), col("syy_a"))
     val vb = varD(col("n_b"), col("sy_b"), col("syy_b"))
     val delta = meanD(col("sy_b"), col("n_b")) - meanD(col("sy_a"), col("n_a"))
-    val bigV = va / col("n_a") + vb / col("n_b")
+    // zero pooled variance (every user total identical) → NULL statistic
+    // instead of an ANSI divide-by-zero error
+    val bigV0 = va / col("n_a") + vb / col("n_b")
+    val bigV = when(bigV0 === 0.0, lit(null)).otherwise(bigV0)
     val tau2 = (va + vb) / 2.0
     val logLambda = lit(0.5) * log(bigV / (bigV + tau2)) +
       delta * delta * tau2 / (lit(2.0) * bigV * (bigV + tau2))
@@ -5349,8 +5363,11 @@ object SparkEntry {
         log(col("l_quantity")).as("lnq"))
     li.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
-        round(covar_pop(col("lnp"), col("lnq")) / var_pop(col("lnp")), 4)
-          .as("elasticity"),
+        // a brand whose every line has the same unit price has var 0 —
+        // elasticity is undefined (NULL), not an ANSI division error
+        round(covar_pop(col("lnp"), col("lnq")) /
+          when(var_pop(col("lnp")) === 0.0, lit(null))
+            .otherwise(var_pop(col("lnp"))), 4).as("elasticity"),
         round(avg(col("lnp")), 4).as("avg_ln_price"))
   }
 
@@ -11240,7 +11257,7 @@ object SparkEntry {
            FROM daily a CROSS JOIN lg l
            JOIN daily b ON b.day = a.day + l.lag::INT)
          SELECT lag, count(*)::BIGINT AS n_pairs,
-           round(sum((xa - mu) * (xb - mu)) / max(denom), 6) AS acf
+           round(sum((xa - mu) * (xb - mu)) / NULLIF(max(denom), 0), 6) AS acf
          FROM pr CROSS JOIN st GROUP BY 1""",
     "q_stl_decompose" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
@@ -11372,7 +11389,8 @@ object SparkEntry {
                / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / 10000.0 AS vb,
              sy_b::DOUBLE / n_b / 100.0 - sy_a::DOUBLE / n_a / 100.0 AS delta
            FROM one),
-         v AS (SELECT n_a, n_b, delta, va / n_a + vb / n_b AS bigv,
+         v AS (SELECT n_a, n_b, delta,
+             NULLIF(va / n_a + vb / n_b, 0) AS bigv,
              (va + vb) / 2.0 AS tau2 FROM sc)
          SELECT n_a, n_b, round(delta, 4) AS delta,
            round(0.5 * ln(bigv / (bigv + tau2))
@@ -11424,7 +11442,8 @@ object SparkEntry {
     "q_price_elasticity" ->
       """SELECT p_brand, count(*)::BIGINT AS n_lines,
            round(covar_pop(ln(l_extendedprice / l_quantity), ln(l_quantity))
-             / var_pop(ln(l_extendedprice / l_quantity)), 4) AS elasticity,
+             / NULLIF(var_pop(ln(l_extendedprice / l_quantity)), 0),
+             4) AS elasticity,
            round(avg(ln(l_extendedprice / l_quantity)), 4) AS avg_ln_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""",
@@ -11442,8 +11461,9 @@ object SparkEntry {
          wr AS (SELECT t.day, t.x, t.x - t.trend - sc.seasonal AS resid
            FROM tr t JOIN sc ON t.dow_idx = sc.dow_idx),
          st AS (SELECT stddev_pop(resid) AS sd FROM wr)
-         SELECT day, round(x, 2) AS x, round(resid / sd, 4) AS z
-         FROM wr CROSS JOIN st WHERE abs(round(resid / sd, 4)) >= 2.5""",
+         SELECT day, round(x, 2) AS x, round(resid / NULLIF(sd, 0), 4) AS z
+         FROM wr CROSS JOIN st
+         WHERE abs(round(resid / NULLIF(sd, 0), 4)) >= 2.5""",
     "q_holt_backtest" ->
       """WITH weekly AS (SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
              sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_e2
@@ -11462,8 +11482,8 @@ object SparkEntry {
              FROM s, ser WHERE i < n_weeks)
            SELECT * FROM s)
          SELECT n_weeks,
-           round(ae::DOUBLE / (n_weeks - 1) / 100.0, 4) AS mae,
-           round(sgn::DOUBLE / (n_weeks - 1) / 100.0, 4) AS bias
+           round(ae::DOUBLE / NULLIF(n_weeks - 1, 0) / 100.0, 4) AS mae,
+           round(sgn::DOUBLE / NULLIF(n_weeks - 1, 0) / 100.0, 4) AS bias
          FROM steps CROSS JOIN ser WHERE i = n_weeks""",
     "g_assortativity" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src,
