@@ -78,6 +78,15 @@ object SparkEntry {
     */
   private def tsUs: Column = expr("ts div 1000")
 
+  /** ANSI-safe denominator: 0 → NULL, the Column mirror of SQL
+    * `NULLIF(x, 0)`. Spark 4 runs with ANSI semantics, where even
+    * double division by zero is a runtime DIVIDE_BY_ZERO error — a
+    * degenerate corpus (constant series, single-row group, one-class
+    * label) must degrade to NULL statistics, not crash the job. Every
+    * oracle mirrors the guard with NULLIF so parity is unchanged.
+    */
+  private def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+
   /** The ANSI ranking-function suite in ONE window pass: percent_rank,
     * cume_dist, ntile(4), dense_rank share a single (nation, balance)
     * partition sort. The order is total (balance desc, key), so every
@@ -1009,7 +1018,7 @@ object SparkEntry {
         sum(col("n_eq")).as("n_all"))
       .select(
         round((col("rank_pos") - col("n_pos") * (col("n_pos") + lit(1.0)) / lit(2.0)) /
-          (col("n_pos") * (col("n_all") - col("n_pos"))), 6).as("auc"),
+          nz(col("n_pos") * (col("n_all") - col("n_pos"))), 6).as("auc"),
         col("n_pos").cast("long").as("n_pos"),
         (col("n_all") - col("n_pos")).cast("long").as("n_neg"))
   }
@@ -1493,11 +1502,11 @@ object SparkEntry {
     val slopeDen = col("cnt") * col("sxx") - col("sx") * col("sx")
     sums.select(
       col("cnt").cast("long").as("k_terms"),
-      round(slopeNum / slopeDen, 6).as("zipf_slope"),
-      round((col("sy") - slopeNum / slopeDen * col("sx")) / col("cnt"), 6)
+      round(slopeNum / nz(slopeDen), 6).as("zipf_slope"),
+      round((col("sy") - slopeNum / nz(slopeDen) * col("sx")) / col("cnt"), 6)
         .as("zipf_intercept"),
       round(slopeNum * slopeNum /
-        (slopeDen * (col("cnt") * col("syy") - col("sy") * col("sy"))), 6)
+        nz(slopeDen * (col("cnt") * col("syy") - col("sy") * col("sy"))), 6)
         .as("r2"))
   }
 
@@ -3951,8 +3960,8 @@ object SparkEntry {
       .select(col("c_nationkey"), x.as("x"), col("o_totalprice").as("y"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round((covar_pop(col("x"), col("y")) / var_pop(col("x"))), 4).as("slope"),
-        round(avg(col("y")) - (covar_pop(col("x"), col("y")) / var_pop(col("x"))) * avg(col("x")), 2)
+        round((covar_pop(col("x"), col("y")) / nz(var_pop(col("x")))), 4).as("slope"),
+        round(avg(col("y")) - (covar_pop(col("x"), col("y")) / nz(var_pop(col("x")))) * avg(col("x")), 2)
           .as("intercept"))
   }
 
@@ -4523,10 +4532,11 @@ object SparkEntry {
       max(when(col("arm") === "B", col("sy"))).as("sy_b"),
       max(when(col("arm") === "B", col("syy"))).as("syy_b"))
     def meanD(sy: Column, n: Column): Column = sy.cast("double") / n / 100.0
-    // unbiased sample variance in dollars² from integer sums
+    // unbiased sample variance in dollars² from integer sums; a 1-user
+    // arm has no variance estimate → NULL (n(n−1) = 0)
     def varD(n: Column, sy: Column, syy: Column): Column =
       (n.cast("double") * syy - sy.cast("double") * sy) /
-        (n.cast("double") * (n.cast("double") - 1.0)) / 10000.0
+        nz(n.cast("double") * (n.cast("double") - 1.0)) / 10000.0
     val va = varD(col("n_a"), col("sy_a"), col("syy_a"))
     val vb = varD(col("n_b"), col("sy_b"), col("syy_b"))
     val delta = meanD(col("sy_b"), col("n_b")) - meanD(col("sy_a"), col("n_a"))
@@ -4586,7 +4596,7 @@ object SparkEntry {
       .agg(avg(col("o_totalprice")).as("m"), stddev_pop(col("o_totalprice")).as("sd"))
     j.join(stats, "c_nationkey")
       .select(col("c_nationkey"), col("o_orderkey"),
-        round((col("o_totalprice") - col("m")) / col("sd"), 4).as("z"))
+        round((col("o_totalprice") - col("m")) / nz(col("sd")), 4).as("z"))
       .where(abs(col("z")) >= 1.65)
   }
 
@@ -4800,11 +4810,18 @@ object SparkEntry {
     * Rounded to 6 decimals: the moment sums differ between engines only
     * in the last ulp.
     */
+  // manual Pearson instead of corr(): the built-in's internal division
+  // is not nullif-guardable, and ANSI mode errors it on a zero-variance
+  // column; covar_pop/var_pop compute the same co-moments (round(6)
+  // absorbs the last-ulp division-order difference vs DuckDB's corr)
+  private def corrNz(a: Column, b: Column): Column =
+    round(covar_pop(a, b) / nz(sqrt(var_pop(a)) * sqrt(var_pop(b))), 6)
+
   private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
-        round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_disc"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("price_disc"))
+      .agg(corrNz(col("l_quantity"), col("l_extendedprice")).as("qty_price"),
+        corrNz(col("l_quantity"), col("l_discount")).as("qty_disc"),
+        corrNz(col("l_extendedprice"), col("l_discount")).as("price_disc"))
       .select(expr("stack(3, 'qty_price', qty_price, 'qty_disc', qty_disc, " +
         "'price_disc', price_disc) AS (pair, r)"))
 
@@ -5126,7 +5143,9 @@ object SparkEntry {
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * col("cents")).as("wx"))
       .select(col("b"), col("n_eff"),
-        (col("wx").cast("double") / col("n_eff").cast("double") / 100.0)
+        // a replicate whose every weight drew 0 has no mean (tiny
+        // corpora only — P ≈ e^{-n}); NULL, not an ANSI zero division
+        (col("wx").cast("double") / nz(col("n_eff").cast("double")) / 100.0)
           .as("mean_price"))
   }
 
@@ -5196,7 +5215,7 @@ object SparkEntry {
         .as("m"))
       .select(
         round(col("m.adiff").cast("double") /
-          (col("m.tot1") * col("m.tot2")).cast("double"), 6).as("ks_stat"),
+          nz((col("m.tot1") * col("m.tot2")).cast("double")), 6).as("ks_stat"),
         ((-col("m.negv")).cast("double") / 100.0).as("at_value"),
         col("m.tot1").as("n_purchase"), col("m.tot2").as("n_click"))
   }
@@ -5477,7 +5496,7 @@ object SparkEntry {
         sum(col("term_e6")).as("chi2_e6"))
       .select(col("n"), col("n_types"), col("n_dows"), col("chi2_e6"),
         round(sqrt(col("chi2_e6").cast("double") / 1000000.0 /
-          (col("n").cast("double") *
+          nz(col("n").cast("double") *
             (least(col("n_types"), col("n_dows")).cast("double") - 1.0))), 6)
           .as("cramers_v"))
   }
@@ -5710,7 +5729,7 @@ object SparkEntry {
       col("psx").cast("double") * col("psx")
     val varYN = col("pn").cast("double") * col("psyy") -
       col("psy").cast("double") * col("psy")
-    val theta = covN / varXN
+    val theta = covN / nz(varXN)
     arms.crossJoin(broadcast(pooled))
       .select(col("arm"), col("n"),
         round(col("sy").cast("double") / col("n") / 100.0, 4).as("mean_y"),
@@ -5718,7 +5737,7 @@ object SparkEntry {
           theta * (col("sx").cast("double") / col("n") -
             col("psx").cast("double") / col("pn"))) / 100.0, 4).as("mean_cuped"),
         round(theta, 6).as("theta"),
-        round(covN * covN / (varXN * varYN), 6).as("rho2"))
+        round(covN * covN / nz(varXN * varYN), 6).as("rho2"))
   }
 
   /** Experiment power analysis from observed variance: the per-arm sample
@@ -6177,11 +6196,16 @@ object SparkEntry {
         count(when(col("ts") >= SplitNs, lit(1))).as("nb"))
       .pinned(true) // feeds the scalar totals and the PSI rows
     val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    val pa = col("na").cast("double") / col("ta")
-    val pb = col("nb").cast("double") / col("tb")
+    val pa = col("na").cast("double") / nz(col("ta").cast("double"))
+    val pb = col("nb").cast("double") / nz(col("tb").cast("double"))
     val term = (pa - pb) * log(pa / pb)
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    counts.crossJoin(broadcast(tot))
+    counts
+      // a type absent from either period has PSI term ±∞ (log of 0 or a
+      // zero division, an ANSI runtime error) — drop it BEFORE the
+      // arithmetic, exactly as the oracle's `WHERE na > 0 AND nb > 0`
+      .where(col("na") > 0L && col("nb") > 0L)
+      .crossJoin(broadcast(tot))
       .select(col("event_type"), col("na"), col("nb"),
         round(term * 1000000.0, 0).cast("long").as("psi_e6"))
       .withColumn("total_psi_e6", sum(col("psi_e6")).over(w))
@@ -6368,8 +6392,8 @@ object SparkEntry {
         sum(col("buy_pre")).as("k_pre"), sum(col("buy_post")).as("k_post"))
       .select(col("exposed"), col("n_pre"), col("n_post"), col("k_pre"),
         col("k_post"),
-        expr("k_pre * 1000000L div n_pre").as("rate_pre_e6"),
-        expr("k_post * 1000000L div n_post").as("rate_post_e6"))
+        expr("k_pre * 1000000L div nullif(n_pre, 0L)").as("rate_pre_e6"),
+        expr("k_post * 1000000L div nullif(n_post, 0L)").as("rate_post_e6"))
       .withColumn("lift_e6", col("rate_post_e6") - col("rate_pre_e6"))
     val w = Window.partitionBy()
     seg.withColumn("did_e6",
@@ -9030,7 +9054,7 @@ object SparkEntry {
              sum(n_pos_eq) AS n_pos, sum(n_eq) AS n_all
            FROM r)
          SELECT round((rank_pos - n_pos * (n_pos + 1.0) / 2.0)
-             / (n_pos * (n_all - n_pos)), 6) AS auc,
+             / NULLIF(n_pos * (n_all - n_pos), 0), 6) AS auc,
            n_pos::BIGINT AS n_pos, (n_all - n_pos)::BIGINT AS n_neg
          FROM a""",
     "t_fertility" ->
@@ -9267,9 +9291,9 @@ object SparkEntry {
            count(DISTINCT dow)::BIGINT AS n_dows,
            sum(term_e6)::BIGINT AS chi2_e6,
            round(sqrt(sum(term_e6)::BIGINT::DOUBLE / 1000000.0 /
-             (max(n)::BIGINT::DOUBLE *
+             NULLIF(max(n)::BIGINT::DOUBLE *
               (least(count(DISTINCT event_type), count(DISTINCT dow))::BIGINT::DOUBLE
-                - 1.0))), 6) AS cramers_v
+                - 1.0), 0)), 6) AS cramers_v
          FROM terms""",
     "q_sql_gateway" -> sqlGatewayText,
     "q_trailing_window" ->
@@ -9295,8 +9319,8 @@ object SparkEntry {
                   ELSE 8 END AS w
            FROM h)
          SELECT b, sum(w)::BIGINT AS n_eff,
-           sum(w * cents)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE / 100.0
-             AS mean_price
+           sum(w * cents)::BIGINT::DOUBLE / NULLIF(sum(w)::BIGINT::DOUBLE, 0)
+             / 100.0 AS mean_price
          FROM w GROUP BY 1"""
     },
     "q_skew_diagnose" -> {
@@ -9401,11 +9425,12 @@ object SparkEntry {
                  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
                FROM xy)
          SELECT cnt::BIGINT AS k_terms,
-           round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx) / cnt, 6)
-             AS zipf_intercept,
+           round((cnt * sxy - sx * sy) / NULLIF(cnt * sxx - sx * sx, 0), 6)
+             AS zipf_slope,
+           round((sy - (cnt * sxy - sx * sy) / NULLIF(cnt * sxx - sx * sx, 0)
+             * sx) / cnt, 6) AS zipf_intercept,
            round((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy) /
-             ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6) AS r2
+             NULLIF((cnt * sxx - sx * sx) * (cnt * syy - sy * sy), 0), 6) AS r2
          FROM s""",
     "t_length_deciles" ->
       """WITH r AS (SELECT lang, n_chars,
@@ -10814,7 +10839,7 @@ object SparkEntry {
          d AS (SELECT val_e2, abs(c1 * tot2 - c2 * tot1)::BIGINT AS adiff,
                  tot1, tot2 FROM cum, tot),
          best AS (SELECT * FROM d ORDER BY adiff DESC, val_e2 ASC LIMIT 1)
-         SELECT round(adiff::DOUBLE / (tot1 * tot2), 6) AS ks_stat,
+         SELECT round(adiff::DOUBLE / NULLIF(tot1 * tot2, 0), 6) AS ks_stat,
            val_e2::DOUBLE / 100.0 AS at_value,
            tot1 AS n_purchase, tot2 AS n_click FROM best""",
     // One oracle form proves both the batch and the streaming EWMA path
@@ -11096,9 +11121,10 @@ object SparkEntry {
              sum(buy_pre)::BIGINT AS k_pre, sum(buy_post)::BIGINT AS k_post
            FROM pu GROUP BY 1),
          rates AS (SELECT exposed, n_pre, n_post, k_pre, k_post,
-             (k_pre * 1000000 // n_pre)::BIGINT AS rate_pre_e6,
-             (k_post * 1000000 // n_post)::BIGINT AS rate_post_e6,
-             ((k_post * 1000000 // n_post) - (k_pre * 1000000 // n_pre))::BIGINT AS lift_e6
+             (k_pre * 1000000 // NULLIF(n_pre, 0))::BIGINT AS rate_pre_e6,
+             (k_post * 1000000 // NULLIF(n_post, 0))::BIGINT AS rate_post_e6,
+             ((k_post * 1000000 // NULLIF(n_post, 0))
+               - (k_pre * 1000000 // NULLIF(n_pre, 0)))::BIGINT AS lift_e6
            FROM seg)
          SELECT *, (sum(CASE WHEN exposed THEN lift_e6 ELSE -lift_e6 END)
            OVER ())::BIGINT AS did_e6
@@ -11384,9 +11410,9 @@ object SparkEntry {
            FROM arms),
          sc AS (SELECT n_a, n_b,
              (n_a::DOUBLE * syy_a - sy_a::DOUBLE * sy_a)
-               / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / 10000.0 AS va,
+               / NULLIF(n_a::DOUBLE * (n_a::DOUBLE - 1.0), 0) / 10000.0 AS va,
              (n_b::DOUBLE * syy_b - sy_b::DOUBLE * sy_b)
-               / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / 10000.0 AS vb,
+               / NULLIF(n_b::DOUBLE * (n_b::DOUBLE - 1.0), 0) / 10000.0 AS vb,
              sy_b::DOUBLE / n_b / 100.0 - sy_a::DOUBLE / n_a / 100.0 AS delta
            FROM one),
          v AS (SELECT n_a, n_b, delta,
@@ -11618,9 +11644,9 @@ object SparkEntry {
              stddev_pop(o_totalprice) AS sd
            FROM j GROUP BY 1)
          SELECT c_nationkey, o_orderkey,
-           round((o_totalprice - m) / sd, 4) AS z
+           round((o_totalprice - m) / NULLIF(sd, 0), 4) AS z
          FROM j JOIN s USING (c_nationkey)
-         WHERE abs(round((o_totalprice - m) / sd, 4)) >= 1.65""",
+         WHERE abs(round((o_totalprice - m) / NULLIF(sd, 0), 4)) >= 1.65""",
     "q_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l_shipdate::DATE) AS ship_year,
@@ -11876,8 +11902,9 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "q_trend_fit" ->
       """SELECT c_nationkey, count(*) AS n_orders,
-           round(covar_pop(x, y) / var_pop(x), 4) AS slope,
-           round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 2) AS intercept
+           round(covar_pop(x, y) / NULLIF(var_pop(x), 0), 4) AS slope,
+           round(avg(y) - (covar_pop(x, y) / NULLIF(var_pop(x), 0)) * avg(x), 2)
+             AS intercept
          FROM (SELECT c_nationkey,
              date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::DOUBLE AS x,
              o_totalprice AS y
@@ -11961,14 +11988,14 @@ object SparkEntry {
            round(sy::DOUBLE / n / 100.0, 4) AS mean_y,
            round((sy::DOUBLE / n -
              ((pn::DOUBLE * psxy - psx::DOUBLE * psy)
-              / (pn::DOUBLE * psxx - psx::DOUBLE * psx))
+              / NULLIF(pn::DOUBLE * psxx - psx::DOUBLE * psx, 0))
              * (sx::DOUBLE / n - psx::DOUBLE / pn)) / 100.0, 4) AS mean_cuped,
            round((pn::DOUBLE * psxy - psx::DOUBLE * psy)
-             / (pn::DOUBLE * psxx - psx::DOUBLE * psx), 6) AS theta,
+             / NULLIF(pn::DOUBLE * psxx - psx::DOUBLE * psx, 0), 6) AS theta,
            round((pn::DOUBLE * psxy - psx::DOUBLE * psy)
              * (pn::DOUBLE * psxy - psx::DOUBLE * psy)
-             / ((pn::DOUBLE * psxx - psx::DOUBLE * psx)
-                * (pn::DOUBLE * psyy - psy::DOUBLE * psy)), 6) AS rho2
+             / NULLIF((pn::DOUBLE * psxx - psx::DOUBLE * psx)
+                * (pn::DOUBLE * psyy - psy::DOUBLE * psy), 0), 6) AS rho2
          FROM arms CROSS JOIN pooled""",
     "q_power_mde" ->
       """WITH u AS (SELECT user_id,
