@@ -516,12 +516,18 @@ object SparkEntry {
     * rounds as chained MATERIALIZED CTEs like `c_kcenter_select`.
     */
   private def eMmrRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
-      .head().getSeq[Number](0).map(_.doubleValue()).toArray
-    val picks = Similarity.mmrRerank(q, emb, "vec_id", "embedding",
-      n = MmrN, k = MmrK, lambda = MmrLambda)
     import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    // empty corpus (no query vector to rerank against) → empty slate
+    val qRow = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().headOption
+    val picks = qRow match {
+      case None => Seq.empty[(Int, Long, Double, Double)]
+      case Some(row) =>
+        val q = row.getSeq[Number](0).map(_.doubleValue()).toArray
+        Similarity.mmrRerank(q, emb, "vec_id", "embedding",
+          n = MmrN, k = MmrK, lambda = MmrLambda)
+    }
     picks.toDF("mmr_rank", "id", "rel", "mmr_score")
   }
 
@@ -615,9 +621,11 @@ object SparkEntry {
     */
   private def eMipsIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val m2 = emb.agg(max(aggregate(col("embedding").cast("array<double>"),
-      lit(0.0), (a, x) => a + x * x))).head().getDouble(0)
-    val mNorm = math.sqrt(m2)
+    val m2Row = emb.agg(max(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))).head()
+    // empty corpus: the max-norm scalar is undefined but also unused —
+    // any positive value keeps the (empty) augmentation well-formed
+    val mNorm = if (m2Row.isNullAt(0)) 1.0 else math.sqrt(m2Row.getDouble(0))
     val aug = Similarity.mipsAugment(emb, "embedding", mNorm)
     val augQ = Similarity.mipsAugment(emb.filter(col("vec_id") < 5),
       "embedding", mNorm, isQuery = true)
@@ -971,6 +979,13 @@ object SparkEntry {
     // before GD can discriminate): one agg job -> 2k driver doubles
     val st = raw.agg(avg("f1"), stddev_pop("f1"), avg("f2"), stddev_pop("f2"),
       avg("f3"), stddev_pop("f3"), avg("f4"), stddev_pop("f4")).head()
+    // empty corpus: no stats, no model — empty scored frame with the
+    // same schema (every downstream row — auc, calibration, conformal,
+    // kappa — then degrades to its own empty/NULL shape)
+    if (st.isNullAt(0))
+      return raw.limit(0).select(col("doc_id"), col("y").as("label"),
+        lit(0.0).as("score"), lit(0.0).as("wb"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"), lit(0.0).as("w3"), lit(0.0).as("w4"))
     val feats = raw.select(col("doc_id") +: col("y") +:
       fcols.zipWithIndex.map { case (c, i) =>
         val sd = st.getDouble(2 * i + 1)
@@ -1987,6 +2002,13 @@ object SparkEntry {
       .pinned(true) // read by the weight pass + twice in selection
     val tok = col("n_tok")
     val w = graft.operators.Importance.temperatureWeights(docs, "source", tok, 0.5)
+    // empty corpus → no sources → empty mixture (mixtureSample's weights
+    // contract requires non-empty; the short-circuit keeps the schema)
+    if (w.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "w", "budget", "kept_docs", "kept_tokens")
+    }
     val wTable = s.createDataFrame(w).toDF("source", "w")
     graft.operators.Importance.mixtureSample(docs, "doc_id", "source", tok, w)
       .groupBy("source").agg(
@@ -2089,8 +2111,13 @@ object SparkEntry {
       explode(graft.functions.KernelExpressions.wordShingleHashes(col("text"), 3)).as("g"))
     val docs = t(s, dir, "documents")
     val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("g").distinct()
-    val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
     val train = docs.filter(col("doc_id") >= 10)
+    // an EMPTY eval set yields a null-buffer bloom (stat.bloomFilter over
+    // zero rows) whose might_contain NPEs — and semantically there is
+    // nothing to decontaminate against: pass training through unchanged
+    if (evalGrams.limit(1).count() == 0L)
+      return train.select(col("doc_id"), col("lang"))
+    val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
     val suspects = grams(train)
       .filter(graft.functions.KernelExpressions.bloomMightContain(col("g"), bloom))
     val evalHinted =
@@ -2279,11 +2306,12 @@ object SparkEntry {
     */
   private def qPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
     val tmp = scratch("partp").toString
-    t(s, dir, "events")
+    val pre = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type").as("etype"))
-      .write.mode("overwrite").partitionBy("etype").parquet(tmp)
-    s.read.parquet(tmp)
+    pre.write.mode("overwrite").partitionBy("etype").parquet(tmp)
+    // explicit schema: empty-in writes no files → inference would fail
+    s.read.schema(pre.schema).parquet(tmp)
       .where(col("etype") === "purchase")
       .groupBy(col("etype"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -2516,8 +2544,11 @@ object SparkEntry {
   private val maxTsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def maxEventTsNs(s: SparkSession, dir: String): Long =
     maxTsCache.computeIfAbsent(dir, { _ =>
-      graft.io.EventTs.toNsLong(s.read.parquet(s"$dir/events.parquet"))
-        .agg(max(col("ts"))).head().getLong(0)
+      val r = graft.io.EventTs.toNsLong(s.read.parquet(s"$dir/events.parquet"))
+        .agg(max(col("ts"))).head()
+      // empty landing: any sentinel epoch works — the streams that use
+      // this watermark then simply drain zero data rows
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     })
 
   private def sRollupStream(s: SparkSession, dir: String): DataFrame = {
@@ -4390,6 +4421,9 @@ object SparkEntry {
     weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
         .as("series"))
       .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      // empty corpus -> empty result (slice on a 0-length series is an
+      // ANSI error; the oracle's `WHERE i = n_weeks` yields 0 rows too)
+      .where(size(col("ys")) > 0)
       .select(size(col("ys")).cast("long").as("n_weeks"),
         expr("""aggregate(slice(ys, 2, size(ys) - 1),
             named_struct('l', ys[0], 'b', 0L,
@@ -4431,6 +4465,9 @@ object SparkEntry {
     weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
         .as("series"))
       .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      // empty corpus -> empty result (slice on a 0-length series is an
+      // ANSI error; the oracle's `WHERE i = n_weeks` yields 0 rows too)
+      .where(size(col("ys")) > 0)
       .select(size(col("ys")).cast("long").as("n_weeks"),
         expr("""aggregate(slice(ys, 2, size(ys) - 1),
             named_struct('l', ys[0], 'b', 0L, 'ae', 0L, 'se', 0L),
@@ -5847,6 +5884,9 @@ object SparkEntry {
     weekly.agg(sort_array(collect_list(struct(col("week"), col("rev_e2"))))
         .as("series"))
       .select(expr("transform(series, s -> s.rev_e2)").as("ys"))
+      // empty corpus -> empty result (slice on a 0-length series is an
+      // ANSI error; the oracle's `WHERE i = n_weeks` yields 0 rows too)
+      .where(size(col("ys")) > 0)
       .select(size(col("ys")).cast("long").as("n_weeks"),
         expr("""aggregate(slice(ys, 2, size(ys) - 1),
             named_struct('l', ys[0], 'b', 0L),
@@ -6037,6 +6077,10 @@ object SparkEntry {
     val path = skippingLayout(s, dir)
     val ev = t(s, dir, "events").select(col("event_type"), col("value"), tsUs.as("t_us"))
     val b = ev.agg(min(col("t_us")).as("mn"), max(col("t_us")).as("mx")).head()
+    // empty events: no time range to prune into — empty result, same grain
+    if (b.isNullAt(0))
+      return ev.limit(0).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
     graft.io.Skipping.readRange(s, path, "t_us", lo, hi)
@@ -6506,11 +6550,15 @@ object SparkEntry {
     // small-file storm
     ord.repartition(col("omonth"))
       .write.mode("overwrite").partitionBy("omonth").parquet(factDir)
-    ord.select(col("omonth")).distinct()
+    val dimPre = ord.select(col("omonth")).distinct()
       .withColumn("oyear", substring(col("omonth"), 1, 4))
-      .write.mode("overwrite").parquet(dimDir)
-    val fact = s.read.parquet(factDir)
-    val dim = s.read.parquet(dimDir).filter(col("oyear") === "1996")
+    dimPre.write.mode("overwrite").parquet(dimDir)
+    // explicit read schemas: a partitioned write of an EMPTY frame emits
+    // no data files, and schema inference then fails the read — carrying
+    // the writer's schema makes empty-in → empty-out
+    val fact = s.read.schema(ord.schema).parquet(factDir)
+    val dim = s.read.schema(dimPre.schema).parquet(dimDir)
+      .filter(col("oyear") === "1996")
     fact.join(dim, Seq("omonth"))
       .groupBy(col("omonth"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))

@@ -585,11 +585,21 @@ object Dedup {
         s"lshPairsAgainstIndex: id namespaces of the index at $path and the " +
           "new batch overlap — run incrementalExactDedup first or remap ids")
     }
-    val idx = spark.read.parquet(s"$path/bands")
+    val freshSig = bandSignatures(newDocs, idCol, textCol, numHashes, numBands,
+      shingleSize)
+    // explicit read schema derived from the signature shape: a
+    // partitionBy write of an EMPTY corpus emits no data files, and
+    // schema inference would then fail the read — empty-in → empty-out
+    val bkT = freshSig.schema("bk").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", freshSig.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("key", bkT("key").dataType),
+      org.apache.spark.sql.types.StructField("band", bkT("band").dataType)))
+    val idx = spark.read.schema(bandsSchema).parquet(s"$path/bands")
       .select(struct(col("band").cast("int").as("band"), col("key")).as("bk"),
         col("id").as("id_a"))
-    val fresh = bandSignatures(newDocs, idCol, textCol, numHashes, numBands, shingleSize)
-      .select(col("bk"), col("id").as("id_b"))
+    val fresh = freshSig.select(col("bk"), col("id").as("id_b"))
     val candidates = capBuckets(idx, "bk", maxBucket)
       .join(capBuckets(fresh, "bk", maxBucket), "bk")
       .select("id_a", "id_b")

@@ -92,7 +92,10 @@ object Importance {
   def mixtureSample(docs: DataFrame, idCol: String, srcCol: String,
       tokenCol: org.apache.spark.sql.Column,
       weights: Seq[(String, Long)]): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixtureSample: weights must be non-empty with positive masses — " +
+        "an empty corpus has no sources to mix (callers should " +
+        "short-circuit empty-in to empty-out)")
     require(weights.map(_._1).distinct.size == weights.size,
       "mixtureSample: duplicate source names in weights")
     val wSum = weights.map(_._2).sum

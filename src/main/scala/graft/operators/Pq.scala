@@ -205,7 +205,14 @@ object Pq {
       codebooks: Seq[Seq[Seq[Double]]], path: String, k: Int = 10,
       nprobe: Int = 2,
       broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
-    val c = spark.read.parquet(path)
+    // explicit read schema from a 0-row projection (see
+    // Similarity.ivfIndexTopK): an empty-corpus index has no data files
+    // under partitionBy and inference would fail the read
+    val idxSchema = queries.limit(0)
+      .select(col(idCol).as("neighbor_id"),
+        encodeExpr(col(vecCol), codebooks).as("codes"),
+        lit(0).cast("int").as("cell")).schema
+    val c = spark.read.schema(idxSchema).parquet(path)
       .select(col("neighbor_id"), col("codes"), col("cell").cast("int").as("cell"))
     rankCoded(c, queries, idCol, vecCol, centroids, codebooks, k, nprobe,
       broadcastGateBytes)

@@ -351,7 +351,14 @@ object Similarity {
       k: Int = 10, nprobe: Int = 2,
       broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     assertCentroidManifest(spark, path, centroids)
-    val c = spark.read.parquet(path)
+    // explicit read schema (lifted from a 0-row projection of the query
+    // frame, whose id/vector types share the index contract): an index
+    // written from an EMPTY corpus has no data files under partitionBy,
+    // and schema inference would fail the read — empty-in → empty-out
+    val idxSchema = queries.limit(0)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        lit(0).cast("int").as("cell")).schema
+    val c = spark.read.schema(idxSchema).parquet(path)
       .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
     rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)
   }
@@ -585,8 +592,12 @@ object Similarity {
         zip_with(col(vecCol), c, (x, y) => { val d = x.cast("double") - y; d * d }),
         lit(0.0), (acc, v) => acc + v)
     }
-    val seed = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(1).head()
+    val seedOpt = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(1).collect().headOption
+    // empty corpus → empty selection (selector contract: empty-in,
+    // empty-out — not a head-of-empty-Dataset crash)
+    if (seedOpt.isEmpty) return Nil
+    val seed = seedOpt.get
     // vecCol may be array<float> or array<double>: read as Number
     var centers = List((seed.getLong(0),
       seed.getSeq[Number](1).map(_.doubleValue()).toArray))
