@@ -9,7 +9,8 @@ runtime DIVIDE_BY_ZERO error, so any unguarded statistic CRASHES here
 instead of quietly returning NaN.
 
 Usage:
-  python3 tools/gen_degen.py /tmp/sfdegen
+  python3 tools/gen_degen.py /tmp/sfdegen            # near-constant rows
+  python3 tools/gen_degen.py /tmp/sfempty --empty    # same schemas, 0 rows
   sbt -batch 'runMain graft.Verify /tmp/sfdegen /tmp/vdegen'
   # expectation: zero '[verify] ... failed' lines — every query either
   # returns (possibly empty / NULL-statistic) rows or raises one of the
@@ -27,11 +28,13 @@ import sys, os
 import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdegen"
+empty = "--empty" in sys.argv
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
 def save(name, sql):
-    con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT parquet)")
+    suffix = " LIMIT 0" if empty else ""
+    con.execute(f"COPY ({sql}{suffix}) TO '{out}/{name}.parquet' (FORMAT parquet)")
 
 save("region", "SELECT 0::INT r_regionkey, 'R' r_name")
 save("nation", "SELECT i::INT n_nationkey, 'N'||i n_name, 0::INT n_regionkey FROM range(2) t(i)")
@@ -58,5 +61,6 @@ con.execute(f"""COPY (
   SELECT i::BIGINT vec_id,
     list_transform(range(64), x -> (0.1 + 0.01*i + 0.001*x)::FLOAT) embedding,
     (i % 2)::INT AS label
-  FROM range(3) t(i)) TO '{out}/embeddings.parquet' (FORMAT parquet)""")
-print(f"degenerate corpus at {out}")
+  FROM range(3) t(i) {"LIMIT 0" if empty else ""})
+  TO '{out}/embeddings.parquet' (FORMAT parquet)""")
+print(f"{'empty' if empty else 'degenerate'} corpus at {out}")
