@@ -5439,9 +5439,13 @@ object SparkEntry {
   private def qMixEffect(s: SparkSession, dir: String): DataFrame = {
     val y = year(col("l_shipdate").cast("date"))
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // range predicate, not year(...) IN (...): a function of the column
+    // can never reach the parquet scan, a date range pushes down (the
+    // PlanSpec pin asserts PushedFilters on l_shipdate)
     val agg = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .where(y.isin(1996, 1997))
       .groupBy(col("p_brand"))
       .agg(sum(when(y === 1996, rev).otherwise(0.0)).as("rev0"),
         sum(when(y === 1996, col("l_quantity")).otherwise(0.0)).as("q0"),
@@ -11504,7 +11508,8 @@ object SparkEntry {
              sum(CASE WHEN year(l_shipdate) = 1997
                THEN l_quantity ELSE 0 END) AS q1
            FROM lineitem JOIN part ON l_partkey = p_partkey
-           WHERE year(l_shipdate) IN (1996, 1997)
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
            GROUP BY 1 HAVING sum(CASE WHEN year(l_shipdate) = 1996
                THEN l_quantity ELSE 0 END) > 0
              AND sum(CASE WHEN year(l_shipdate) = 1997

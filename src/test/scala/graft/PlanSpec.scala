@@ -159,6 +159,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_mix_effect: the two-year window reaches the lineitem scan as a range PushedFilter") {
+    // year(l_shipdate) IN (...) is a function of the column and can never
+    // push; the entry uses the equivalent [1996-01-01, 1998-01-01) range
+    val p = planOf("q_mix_effect")
+    val scan = p.linesIterator.filter(_.contains("PushedFilters"))
+      .find(_.contains("l_shipdate")).getOrElse("")
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate") &&
+      scan.contains("LessThan(l_shipdate"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("q19_disjunctive: the brand hull reaches the part scan as PushedFilters") {
     // the OR straddles the join and can't push as written — the explicit
     // hull predicate must land in the part scan's pushed filters
