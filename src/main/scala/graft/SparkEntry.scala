@@ -4478,14 +4478,21 @@ object SparkEntry {
               'se', acc.se + (y - (acc.l + acc.b))),
             acc -> acc)""").as("bt"))
       .select(col("n_weeks"),
-        // a 1-week series has no one-step errors: NULL metrics, not an
-        // ANSI division error
-        round(col("bt.ae").cast("double") /
-          when(col("n_weeks") === 1L, lit(null))
-            .otherwise(col("n_weeks") - 1) / 100.0, 4).as("mae"),
-        round(col("bt.se").cast("double") /
-          when(col("n_weeks") === 1L, lit(null))
-            .otherwise(col("n_weeks") - 1) / 100.0, 4).as("bias"))
+        // metrics as EXACT integer half-away-from-zero rounding at e4
+        // grain — round(ae·100/(n−1)) = (2·ae·100 + (n−1)) div (2(n−1))
+        // on longs — because the double path landed a fuzz-corpus bias
+        // on a .xxxx5 boundary where Spark's BigDecimal HALF_UP and
+        // DuckDB's float rounding disagree in the last decimal. The
+        // final /10000.0 maps the same exact integer to the same double
+        // on both engines. A 1-week series has no one-step errors: NULL.
+        when(col("n_weeks") === 1L, lit(null).cast("double"))
+          .otherwise(expr(
+            "(2 * bt.ae * 100 + (n_weeks - 1)) div (2 * (n_weeks - 1))")
+            .cast("double") / 10000.0).as("mae"),
+        when(col("n_weeks") === 1L, lit(null).cast("double"))
+          .otherwise((signum(col("bt.se").cast("double")) * expr(
+            "(2 * abs(bt.se) * 100 + (n_weeks - 1)) div (2 * (n_weeks - 1))")
+            .cast("double")) / 10000.0).as("bias"))
   }
 
   /** Degree assortativity (Newman 2002) of the co-order part graph: the
@@ -7521,7 +7528,11 @@ object SparkEntry {
   private def sqlCos(a: String, b: String): String = {
     def dotRf(x: String, y: String) =
       s"list_reduce([0.0] || list_transform(list_zip($x, $y), zz -> zz[1] * zz[2]), (cacc, cx) -> cacc + cx)"
-    s"(${dotRf(a, b)} / (sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)})))"
+    // zero-norm convention: cosine against a zero vector is 0.0, matching
+    // Kernels.cosine — NULLIF+coalesce (not a CASE re-computing the
+    // norms) so the guard adds no extra folds; the fuzz corpus's planted
+    // zero vector caught the bare division emitting NaN here
+    s"coalesce(${dotRf(a, b)} / NULLIF(sqrt(${dotRf(a, a)}) * sqrt(${dotRf(b, b)}), 0), 0.0)"
   }
 
   /** Squared L2 distance, matching [[graft.operators.Pq]]'s left-fold
@@ -11561,8 +11572,13 @@ object SparkEntry {
              FROM s, ser WHERE i < n_weeks)
            SELECT * FROM s)
          SELECT n_weeks,
-           round(ae::DOUBLE / NULLIF(n_weeks - 1, 0) / 100.0, 4) AS mae,
-           round(sgn::DOUBLE / NULLIF(n_weeks - 1, 0) / 100.0, 4) AS bias
+           CASE WHEN n_weeks = 1 THEN NULL ELSE
+             ((2 * ae * 100 + (n_weeks - 1)) // (2 * (n_weeks - 1)))::DOUBLE
+               / 10000.0 END AS mae,
+           CASE WHEN n_weeks = 1 THEN NULL ELSE
+             (CASE WHEN sgn < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(sgn) * 100 + (n_weeks - 1))
+                 // (2 * (n_weeks - 1))))::DOUBLE / 10000.0 END AS bias
          FROM steps CROSS JOIN ser WHERE i = n_weeks""",
     "g_assortativity" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src,
