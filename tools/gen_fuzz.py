@@ -33,7 +33,9 @@ out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sffuzz"
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
-con.execute(f"SELECT setseed(0.{seed}137)")
+# the seed salts every per-row hash draw (setseed alone would be
+# cosmetic: no random() is ever called)
+con.execute(f"CREATE MACRO SEEDV() AS {seed * 1000003}")
 
 def save(name, sql):
     con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT parquet)")
@@ -49,17 +51,17 @@ save("nation", "SELECT i::INT n_nationkey, 'NATION_'||i n_name, "
 # CTE re-evaluation — the gen_sf.py lesson)
 save("customer", """
   SELECT i::BIGINT c_custkey, 'Customer#'||lpad(i::VARCHAR, 9, '0') c_name,
-    (hash(i * 13 + 1) % 25)::INT c_nationkey,
-    round(((hash(i * 17 + 3) % 1000000)::DOUBLE / 100.0) - 2500.0, 2)
+    (hash(SEEDV() + i * 13 + 1) % 25)::INT c_nationkey,
+    round(((hash(SEEDV() + i * 17 + 3) % 1000000)::DOUBLE / 100.0) - 2500.0, 2)
       ::DOUBLE c_acctbal,
     ['BUILDING', 'MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE']
-      [(hash(i * 7 + 5) % 5 + 1)::INT] c_mktsegment
+      [(hash(SEEDV() + i * 7 + 5) % 5 + 1)::INT] c_mktsegment
   FROM range(1500) t(i)""")
 
 save("supplier", """
   SELECT i::BIGINT s_suppkey, 'Supplier#'||i s_name,
-    (hash(i * 11 + 2) % 25)::INT s_nationkey,
-    round((hash(i * 3 + 9) % 100000)::DOUBLE / 100.0, 2)::DOUBLE s_acctbal
+    (hash(SEEDV() + i * 11 + 2) % 25)::INT s_nationkey,
+    round((hash(SEEDV() + i * 3 + 9) % 100000)::DOUBLE / 100.0, 2)::DOUBLE s_acctbal
   FROM range(100) t(i)""")
 
 # part names: heavy intra-brand duplication + near-duplication (widget /
@@ -71,48 +73,48 @@ save("part", """
          WHEN i % 7 = 1 THEN 'red widgets'
          WHEN i % 7 = 2 THEN 'red widgit'
          ELSE ['small ring','blue bolt','green gear','tiny nut','long rod']
-           [(hash(i * 5 + 4) % 5 + 1)::INT] END p_name,
-    'Brand#'||(hash(i * 19 + 6) % 25) p_brand,
+           [(hash(SEEDV() + i * 5 + 4) % 5 + 1)::INT] END p_name,
+    'Brand#'||(hash(SEEDV() + i * 19 + 6) % 25) p_brand,
     ['ECONOMY','SMALL','STANDARD','LARGE','PROMO']
-      [(hash(i * 23 + 8) % 5 + 1)::INT] p_type,
-    (hash(i * 29) % 50 + 1)::INT p_size,
-    round((hash(i * 31) % 100000)::DOUBLE / 100.0 + 1.0, 2)::DOUBLE p_retailprice
+      [(hash(SEEDV() + i * 23 + 8) % 5 + 1)::INT] p_type,
+    (hash(SEEDV() + i * 29) % 50 + 1)::INT p_size,
+    round((hash(SEEDV() + i * 31) % 100000)::DOUBLE / 100.0 + 1.0, 2)::DOUBLE p_retailprice
   FROM range(2000) t(i)""")
 
 # orders: zipf-ish skew on custkey (20% of orders on 10 hot customers),
 # dates clustered in 3 windows with month-long gaps, many exact date ties
 save("orders", """
   SELECT i::BIGINT o_orderkey,
-    CASE WHEN i % 5 = 0 THEN (hash(i) % 10)::BIGINT
-         ELSE (hash(i * 37 + 11) % 1500)::BIGINT END o_custkey,
-    ['F','O','P'][(hash(i * 41) % 3 + 1)::INT] o_orderstatus,
-    round((hash(i * 43 + 13) % 49000000)::DOUBLE / 100.0 + 1000.0, 2)
+    CASE WHEN i % 5 = 0 THEN (hash(SEEDV() + i) % 10)::BIGINT
+         ELSE (hash(SEEDV() + i * 37 + 11) % 1500)::BIGINT END o_custkey,
+    ['F','O','P'][(hash(SEEDV() + i * 41) % 3 + 1)::INT] o_orderstatus,
+    round((hash(SEEDV() + i * 43 + 13) % 49000000)::DOUBLE / 100.0 + 1000.0, 2)
       ::DOUBLE o_totalprice,
     (TIMESTAMP '1995-01-01 00:00:00'
-      + INTERVAL (CASE WHEN i % 3 = 0 THEN (hash(i * 3) % 90)
-                       WHEN i % 3 = 1 THEN 180 + (hash(i * 3) % 90)
-                       ELSE 420 + (hash(i * 3) % 90) END) DAY) o_orderdate,
+      + INTERVAL (CASE WHEN i % 3 = 0 THEN (hash(SEEDV() + i * 3) % 90)
+                       WHEN i % 3 = 1 THEN 180 + (hash(SEEDV() + i * 3) % 90)
+                       ELSE 420 + (hash(SEEDV() + i * 3) % 90) END) DAY) o_orderdate,
     ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
-      [(hash(i * 47 + 15) % 5 + 1)::INT] o_orderpriority
+      [(hash(SEEDV() + i * 47 + 15) % 5 + 1)::INT] o_orderpriority
   FROM range(15000) t(i)""")
 
 # lineitem: zipf partkey (hot parts), standard discount grid, shipdate
 # near the order window
 save("lineitem", """
   SELECT (i % 15000)::BIGINT l_orderkey,
-    CASE WHEN i % 4 = 0 THEN (hash(i) % 20)::BIGINT
-         ELSE (hash(i * 53 + 17) % 2000)::BIGINT END l_partkey,
-    (hash(i * 59 + 19) % 100)::BIGINT l_suppkey,
+    CASE WHEN i % 4 = 0 THEN (hash(SEEDV() + i) % 20)::BIGINT
+         ELSE (hash(SEEDV() + i * 53 + 17) % 2000)::BIGINT END l_partkey,
+    (hash(SEEDV() + i * 59 + 19) % 100)::BIGINT l_suppkey,
     (i // 15000 + 1)::INT l_linenumber,
-    ((hash(i * 61) % 50) + 1)::DOUBLE l_quantity,
-    round((hash(i * 67 + 21) % 9000000)::DOUBLE / 100.0 + 100.0, 2)
+    ((hash(SEEDV() + i * 61) % 50) + 1)::DOUBLE l_quantity,
+    round((hash(SEEDV() + i * 67 + 21) % 9000000)::DOUBLE / 100.0 + 100.0, 2)
       ::DOUBLE l_extendedprice,
-    ((hash(i * 71) % 11)::DOUBLE / 100.0)::DOUBLE l_discount,
-    ((hash(i * 73) % 9)::DOUBLE / 100.0)::DOUBLE l_tax,
-    ['A','N','R'][(hash(i * 79) % 3 + 1)::INT] l_returnflag,
-    ['F','O'][(hash(i * 83) % 2 + 1)::INT] l_linestatus,
+    ((hash(SEEDV() + i * 71) % 11)::DOUBLE / 100.0)::DOUBLE l_discount,
+    ((hash(SEEDV() + i * 73) % 9)::DOUBLE / 100.0)::DOUBLE l_tax,
+    ['A','N','R'][(hash(SEEDV() + i * 79) % 3 + 1)::INT] l_returnflag,
+    ['F','O'][(hash(SEEDV() + i * 83) % 2 + 1)::INT] l_linestatus,
     (TIMESTAMP '1995-01-01 00:00:00'
-      + INTERVAL ((hash((i % 15000) * 3) % 510) + (hash(i * 89) % 30)) DAY)
+      + INTERVAL ((hash((i % 15000) * 3) % 510) + (hash(SEEDV() + i * 89) % 30)) DAY)
       l_shipdate
   FROM range(60000) t(i)""")
 
@@ -121,15 +123,15 @@ save("lineitem", """
 save("events", """
   SELECT i::BIGINT event_id,
     (TIMESTAMP '2024-01-01 00:00:00'
-      + INTERVAL ((hash(i // 4) % 2600000)) SECOND) ts,
+      + INTERVAL ((hash(SEEDV() + i // 4) % 2600000)) SECOND) ts,
     CASE WHEN i % 10 < 3 THEN (1000 + i)::BIGINT
-         ELSE (hash(i * 97 + 23) % 150)::BIGINT END user_id,
+         ELSE (hash(SEEDV() + i * 97 + 23) % 150)::BIGINT END user_id,
     CASE WHEN i % 100 < 55 THEN 'view' WHEN i % 100 < 80 THEN 'click'
          WHEN i % 100 < 90 THEN 'signup' WHEN i % 100 < 97 THEN 'purchase'
          ELSE 'error' END event_type,
-    round((hash(i * 101 + 29) % 49000)::DOUBLE / 100.0 + 0.01, 2)
+    round((hash(SEEDV() + i * 101 + 29) % 49000)::DOUBLE / 100.0 + 0.01, 2)
       ::DOUBLE "value",
-    '{"k": '||(hash(i * 103) % 100)||'}' props
+    '{"k": '||(hash(SEEDV() + i * 103) % 100)||'}' props
   FROM range(10000) t(i)""")
 
 # documents: hostile whitespace, planted exact dups, single-word and
@@ -145,15 +147,15 @@ save("documents", """
         WHEN i % 10 = 4 THEN 'café naïve 中文 emoji 😀 ñandú'
         WHEN i % 10 = 5 THEN 'tab\there\tnewline here'
         ELSE array_to_string(list_transform(
-          range(1, 11 + (hash(i * 7) % 40)::INT),
+          range(1, 11 + (hash(SEEDV() + i * 7) % 40)::INT),
           j -> ['batch','part','spark','line','column','order','small',
                 'sort','fast','value','scan','hash','café','中文']
-            [(hash(i * 1000 + j) % 14 + 1)::INT]), ' ')
+            [(hash(SEEDV() + i * 1000 + j) % 14 + 1)::INT]), ' ')
       END AS txt
     FROM range(500) t(i))
   SELECT i::BIGINT doc_id, txt AS "text",
-    ['en','de','fr','es','zh'][(hash(i * 107) % 5 + 1)::INT] lang,
-    'src'||(hash(i * 109) % 20) source,
+    ['en','de','fr','es','zh'][(hash(SEEDV() + i * 107) % 5 + 1)::INT] lang,
+    'src'||(hash(SEEDV() + i * 109) % 20) source,
     length(txt)::BIGINT n_chars
   FROM base""")
 
@@ -165,7 +167,7 @@ save("embeddings", """
            x -> (0.5 + 0.1 * ((i // 100) % 4))::FLOAT)
          ELSE list_transform(range(64),
            x -> (0.1 * ((i // 125) + 1)
-                 + (hash(i * 64 + x) % 1000)::DOUBLE / 10000.0)::FLOAT)
+                 + (hash(SEEDV() + i * 64 + x) % 1000)::DOUBLE / 10000.0)::FLOAT)
     END embedding,
     ((i // 125) % 4)::INT AS label
   FROM range(500) t(i)""")
