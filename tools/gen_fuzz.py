@@ -22,7 +22,10 @@ standard discount grid, same column types/domains), so a mismatch is a
 genuine engine/oracle divergence, not a contract violation.
 
 Usage:
-  python3 tools/gen_fuzz.py /tmp/sffuzz [seed]
+  python3 tools/gen_fuzz.py /tmp/sffuzz [seed] [mult]
+  # mult scales row counts (default 1 = sf0.01-ish; 100 = sf1-ish) while
+  # hot-key cardinalities stay FIXED, so skew DEEPENS with scale - the
+  # axis the uniform gen_sf.py corpus cannot probe
   sbt -batch 'runMain graft.Verify /tmp/sffuzz /tmp/vfuzz'
   python3 tools/parity_check.py /tmp/sffuzz /tmp/vfuzz
 """
@@ -31,6 +34,7 @@ import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sffuzz"
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 # the seed salts every per-row hash draw (setseed alone would be
@@ -38,6 +42,7 @@ con = duckdb.connect()
 con.execute(f"CREATE MACRO SEEDV() AS {seed * 1000003}")
 
 def save(name, sql):
+    sql = sql.replace("{mult}", str(mult))
     con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT parquet)")
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')").fetchone()[0]
@@ -56,13 +61,13 @@ save("customer", """
       ::DOUBLE c_acctbal,
     ['BUILDING', 'MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE']
       [(hash(SEEDV() + i * 7 + 5) % 5 + 1)::INT] c_mktsegment
-  FROM range(1500) t(i)""")
+  FROM range(1500 * {mult}) t(i)""")
 
 save("supplier", """
   SELECT i::BIGINT s_suppkey, 'Supplier#'||i s_name,
     (hash(SEEDV() + i * 11 + 2) % 25)::INT s_nationkey,
     round((hash(SEEDV() + i * 3 + 9) % 100000)::DOUBLE / 100.0, 2)::DOUBLE s_acctbal
-  FROM range(100) t(i)""")
+  FROM range(100 * {mult}) t(i)""")
 
 # part names: heavy intra-brand duplication + near-duplication (widget /
 # widgets / widgit) and unicode names
@@ -79,14 +84,14 @@ save("part", """
       [(hash(SEEDV() + i * 23 + 8) % 5 + 1)::INT] p_type,
     (hash(SEEDV() + i * 29) % 50 + 1)::INT p_size,
     round((hash(SEEDV() + i * 31) % 100000)::DOUBLE / 100.0 + 1.0, 2)::DOUBLE p_retailprice
-  FROM range(2000) t(i)""")
+  FROM range(2000 * {mult}) t(i)""")
 
 # orders: zipf-ish skew on custkey (20% of orders on 10 hot customers),
 # dates clustered in 3 windows with month-long gaps, many exact date ties
 save("orders", """
   SELECT i::BIGINT o_orderkey,
     CASE WHEN i % 5 = 0 THEN (hash(SEEDV() + i) % 10)::BIGINT
-         ELSE (hash(SEEDV() + i * 37 + 11) % 1500)::BIGINT END o_custkey,
+         ELSE (hash(SEEDV() + i * 37 + 11) % (1500 * {mult}))::BIGINT END o_custkey,
     ['F','O','P'][(hash(SEEDV() + i * 41) % 3 + 1)::INT] o_orderstatus,
     round((hash(SEEDV() + i * 43 + 13) % 49000000)::DOUBLE / 100.0 + 1000.0, 2)
       ::DOUBLE o_totalprice,
@@ -96,16 +101,16 @@ save("orders", """
                        ELSE 420 + (hash(SEEDV() + i * 3) % 90) END) DAY) o_orderdate,
     ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
       [(hash(SEEDV() + i * 47 + 15) % 5 + 1)::INT] o_orderpriority
-  FROM range(15000) t(i)""")
+  FROM range(15000 * {mult}) t(i)""")
 
 # lineitem: zipf partkey (hot parts), standard discount grid, shipdate
 # near the order window
 save("lineitem", """
-  SELECT (i % 15000)::BIGINT l_orderkey,
+  SELECT (i % (15000 * {mult}))::BIGINT l_orderkey,
     CASE WHEN i % 4 = 0 THEN (hash(SEEDV() + i) % 20)::BIGINT
-         ELSE (hash(SEEDV() + i * 53 + 17) % 2000)::BIGINT END l_partkey,
-    (hash(SEEDV() + i * 59 + 19) % 100)::BIGINT l_suppkey,
-    (i // 15000 + 1)::INT l_linenumber,
+         ELSE (hash(SEEDV() + i * 53 + 17) % (2000 * {mult}))::BIGINT END l_partkey,
+    (hash(SEEDV() + i * 59 + 19) % (100 * {mult}))::BIGINT l_suppkey,
+    (i // (15000 * {mult}) + 1)::INT l_linenumber,
     ((hash(SEEDV() + i * 61) % 50) + 1)::DOUBLE l_quantity,
     round((hash(SEEDV() + i * 67 + 21) % 9000000)::DOUBLE / 100.0 + 100.0, 2)
       ::DOUBLE l_extendedprice,
@@ -116,7 +121,7 @@ save("lineitem", """
     (TIMESTAMP '1995-01-01 00:00:00'
       + INTERVAL ((hash((i % 15000) * 3) % 510) + (hash(SEEDV() + i * 89) % 30)) DAY)
       l_shipdate
-  FROM range(60000) t(i)""")
+  FROM range(60000 * {mult}) t(i)""")
 
 # events: tied timestamps (bursts share one µs), skewed types, 30% of
 # users have exactly one event
@@ -125,14 +130,14 @@ save("events", """
     (TIMESTAMP '2024-01-01 00:00:00'
       + INTERVAL ((hash(SEEDV() + i // 4) % 2600000)) SECOND) ts,
     CASE WHEN i % 10 < 3 THEN (1000 + i)::BIGINT
-         ELSE (hash(SEEDV() + i * 97 + 23) % 150)::BIGINT END user_id,
+         ELSE (hash(SEEDV() + i * 97 + 23) % (150 * {mult}))::BIGINT END user_id,
     CASE WHEN i % 100 < 55 THEN 'view' WHEN i % 100 < 80 THEN 'click'
          WHEN i % 100 < 90 THEN 'signup' WHEN i % 100 < 97 THEN 'purchase'
          ELSE 'error' END event_type,
     round((hash(SEEDV() + i * 101 + 29) % 49000)::DOUBLE / 100.0 + 0.01, 2)
       ::DOUBLE "value",
     '{"k": '||(hash(SEEDV() + i * 103) % 100)||'}' props
-  FROM range(10000) t(i)""")
+  FROM range(10000 * {mult}) t(i)""")
 
 # documents: hostile whitespace, planted exact dups, single-word and
 # repeated-word docs, unicode tokens
@@ -152,7 +157,7 @@ save("documents", """
                 'sort','fast','value','scan','hash','café','中文']
             [(hash(SEEDV() + i * 1000 + j) % 14 + 1)::INT]), ' ')
       END AS txt
-    FROM range(500) t(i))
+    FROM range(500 * {mult}) t(i))
   SELECT i::BIGINT doc_id, txt AS "text",
     ['en','de','fr','es','zh'][(hash(SEEDV() + i * 107) % 5 + 1)::INT] lang,
     'src'||(hash(SEEDV() + i * 109) % 20) source,
@@ -170,6 +175,6 @@ save("embeddings", """
                  + (hash(SEEDV() + i * 64 + x) % 1000)::DOUBLE / 10000.0)::FLOAT)
     END embedding,
     ((i // 125) % 4)::INT AS label
-  FROM range(500) t(i)""")
+  FROM range(500 * {mult}) t(i)""")
 
-print(f"fuzz corpus (seed {seed}) at {out}")
+print(f"fuzz corpus (seed {seed}, mult {mult}) at {out}")
