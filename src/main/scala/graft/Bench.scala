@@ -50,64 +50,89 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // Sorted order: Map iteration order reshuffles whenever the registry
-    // grows, which makes per-query times incomparable across rounds (each
-    // query's number depends on what ran before it).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // One isolated, timed execution of query `name` (cleanup included) —
+    // the unit both the full pass and the retry loop are built from.
+    // Isolation between queries: iterative operators localCheckpoint
+    // working frames whose final round outlives the query (the returned
+    // plan reads it). Dropping all persisted blocks keeps query N's
+    // residue from shrinking query N+1's storage/execution memory — each
+    // timed query starts from the same clean JVM state.
+    def timeOne(name: String, label: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Progress to stderr (stdout carries only the JSON line): at larger
       // SFs a single degenerating query can run for minutes — the log shows
       // WHICH one without waiting for the final line.
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
-      // Isolation between queries: iterative operators localCheckpoint
-      // working frames whose final round outlives the query (the returned
-      // plan reads it). Dropping all persisted blocks here keeps query N's
-      // residue from shrinking query N+1's storage/execution memory — each
-      // timed query starts from the same clean JVM state.
+      System.err.println(f"[bench] $label$name%-28s $dt%8.2fs")
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dropTempViews(spark)
-      name -> dt
+      (dt, ok)
     }
-    // The bench host shows multi-minute I/O-stall windows that inflate
-    // whichever queries happen to run inside one (see SCALING.md). Re-time
-    // the slowest rows once and keep the per-query minimum: a genuinely
-    // heavy query re-measures heavy, a noise-inflated one re-measures
-    // fast. Bounded extra cost (15 queries), same JVM, same isolation.
-    val retry = results.sortBy(-_._2).take(15).map(_._1).toSet
-    val retried = results.map { case (name, t1) =>
-      if (!retry(name) || failed.contains(name)) name -> t1
-      else {
-        val t0 = System.nanoTime()
-        // a retry that FAILS must keep the pass-1 time: its fast failure
-        // wall-clock is not a measurement (observed at sf10 when a dying
-        // JVM recorded 0.03s "retries" through the old min())
-        val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val t2 = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dropTempViews(spark)
-        name -> (if (ok) math.min(t1, t2) else t1)
+    // Sorted order: Map iteration order reshuffles whenever the registry
+    // grows, which makes per-query times incomparable across rounds (each
+    // query's number depends on what ran before it).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    def runPass(label: String): Seq[(String, Double, Boolean)] =
+      names.map { name =>
+        val (dt, ok) = timeOne(name, label)
+        (name, dt, ok)
       }
-    }
+    val pass1 = runPass("")
+    pass1.foreach { case (name, _, ok) => if (!ok) failed += name }
+    val results = pass1.map { case (name, dt, _) => name -> dt }
+    // The bench host shows multi-minute I/O-stall windows that inflate
+    // whichever queries happen to run inside one (see SCALING.md), so an
+    // artifact of record needs de-noising:
+    //  - default (driver per-round budget): re-time the 15 slowest rows
+    //    once and keep the per-query minimum — a genuinely heavy query
+    //    re-measures heavy, a noise-inflated one re-measures fast;
+    //  - SPARK_GRAFT_BENCH_PASSES=N (closing artifacts): N FULL passes,
+    //    per-query minimum over successful runs — no row escapes the
+    //    de-noising, so cross-round comparisons trust every entry.
+    // A retry that FAILS keeps the earlier time: its fast failure
+    // wall-clock is not a measurement (observed at sf10 when a dying
+    // JVM recorded 0.03s "retries" through the old min()).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    val retried: Seq[(String, Double)] =
+      if (passes >= 2) {
+        (2 to passes).foldLeft(results) { (acc, p) =>
+          val next = runPass(s"p$p ").map { case (n, dt, ok) => n -> (dt, ok) }.toMap
+          acc.map { case (name, best) =>
+            val (dt, ok) = next(name)
+            name -> (if (ok && !failed.contains(name)) math.min(best, dt) else best)
+          }
+        }
+      } else {
+        val retry = results.sortBy(-_._2).take(15).map(_._1).toSet
+        results.map { case (name, t1) =>
+          if (!retry(name) || failed.contains(name)) name -> t1
+          else {
+            val (t2, ok) = timeOne(name, "retry ")
+            name -> (if (ok) math.min(t1, t2) else t1)
+          }
+        }
+      }
     val qs = retried.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = retried.map(_._2).sum
-    // Honesty: the min-of-two de-noising can only LOWER a number, so the raw
+    // Honesty: the min-of-N de-noising can only LOWER a number, so the raw
     // pass-1 timings of every re-timed query are emitted alongside — a
     // persistently slow query shows slow in `first_pass` even when a lucky
-    // second run shrank its `queries` entry.
-    val firstPass = results.filter { case (k, _) => retry(k) }
+    // second run shrank its `queries` entry. (Multi-pass mode re-times
+    // everything, so first_pass carries the whole pass.)
+    val retimed: Set[String] =
+      if (passes >= 2) names.toSet
+      else results.sortBy(-_._2).take(15).map(_._1).toSet
+    val firstPass = results.filter { case (k, _) => retimed(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firstPass,"sf":"$sfDir"}"""
     println(line)

@@ -87,19 +87,72 @@ object SparkEntry {
     */
   private def nz(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
 
-  /** The ANSI ranking-function suite in ONE window pass: percent_rank,
-    * cume_dist, ntile(4), dense_rank share a single (nation, balance)
-    * partition sort. The order is total (balance desc, key), so every
-    * function is deterministic and the oracle replays it verbatim.
+  /** The ANSI ranking-function suite — percent_rank, cume_dist,
+    * ntile(4), dense_rank per nation over (balance desc, custkey) —
+    * WITHOUT the bounded-partition sort. `Window.partitionBy(nation)`
+    * would sort the whole customer table in 25 tasks (~4 TB/task at
+    * 100 TB); instead the total order is encoded into one 63-bit long
+    * (nation · 2⁵⁸ + descCents · 2³⁷ + custkey — ascending long order IS
+    * (nation, balance DESC, custkey) order) and [[Scan.prefixSum]]
+    * produces the global row number with a range-partitioned
+    * partition-local scan. Per-nation rank is the global running count
+    * minus the previous nation's cumulative total (≤ 25-row collect →
+    * two literal lookup maps). The ordering key is unique per row
+    * (custkey is), so rank = dense_rank = row_number and every ranking
+    * function is closed-form in (rn, n):
+    * percent_rank = (rn−1)/(n−1) (0 when n = 1), cume_dist = rn/n,
+    * ntile(4) by the standard first-(n mod 4)-buckets-get-⌈n/4⌉ split.
+    * Same hashes as the window formulation; nothing sorts more than a
+    * partition slice (the q_winsorized_mean device at ROW grain).
     */
   private def qRankSuite(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
-      round(percent_rank().over(w), 6).as("pr"),
-      round(cume_dist().over(w), 6).as("cd"),
-      ntile(4).over(w).cast("long").as("quartile"),
-      dense_rank().over(w).cast("long").as("drk"))
+    // cent-grain balances: acctbal ∈ [-999.99, 9999.99] is 2-decimal
+    // money, so descCents = 999999 − cents ∈ [0, 1099998] < 2²¹ and the
+    // double→cents map is injective on observed values
+    val descCents = lit(999999L) -
+      round(col("c_acctbal") * 100.0, 0).cast("long")
+    val keyed = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+        col("c_acctbal"))
+      .withColumn("_rk",
+        when(col("nat").between(0L, 24L) &&
+            descCents.between(0L, (1L << 21) - 1) &&
+            col("c_custkey").between(0L, (1L << 37) - 1),
+          shiftleft(col("nat"), 58) + shiftleft(descCents, 37) +
+            col("c_custkey"))
+          .otherwise(raise_error(concat(
+            lit("rank-suite key out of range (need 0 <= nation < 25, " +
+              "-999.99 <= acctbal <= 9999.99, 0 <= custkey < 2^37): "),
+            col("nat").cast("string"), lit("/"),
+            col("c_acctbal").cast("string"), lit("/"),
+            col("c_custkey").cast("string")))))
+      .withColumn("_one", lit(1L))
+    val scanned = graft.operators.Scan.prefixSum(keyed, "_rk", "_one", "_cum")
+    // ≤ 25 rows: each nation's cumulative total through the global order;
+    // exclusive offset = previous nation's total, size = the difference
+    val cumTotals = scanned.groupBy(col("nat"))
+      .agg(max(col("_cum")).as("_t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = cumTotals.map(_._1)
+      .zip(0L +: cumTotals.map(_._2).dropRight(1)).toMap
+    val sizes = cumTotals.map { case (g, tt) => g -> (tt - offs(g)) }.toMap
+    scanned
+      .withColumn("_rn", col("_cum") - element_at(typedLit(offs), col("nat")))
+      .withColumn("_n", element_at(typedLit(sizes), col("nat")))
+      .select(col("c_custkey"), col("nat").cast("int").as("c_nationkey"),
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise(round((col("_rn") - 1L).cast("double") /
+            (col("_n") - 1L).cast("double"), 6)).as("pr"),
+        round(col("_rn").cast("double") / col("_n").cast("double"), 6)
+          .as("cd"),
+        // ntile(4): q = n div 4, r = n mod 4; the first r buckets hold
+        // q+1 rows (the branch guard keeps the q = 0 division unevaluated)
+        when(col("_rn") <= (col("_n") % 4L) * (expr("_n div 4") + 1L),
+          expr("(_rn - 1) div (_n div 4 + 1) + 1"))
+          .otherwise(expr(
+            "_n % 4 + (_rn - _n % 4 * (_n div 4 + 1) - 1) div (_n div 4) + 1"))
+          .cast("long").as("quartile"),
+        col("_rn").as("drk"))
   }
 
   private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -428,21 +481,21 @@ object SparkEntry {
     * language's highest-quality documents until its token budget fills.
     * Budgets are metered in REAL BPE tokens ([[TextAnalysis.bpeTokenCount]],
     * frozen merge table) — the counts that actually bound a training run —
-    * not whitespace words. A PARTITIONED running-sum window — per-language
-    * ordering shuffles one partition per language, never a global
-    * single-partition sort. Caveat at extreme scale: one dominant language
-    * still lands in one partition; the refinement is a two-pass prefix sum
-    * (range-partition by quality, per-shard totals → shard offsets → local
-    * running sums) — same output, applied when a single language exceeds
-    * executor-partition size.
+    * not whitespace words. The per-language running sum rides
+    * [[graft.operators.Scan.groupedPrefixSum]] over (quality DESC,
+    * doc_id): range-partitioned, partition-local scan — the retired
+    * `Window.partitionBy(lang)` shape put a whole language in ONE task,
+    * so a dominant language meant a corpus-scale single-partition sort.
+    * Same output (the scan replays the identical total order), no task
+    * sorts more than its slice at any language skew.
     */
   private def tTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("_nt", col("n_tokens").cast("long"))
+    graft.operators.Scan.groupedPrefixSum(d, Seq("lang"),
+        Seq(col("quality").desc, col("doc_id")), "_nt", "cum_tokens", "_tot")
       .filter(col("cum_tokens") <= 2000L)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
   }
@@ -1171,22 +1224,26 @@ object SparkEntry {
   }
 
   /** EXACT per-language length deciles — corpus QA profiling (the
-    * distribution sheet a curation run starts and ends with). Formulated as
-    * cumulative-rank arithmetic (row_number / count per partition) so the
-    * DuckDB oracle replays it bit-for-bit — `percentile_approx` would be
-    * the 100 TB choice where exactness isn't required, at the cost of the
-    * cross-engine hash check; the shuffle shape (one sort per language
-    * partition) is the same either way.
+    * distribution sheet a curation run starts and ends with), at VALUE
+    * grain on the scan: lengths collapse to one row per (lang, n_chars)
+    * and [[graft.operators.Scan.groupedPrefixSum]] attaches each value's
+    * within-language cumulative count — the q_winsorized_mean device.
+    * Decile d's value is then `min(n_chars) WHERE 10·cum ≥ d·n` (exact
+    * integer arithmetic, equivalent to the retired row-grain
+    * `row_number/count ≥ d/10` because a value qualifies iff its LAST
+    * row does). The retired `Window.partitionBy(lang)` sorted the whole
+    * corpus in |langs| tasks; nothing here sorts more than a partition
+    * slice of the distinct-length table. `percentile_approx` would be
+    * the lossy alternative — this is exact AND scan-shaped.
     */
   private def tLengthDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-    val cnt = Window.partitionBy(col("lang"))
-    t(s, dir, "documents")
-      .withColumn("cd",
-        row_number().over(w).cast("double") / count(lit(1)).over(cnt))
-      .select(col("lang"), col("n_chars"), col("cd"),
+    val vc = t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+    graft.operators.Scan.groupedPrefixSum(vc, Seq("lang"),
+        Seq(col("n_chars")), "cnt", "cum", "n")
+      .select(col("lang"), col("n_chars"), col("cum"), col("n"),
         explode(array((1 to 9).map(lit(_)): _*)).as("decile"))
-      .filter(col("cd") >= col("decile") / 10.0)
+      .filter(col("cum") * 10 >= col("n") * col("decile"))
       .groupBy(col("lang"), col("decile").cast("long").as("decile"))
       .agg(min(col("n_chars")).as("value"))
   }
@@ -1215,15 +1272,17 @@ object SparkEntry {
     * language, documents concatenate back-to-back in doc_id order; each
     * doc's pack is the fixed 2048-BPE-token window its first token lands
     * in, with a flag for docs straddling a boundary (where the loader
-    * splits). One partitioned running sum — the same shuffle shape and
-    * scale caveat as t_token_budget.
+    * splits). The per-language running sum rides
+    * [[graft.operators.Scan.groupedPrefixSum]] (same device as
+    * t_token_budget): the retired `Window.partitionBy(lang)` held a whole
+    * language in one task; the scan sorts only partition slices.
     */
   private def cPackSequences(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("_nt", col("n_tokens").cast("long"))
+    graft.operators.Scan.groupedPrefixSum(d, Seq("lang"),
+        Seq(col("doc_id")), "_nt", "cum", "_tot")
       .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
       .withColumn("crosses",
         expr("((cum - 1) div 2048) > ((cum - n_tokens) div 2048) AND n_tokens > 0"))
@@ -2073,12 +2132,13 @@ object SparkEntry {
     val reps = curated.join(
       Dedup.connectedComponents(curated, "doc_id", pairs)
         .filter(col("comp") === col("id")).select(col("id").as("doc_id")), "doc_id")
-    // Stage 5: per-language token budget in REAL BPE tokens of the clean text.
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    reps.withColumn("n_tokens", TextAnalysis.bpeTokenCount(col("text")))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // Stage 5: per-language token budget in REAL BPE tokens of the clean
+    // text — the scan device (see tTokenBudget), no per-language window.
+    graft.operators.Scan.groupedPrefixSum(
+        reps.withColumn("n_tokens", TextAnalysis.bpeTokenCount(col("text")))
+          .withColumn("_nt", col("n_tokens").cast("long")),
+        Seq("lang"), Seq(col("quality").desc, col("doc_id")),
+        "_nt", "cum_tokens", "_tot")
       .filter(col("cum_tokens") <= 2000L)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
   }
@@ -3394,16 +3454,20 @@ object SparkEntry {
     * every document hash-ordered into one of 8 shards with a stable
     * within-shard position. Reshuffling an epoch = changing the hash salt;
     * no RNG state, so any engine (and any rerun) produces the same order.
-    * The window ranks within shards only — 1/8th of the corpus per
-    * partition, never a global sort.
+    * Within-shard positions ride [[graft.operators.Scan.groupedPrefixSum]]
+    * over (h, doc_id) — the retired `Window.partitionBy(shard)` held 1/8th
+    * of the corpus in ONE task (12.5 TB at 100 TB); the scan
+    * range-partitions the (shard, h) order so every task ranks only its
+    * slice, at any shard count.
     */
   private def cEpochShuffle(s: SparkSession, dir: String): DataFrame = {
     val h = Dedup.shingleHash(concat(lit("epoch0:"), col("doc_id").cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    t(s, dir, "documents")
+    val d = t(s, dir, "documents")
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", col("h") % 8)
-      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("_one", lit(1L))
+    graft.operators.Scan.groupedPrefixSum(d, Seq("shard"),
+        Seq(col("h"), col("doc_id")), "_one", "pos", "_tot")
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
@@ -3433,17 +3497,20 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"))
-    val wq = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
-    val wc = Window.partitionBy(col("lang"))
-    val staged = docs
-      .withColumn("cd",
-        row_number().over(wq).cast("double") / count(lit(1)).over(wc))
+    // per-language quality rank via the scan (the retired
+    // Window.partitionBy(lang) shape held a whole language in one task)
+    val staged = graft.operators.Scan.groupedPrefixSum(
+        docs.withColumn("_one", lit(1L)), Seq("lang"),
+        Seq(col("q").desc, col("doc_id")), "_one", "_rn", "_n")
+      .withColumn("cd", col("_rn").cast("double") / col("_n"))
       .withColumn("stage", ceil(col("cd") * 4).cast("long"))
       .withColumn("h",
         Dedup.shingleHash(concat(lit("cur0:"), col("doc_id").cast("string"))))
-    val wpos = Window.partitionBy(col("lang"), col("stage"))
-      .orderBy(col("h"), col("doc_id"))
-    val pos = staged.withColumn("pos", row_number().over(wpos).cast("long"))
+      .drop("_rn", "_n")
+    // within-(lang, stage) hash-shuffle position, same device
+    val pos = graft.operators.Scan.groupedPrefixSum(
+        staged.withColumn("_one", lit(1L)), Seq("lang", "stage"),
+        Seq(col("h"), col("doc_id")), "_one", "pos", "_tot")
     // closed-form per-(stage, lang) sizes from per-language totals only
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .select(col("lang"), col("n"),
@@ -4805,7 +4872,8 @@ object SparkEntry {
     val total = byNation.agg(sum(col("revenue_e4")).as("total_e4"))
     byNation.crossJoin(broadcast(total))
       .select(col("c_nationkey"), col("revenue_e4"),
-        round(col("revenue_e4") / col("total_e4"), 6).as("share"))
+        // nz: an all-zero-price corpus zeroes the total — NULL share
+        round(col("revenue_e4") / nz(col("total_e4")), 6).as("share"))
   }
 
   /** Gap-filled hourly resampling: purchase counts on a COMPLETE hour
@@ -5290,8 +5358,10 @@ object SparkEntry {
       .agg(sum(col("contrib")).as("s"), sum(col("nv")).as("n"),
         sum(col("tot")).as("t"))
       .select(
+        // nz: zero total revenue (all-zero-price corpus) makes the Gini
+        // undefined — NULL, not DIVIDE_BY_ZERO
         round(lit(2.0) * col("s").cast("double") /
-            (col("n").cast("double") * col("t").cast("double")) -
+            nz(col("n").cast("double") * col("t").cast("double")) -
           (col("n").cast("double") + 1.0) / col("n").cast("double"), 6)
           .as("gini"),
         col("n").as("n_customers"))
@@ -5363,14 +5433,15 @@ object SparkEntry {
       .groupBy(col("decile"))
       .agg(sum(col("k")).as("n_customers"),
         sum(col("k") * col("v_e2")).as("rev_e2"))
+      // nz: zero total revenue (all-zero-price corpus) → NULL shares
       .withColumn("share",
         round(col("rev_e2").cast("double") /
-          sum(col("rev_e2")).over(Window.partitionBy()), 6))
+          nz(sum(col("rev_e2")).over(Window.partitionBy())), 6))
       .withColumn("cum_share",
         round(sum(col("rev_e2")).over(Window.orderBy(col("decile"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double") /
-          sum(col("rev_e2")).over(Window.partitionBy()), 6))
+          nz(sum(col("rev_e2")).over(Window.partitionBy())), 6))
       .select(col("decile"), col("n_customers"),
         (col("rev_e2").cast("double") / 100.0).as("revenue"),
         col("share"), col("cum_share"))
@@ -5407,8 +5478,10 @@ object SparkEntry {
       .groupBy(col("abc_class"))
       .agg(sum(col("nv")).as("n_parts"),
         round(sum(col("block_rev")).cast("double") / 100.0, 2).as("revenue"),
+        // nz: an all-zero-price corpus (legal 2-decimal money) makes
+        // t_rev = 0 — share degrades to NULL, not DIVIDE_BY_ZERO
         round(sum(col("block_rev")).cast("double") /
-          max(col("t_rev")), 6).as("share"))
+          nz(max(col("t_rev")).cast("double")), 6).as("share"))
   }
 
   /** Log-log price elasticity of demand per brand: for every line,
@@ -5802,16 +5875,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum(col("y") * col("y")).as("syy"))
     val meanC = col("sy").cast("double") / col("n") / 100.0
+    // nz twice: a single-user corpus zeroes n·(n−1); an all-zero-value
+    // corpus zeroes the mean and with it the relative MDE — both degrade
+    // to NULL, not DIVIDE_BY_ZERO
     val varC = (col("n").cast("double") * col("syy") -
       col("sy").cast("double") * col("sy")) /
-      (col("n").cast("double") * (col("n").cast("double") - 1.0)) / 10000.0
+      nz(col("n").cast("double") * (col("n").cast("double") - 1.0)) / 10000.0
     val delta = meanC * 0.05
     val zsum2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
     sums.select(col("n").as("n_observed"),
       round(meanC, 4).as("mean_control"),
       round(varC, 4).as("variance"),
       round(delta, 4).as("mde_abs"),
-      ceil(lit(2.0) * lit(zsum2) * varC / (delta * delta)).cast("long")
+      ceil(lit(2.0) * lit(zsum2) * varC / nz(delta * delta)).cast("long")
         .as("n_per_arm_required"))
   }
 
@@ -8431,7 +8507,7 @@ object SparkEntry {
            FROM lineitem a JOIN lineitem b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
            GROUP BY 1, 2),
-         tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+         tr AS (SELECT src, dst, w / NULLIF(sum(w) OVER (PARTITION BY src), 0) AS p
                 FROM e),
          n AS (SELECT p_partkey AS id,
              CASE WHEN p_partkey = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS t
@@ -10930,8 +11006,8 @@ object SparkEntry {
            FROM seg WHERE hi >= lo GROUP BY 1),
          tt AS (SELECT sum(rev_e2)::BIGINT AS t FROM agg)
          SELECT decile, n_customers, rev_e2::DOUBLE / 100.0 AS revenue,
-           round(rev_e2::DOUBLE / t, 6) AS share,
-           round((sum(rev_e2) OVER (ORDER BY decile))::DOUBLE / t, 6)
+           round(rev_e2::DOUBLE / NULLIF(t, 0), 6) AS share,
+           round((sum(rev_e2) OVER (ORDER BY decile))::DOUBLE / NULLIF(t, 0), 6)
              AS cum_share
          FROM agg, tt""",
     "q_gini" ->
@@ -10946,7 +11022,7 @@ object SparkEntry {
              sum(v_e2 * (nv * (cum_n - nv) + (nv * (nv + 1)) // 2)) AS s,
              sum(nv)::BIGINT AS n, sum(v_e2 * nv) AS t
            FROM cum)
-         SELECT round(2.0 * s::DOUBLE / (n::DOUBLE * t::DOUBLE)
+         SELECT round(2.0 * s::DOUBLE / NULLIF(n::DOUBLE * t::DOUBLE, 0)
              - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini,
            n AS n_customers FROM agg""",
     "q_mondrian_anon" -> {
@@ -11288,7 +11364,7 @@ object SparkEntry {
            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              AND l_suppkey = s_suppkey
            GROUP BY 1, 2),
-         tr AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+         tr AS (SELECT src, dst, w / NULLIF(sum(w) OVER (PARTITION BY src), 0) AS p FROM e),
          n AS (SELECT n_nationkey AS id, n_name FROM nation),
          r0 AS (SELECT id, 1.0::DOUBLE / (SELECT count(*) FROM n) AS r FROM n),
          $rk
@@ -11506,7 +11582,7 @@ object SparkEntry {
                      ELSE 'C' END AS abc_class,
            sum(nv)::BIGINT AS n_parts,
            round(sum(block_rev)::DOUBLE / 100.0, 2) AS revenue,
-           round(sum(block_rev)::DOUBLE / max(t_rev), 6) AS share
+           round(sum(block_rev)::DOUBLE / NULLIF(max(t_rev), 0), 6) AS share
          FROM cum CROSS JOIN tot GROUP BY 1""",
     "q_mix_effect" ->
       """WITH agg AS (SELECT p_brand,
@@ -11893,7 +11969,7 @@ object SparkEntry {
            GROUP BY 1),
          tot AS (SELECT CAST(sum(revenue_e4) AS BIGINT) AS total_e4 FROM bn)
          SELECT c_nationkey, revenue_e4,
-           round(revenue_e4 / total_e4, 6) AS share
+           round(revenue_e4 / NULLIF(total_e4, 0), 6) AS share
          FROM bn CROSS JOIN tot""",
     "q_profile_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -12075,13 +12151,13 @@ object SparkEntry {
          SELECT n AS n_observed,
            round(sy::DOUBLE / n / 100.0, 4) AS mean_control,
            round((n::DOUBLE * syy - sy::DOUBLE * sy)
-             / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0, 4) AS variance,
+             / NULLIF(n::DOUBLE * (n::DOUBLE - 1.0), 0) / 10000.0, 4) AS variance,
            round(sy::DOUBLE / n / 100.0 * 0.05, 4) AS mde_abs,
            ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
              * ((n::DOUBLE * syy - sy::DOUBLE * sy)
-                / (n::DOUBLE * (n::DOUBLE - 1.0)) / 10000.0)
-             / ((sy::DOUBLE / n / 100.0 * 0.05)
-                * (sy::DOUBLE / n / 100.0 * 0.05)))::BIGINT
+                / NULLIF(n::DOUBLE * (n::DOUBLE - 1.0), 0) / 10000.0)
+             / NULLIF((sy::DOUBLE / n / 100.0 * 0.05)
+                * (sy::DOUBLE / n / 100.0 * 0.05), 0))::BIGINT
              AS n_per_arm_required
          FROM s""",
     "q_winsorized_mean" ->

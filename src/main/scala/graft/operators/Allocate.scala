@@ -14,13 +14,32 @@ import org.apache.spark.sql.functions._
   * quantity interval [Σq_<i, Σq_≤i) on its key's demand axis, lot j owns
   * its interval on the supply axis, and the allocation of lot j to demand
   * i is exactly the overlap of the two intervals — nonzero only where they
-  * intersect, so the per-key join output is linear in (demands + lots),
+  * intersect, so the per-key join OUTPUT is linear in (demands + lots),
   * never quadratic: each demand touches only the contiguous lots its
   * interval spans.
   *
-  * Scale shape: two window cumsums (each one shuffle keyed by `key`) + one
-  * equi-join on `key` with the overlap filter; quantities are exact longs,
-  * so results are bit-identical on any engine.
+  * COMPUTE is kept near-linear too: the overlap match is a (key, bin)
+  * equi-join on a quantized cumulative-quantity axis (the
+  * [[Temporal.pointInIntervalJoin]] device, interval×interval form), not
+  * a bare key-join — a bare `join(key).where(overlap)` streams every
+  * (demand, lot) pair of a key through the filter, so ONE hot SKU with
+  * 10⁶ demands and 10⁶ lots would evaluate 10¹² pairs in one task. Bin
+  * width adapts per key to the MEAN interval width (total axis length
+  * over interval count, floor 1), each interval explodes only into the
+  * bins it covers — clipped to the other side's total, beyond which no
+  * match exists — and each overlapping pair is emitted exactly once, in
+  * the bin holding its overlap start (no post-join distinct). With
+  * near-uniform interval widths per-bin occupancy is O(1) per side, so
+  * compute is linear in exploded bins ≈ 2·(demands + lots); the residual
+  * caveat is EXTREME width heterogeneity inside one key (e.g. 10⁶
+  * unit-quantity rows on both sides plus one 10¹²-quantity outlier lot
+  * inflating the mean), where a bin can hold many below-mean intervals
+  * of both sides — detectable as a skewed (key, bin) join and bounded by
+  * (W/w_min)² per bin, still orders below the all-pairs shape.
+  *
+  * Scale shape: two window cumsums + one key-grain stats join (each one
+  * shuffle keyed by `key`) + the (key, bin) equi-join; quantities are
+  * exact longs, so results are bit-identical on any engine.
   */
 object Allocate {
 
@@ -39,24 +58,53 @@ object Allocate {
       .orderBy(dOrd.map(col) :+ col("did"): _*)
     val ws = Window.partitionBy(col("key"))
       .orderBy(sOrd.map(col) :+ col("lot"): _*)
+    // zero/negative-quantity rows are zero-width (or inverted) intervals:
+    // they can never yield qty > 0 (the final filter), so dropping them
+    // up front preserves the output and keeps them out of the explode
     val d = demand.select(Seq(col(dKey).as("key"), col(dId).as("did"),
         col(dQty).cast("long").as("dq")) ++ dOrd.map(col): _*)
+      .where(col("dq") > 0)
       .withColumn("dhi", sum(col("dq")).over(wd))
       .withColumn("dlo", col("dhi") - col("dq"))
       .select(col("key"), col("did"), col("dlo"), col("dhi"))
     val s = supply.select(Seq(col(sKey).as("key"), col(sId).as("lot"),
         col(sQty).cast("long").as("sq")) ++ sOrd.map(col): _*)
+      .where(col("sq") > 0)
       .withColumn("shi", sum(col("sq")).over(ws))
       .withColumn("slo", col("shi") - col("sq"))
       .select(col("key"), col("lot"), col("slo"), col("shi"))
-    d.join(s, Seq("key"))
-      .where(col("dlo") < col("shi") && col("slo") < col("dhi"))
+    // key-grain stats (inner: a key missing either side yields no pairs):
+    // per-key bin width = mean interval width across both sides, floor 1
+    val stats = d.groupBy(col("key"))
+      .agg(count(lit(1)).as("nd"), max(col("dhi")).as("dtot"))
+      .join(s.groupBy(col("key"))
+        .agg(count(lit(1)).as("nl"), max(col("shi")).as("stot")), Seq("key"))
+      .select(col("key"), col("dtot"), col("stot"),
+        greatest(lit(1L),
+          expr("(dtot + stot) div (nd + nl)")).as("w"))
+    // explode each interval into the bins it covers, clipped to the other
+    // side's total (no overlap can start at or beyond it)
+    val db = d.join(stats, Seq("key"))
+      .where(col("dlo") < col("stot"))
+      .withColumn("bin",
+        explode(expr("sequence(dlo div w, least(dhi - 1, stot - 1) div w)")))
+      .select(col("key"), col("bin"), col("did"), col("dlo"), col("dhi"),
+        col("w"))
+    val sb = s.join(stats, Seq("key"))
+      .where(col("slo") < col("dtot"))
+      .withColumn("bin",
+        explode(expr("sequence(slo div w, least(shi - 1, dtot - 1) div w)")))
+      .select(col("key"), col("bin"), col("lot"), col("slo"), col("shi"))
+    db.join(sb, Seq("key", "bin"))
+      .where(col("dlo") < col("shi") && col("slo") < col("dhi") &&
+        // canonical bin: the one holding the overlap start — each
+        // overlapping pair shares it exactly once, so no pair-grain dedup
+        expr("greatest(dlo, slo) div w") === col("bin"))
       .select(col("key"), col("did"), col("lot"),
         (least(col("dhi"), col("shi")) -
           greatest(col("dlo"), col("slo"))).as("qty"))
-      // a zero-quantity demand/lot is a zero-WIDTH interval; one sitting
-      // strictly inside the other side's interval still satisfies the
-      // strict overlap test and would emit a spurious qty=0 row
+      // positive-width inputs guarantee a positive overlap here, but keep
+      // the contract filter as the last line of defense
       .where(col("qty") > 0)
   }
 }

@@ -52,7 +52,13 @@ object Graph {
     val trans = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
-      .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
+      // a src whose edges all weigh 0 (legal money data: a zero-price
+      // partition) must contribute NO mass, not crash ANSI division:
+      // NULL p rows vanish inside sum(p * r), matching the oracle's
+      // NULLIF convention
+      .withColumn("_wtot", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .withColumn("p", col("w") / when(col("_wtot") === 0.0, lit(null))
+        .otherwise(col("_wtot")))
       .select(col("src"), col("dst"), col("p"))
       .pinned(true)
     var r = n.select(col("id"), lit(1.0 / nCount).as("r"))
@@ -113,7 +119,13 @@ object Graph {
     val trans = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
-      .withColumn("p", col("w") / sum(col("w")).over(Window.partitionBy(col("src"))))
+      // a src whose edges all weigh 0 (legal money data: a zero-price
+      // partition) must contribute NO mass, not crash ANSI division:
+      // NULL p rows vanish inside sum(p * r), matching the oracle's
+      // NULLIF convention
+      .withColumn("_wtot", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .withColumn("p", col("w") / when(col("_wtot") === 0.0, lit(null))
+        .otherwise(col("_wtot")))
       .select(col("src"), col("dst"), col("p"))
       .pinned(true)
     var r = tele.select(col("id"), col("t").as("r"))

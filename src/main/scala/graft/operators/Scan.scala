@@ -39,6 +39,21 @@ object Scan {
     */
   def prefixSum(df: DataFrame, keyCol: String, valCol: String,
       cumCol: String, moreVals: Seq[String] = Nil,
+      numPartitions: Int = 0): DataFrame =
+    prefixSumOrdered(df, Seq(col(keyCol)), valCol, cumCol, moreVals,
+      numPartitions)
+
+  /** [[prefixSum]] over an arbitrary COMPOSITE sort order: the running
+    * sums follow the lexicographic order of `order` (each element may
+    * carry `.desc`/`.asc`), which must be unique per row. This is what
+    * lets the scan replace windows ordered by (quality DESC, doc_id) or
+    * (group, time, id) without packing the key into one long — range
+    * partitioning and the partition-local window both take the sort
+    * expressions verbatim, so the semantics are exactly the retired
+    * window's while no task ever sorts more than its slice.
+    */
+  def prefixSumOrdered(df: DataFrame, order: Seq[Column], valCol: String,
+      cumCol: String, moreVals: Seq[String] = Nil,
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
@@ -61,7 +76,7 @@ object Scan {
     // sampler re-draws boundaries per execution, so without it pass 1's
     // collected offsets and pass 2's final plan could see DIFFERENT
     // partition assignments and the offsets would misalign.
-    val ranged = df.repartitionByRange(n, col(keyCol))
+    val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("_scan_pid", spark_partition_id())
       .pinned()
     // Pass 1: per-partition totals — ≤ n rows reach the driver.
@@ -90,7 +105,7 @@ object Scan {
     // (every non-empty partition has exactly one offsets row, so a null
     // means the pinned-partitioning invariant broke — e.g. the pin above
     // was removed and the range sampler re-drew boundaries).
-    val w = Window.partitionBy(col("_scan_pid")).orderBy(col(keyCol))
+    val w = Window.partitionBy(col("_scan_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val named = (v: String) => if (v == valCol) cumCol else s"cum_$v"
     val withCum = vals.foldLeft(
@@ -105,6 +120,46 @@ object Scan {
               "partitioning invariant is broken")))))
     }
     withCum.drop("_scan_pid", "_scan_pid_o").drop(vals.map(v => s"_off_$v"): _*)
+  }
+
+  /** Per-GROUP inclusive running sum over an arbitrary unique composite
+    * sort order — the device that retires
+    * `sum/row_number().over(Window.partitionBy(boundedKey).orderBy(...))`
+    * for BOUNDED group inventories (languages, shards, nations, stages):
+    * that window funnels the whole table through |groups| tasks (~4 TB
+    * per task at 100 TB with 25 nations), while this shape range-partitions
+    * on (grpCols ++ sortCols) — groups stay contiguous in the global
+    * order, no task sorts more than its slice — and converts the global
+    * running sum ([[prefixSumOrdered]]) to a within-group one with a
+    * group-stats side table. Each group's exclusive offset is
+    * SELF-CONTAINED: max global cum inside the group minus the group's
+    * own total = everything before the group; no cross-group ordering
+    * assumption ever leaves the executors (safe for any group type,
+    * including strings whose driver-side sort could diverge from the
+    * engine's collation).
+    *
+    * Contract: (grpCols ++ sortCols) unique per row; `valCol` LongType
+    * (prefix-scan exact-integer contract); the group inventory bounded —
+    * the stats table is one row per group and broadcasts back.
+    *
+    * Returns the input plus `cumCol` (inclusive within-group running sum
+    * in sortCols order) and `totCol` (the group's value total).
+    */
+  def groupedPrefixSum(df: DataFrame, grpCols: Seq[String],
+      sortCols: Seq[Column], valCol: String, cumCol: String,
+      totCol: String): DataFrame = {
+    val scanned = prefixSumOrdered(df, grpCols.map(col) ++ sortCols,
+      valCol, "_gps_cum")
+    // ≤|groups| rows; max/sum partials combine map-side, so only group
+    // aggregates cross the wire. Computed off the scan itself — prefixSum
+    // pinned its range partitioning, so this replays no upstream work.
+    val grpStats = scanned.groupBy(grpCols.map(col): _*)
+      .agg(max(col("_gps_cum")).as("_gps_max"), sum(col(valCol)).as(totCol))
+      .withColumn("_gps_off", col("_gps_max") - col(totCol))
+      .drop("_gps_max")
+    scanned.join(broadcast(grpStats), grpCols)
+      .withColumn(cumCol, col("_gps_cum") - col("_gps_off"))
+      .drop("_gps_cum", "_gps_off")
   }
 
   /** Per-GROUP cumulative counts at value grain — the exact-rank device

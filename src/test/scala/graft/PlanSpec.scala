@@ -420,6 +420,52 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bounded-group running sums ride the scan: every window partition-local") {
+    // t_token_budget / c_pack_sequences / c_epoch_shuffle / t_length_deciles
+    // retired their Window.partitionBy(lang|shard) — a whole language (or
+    // 1/8th of the corpus) in ONE task — for Scan.groupedPrefixSum. Any
+    // window in these plans must be the scan's partition-local one.
+    for (q <- Seq("t_token_budget", "c_pack_sequences", "c_epoch_shuffle",
+        "t_length_deciles")) {
+      val p = planOf(q)
+      assert(!p.contains("row_number("), s"$q reintroduced a window rank")
+      val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(winLines.nonEmpty, s"$q lost its scan window")
+      winLines.foreach { l =>
+        assert(l.contains("_scan_pid"),
+          s"$q has a window not keyed by the scan partition id: $l")
+      }
+    }
+    // c_curriculum_order additionally keeps ONE legitimate global window:
+    // the 4x|langs| stage-offset running sum over the counts table. All
+    // ranking windows must still be the scan's.
+    val p = planOf("c_curriculum_order")
+    assert(!p.contains("row_number("),
+      "c_curriculum_order reintroduced a bounded-partition window rank")
+    p.linesIterator.filter(_.contains("Window")).foreach { l =>
+      assert(l.contains("_scan_pid") || l.contains("cnt"),
+        s"c_curriculum_order has an unexpected window: $l")
+    }
+  }
+
+  test("rank suite rides the scan: no bounded-partition data-scale sort") {
+    // q_rank_suite's percent_rank/cume_dist/ntile/dense_rank derive from
+    // the prefix-sum scan's row numbers. The retired shape —
+    // Window.partitionBy(25-value c_nationkey) sorting the whole customer
+    // table in 25 tasks — must never come back: every window in the plan
+    // must be the scan's partition-local one and no ranking function may
+    // appear as a window expression.
+    val p = planOf("q_rank_suite")
+    for (f <- Seq("percent_rank()", "cume_dist()", "ntile(", "dense_rank()"))
+      assert(!p.contains(f), s"q_rank_suite reintroduced window function $f")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "q_rank_suite lost its scan window")
+    winLines.foreach { l =>
+      assert(l.contains("_scan_pid"),
+        s"q_rank_suite has a window not keyed by the scan partition id: $l")
+    }
+  }
+
   test("EXISTS audit plans as a LEFT SEMI hash join with no post-join distinct") {
     val p = planOf("q_semi_join")
     assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))

@@ -50,6 +50,37 @@ class Round10OpsSpec extends SparkTestBase {
     assert(under === Seq(("k", 1L, 10L, 2L)), "lot 11 must stay untouched")
   }
 
+  test("fifo hot key: 10^4 x 10^4 one-key intervals match on (key, bin), never all pairs") {
+    // One hot SKU with n demands and n lots: the retired bare key-join
+    // streamed n^2 = 10^8 pairs through one task's overlap filter; the
+    // binned join must carry `bin` in its equi-key so per-bin occupancy
+    // (unit widths -> W = 1 -> one interval per side per bin) bounds the
+    // pairs actually enumerated.
+    val n = 10000L
+    val d = spark.range(1, n + 1).select(lit("hot").as("key"),
+      col("id").as("did"), lit(1L).as("qty"), col("id").as("o"))
+    val s = spark.range(1, n + 1).select(lit("hot").as("key"),
+      col("id").as("lot"), lit(1L).as("qty"), col("id").as("o"))
+    val out = graft.operators.Allocate.fifo(d, "key", "did", "qty", Seq("o"),
+      s, "key", "lot", "qty", Seq("o"))
+    out.collect() // finalize the adaptive plan before reading it
+    val p = out.queryExecution.executedPlan.toString
+    // the literal test key constant-folds out of the equi-keys, so the
+    // bin key is what distinguishes the binned join from all-pairs
+    val joinKeyLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin")).toSeq
+    assert(joinKeyLines.exists(_.contains("bin#")),
+      "fifo match join lost its bin equi-key (all-pairs shape is back):\n" +
+        joinKeyLines.mkString("\n"))
+    val rows = out.collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(rows.length === n,
+      s"unit FIFO must pair demand i with lot i: got ${rows.length} rows")
+    assert(rows.forall { case (did, lot, qty) => did == lot && qty == 1L },
+      rows.filterNot { case (did, lot, qty) => did == lot && qty == 1L }
+        .take(5).mkString(", "))
+  }
+
   test("hashWalks: walk ids beyond 2^33 don't overflow — hop equals the mod-reduced replay") {
     val big = 1L << 40 // would overflow the unreduced walk*1103515245L mix
     val edges = Seq((big, big + 1), (big, big + 2), (big + 1, big))

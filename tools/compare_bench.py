@@ -28,8 +28,11 @@ qa, qb = a["queries"], b["queries"]
 both = sorted(set(qa) & set(qb))
 flagged = []
 for q in both:
-    if qa[q] > 0.2 and qb[q] / qa[q] > thresh:  # ignore sub-200ms noise
-        flagged.append((q, qa[q], qb[q], qb[q] / qa[q]))
+    # sub-200ms baselines are noise UNLESS the B side got large in absolute
+    # terms — 0.15s -> 30s is a real regression the noise filter must not
+    # swallow (the floor on qa keeps the ratio finite for ~0s baselines)
+    if (qa[q] > 0.2 or qb[q] > 2.0) and qb[q] / max(qa[q], 0.05) > thresh:
+        flagged.append((q, qa[q], qb[q], qb[q] / max(qa[q], 0.05)))
 flagged.sort(key=lambda t: -t[3])
 
 print(f"A: {a_path}  total {a['value']:.1f}s / {len(qa)} queries")

@@ -11,6 +11,9 @@ instead of quietly returning NaN.
 Usage:
   python3 tools/gen_degen.py /tmp/sfdegen            # near-constant rows
   python3 tools/gen_degen.py /tmp/sfempty --empty    # same schemas, 0 rows
+  python3 tools/gen_degen.py /tmp/sfzero --zero-price # every money col 0.00
+  # (0.00 is legal under the 2-decimal money contract and zeroes every
+  #  revenue total — the q_abc_classes share-by-max(t_rev) crash class)
   sbt -batch 'runMain graft.Verify /tmp/sfdegen /tmp/vdegen'
   # expectation: zero '[verify] ... failed' lines — every query either
   # returns (possibly empty / NULL-statistic) rows or raises one of the
@@ -29,8 +32,12 @@ import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdegen"
 empty = "--empty" in sys.argv
+zero_price = "--zero-price" in sys.argv
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
+
+# every money-typed column collapses to 0.00 under --zero-price
+P = (lambda _: "0.0") if zero_price else (lambda v: v)
 
 def save(name, sql):
     suffix = " LIMIT 0" if empty else ""
@@ -39,21 +46,21 @@ def save(name, sql):
 save("region", "SELECT 0::INT r_regionkey, 'R' r_name")
 save("nation", "SELECT i::INT n_nationkey, 'N'||i n_name, 0::INT n_regionkey FROM range(2) t(i)")
 save("customer", "SELECT i::BIGINT c_custkey, 'C'||i c_name, (i % 2)::INT c_nationkey, "
-     "100.0::DOUBLE c_acctbal, 'BUILDING' c_mktsegment FROM range(3) t(i)")
+     f"{P('100.0')}::DOUBLE c_acctbal, 'BUILDING' c_mktsegment FROM range(3) t(i)")
 save("supplier", "SELECT i::BIGINT s_suppkey, 'S'||i s_name, (i % 2)::INT s_nationkey, "
-     "10.0::DOUBLE s_acctbal FROM range(2) t(i)")
+     f"{P('10.0')}::DOUBLE s_acctbal FROM range(2) t(i)")
 save("part", "SELECT i::BIGINT p_partkey, 'P'||i p_name, 'B#1' p_brand, 'T' p_type, "
-     "1::INT p_size, 10.0::DOUBLE p_retailprice FROM range(3) t(i)")
+     f"1::INT p_size, {P('10.0')}::DOUBLE p_retailprice FROM range(3) t(i)")
 save("orders", "SELECT i::BIGINT o_orderkey, (i % 3)::BIGINT o_custkey, 'F' o_orderstatus, "
-     "1000.0::DOUBLE o_totalprice, TIMESTAMP '1996-06-01 00:00:00' o_orderdate, "
+     f"{P('1000.0')}::DOUBLE o_totalprice, TIMESTAMP '1996-06-01 00:00:00' o_orderdate, "
      "'1-URGENT' o_orderpriority FROM range(4) t(i)")
 save("lineitem", "SELECT i::BIGINT l_orderkey, (i % 3)::BIGINT l_partkey, "
      "(i % 2)::BIGINT l_suppkey, 1::INT l_linenumber, 1.0::DOUBLE l_quantity, "
-     "100.0::DOUBLE l_extendedprice, 0.0::DOUBLE l_discount, 0.0::DOUBLE l_tax, "
+     f"{P('100.0')}::DOUBLE l_extendedprice, 0.0::DOUBLE l_discount, 0.0::DOUBLE l_tax, "
      "'N' l_returnflag, 'O' l_linestatus, TIMESTAMP '1996-06-01 00:00:00' l_shipdate "
      "FROM range(4) t(i)")
 save("events", "SELECT i::BIGINT event_id, TIMESTAMP '2024-01-01 00:00:00' ts, "
-     "(i % 2)::BIGINT user_id, 'click' event_type, 1.0::DOUBLE \"value\", "
+     f"(i % 2)::BIGINT user_id, 'click' event_type, {P('1.0')}::DOUBLE \"value\", "
      "'{\"k\": 1}' props FROM range(4) t(i)")
 save("documents", 'SELECT i::BIGINT doc_id, \'a b c\' "text", \'en\' lang, '
      "'web' source, 5::BIGINT n_chars FROM range(3) t(i)")
@@ -63,4 +70,4 @@ con.execute(f"""COPY (
     (i % 2)::INT AS label
   FROM range(3) t(i) {"LIMIT 0" if empty else ""})
   TO '{out}/embeddings.parquet' (FORMAT parquet)""")
-print(f"{'empty' if empty else 'degenerate'} corpus at {out}")
+print(f"{'empty' if empty else ('zero-price' if zero_price else 'degenerate')} corpus at {out}")
