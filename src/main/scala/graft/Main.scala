@@ -147,13 +147,6 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val sheetId = opts.get("--sheet-id")
-    val firestoreCollection = opts.get("--firestore-collection")
-    val configPath = opts.get("--config")
-    validateConfigFlags(opts)
-    val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
-    val bqDir = opts.get("--bq-dir")
-
     val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
@@ -165,6 +158,25 @@ object Main {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
+    val report = run(spark, opts)
+    spark.stop()
+    if (report.exitCode != 0) sys.exit(report.exitCode)
+  }
+
+  /** The whole CLI run against a CALLER-OWNED session (config load →
+    * pipeline → consolidation summary → usage stats), returning the report
+    * instead of exiting — the in-process seam `MainSmokeSpec` drives so
+    * the one user-facing surface no oracle row covers is pinned in
+    * `sbt test`. [[main]] is this plus session lifecycle + exit code.
+    */
+  private[graft] def run(spark: SparkSession,
+      opts: Map[String, String]): graft.pipeline.PipelineReport = {
+    val sheetId = opts.get("--sheet-id")
+    val firestoreCollection = opts.get("--firestore-collection")
+    val configPath = opts.get("--config")
+    validateConfigFlags(opts)
+    val outputDir = opts.getOrElse("--output", "/tmp/graft-out")
+    val bqDir = opts.get("--bq-dir")
 
     // ONE token provider per run: the config fetch's grant caches into the
     // same provider the sink transport carries, so a refresh-only run costs
@@ -239,7 +251,6 @@ object Main {
         records = ran ++ errs,
         collect = rs => println(s"[graft] usage stats: ${rs.size} records"))
     }
-    spark.stop()
-    if (report.exitCode != 0) sys.exit(report.exitCode)
+    report
   }
 }

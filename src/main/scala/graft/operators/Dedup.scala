@@ -513,9 +513,12 @@ object Dedup {
     */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5): Unit = {
-    bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
+    val bands = bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    bands.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // record the STORED band-table types (the id column follows the
+    // indexed corpus, not a later query batch) — see graft.io.IndexSchema
+    graft.io.IndexSchema.write(df.sparkSession, s"$path/bands", bands.schema)
     df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
       .write.mode("overwrite").parquet(s"$path/shingles")
@@ -587,15 +590,19 @@ object Dedup {
     }
     val freshSig = bandSignatures(newDocs, idCol, textCol, numHashes, numBands,
       shingleSize)
-    // explicit read schema derived from the signature shape: a
-    // partitionBy write of an EMPTY corpus emits no data files, and
-    // schema inference would then fail the read — empty-in → empty-out
+    // explicit read schema: the writer's sidecar when present (the STORED
+    // id type — an index built over long ids stays readable from a batch
+    // with int ids), else derived from the fresh signature shape
+    // (pre-sidecar indexes). Explicit either way: a partitionBy write of
+    // an EMPTY corpus emits no data files and inference would fail the
+    // read — empty-in → empty-out.
     val bkT = freshSig.schema("bk").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id", freshSig.schema("id").dataType),
-      org.apache.spark.sql.types.StructField("key", bkT("key").dataType),
-      org.apache.spark.sql.types.StructField("band", bkT("band").dataType)))
+    val bandsSchema = graft.io.IndexSchema.read(spark, s"$path/bands")
+      .getOrElse(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", freshSig.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("key", bkT("key").dataType),
+        org.apache.spark.sql.types.StructField("band", bkT("band").dataType))))
     val idx = spark.read.schema(bandsSchema).parquet(s"$path/bands")
       .select(struct(col("band").cast("int").as("band"), col("key")).as("bk"),
         col("id").as("id_a"))

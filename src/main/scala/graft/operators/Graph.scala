@@ -111,7 +111,11 @@ object Graph {
       .join(n, Seq("id"), "left_semi")
       .pinned(true)
     val sCount = sd.count().toDouble
-    require(sCount > 0, "seed set is empty or disjoint from the node set")
+    // An empty (or node-disjoint) seed set means no restart mass exists:
+    // the natural result is NO ranked nodes, not a failed job — an empty
+    // daily partition is normal at corpus scale, and the oracle's replay
+    // over the same empty seed table yields zero rows too.
+    if (sCount == 0) return n.select(col("id"), lit(0.0).as("rank")).limit(0)
     val tele = n.join(sd.withColumn("t", lit(1.0 / sCount)), Seq("id"),
         "left_outer")
       .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))

@@ -190,11 +190,15 @@ object Pq {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      path: String): Unit =
-    corpus.select(col(idCol).as("neighbor_id"),
-        element_at(Similarity.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
-        encodeExpr(col(vecCol), codebooks).as("codes"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      path: String): Unit = {
+    val projected = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(Similarity.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+      encodeExpr(col(vecCol), codebooks).as("codes"))
+    projected.write.partitionBy("cell").mode("overwrite").parquet(path)
+    // record the STORED types (the id column, in particular, follows the
+    // corpus, not a later query frame) — see graft.io.IndexSchema
+    graft.io.IndexSchema.write(corpus.sparkSession, path, projected.schema)
+  }
 
   /** Search an index written by [[writePqIndex]] with the SAME centroids
     * and codebooks. Identical results to [[ivfPqTopK]]; the corpus-side
@@ -205,13 +209,15 @@ object Pq {
       codebooks: Seq[Seq[Seq[Double]]], path: String, k: Int = 10,
       nprobe: Int = 2,
       broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
-    // explicit read schema from a 0-row projection (see
-    // Similarity.ivfIndexTopK): an empty-corpus index has no data files
-    // under partitionBy and inference would fail the read
-    val idxSchema = queries.limit(0)
-      .select(col(idCol).as("neighbor_id"),
-        encodeExpr(col(vecCol), codebooks).as("codes"),
-        lit(0).cast("int").as("cell")).schema
+    // explicit read schema: the writer's sidecar when present, else a
+    // 0-row projection of the query frame (see Similarity.ivfIndexTopK) —
+    // an empty-corpus index has no data files under partitionBy and
+    // inference would fail the read
+    val idxSchema = graft.io.IndexSchema.read(spark, path).getOrElse(
+      queries.limit(0)
+        .select(col(idCol).as("neighbor_id"),
+          encodeExpr(col(vecCol), codebooks).as("codes"),
+          lit(0).cast("int").as("cell")).schema)
     val c = spark.read.schema(idxSchema).parquet(path)
       .select(col("neighbor_id"), col("codes"), col("cell").cast("int").as("cell"))
     rankCoded(c, queries, idCol, vecCol, centroids, codebooks, k, nprobe,

@@ -181,7 +181,12 @@ object Retrieval {
       .pinned(true) // the loop invariant: every round joins it
     val nodes = p.select(col("u")).distinct().pinned(true)
     val n = nodes.count()
-    require(n > 0, "textRank needs a non-empty co-occurrence graph")
+    // an empty co-occurrence graph (empty corpus, or no document with two
+    // consecutive tokens) has no keywords: return the empty top-k frame
+    // with the query's schema — the oracle replay yields zero rows too
+    if (n == 0)
+      return nodes.select(lit(0L).as("rank"), col("u").as("term"),
+        lit(0L).as("score_e9")).limit(0)
     val teleport = 150000000L / n
     var r = nodes.select(col("u").as("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to iters)

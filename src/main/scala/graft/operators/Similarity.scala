@@ -275,10 +275,14 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], path: String): Unit = {
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val projected = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    projected.write.partitionBy("cell").mode("overwrite").parquet(path)
     writeCentroidManifest(corpus.sparkSession, path, centroids)
+    // record the STORED types so a later search with differently-typed
+    // query vectors (float corpus / double queries) still reads the index
+    graft.io.IndexSchema.write(corpus.sparkSession, path, projected.schema)
   }
 
   /** The centroid list is part of the index's identity — cell numbers from
@@ -337,9 +341,23 @@ object Similarity {
   def appendIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], path: String): Unit = {
     assertCentroidManifest(newVecs.sparkSession, path, centroids)
-    newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val projected = newVecs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(col("c_vec"), centroids, 1), 1))
-      .write.partitionBy("cell").mode("append").parquet(path)
+    // an append whose id/vector types differ from the stored ones would
+    // produce a mixed-type parquet directory that fails only at READ time
+    // under the sidecar schema — fail loudly here instead
+    graft.io.IndexSchema.read(newVecs.sparkSession, path).foreach { stored =>
+      for (f <- Seq("neighbor_id", "c_vec")) {
+        val want = stored(f).dataType
+        val got = projected.schema(f).dataType
+        require(got == want,
+          s"appendIvfIndex: $f type ${got.simpleString} does not match the " +
+            s"index's stored ${want.simpleString} at $path — cast the batch " +
+            "or rebuild the index with writeIvfIndex")
+      }
+    }
+    projected.write.partitionBy("cell").mode("append").parquet(path)
   }
 
   /** Search a materialized index written by [[writeIvfIndex]] with the SAME
@@ -351,13 +369,15 @@ object Similarity {
       k: Int = 10, nprobe: Int = 2,
       broadcastGateBytes: Long = graft.transform.Transforms.BroadcastGateBytes): DataFrame = {
     assertCentroidManifest(spark, path, centroids)
-    // explicit read schema (lifted from a 0-row projection of the query
-    // frame, whose id/vector types share the index contract): an index
-    // written from an EMPTY corpus has no data files under partitionBy,
-    // and schema inference would fail the read — empty-in → empty-out
-    val idxSchema = queries.limit(0)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        lit(0).cast("int").as("cell")).schema
+    // explicit read schema: the writer's sidecar when present (the STORED
+    // types — a float corpus stays readable under double queries), else a
+    // 0-row projection of the query frame (pre-sidecar indexes). Explicit
+    // either way because an index written from an EMPTY corpus has no
+    // data files under partitionBy and inference would fail the read.
+    val idxSchema = graft.io.IndexSchema.read(spark, path).getOrElse(
+      queries.limit(0)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+          lit(0).cast("int").as("cell")).schema)
     val c = spark.read.schema(idxSchema).parquet(path)
       .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
     rankCells(queries, c, idCol, vecCol, centroids, k, nprobe, broadcastGateBytes)

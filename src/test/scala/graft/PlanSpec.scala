@@ -105,7 +105,10 @@ class PlanSpec extends SparkTestBase {
     //  - plan-BUILD-time side effects: the pipeline fixpoint, streaming
     //    drains, index/table writes, the digest-log double run — invoking
     //    the query function executes work, so the blanket audit skips
-    //    them; each has its own plan pin below or in its operator spec.
+    //    them. They are NOT unaudited: ExecutedPlanAuditSpec runs each one
+    //    and holds every SQL execution it posts (micro-batches, writes,
+    //    the returned frame) to the same structural standard via the
+    //    listener bus.
     //  - brute-force BASELINES: e_cosine_topk / e_mips_topk and the flat
     //    index scans (e_quantized_topk, e_pq_topk, e_trunc_rerank) are
     //    the deliberate exact references the ANN indexes exist to avoid;

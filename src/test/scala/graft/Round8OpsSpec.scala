@@ -212,6 +212,17 @@ class Round8OpsSpec extends SparkTestBase {
     assert(ss == ss.sorted.reverse, ss)
   }
 
+  test("textRankKeywords: empty co-occurrence graph returns empty, not a crash") {
+    // empty corpus AND single-token docs (no bigram anywhere) both yield
+    // a keyword-less result with the query's (rank, term, score_e9) schema
+    for (docs <- Seq(Seq.empty[String].toDF("text"),
+        Seq("one", "two", "").toDF("text"))) {
+      val out = graft.operators.Retrieval.textRankKeywords(docs, "text", k = 5)
+      assert(out.columns.toSeq === Seq("rank", "term", "score_e9"))
+      assert(out.count() === 0)
+    }
+  }
+
   test("q_cohort_ltv: cumulative column is the running sum per cohort") {
     val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf("sf0.001"))
       .as[(java.sql.Date, Long, Long, Long)].collect()

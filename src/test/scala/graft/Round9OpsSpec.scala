@@ -4,6 +4,7 @@ import graft.operators.{Graph, Safety}
 import org.apache.spark.sql.functions._
 
 class Round9OpsSpec extends SparkTestBase {
+  import spark.implicits._
 
   // ---- pageRank / personalizedPageRank duplicated-loop invariant ------
   //
@@ -36,6 +37,20 @@ class Round9OpsSpec extends SparkTestBase {
     assert(worst <= 1e-12, s"PPR(all seeds) diverged from pageRank by $worst")
     // and the ranks are non-trivial (guards against both loops degenerating)
     assert(pr.values.max > pr.values.min)
+  }
+
+  test("personalizedPageRank: empty/disjoint seed set returns empty, not a crash") {
+    // an empty daily partition is normal at corpus scale — no restart
+    // mass means no ranked nodes, with the query's (id, rank) schema
+    val nodes = spark.range(0, 5).toDF("id")
+    val edges = Seq((0L, 1L, 1.0)).toDF("src", "dst", "w")
+    for (seeds <- Seq(spark.range(0, 0).toDF("id"),
+        spark.range(100, 103).toDF("id"))) {
+      val out = Graph.personalizedPageRank(nodes, "id", edges, "src", "dst",
+        "w", seeds = seeds, seedIdCol = "id", iterations = 3)
+      assert(out.columns.toSeq === Seq("id", "rank"))
+      assert(out.count() === 0)
+    }
   }
 
   // ---- seeded-pseudo-DP nonce contract --------------------------------

@@ -115,6 +115,31 @@ class SimilaritySpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("index sidecar schema: float-stored index searchable with double queries") {
+    // embeddings.parquet stores array<float>; a caller may legitimately
+    // query with array<double> (the kCenterSelect tolerance). Before the
+    // sidecar, the read schema came from the QUERY frame and a nonempty
+    // float index failed the parquet read under a double schema.
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val centroids = VectorOps.rademacherPlanes(8, 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfx").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+    assert(new java.io.File(path, "_graft_schema.json").exists(),
+      "writer did not persist the sidecar schema")
+    val qDouble = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val got = Similarity.ivfIndexTopK(spark, qDouble, "vec_id", "embedding",
+      centroids, path, k = 5, nprobe = 2)
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+    // a mistyped APPEND fails loudly instead of corrupting the directory
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(
+        qDouble.select((col("vec_id") + 1000).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids, path)
+    }
+    assert(err.getMessage.contains("does not match the index's stored"))
+  }
+
   test("int8 quantization: bounded range, zero-vector safe, argmax preserved") {
     import graft.functions.KernelExpressions.{dotLong, int8Quantize}
     val df = Seq(
