@@ -24,6 +24,15 @@ object Bench {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shuffle)
+      // Giant local soaks (sf30: 180M-row lineitem in one 80g JVM) hit
+      // multi-minute full-GC pauses; at the 10s/120s defaults the in-JVM
+      // executor misses heartbeats, the driver evicts it, and the run
+      // dies mid-query ("Exit as unable to send heartbeats... more than
+      // 60 times" — observed at the sf30 pair-set rows). Heartbeats in
+      // local mode are intra-JVM bookkeeping, so long timeouts cost
+      // nothing and keep the measurement alive through GC.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
