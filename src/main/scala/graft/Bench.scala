@@ -35,6 +35,13 @@ object Bench {
       .config("spark.network.timeout", "600s")
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    // Multi-process soaks need executor-sized heaps: local-cluster's
+    // bracket arg caps the WORKER, but spark.executor.memory still
+    // defaults to 1g — the sf30 fourth-decade re-measure runs e.g.
+    // local-cluster[4,8,20480] with SPARK_GRAFT_EXEC_MEM=18g.
+    sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach { m =>
+      builder.config("spark.executor.memory", m)
+    }
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
       builder.config("graft.checkpoint.reliable", "true")
     }
@@ -46,6 +53,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming state observability (the SCALING streaming-decade soaks):
+    // SPARK_GRAFT_STREAM_STATS=1 logs every micro-batch's state-store
+    // rows/memory per stateful operator to stderr — the state GROWTH curve
+    // that wall-clock timings cannot see. Attribution: the bench runs
+    // queries serially and prints each query's line to the same stderr, so
+    // state lines sit under the query that drained them.
+    sys.env.get("SPARK_GRAFT_STREAM_STATS").foreach { _ =>
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            if (p.stateOperators.nonEmpty)
+              System.err.println(
+                s"[stream-state] name=${Option(p.name).getOrElse(p.id)} " +
+                  s"batch=${p.batchId} " +
+                  p.stateOperators.map(o => s"${o.operatorName}: " +
+                    s"rows=${o.numRowsTotal} mem=${o.memoryUsedBytes}B")
+                    .mkString(" | "))
+          }
+        })
+    }
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { d =>
       spark.sparkContext.setCheckpointDir(d)
     }
@@ -109,8 +140,15 @@ object Bench {
     // A retry that FAILS keeps the earlier time: its fast failure
     // wall-clock is not a measurement (observed at sf10 when a dying
     // JVM recorded 0.03s "retries" through the old min()).
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    // Loud validation: a typo'd value must name the env var and die, not
+    // crash with a bare NumberFormatException or silently fall back to 1.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map { raw =>
+      val n = raw.trim.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$raw'"))
+      if (n < 1) sys.error(
+        s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got '$raw'")
+      n
+    }.getOrElse(1)
     val retried: Seq[(String, Double)] =
       if (passes >= 2) {
         (2 to passes).foldLeft(results) { (acc, p) =>
@@ -155,19 +193,44 @@ object Bench {
       val outDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
       java.nio.file.Files.createDirectories(outDir)
-      val host = s""""host":{"master":"$master","cpus":"$cpus","jvm_max_mem_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"available_processors":${Runtime.getRuntime.availableProcessors()},"date":"$day"}"""
-      // never clobber an earlier same-day pass (the SCALING.md method
-      // min-merges two passes — both must survive)
-      val target = Iterator.from(0)
-        .map(i => outDir.resolve(
-          if (i == 0) s"bench_${sfName}_$day.json"
-          else s"bench_${sfName}_${day}_p${i + 1}.json"))
-        .find(p => !java.nio.file.Files.exists(p)).get
-      java.nio.file.Files.writeString(target,
-        line.dropRight(1) + "," + host + "}\n")
+      val host = s""""host":{"master":"$master","cpus":"$cpus","jvm_max_mem_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"available_processors":${Runtime.getRuntime.availableProcessors()},"date":"$day","passes":$passes}"""
+      val full = line.dropRight(1) + "," + host + "}\n"
+      // SPARK_GRAFT_BENCH_TAG names an artifact of record (e.g.
+      // `r12_closing`) — deterministic path, overwrite allowed (re-running
+      // a closing pass is explicit intent). Untagged runs never clobber an
+      // earlier same-day pass (the SCALING.md method min-merges two passes
+      // — both must survive).
+      val target = sys.env.get("SPARK_GRAFT_BENCH_TAG") match {
+        case Some(tag) => outDir.resolve(s"bench_$tag.json")
+        case None => Iterator.from(0)
+          .map(i => outDir.resolve(
+            if (i == 0) s"bench_${sfName}_$day.json"
+            else s"bench_${sfName}_${day}_p${i + 1}.json"))
+          .find(p => !java.nio.file.Files.exists(p)).get
+      }
+      java.nio.file.Files.writeString(target, full)
+      // Fixed path the driver (and any tooling) can always read without
+      // guessing names — overwritten every run.
+      java.nio.file.Files.writeString(outDir.resolve("latest.json"), full)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")
     }
+    // The driver keeps only the TAIL of the output stream (observed: last
+    // ~2000 bytes), so the full per-query line above loses its head once
+    // the registry outgrew the window — BENCH_r10/r11 both recorded
+    // "parsed": null. Emit a COMPACT summary as the LAST stdout line:
+    // small enough to survive any tail capture, `"metric"`-greppable, and
+    // pointing at the full artifacts. `queries` carries the slowest rows
+    // (the cross-round regression watchlist) rather than nothing.
+    val slowest = retried.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString("{", ",", "}")
+    val median = {
+      val ts = retried.map(_._2).sorted
+      if (ts.isEmpty) 0.0 else ts(ts.size / 2)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${retried.size},"median_sec":$median,"queries":$slowest,"queries_are_slowest_subset":true,"full_artifact":"bench/latest.json"}""")
     spark.stop()
     // A broken query must fail the bench, not silently report a fast time.
     if (failed.nonEmpty) {

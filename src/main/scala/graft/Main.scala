@@ -147,6 +147,9 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    // Fail invalid flag combinations BEFORE paying SparkSession startup
+    // (run() re-validates for callers that drive it directly).
+    validateConfigFlags(opts)
     val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
@@ -158,8 +161,9 @@ object Main {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
-    val report = run(spark, opts)
-    spark.stop()
+    // try/finally: a throwing run must still release the session (its
+    // exception propagates as the process exit, matching the old behavior)
+    val report = try run(spark, opts) finally spark.stop()
     if (report.exitCode != 0) sys.exit(report.exitCode)
   }
 

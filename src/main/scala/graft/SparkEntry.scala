@@ -4424,43 +4424,50 @@ object SparkEntry {
         round(col("n_ab") * col("n_orders") / (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
-  /** Frequent 3-itemsets — the A-priori candidate-pruning step
-    * ([[qMarketBasket]]'s length-3 extension): a triple can only reach
-    * support ≥ 2 if all three of its pairs do (downward closure), so the
-    * 3-way postings join is gated behind LEFT-SEMI joins against the
-    * frequent-pair set — at scale the pruning, not the counting, is the
-    * operator. The oracle counts triples directly (pruning is lossless,
-    * so the direct count is the same relation).
+  /** Frequent 3-itemsets over BOUNDED baskets: each basket collapses to
+    * its sorted distinct-item array (TPC-H orders hold ≤7 lines; the
+    * market-basket domain's basket size is a schema-level constant, not a
+    * data-scale dimension), every C(B,3) ≤ 35 combination is generated
+    * IN PLACE by a nested `transform`/`flatten` over index sequences —
+    * embarrassingly parallel, no join — and the support count is one hash
+    * aggregation whose partial combines map-side, so the shuffle carries
+    * distinct candidate triples per partition, not basket-grain rows.
     *
-    * Scale shape: all joins key on the basket id (orderkey) with
-    * per-basket bounded fan-out; the frequent-pair prune runs BEFORE the
-    * widest join, and candidate pairs/triples are support-thresholded
-    * aggregations — never an unpruned cross of the item vocabulary.
+    * This retires the round-11 shape (postings self-joins + a frequent-
+    * pair semi-join prune + an orderkey sort-merge join): at sf30 that
+    * plan's widest join sorted ~450M basket-pair rows and hit spill onset
+    * (355 s, 1.6× above pair-linear — SCALING's fourth-decade probe);
+    * here nothing is ever sorted at basket-pair grain. The A-priori
+    * downward-closure prune the old plan demonstrated only pays once
+    * C(B,3) itself is the bottleneck — i.e. UNBOUNDED baskets — which is
+    * excluded by this operator's basket-size contract; the support
+    * threshold is applied post-aggregation and is lossless either way, so
+    * the oracle keeps counting triples directly.
+    *
+    * Scale shape: one |lineitem|→|orders| aggregation (collect_set
+    * partials combine map-side), one map-side-combinable triple count,
+    * one 1-row broadcast for the support denominator. No joins at data
+    * scale, nothing sorts.
     */
   private def qBasketTriples(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .pinned(true) // three postings sides + the pair mine + order count
-    val freqPairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= 2)
-      .select(col("pa"), col("pb"))
-      .pinned(true) // reused as the (a,b), (b,c) and (a,c) prune
-    val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
-    val ordPairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.o").as("ord"), col("a.p").as("part_a"), col("b.p").as("part_b"))
-      .join(freqPairs, col("part_a") === col("pa") && col("part_b") === col("pb"),
-        "left_semi")
-    ordPairs.join(li.as("c"), col("ord") === col("c.o") && col("c.p") > col("part_b"))
-      .select(col("part_a"), col("part_b"), col("c.p").as("part_c"))
-      .join(freqPairs, col("part_b") === col("pa") && col("part_c") === col("pb"),
-        "left_semi")
-      .join(freqPairs, col("part_a") === col("pa") && col("part_c") === col("pb"),
-        "left_semi")
-      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+    val arr = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .pinned(true) // two consumers: the triple mine + the order count
+    val nOrders = arr.agg(count(lit(1)).as("n_orders"))
+    arr.where(size(col("items")) >= 3)
+      // ascending index triples i<j<k over the SORTED distinct array, so
+      // part_a < part_b < part_c by construction (sequence() would count
+      // DOWN on an empty range — the size>=3 filter keeps every range
+      // ascending and non-empty)
+      .select(explode(expr("""
+        flatten(flatten(transform(sequence(1, size(items) - 2), i ->
+          transform(sequence(i + 1, size(items) - 1), j ->
+            transform(sequence(j + 1, size(items)), k ->
+              struct(element_at(items, i) AS a, element_at(items, j) AS b,
+                element_at(items, k) AS c))))))""")).as("t"))
+      .groupBy(col("t.a").as("part_a"), col("t.b").as("part_b"),
+        col("t.c").as("part_c"))
       .agg(count(lit(1)).as("n_abc"))
       .where(col("n_abc") >= 2)
       .crossJoin(broadcast(nOrders))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,18 +24,31 @@ import org.apache.spark.sql.functions._
   * a bare key-join — a bare `join(key).where(overlap)` streams every
   * (demand, lot) pair of a key through the filter, so ONE hot SKU with
   * 10⁶ demands and 10⁶ lots would evaluate 10¹² pairs in one task. Bin
-  * width adapts per key to the MEAN interval width (total axis length
-  * over interval count, floor 1), each interval explodes only into the
-  * bins it covers — clipped to the other side's total, beyond which no
-  * match exists — and each overlapping pair is emitted exactly once, in
-  * the bin holding its overlap start (no post-join distinct). With
-  * near-uniform interval widths per-bin occupancy is O(1) per side, so
-  * compute is linear in exploded bins ≈ 2·(demands + lots); the residual
-  * caveat is EXTREME width heterogeneity inside one key (e.g. 10⁶
-  * unit-quantity rows on both sides plus one 10¹²-quantity outlier lot
-  * inflating the mean), where a bin can hold many below-mean intervals
-  * of both sides — detectable as a skewed (key, bin) join and bounded by
-  * (W/w_min)² per bin, still orders below the all-pairs shape.
+  * width adapts per key to the EFFECTIVE axis — overlaps exist only in
+  * [0, min(demand total, supply total)), so
+  * `w = max(1, 2·min(dtot, stot) / (demands + lots))` — and each interval
+  * explodes only into the bins it covers, clipped to the other side's
+  * total, beyond which no match exists. Each side's intervals are
+  * DISJOINT on their axis, so their clipped widths sum to ≤ min(dtot,
+  * stot) per side and exploded rows are ≤ 1.5·(demands + lots) per side
+  * REGARDLESS of width skew: a 10¹²-quantity outlier lot cannot inflate
+  * the width (its effective width is the clipped one), where the old
+  * `(dtot + stot)/(nd + nl)` mean let that one lot widen the bins until
+  * every unit-quantity interval of both sides pooled into one bin
+  * (the round-11 documented caveat — now closed; `Round10OpsSpec` plants
+  * exactly that corpus). For near-uniform EFFECTIVE widths per-bin
+  * occupancy is O(1) per side; the narrower residual is BOTH sides
+  * dominated by outliers with many sub-mean intervals inside the
+  * effective axis, which pools sub-mean intervals into shared bins —
+  * bounded by (w/w_min)² per bin, orders below all-pairs. Each
+  * overlapping pair is emitted exactly once, in the bin holding its
+  * overlap start (no post-join distinct).
+  *
+  * Input contract: quantities must be ≥ 0 (zero-width intervals can
+  * never overlap and are dropped; a NEGATIVE quantity would shift every
+  * later row's cumulative interval, silently diverging from the
+  * sequential-loop semantics — enforced with raise_error, mirroring the
+  * oracle's plain cumsum which has no such row to disagree on).
   *
   * Scale shape: two window cumsums + one key-grain stats join (each one
   * shuffle keyed by `key`) + the (key, bin) equi-join; quantities are
@@ -58,30 +71,40 @@ object Allocate {
       .orderBy(dOrd.map(col) :+ col("did"): _*)
     val ws = Window.partitionBy(col("key"))
       .orderBy(sOrd.map(col) :+ col("lot"): _*)
-    // zero/negative-quantity rows are zero-width (or inverted) intervals:
-    // they can never yield qty > 0 (the final filter), so dropping them
-    // up front preserves the output and keeps them out of the explode
+    // zero-quantity rows are zero-width intervals: they can never yield
+    // qty > 0 (the final filter), so dropping them up front preserves the
+    // output and keeps them out of the explode. Negative quantities are a
+    // CONTRACT violation (they would shift every later interval) and
+    // raise instead of silently diverging from the sequential semantics.
+    def nonneg(q: Column, side: String): Column =
+      when(q >= 0L, q).otherwise(raise_error(concat(
+        lit(s"Allocate.fifo requires nonnegative $side quantities (a " +
+          "negative quantity shifts every later row's cumulative " +
+          "interval); got "), q.cast("string"))))
     val d = demand.select(Seq(col(dKey).as("key"), col(dId).as("did"),
-        col(dQty).cast("long").as("dq")) ++ dOrd.map(col): _*)
+        nonneg(col(dQty).cast("long"), "demand").as("dq")) ++ dOrd.map(col): _*)
       .where(col("dq") > 0)
       .withColumn("dhi", sum(col("dq")).over(wd))
       .withColumn("dlo", col("dhi") - col("dq"))
       .select(col("key"), col("did"), col("dlo"), col("dhi"))
     val s = supply.select(Seq(col(sKey).as("key"), col(sId).as("lot"),
-        col(sQty).cast("long").as("sq")) ++ sOrd.map(col): _*)
+        nonneg(col(sQty).cast("long"), "supply").as("sq")) ++ sOrd.map(col): _*)
       .where(col("sq") > 0)
       .withColumn("shi", sum(col("sq")).over(ws))
       .withColumn("slo", col("shi") - col("sq"))
       .select(col("key"), col("lot"), col("slo"), col("shi"))
     // key-grain stats (inner: a key missing either side yields no pairs):
-    // per-key bin width = mean interval width across both sides, floor 1
+    // per-key bin width = mean interval width over the EFFECTIVE axis
+    // [0, min(dtot, stot)) — the only region where overlaps exist — so a
+    // width outlier beyond the other side's total cannot inflate the bins
+    // (see the object docstring's skew analysis), floor 1
     val stats = d.groupBy(col("key"))
       .agg(count(lit(1)).as("nd"), max(col("dhi")).as("dtot"))
       .join(s.groupBy(col("key"))
         .agg(count(lit(1)).as("nl"), max(col("shi")).as("stot")), Seq("key"))
       .select(col("key"), col("dtot"), col("stot"),
         greatest(lit(1L),
-          expr("(dtot + stot) div (nd + nl)")).as("w"))
+          expr("(2 * least(dtot, stot)) div (nd + nl)")).as("w"))
     // explode each interval into the bins it covers, clipped to the other
     // side's total (no overlap can start at or beyond it)
     val db = d.join(stats, Seq("key"))

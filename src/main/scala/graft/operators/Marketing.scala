@@ -141,19 +141,29 @@ object Marketing {
     * Scale note: the three ntile windows are UNPARTITIONED — a global
     * sort over one row per customer. That is |customers|, not |orders|
     * (the orders table is pre-aggregated first), so the window input is
-    * the small frame; at extreme customer counts use
+    * the small frame — and the bound is now ENFORCED at run time, not
+    * just documented: when the per-customer frame exceeds
+    * `maxExactCustomers`, the call dispatches to
     * [[rfmHistogramSegments]] — the exact cent-grain histogram-cutpoint
-    * variant with no global window anywhere (gated as `q_rfm_histogram`).
+    * variant with no global window anywhere (also gated directly as
+    * `q_rfm_histogram`) whose only semantic difference is at quintile
+    * ties (histogram: tied metric values share a score; ntile: ties
+    * split by customer key). The gate is one extra count() action at
+    * customer grain (the same size-gated pattern as
+    * `Similarity.gatedBroadcast`) — cheap next to the global sort it
+    * guards, and above the bound the histogram path dominates anyway.
     *
     * @return (r_score, f_score, m_score, n_customers, avg_monetary,
     *         total_monetary) — one row per populated RFM cell
     */
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
-      amountCol: String): DataFrame = {
+      amountCol: String, maxExactCustomers: Long = 50_000_000L): DataFrame = {
     val perCust = orders.groupBy(col(custCol).as("cust"))
       .agg(max(col(dateCol).cast("date")).as("last_day"),
         count(lit(1)).as("freq"),
         round(sum(col(amountCol)), 2).as("monetary"))
+    if (perCust.count() > maxExactCustomers)
+      return rfmHistogramSegments(orders, custCol, dateCol, amountCol)
     val scored = perCust
       .withColumn("r_score", ntile(5).over(
         Window.orderBy(col("last_day").desc, col("cust"))).cast("long"))

@@ -51,6 +51,14 @@ object Scan {
     * partitioning and the partition-local window both take the sort
     * expressions verbatim, so the semantics are exactly the retired
     * window's while no task ever sorts more than its slice.
+    *
+    * The uniqueness contract is ENFORCED at run time: duplicate composite
+    * sort keys would make each duplicate row's prefix depend on where the
+    * range sampler happened to split the tie — a silent nondeterminism —
+    * so pass 2 counts each row's order-peers (a RANGE CURRENT ROW frame
+    * over the same partition-local sort the running sum already pays for;
+    * range partitioning co-locates equal keys, so the per-partition check
+    * sees every duplicate) and raises on the first peer group > 1.
     */
   def prefixSumOrdered(df: DataFrame, order: Seq[Column], valCol: String,
       cumCol: String, moreVals: Seq[String] = Nil,
@@ -107,17 +115,35 @@ object Scan {
     // was removed and the range sampler re-drew boundaries).
     val w = Window.partitionBy(col("_scan_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Uniqueness guard: peers = rows tied on the FULL composite order
+    // (RANGE CURRENT ROW..CURRENT ROW is the peer frame, legal for any
+    // order expressions). Same partition/order spec as `w`, so both
+    // frames evaluate in one WindowExec pass — the guard costs no extra
+    // sort. Folded into the first output column so pruning can't drop it.
+    val peers = count(lit(1)).over(
+      Window.partitionBy(col("_scan_pid")).orderBy(order: _*)
+        .rangeBetween(Window.currentRow, Window.currentRow))
     val named = (v: String) => if (v == valCol) cumCol else s"cum_$v"
-    val withCum = vals.foldLeft(
+    val withCum = vals.zipWithIndex.foldLeft(
         ranged.join(broadcast(offDf),
           col("_scan_pid") === col("_scan_pid_o"), "left")) {
-      (acc, v) => acc.withColumn(named(v),
-        sum(col(v)).over(w) + when(col(s"_off_$v").isNotNull, col(s"_off_$v"))
-          .otherwise(raise_error(concat(
-            lit("prefixSum offset misalignment: partition "),
-            col("_scan_pid").cast("string"),
-            lit(" has rows but no collected offset — the pinned range " +
-              "partitioning invariant is broken")))))
+      case (acc, (v, i)) =>
+        val dupGuard =
+          if (i > 0) lit(0L)
+          else when(peers > 1, raise_error(lit(
+            "prefixSum order is not unique per row: duplicate composite " +
+              "sort keys make each tied row's running sum depend on where " +
+              "the range sampler splits the tie — aggregate to one row " +
+              "per key (or extend the order with a tiebreaker) first")))
+            .otherwise(lit(0L))
+        acc.withColumn(named(v),
+          sum(col(v)).over(w) + dupGuard +
+            when(col(s"_off_$v").isNotNull, col(s"_off_$v"))
+              .otherwise(raise_error(concat(
+                lit("prefixSum offset misalignment: partition "),
+                col("_scan_pid").cast("string"),
+                lit(" has rows but no collected offset — the pinned range " +
+                  "partitioning invariant is broken")))))
     }
     withCum.drop("_scan_pid", "_scan_pid_o").drop(vals.map(v => s"_off_$v"): _*)
   }
@@ -139,8 +165,13 @@ object Scan {
     * engine's collation).
     *
     * Contract: (grpCols ++ sortCols) unique per row; `valCol` LongType
-    * (prefix-scan exact-integer contract); the group inventory bounded —
-    * the stats table is one row per group and broadcasts back.
+    * (prefix-scan exact-integer contract) and NONNEGATIVE — the group
+    * offset is read as `max(global cum inside the group) − group total`,
+    * which equals "everything before the group" only when the running
+    * sum is nondecreasing within the group (a negative value would
+    * silently mis-offset every row of its group). Enforced per row, same
+    * style as the scan's other contract checks; the group inventory is
+    * bounded — the stats table is one row per group and broadcasts back.
     *
     * Returns the input plus `cumCol` (inclusive within-group running sum
     * in sortCols order) and `totCol` (the group's value total).
@@ -148,7 +179,12 @@ object Scan {
   def groupedPrefixSum(df: DataFrame, grpCols: Seq[String],
       sortCols: Seq[Column], valCol: String, cumCol: String,
       totCol: String): DataFrame = {
-    val scanned = prefixSumOrdered(df, grpCols.map(col) ++ sortCols,
+    val guarded = df.withColumn(valCol,
+      when(col(valCol) >= 0L, col(valCol)).otherwise(raise_error(concat(
+        lit(s"groupedPrefixSum requires nonnegative '$valCol' (the " +
+          "max-cum group offset assumes a nondecreasing within-group " +
+          "running sum); got "), col(valCol).cast("string")))))
+    val scanned = prefixSumOrdered(guarded, grpCols.map(col) ++ sortCols,
       valCol, "_gps_cum")
     // ≤|groups| rows; max/sum partials combine map-side, so only group
     // aggregates cross the wire. Computed off the scan itself — prefixSum

@@ -61,16 +61,35 @@ class ExecutedPlanAuditSpec extends SparkTestBase {
       "q_partitioned_prune", "q_time_travel", "q_snapshot_diff",
       "q_schema_evolution", "q_bucket_join", "q_rtbf_delete",
       "q_delete_vectors", "q_dpp_prune", "q_runtime_filter")
-    val plans = scala.collection.mutable.Buffer.empty[(String, SparkPlanInfo)]
+    // Attribution, exact where possible: each row runs under
+    // setJobDescription(<row name>), and SQLExecutionStart carries that
+    // description AT POST TIME — a late-delivered event still lands on the
+    // right row, which the old wall-clock bus-drain heuristic could not
+    // guarantee. Streaming micro-batches OVERWRITE the description (the
+    // stream thread sets "... batch = N"), so those fall back to the
+    // run-order `current` — still drained per query, and flagged in any
+    // failure message so a misattributed assertion points at itself.
+    // Adaptive updates carry no description; they join their start event
+    // through the executionId map.
+    val plans = scala.collection.mutable.Buffer
+      .empty[(String, Boolean, SparkPlanInfo)] // (row, exactAttribution, plan)
+    val execToRow = new java.util.concurrent.ConcurrentHashMap[Long, (String, Boolean)]()
     @volatile var current = ""
+    val rowSet = rows.toSet
     val listener = new SparkListener {
       override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
         // start events catch the static plan, adaptive updates the
         // re-planned stages — both are audited (strictly stronger)
         case e: SparkListenerSQLExecutionStart =>
-          plans.synchronized { plans += current -> e.sparkPlanInfo }
+          val attr =
+            if (rowSet.contains(e.description)) (e.description, true)
+            else (current, false)
+          execToRow.put(e.executionId, attr)
+          plans.synchronized { plans += ((attr._1, attr._2, e.sparkPlanInfo)) }
         case e: SparkListenerSQLAdaptiveExecutionUpdate =>
-          plans.synchronized { plans += current -> e.sparkPlanInfo }
+          val attr = Option(execToRow.get(e.executionId))
+            .getOrElse((current, false))
+          plans.synchronized { plans += ((attr._1, attr._2, e.sparkPlanInfo)) }
         case _ =>
       }
     }
@@ -78,10 +97,12 @@ class ExecutedPlanAuditSpec extends SparkTestBase {
     try {
       rows.foreach { q =>
         current = q
-        SparkEntry.queries(q)(spark, dir).count()
+        spark.sparkContext.setJobDescription(q)
+        try SparkEntry.queries(q)(spark, dir).count()
+        finally spark.sparkContext.setJobDescription(null)
         // drain the async listener bus before moving to the next row so
-        // attribution by `current` stays correct: poll until no new plan
-        // arrives for 200 ms (bounded)
+        // the `current` FALLBACK (micro-batch executions) stays correct:
+        // poll until no new plan arrives for 200 ms (bounded)
         var last = -1
         var stable = 0
         val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -96,13 +117,16 @@ class ExecutedPlanAuditSpec extends SparkTestBase {
     val missing = rows.filterNot(byRow.contains)
     assert(missing.isEmpty,
       s"listener captured no executions for: ${missing.mkString(", ")}")
-    for ((q, ps) <- byRow.toSeq.sortBy(_._1); (_, info) <- ps) {
+    for ((q, ps) <- byRow.toSeq.sortBy(_._1); (_, exact, info) <- ps) {
+      val via = if (exact) "" else
+        " (attributed by run order — a late listener event may belong to" +
+          " the previous row)"
       val nodes = flatten(info)
       assert(!nodes.exists(_.nodeName == "CartesianProduct"),
-        s"$q executed a cartesian product")
+        s"$q executed a cartesian product$via")
       nodes.filter(_.nodeName == "BroadcastNestedLoopJoin").foreach { j =>
         assert(scalarBuild(j),
-          s"$q executed a non-scalar nested loop join:\n${j.simpleString}")
+          s"$q executed a non-scalar nested loop join$via:\n${j.simpleString}")
       }
     }
   }
