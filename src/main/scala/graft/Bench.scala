@@ -45,6 +45,14 @@ object Bench {
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { _ =>
       builder.config("graft.checkpoint.reliable", "true")
     }
+    // Memory-constrained probes: serialized (and, with RDD_COMPRESS,
+    // compressed) local pins — see Checkpoints.StorageConf.
+    sys.env.get("SPARK_GRAFT_CKPT_STORAGE").foreach { lvl =>
+      builder.config(graft.util.Checkpoints.StorageConf, lvl)
+    }
+    sys.env.get("SPARK_GRAFT_RDD_COMPRESS").foreach { v =>
+      builder.config("spark.rdd.compress", v)
+    }
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

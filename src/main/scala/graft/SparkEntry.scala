@@ -4597,11 +4597,19 @@ object SparkEntry {
     // while the node-grain degree table is small (≤4M nodes ≈ tens of
     // MB) broadcasting it keeps the edge list — the 100 TB side — from
     // being shuffled AND sorted for this join (measured: the sort-merge
-    // path added ~150 s at the sf10 decade); beyond the gate it falls
-    // back to the plain shuffle join. The count is a metadata-cheap scan
-    // of the just-checkpointed table (the pageRank nCount precedent).
+    // path added ~150 s at the sf10 decade). Beyond the gate the
+    // fallback is a SHUFFLE_HASH hint on the NODE side, not the default
+    // sort-merge: hash-building the node-grain table per partition keeps
+    // the edge list — the 100 TB side — from ever being SORTED. This
+    // gate flip was the real fourth-decade discontinuity: sf10 (2M
+    // nodes) rode the broadcast, sf30 (6M nodes) fell into a 1.9B-row
+    // edge sort that read as "2.5x above edge-linear" in the round-11
+    // probe before its GC drag was even counted. The count is a
+    // metadata-cheap scan of the just-checkpointed table (the pageRank
+    // nCount precedent).
     val degSmall = deg.select(col("id").as("nid"), col("deg").as("nd"))
-    val degHinted = if (deg.count() <= 4000000L) broadcast(degSmall) else degSmall
+    val degHinted = if (deg.count() <= 4000000L) broadcast(degSmall)
+      else degSmall.hint("SHUFFLE_HASH")
     val nbr = e.join(degHinted, col("dst") === col("nid"))
       .groupBy(col("src").as("id")).agg(sum(col("nd")).as("tnbr"))
     val sums = deg.join(nbr, Seq("id"))

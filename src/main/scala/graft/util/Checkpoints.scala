@@ -30,6 +30,17 @@ import org.apache.spark.sql.Dataset
 object Checkpoints {
   val ReliableConf = "graft.checkpoint.reliable"
 
+  /** Storage level for LOCAL pins (`graft.checkpoint.storage`, e.g.
+    * `MEMORY_AND_DISK_SER`). Default is Spark's localCheckpoint default
+    * (deserialized MEMORY_AND_DISK) — fastest when the pins fit. On
+    * executor-memory-constrained fleets a corpus-scale pin (the sf30
+    * co-order edge list is ~57 GB deserialized) evicts to disk block by
+    * block; serialized (+ `spark.rdd.compress=true`) shrinks narrow rows
+    * several-fold and keeps the pin in memory — trade a decode per
+    * consumer for not spilling. Identical semantics either way.
+    */
+  val StorageConf = "graft.checkpoint.storage"
+
   def reliable(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
 
@@ -43,6 +54,15 @@ object Checkpoints {
             "SparkContext.setCheckpointDir(<fault-tolerant path>) before " +
             "running iterative operators (HDFS/object store on a cluster)")
         ds.checkpoint(eager)
-      } else ds.localCheckpoint(eager)
+      } else ds.sparkSession.conf.getOption(StorageConf) match {
+        case Some(lvl) =>
+          val parsed = try org.apache.spark.storage.StorageLevel
+            .fromString(lvl.trim.toUpperCase)
+          catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"$StorageConf: unknown storage level '$lvl' (expected e.g. " +
+              "MEMORY_AND_DISK, MEMORY_AND_DISK_SER, DISK_ONLY)") }
+          ds.localCheckpoint(eager, parsed)
+        case None => ds.localCheckpoint(eager)
+      }
   }
 }

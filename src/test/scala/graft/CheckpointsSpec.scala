@@ -70,6 +70,32 @@ class CheckpointsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("graft.checkpoint.storage=MEMORY_AND_DISK_SER pins with identical results") {
+    import graft.util.Checkpoints._
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("k", col("id") % 17)
+      .withColumn("v", col("id") * 31 % 997)
+    val expected = df.pinned().groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    spark.conf.set(Checkpoints.StorageConf, "MEMORY_AND_DISK_SER")
+    try {
+      val got = df.pinned().groupBy("k").agg(sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === expected)
+    } finally spark.conf.unset(Checkpoints.StorageConf)
+  }
+
+  test("graft.checkpoint.storage rejects an unknown level with an actionable error") {
+    import graft.util.Checkpoints._
+    spark.conf.set(Checkpoints.StorageConf, "MEMORY_AND_DISK_TYPO")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.range(0, 10).toDF("id").pinned()
+      }
+      assert(e.getMessage.contains("graft.checkpoint.storage"))
+    } finally spark.conf.unset(Checkpoints.StorageConf)
+  }
+
   test("an iterative operator is mode-oblivious: pageRank equal under both") {
     val edges = spark.range(0, 300).toDF("i").select(
       col("i").as("src"), ((col("i") * 7 + 3) % 300).as("dst"),
