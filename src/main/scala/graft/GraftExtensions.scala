@@ -133,6 +133,9 @@ object GraftFunctions {
     fd("graft_mp4_meta",
       "graft_mp4_meta(bin) - packed (timescale << 24) | duration from the ISO-BMFF mvhd walk",
       args => { arity("graft_mp4_meta", args, 1); K.Mp4Meta(args(0)) }),
+    fd("graft_avi_meta",
+      "graft_avi_meta(bin) - packed (width << 48) | (height << 32) | (frames << 16) | usPerFrame from the AVI avih walk",
+      args => { arity("graft_avi_meta", args, 1); K.AviMeta(args(0)) }),
     fd("graft_zvalue",
       "graft_zvalue(x, y, bits) - Morton z-value interleaving the low `bits` bits of two non-negative coords",
       args => { arity("graft_zvalue", args, 3)

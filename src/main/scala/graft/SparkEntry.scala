@@ -966,6 +966,69 @@ object SparkEntry {
         col("m.duration").as("duration"))
   }
 
+  /** Frequency-domain audio features over the WAV payloads: per-bin power
+    * from the windowed integer-twiddle 8-point DFT
+    * ([[Multimodal.audioSpectrum8]]) plus the dominant bin — real DSP
+    * arithmetic (the voice-activity/tone-detection front end) kept exact
+    * int64 on both engines, so the oracle replays every re/im/power fold
+    * bit for bit over the same body bytes as `m_audio_energy`.
+    */
+  private def mAudioSpectrum(s: SparkSession, dir: String): DataFrame =
+    mediaPayloads(s, dir)
+      .filter(Multimodal.sniffModality(col("payload")) === "audio/wav")
+      // each array materialized in its OWN projection — see the
+      // audioSpectrum8Powers scaladoc on HOF re-evaluation
+      .withColumn("bytes", Multimodal.byteValues(col("payload"), 13))
+      .withColumn("ps", Multimodal.audioSpectrum8Powers(col("bytes")))
+      .select(col("doc_id"),
+        array_position(col("ps"), array_max(col("ps"))).as("dom_bin"),
+        element_at(col("ps"), 1).as("p1"), element_at(col("ps"), 2).as("p2"),
+        element_at(col("ps"), 3).as("p3"), element_at(col("ps"), 4).as("p4"))
+
+  /** AVI main-header recovery through the RIFF list walk: payloads are
+    * planted with a variable layout (an optional JUNK padding chunk before
+    * `LIST hdrl`, as real muxers emit) so the kernel must actually hop
+    * chunk headers; the oracle states the planting formulas as ground
+    * truth. The REAL pixel path over this container —
+    * [[graft.functions.ImageDecode.aviMjpegFrameGrids]] decoding `00dc`
+    * MJPEG frame chunks, including table-less frames — is spec-covered
+    * (`AviDecodeSpec`), like the GIF/JPEG decoders: a codec round-trip
+    * cannot be replayed in the SQL oracle.
+    */
+  private def mAviMeta(s: SparkSession, dir: String): DataFrame = {
+    def le32(c: Column) = {
+      val h = lpad(hex(c.bitwiseAND(0xFFFFFFFFL)), 8, "0")
+      unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    val usPerFrame = element_at(
+      typedLit(Seq(16666L, 33333L, 40000L, 41666L)), (col("doc_id") % 4 + 1).cast("int"))
+    val width = col("n_chars") % 1000 + 16
+    val height = col("doc_id") % 480 + 16
+    val frames = col("doc_id") % 200 + 1
+    val avihBody = concat(le32(usPerFrame), le32(lit(0L)), le32(lit(0L)),
+      le32(lit(0L)), le32(frames), le32(lit(0L)), le32(lit(1L)), le32(lit(0L)),
+      le32(width), le32(height),
+      le32(lit(0L)), le32(lit(0L)), le32(lit(0L)), le32(lit(0L))) // dwReserved[4]
+    val hdrlList = concat(lit("LIST".getBytes), le32(lit(68L)),
+      lit("hdrl".getBytes), lit("avih".getBytes), le32(lit(56L)), avihBody)
+    val junk = when(col("doc_id") % 2 === 0,
+      concat(lit("JUNK".getBytes), le32(lit(4L)), le32(lit(0L))))
+      .otherwise(lit(Array.empty[Byte]))
+    val data = encode(col("text"), "UTF-8")
+    val moviList = concat(lit("LIST".getBytes), le32(length(data) + 12L),
+      lit("movi".getBytes), lit("00dc".getBytes), le32(length(data).cast("long")), data)
+    val riffSize = lit(4L) + when(col("doc_id") % 2 === 0, 12L).otherwise(0L) +
+      lit(76L) + lit(20L) + length(data)
+    val payload = concat(lit("RIFF".getBytes), le32(riffSize),
+      lit("AVI ".getBytes), junk, hdrlList, moviList)
+    t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+      .withColumn("m", Multimodal.aviMeta(col("payload")))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.frames").as("frames"),
+        col("m.us_per_frame").as("us_per_frame"))
+  }
+
   private def tTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -7327,6 +7390,8 @@ object SparkEntry {
     "c_curriculum_order" -> (cCurriculumOrder _),
     "t_langid_eval" -> (tLangidEval _),
     "m_mp4_meta" -> (mMp4Meta _),
+    "m_avi_meta" -> (mAviMeta _),
+    "m_audio_spectrum" -> (mAudioSpectrum _),
     "s_anti_join_stream" -> (sAntiJoinStream _),
     "q_merge_cdc" -> (qMergeCdc _),
     "d_cluster_best_keep" -> (dClusterBestKeep _),
@@ -9125,6 +9190,40 @@ object SparkEntry {
               WHEN 2 THEN 24000 ELSE 90000 END AS BIGINT) AS timescale,
          CAST((n_chars % 10000) * 100 + doc_id % 100 AS BIGINT) AS duration
          FROM documents""",
+    "m_avi_meta" ->
+      // ground truth stated from the planting formulas — the RIFF list walk
+      // must recover them through the variable (optional-JUNK-chunk) layout
+      """SELECT doc_id,
+         CAST(n_chars % 1000 + 16 AS BIGINT) AS width,
+         CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+         CAST(doc_id % 200 + 1 AS BIGINT) AS frames,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 16666 WHEN 1 THEN 33333
+              WHEN 2 THEN 40000 ELSE 41666 END AS BIGINT) AS us_per_frame
+         FROM documents""",
+    "m_audio_spectrum" ->
+      // the integer-twiddle DFT replayed exactly: same body bytes as
+      // m_audio_energy, nested lambdas re-deriving per-frame re/im/power
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
+                    FROM documents WHERE doc_id % 3 = 2),
+         b AS (SELECT doc_id, list_transform(range(1, length(hx) // 2 + 1),
+                 i -> ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS BIGINT), 2))::BIGINT) AS bytes
+               FROM h),
+         pz AS (SELECT doc_id, bytes, len(bytes) // 8 AS nf,
+                 [1000,707,0,-707,-1000,-707,0,707] AS c,
+                 [0,707,1000,707,0,-707,-1000,-707] AS s
+                FROM b),
+         pk AS (SELECT doc_id, list_transform([1,2,3,4], k ->
+                 CAST(coalesce(list_sum(list_transform(
+                   list_transform(range(0, CAST(nf AS BIGINT)), f ->
+                     {'re': list_sum(list_transform(range(0, 8), n ->
+                        bytes[CAST(f * 8 + n + 1 AS BIGINT)] * c[CAST((n * k) % 8 + 1 AS BIGINT)])),
+                      'im': list_sum(list_transform(range(0, 8), n ->
+                        bytes[CAST(f * 8 + n + 1 AS BIGINT)] * s[CAST((n * k) % 8 + 1 AS BIGINT)]))}),
+                   x -> x.re * x.re + x.im * x.im)), 0) AS BIGINT)) AS ps
+                FROM pz)
+         SELECT doc_id, CAST(list_position(ps, list_max(ps)) AS BIGINT) AS dom_bin,
+           ps[1] AS p1, ps[2] AS p2, ps[3] AS p3, ps[4] AS p4
+         FROM pk""",
     "m_audio_energy" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
                     FROM documents WHERE doc_id % 3 = 2),

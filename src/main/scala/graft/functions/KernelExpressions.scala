@@ -425,6 +425,16 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** AVI MainAVIHeader metadata packed long ([[Kernels.aviMeta]]). */
+  case class AviMeta(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(b: Any): Any =
+      Kernels.aviMeta(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.Kernels.aviMeta($b)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Bloom-filter membership probe of a long column against a driver-built
     * filter (`df.stat.bloomFilter` — Spark's public sketch, built
     * distributed via treeAggregate). The filter rides to executors as a
@@ -501,6 +511,8 @@ object KernelExpressions {
   def wavFormat(bin: Column): Column = c(WavFormat(e(bin)))
 
   def mp4Meta(bin: Column): Column = c(Mp4Meta(e(bin)))
+
+  def aviMeta(bin: Column): Column = c(AviMeta(e(bin)))
 
   def bpeTokenCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     c(BpeTokenCount(e(text), lefts, rights))

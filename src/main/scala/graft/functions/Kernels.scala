@@ -660,6 +660,61 @@ object Kernels {
     -1L
   }
 
+  /** AVI main-header metadata via the RIFF list walk (OpenDML / VfW AVI
+    * layout): a 12-byte RIFF/AVI header, then word-aligned (4-byte id,
+    * LE32 size, body) chunks; the `LIST` chunk whose list-type is `hdrl`
+    * contains the `avih` chunk, whose MainAVIHeader body carries
+    * [µsPerFrame u32 @0][maxBytesPerSec @4][padding @8][flags @12]
+    * [totalFrames @16][initialFrames @20][streams @24][suggestedBuf @28]
+    * [width @32][height @36], all little-endian. Returns
+    * `(width << 48) | (height << 32) | (totalFrames << 16) | µsPerFrame`,
+    * or -1 when the buffer is not RIFF/AVI, a chunk size is implausible,
+    * no avih appears, or a field overflows its 16-bit slot (width
+    * additionally capped at 0x7FFF so the packed long stays non-negative
+    * — the shared `packed >= 0` null convention). Bounded: hops chunk
+    * headers only, never scans frame data; tolerates the JUNK padding
+    * chunks real muxers emit before `hdrl`.
+    */
+  def aviMeta(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xFF
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    @inline def is4(i: Int, a: Char, b: Char, c: Char, d: Char): Boolean =
+      u8(i) == a && u8(i + 1) == b && u8(i + 2) == c && u8(i + 3) == d
+    if (n < 12) return -1L
+    if (!is4(0, 'R', 'I', 'F', 'F') || !is4(8, 'A', 'V', 'I', ' ')) return -1L
+    var p = 12L // Long cursor — see wavFormat's 2 GB note
+    while (p + 8 <= n) {
+      val pi = p.toInt
+      val size = le32(pi + 4)
+      if (size < 0L || p + 8 + size > n) return -1L
+      if (is4(pi, 'L', 'I', 'S', 'T') && size >= 4 && is4(pi + 8, 'h', 'd', 'r', 'l')) {
+        var q = p + 12
+        val end = p + 8 + size
+        while (q + 8 <= end) {
+          val qi = q.toInt
+          val s2 = le32(qi + 4)
+          if (s2 < 0L || q + 8 + s2 > end) return -1L
+          if (is4(qi, 'a', 'v', 'i', 'h')) {
+            if (s2 < 40L) return -1L // body must reach dwHeight @36..39
+            val usPerFrame = le32(qi + 8)
+            val frames = le32(qi + 24)
+            val width = le32(qi + 40)
+            val height = le32(qi + 44)
+            if (width > 0x7FFFL || height > 0xFFFFL ||
+              frames > 0xFFFFL || usPerFrame > 0xFFFFL) return -1L
+            return (width << 48) | (height << 32) | (frames << 16) | usPerFrame
+          }
+          q += 8L + s2 + (s2 & 1L)
+        }
+        return -1L
+      }
+      p += 8L + size + (size & 1L)
+    }
+    -1L
+  }
+
   /** JPEG frame dimensions via the marker-segment walk (ITU T.81 §B): after
     * the FFD8 SOI, each segment is 0xFF, a type byte, then a 2-byte
     * big-endian length (counting itself) — except standalone markers

@@ -95,6 +95,24 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<timescale:bigint,duration:bigint>"))
   }
 
+  /** AVI main-header metadata (frame width / height / total frames /
+    * µs per frame) via the RIFF list walk (kernel expression — real muxers
+    * pad with JUNK chunks before `hdrl`, so fixed offsets don't work); null
+    * when the payload is not RIFF/AVI or carries no avih. The video-dual of
+    * [[wavFormat]]: same container family, the header the frame-rate /
+    * duration bookkeeping reads before any codec work.
+    */
+  def aviMeta(bin: Column): Column = {
+    val packed = KernelExpressions.aviMeta(bin)
+    when(packed >= 0,
+      struct(shiftright(packed, 48).as("width"),
+        shiftright(packed, 32).bitwiseAND(lit(0xFFFFL)).as("height"),
+        shiftright(packed, 16).bitwiseAND(lit(0xFFFFL)).as("frames"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("us_per_frame")))
+      .otherwise(lit(null)
+        .cast("struct<width:bigint,height:bigint,frames:bigint,us_per_frame:bigint>"))
+  }
+
   /** Content fingerprint: poly-hash over the payload's hex rendering —
     * engine-reproducible (DuckDB mirrors via to_hex + the same fold).
     */
@@ -153,6 +171,49 @@ object Multimodal {
     struct(
       when(n === 0, lit(0.0)).otherwise(sqrt(sumsq.cast("double") / n)).as("rms"),
       coalesce(array_max(bytes), lit(0L)).as("peak"))
+  }
+
+  /** Windowed 8-point DFT power spectrum of the WAV body — REAL frequency-
+    * domain feature extraction (the front end of voice-activity / tone /
+    * bandwidth detection), kept engine-exact by integerized twiddles:
+    * cos/sin(2πm/8) scaled by 1000 (the √2/2 terms become ±707), so every
+    * re/im/power value is exact int64 arithmetic the DuckDB oracle replays
+    * bit for bit — the same determinism device as the LM score and the HLL
+    * registers. Per 8-sample frame f and bin k: re = Σₙ x[8f+n]·C[(k·n)%8],
+    * im likewise over S, power = re²+im²; powers sum over all frames.
+    * Bins 1-4 only (0 is DC, 5-7 mirror 1-3 for real input). Overflow
+    * headroom: |re| ≤ 8·255·1000 ≈ 2×10⁶ → power ≤ 8.3×10¹² per frame →
+    * int64 safely holds ~10⁶ frames (8M samples) per payload.
+    *
+    * Pure array HOFs — in-place per row, no explode, no shuffle; the tail
+    * short of a full frame is dropped on both engines. Takes the sample
+    * ARRAY as a column (from [[byteValues]]) rather than the raw payload,
+    * and callers must materialize that array in its own projection
+    * (`withColumn`) first: higher-order lambdas re-evaluate inline
+    * subtrees per element, so an un-materialized byteValues (an O(len)
+    * parse) inside the folds turns O(len) per row into O(len²·frames) —
+    * measured as a multi-minute stall on 166 rows. SPARK-36718's
+    * CollapseProject guard keeps the separate projection from being
+    * re-inlined (non-cheap, referenced 8×). Same device as the pinned
+    * loop invariants: compute once, reference many.
+    */
+  def audioSpectrum8Powers(bytes: Column): Column = {
+    val C = Seq(1000L, 707L, 0L, -707L, -1000L, -707L, 0L, 707L)
+    val S = Seq(0L, 707L, 1000L, 707L, 0L, -707L, -1000L, -707L)
+    val nf = floor(size(bytes) / 8).cast("long")
+    def power(k: Int): Column = {
+      def fold(tw: Seq[Long], f: Column): Column =
+        aggregate(sequence(lit(0L), lit(7L)), lit(0L), (acc, nn) =>
+          acc + element_at(bytes, (f * 8 + nn + 1).cast("int")) *
+            element_at(typedLit(tw), ((nn * k) % 8 + 1).cast("int")))
+      when(nf < 1, 0L).otherwise(
+        aggregate(sequence(lit(0L), nf - 1), lit(0L), (acc, f) => {
+          val re = fold(C, f)
+          val im = fold(S, f)
+          acc + re * re + im * im
+        }))
+    }
+    array((1 to 4).map(power): _*)
   }
 
   /** Distributed decode plumbing — the Scala analog of a `mapInPandas`

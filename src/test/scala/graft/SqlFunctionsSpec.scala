@@ -131,6 +131,16 @@ class SqlFunctionsSpec extends SparkTestBase {
     val m = spark.sql(
       s"SELECT graft_mp4_meta(unhex('$mp4')) AS m").head().getLong(0)
     assert(m == ((1000L << 24) | 7L))
+    // minimal AVI: RIFF/AVI + LIST hdrl { avih: us=40000 frames=7 320x240 }
+    val avi = "52494646" + "50000000" + "41564920" +
+      "4C495354" + "44000000" + "6864726C" +
+      "61766968" + "38000000" +
+      "409C0000" + "00000000" + "00000000" + "00000000" +
+      "07000000" + "00000000" + "01000000" + "00000000" +
+      "40010000" + "F0000000" + "00000000" * 4
+    val a = spark.sql(
+      s"SELECT graft_avi_meta(unhex('$avi')) AS a").head().getLong(0)
+    assert(a == ((320L << 48) | (240L << 32) | (7L << 16) | 40000L))
   }
 
   test("graft_jaro_winkler matches the published vectors and DuckDB's variant") {
@@ -175,6 +185,10 @@ class SqlFunctionsSpec extends SparkTestBase {
     val mp4 = "000000106674797069736F6D00000000" + "000000246D6F6F76" +
       "0000001C6D766864" + "00000000" + "00000000" + "00000000" +
       "000003E8" + "00000007"
+    val avi = "52494646" + "50000000" + "41564920" +
+      "4C495354" + "44000000" + "6864726C" + "61766968" + "38000000" +
+      "409C0000" + "00000000" * 3 + "07000000" + "00000000" + "01000000" +
+      "00000000" + "40010000" + "F0000000" + "00000000" * 4
     val argsFor = Map(
       "graft_cosine" -> "array(1.0D, 2.0D), array(2.0D, 1.0D)",
       "graft_int8_quantize" -> "array(0.5D, -1.0D)",
@@ -197,6 +211,7 @@ class SqlFunctionsSpec extends SparkTestBase {
       "graft_jpeg_dims" -> s"unhex('$jpeg')",
       "graft_wav_format" -> s"unhex('$wav')",
       "graft_mp4_meta" -> s"unhex('$mp4')",
+      "graft_avi_meta" -> s"unhex('$avi')",
       "graft_zvalue" -> "3, 1, 6",
       "graft_winnow" -> "'the quick brown fox jumps over the lazy dog', 8, 4",
       "graft_topk" -> "1.5D, 7L, 3",
