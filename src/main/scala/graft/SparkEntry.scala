@@ -9005,18 +9005,22 @@ object SparkEntry {
       val flat = graft.operators.TrainedCentroids.sf001.flatten
         .map(_.toString).mkString("[", ", ", "]")
       val centroidList = (ci: String) => s"sg[($ci) * 64 + 1 : ($ci) * 64 + 64]"
+      // cells/mp/sd_edges MATERIALIZED: each is referenced 2-4 times
+      // (DuckDB inlines per reference by default) and the fuzz corpus's
+      // clustered embeddings made the re-inlined cosine work breach the
+      // 10 s oracle lab budget — 15.9 s -> 5.6 s, identical rows
       s"""WITH RECURSIVE sgt AS (SELECT $flat::DOUBLE[] AS sg),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
+         cells AS MATERIALIZED (SELECT vec_id, v,
              (list_transform(list_sort(list_transform(range(0, 8), ci ->
                {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
                st -> st.cell))[1] AS cell
            FROM e CROSS JOIN sgt),
-         mp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         mp AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM cells a JOIN cells b
              ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE ${sqlCos("a.v", "b.v")} >= 0.45),
-         sd_edges AS (SELECT id_a AS s, id_b AS d FROM mp
+         sd_edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM mp
                       UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
          sd_reach(a, b) AS (
            SELECT vec_id, vec_id FROM cells
@@ -10773,17 +10777,17 @@ object SparkEntry {
       s"""WITH RECURSIVE sgt AS (SELECT $flatC::DOUBLE[] AS sg),
          pqt AS (SELECT $flatPq::DOUBLE[] AS pq),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cells AS (SELECT vec_id, v,
+         cells AS MATERIALIZED (SELECT vec_id, v,
              list_transform(list_sort(list_transform(range(0, 8), ci ->
                {'negCos': -${sqlCos("v", centroidList("ci"))}, 'cell': ci})),
                st -> st.cell) AS sorted_cells
            FROM e CROSS JOIN sgt),
-         cl AS (SELECT vec_id, v, sorted_cells[1] AS cell FROM cells),
-         mp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         cl AS MATERIALIZED (SELECT vec_id, v, sorted_cells[1] AS cell FROM cells),
+         mp AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM cl a JOIN cl b
              ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE ${sqlCos("a.v", "b.v")} >= 0.45),
-         sd_edges AS (SELECT id_a AS s, id_b AS d FROM mp
+         sd_edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM mp
                       UNION ALL SELECT id_b AS s, id_a AS d FROM mp),
          sd_reach(a, b) AS (
            SELECT vec_id, vec_id FROM cl

@@ -89,7 +89,8 @@ object Streaming {
     def walk(key: Long, rows: Iterator[AsofIn],
         state: GroupState[AsofState]): Iterator[AsofOut] = {
       val sorted = rows.toIndexedSeq.sortBy(r => (r.ts, r.side, r.payload))
-      var cur = state.getOption
+      val initial = state.getOption
+      var cur = initial
       val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
       sorted.foreach { r =>
         if (r.side == 0) {
@@ -107,7 +108,14 @@ object Streaming {
             cur.filter(_.ts <= r.ts).map(_.payload))
         }
       }
-      cur.foreach(state.update)
+      // Write state only when the walk CHANGED it: under RocksDB every
+      // state.update is a per-key write+changelog cost, and the common
+      // enrichment batch (many events, few dim updates) would otherwise
+      // rewrite every active key unchanged — measured at sf10 as the
+      // difference between 28× and linear scaling (SCALING.md, streaming
+      // second decade). Groups whose rows were all events/stale updates
+      // skip the write; the stored value is identical either way.
+      if (cur != initial) cur.foreach(state.update)
       out.iterator
     }
     in.groupByKey(_.key)

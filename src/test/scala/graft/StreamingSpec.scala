@@ -312,6 +312,34 @@ class StreamingSpec extends SparkTestBase {
       103L -> Some(2.0), 104L -> Some(2.0)))
   }
 
+  test("asofEnrich: event-only batches write NO state (RocksDB write-skip)") {
+    import Streaming.AsofIn
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofIn]
+    val qn = s"asof_skip_${System.nanoTime()}"
+    val query = Streaming.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: a dim update -> exactly one state row written
+    input.addData(AsofIn(1L, 10L, 0, 0L, 5.0), AsofIn(1L, 20L, 1, 100L, 0.0))
+    query.processAllAvailable()
+    assert(query.lastProgress.stateOperators.head.numRowsUpdated === 1L,
+      "the dim update must write its state row")
+    // batch 2: events and a STALE dim only -> the state is unchanged, and
+    // the walk must not rewrite it (under RocksDB every unchanged-value
+    // update is a real per-key write — see the scaladoc / SCALING.md)
+    input.addData(AsofIn(1L, 30L, 1, 101L, 0.0), AsofIn(1L, 5L, 0, 0L, 7.0),
+      AsofIn(2L, 40L, 1, 102L, 0.0))
+    query.processAllAvailable()
+    assert(query.lastProgress.stateOperators.head.numRowsUpdated === 0L,
+      "event-only / stale-dim groups must skip the state write")
+    query.stop()
+    // and the enrichment output is unaffected by the skip
+    val got = spark.table(qn).as[Streaming.AsofOut].collect()
+      .map(o => o.id -> o.payload).toMap
+    assert(got === Map(100L -> Some(5.0), 101L -> Some(5.0), 102L -> None))
+  }
+
   test("stream-static anti-join: the uploaded side is a SNAPSHOT until restart") {
     val dir = java.nio.file.Files.createTempDirectory("uploaded_ctl").toString
     Seq(1L).toDF("event_id").write.mode("overwrite").parquet(dir)
