@@ -3349,6 +3349,51 @@ object SparkEntry {
       Seq("vector", "stream", "merge"), k = 20)
       .withColumnRenamed("id", "doc_id")
 
+  /** Retrieval EVALUATION: nDCG@5/@10 of the BM25 ranking against
+    * BM25-independent relevance grades (rel = distinct query terms the
+    * document contains, 1..3) — the ranking-quality metric beside the
+    * classifier's `t_lr_auc` and the langid confusion matrix. DCG terms
+    * are rounded to 9 dp BEFORE the fold (both engines' libm log2 can
+    * differ in the last ulp) and folded in RANK ORDER over a sorted
+    * array, so the float association is cross-engine identical. The
+    * ideal ranking is a TakeOrderedAndProject top-10 (rel desc, id) with
+    * the row_number window running over the ≤10 post-limit rows —
+    * never a data-scale sort; DCG/IDCG ride 1-row aggregate scalars
+    * through the audited broadcast shape.
+    */
+  private def tNdcg(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "stream", "merge")
+    val ranked = graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+      "doc_id", "text", terms, k = 10)
+      .select(col("id"), col("rank").cast("int").as("rank"))
+    val rel = t(s, dir, "documents").select(col("doc_id").as("id"),
+      explode(graft.functions.KernelExpressions.wordNgramStrings(col("text"), 1)).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id")).agg(countDistinct(col("term")).as("rel"))
+    def gain(relC: Column, rankC: Column): Column =
+      round((pow(lit(2.0), relC) - 1.0) / log2(rankC + lit(1.0)), 9)
+    val rankedG = ranked.join(rel, "id")
+      .select(col("rank"), gain(col("rel"), col("rank")).as("g"))
+    val w10 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col("id"))
+    val ideal = rel.orderBy(col("rel").desc, col("id")).limit(10)
+      .withColumn("rank", row_number().over(w10))
+      .select(col("rank"), gain(col("rel"), col("rank")).as("g"))
+    def foldAt(k: Int): Column = {
+      val arr = sort_array(collect_list(when(col("rank") <= k,
+        struct(col("rank"), col("g")))))
+      round(aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("g")), 6)
+    }
+    val dcg = rankedG.agg(count(lit(1)).cast("long").as("n_ranked"),
+      foldAt(5).as("dcg_5"), foldAt(10).as("dcg_10"))
+    val idcg = ideal.agg(foldAt(5).as("idcg_5"), foldAt(10).as("idcg_10"))
+    dcg.crossJoin(idcg)
+      .filter(col("n_ranked") > 0) // empty corpus: no ranking, no row
+      .select(col("n_ranked"),
+        round(col("dcg_5") / col("idcg_5"), 6).as("ndcg_5"),
+        round(col("dcg_10") / col("idcg_10"), 6).as("ndcg_10"))
+  }
+
   /** Hybrid retrieval: BM25 top-30 (sparse) fused with dense cosine top-30
     * for query vector 0 by reciprocal-rank fusion
     * ([[graft.operators.Retrieval.rrfFuseTopK]]) — both retrievers end in
@@ -7375,6 +7420,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "t_tfidf_keywords" -> (tTfidfKeywords _),
     "t_bm25_topk" -> (tBm25TopK _),
+    "t_ndcg" -> (tNdcg _),
     "e_ann_recall" -> (eAnnRecall _),
     "e_pq_topk" -> (ePqTopK _),
     "d_dup_span_stats" -> (dDupSpanStats _),
@@ -10565,6 +10611,56 @@ object SparkEntry {
            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
            FROM sc)
          WHERE rank <= 20""",
+    "t_ndcg" ->
+      // the BM25 chain replayed at k=10, relevance = distinct query terms
+      // per doc, DCG terms rounded to 9 dp then folded in RANK ORDER
+      // (list_reduce over list(... ORDER BY rank) == Spark's sorted-array
+      // left fold, both starting from the first element exactly)
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         hits AS (SELECT doc_id, term FROM toks
+           WHERE term IN ('vector', 'stream', 'merge')),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+         c AS (SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len::DOUBLE / n_docs))) AS wt
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         sc AS (SELECT doc_id, round(sum(wt), 6) AS score FROM c GROUP BY 1),
+         rk AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM sc) WHERE rank <= 10),
+         rel AS MATERIALIZED (SELECT doc_id, count(DISTINCT term) AS rel
+           FROM hits GROUP BY 1),
+         rg AS (SELECT rk.rank,
+             round((pow(2, rel) - 1) / log2(rk.rank + 1), 9) AS g
+           FROM rk JOIN rel USING (doc_id)),
+         ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rank, rel
+           FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id LIMIT 10)),
+         ig AS (SELECT rank, round((pow(2, rel) - 1) / log2(rank + 1), 9) AS g
+           FROM ideal),
+         dcg AS (SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+             round(CASE WHEN count(*) FILTER (WHERE rank <= 5) = 0 THEN 0.0
+               ELSE list_reduce(list(g ORDER BY rank) FILTER (WHERE rank <= 5),
+                 (a, b) -> a + b) END, 6) AS dcg_5,
+             round(CASE WHEN count(*) = 0 THEN 0.0
+               ELSE list_reduce(list(g ORDER BY rank), (a, b) -> a + b) END, 6) AS dcg_10
+           FROM rg),
+         idcg AS (SELECT
+             round(CASE WHEN count(*) FILTER (WHERE rank <= 5) = 0 THEN 0.0
+               ELSE list_reduce(list(g ORDER BY rank) FILTER (WHERE rank <= 5),
+                 (a, b) -> a + b) END, 6) AS idcg_5,
+             round(CASE WHEN count(*) = 0 THEN 0.0
+               ELSE list_reduce(list(g ORDER BY rank), (a, b) -> a + b) END, 6) AS idcg_10
+           FROM ig)
+         SELECT n_ranked, round(dcg_5 / idcg_5, 6) AS ndcg_5,
+           round(dcg_10 / idcg_10, 6) AS ndcg_10
+         FROM dcg CROSS JOIN idcg WHERE n_ranked > 0""",
     "t_hybrid_rrf" ->
       s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
            FROM documents WHERE trim(text) <> ''),
