@@ -4241,10 +4241,40 @@ object SparkEntry {
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
   }
 
+  /** Canonical (src < dst) half of [[coOrderEdges]]: each unordered
+    * co-order pair is emitted ONCE per co-order instead of twice, so the
+    * basket self-join produces half the rows and every downstream
+    * distinct/aggregation shuffles half the bytes (opt guide §2.3 —
+    * "shuffle fewer bytes"). The co-order relation is symmetric, so
+    * `distinct(canon) ∪ mirror(distinct(canon)) = distinct(full)`:
+    * consumers that need both directions mirror AFTER their dedup (a
+    * narrow map-side union, no extra shuffle). Returned deduped + pinned
+    * — every caller either iterates over it or feeds it to 2+ joins.
+    */
+  private def coOrderEdgesCanonRaw(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
+  private def coOrderEdgesCanon(s: SparkSession, dir: String): DataFrame =
+    coOrderEdgesCanonRaw(s, dir).distinct().pinned(true)
+
+  /** Both directions of [[coOrderEdgesCanon]] — the narrow mirror union
+    * over the pinned canonical half (identical edge set to
+    * `coOrderEdges(...).distinct()`, at half the dedup-shuffle bytes).
+    */
+  private def coOrderEdgesBoth(s: SparkSession, dir: String): DataFrame = {
+    val canon = coOrderEdgesCanon(s, dir)
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   private def qReachHops(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "part").where(col("p_partkey") === 1)
-    graft.operators.Graph.shortestHops(coOrderEdges(s, dir), "src", "dst",
-        src, "p_partkey", maxHops = 3)
+    graft.operators.Graph.shortestHops(coOrderEdgesCanon(s, dir), "src", "dst",
+        src, "p_partkey", maxHops = 3, canonicalInput = true)
       .select(col("id"), col("hops").cast("long").as("hops"))
   }
 
@@ -4256,10 +4286,10 @@ object SparkEntry {
     * identical walk as a recursive CTE over the same seed set.
     */
   private def gHarmonic(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.harmonicCentrality(coOrderEdges(s, dir),
+    graft.operators.Graph.harmonicCentrality(coOrderEdgesCanon(s, dir),
       "src", "dst",
       t(s, dir, "part").where(col("p_partkey") <= 8), "p_partkey",
-      maxHops = 3)
+      maxHops = 3, canonicalInput = true)
 
   /** Embedding outlier audit over the trained cells
     * ([[graft.operators.Similarity.embeddingOutliers]]): within-cell
@@ -4282,8 +4312,13 @@ object SparkEntry {
     * vector concentrated on the seed.
     */
   private def gPpr(s: SparkSession, dir: String): DataFrame = {
-    val e = coOrderEdges(s, dir)
+    // co-order counts are symmetric: aggregate the canonical a<b half
+    // (half the shuffle bytes, guide §2.3) and mirror the counts back —
+    // identical (src, dst, w) set to aggregating both directions.
+    val half = coOrderEdgesCanonRaw(s, dir)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val e = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     graft.operators.Graph.personalizedPageRank(
         t(s, dir, "part"), "p_partkey", e, "src", "dst", "w",
         t(s, dir, "part").where(col("p_partkey") === 1), "p_partkey",
@@ -4333,15 +4368,18 @@ object SparkEntry {
   private def gSsspWeighted(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
       expr("unix_micros(cast(l_shipdate AS timestamp)) div 86400000000").as("day"))
+    // |day gap|+1 is symmetric, so the canonical a<b half of the basket
+    // self-join carries the full weight information at half the rows —
+    // the operator min-collapses it and mirrors after (guide §2.3)
     val edges = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
+        col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"),
         (abs(col("a.day") - col("b.day")) + 1).as("w"))
     val seeds = t(s, dir, "part").where(col("p_partkey") === 1)
       .select(col("p_partkey"))
     graft.operators.Graph.ssspWeighted(edges, "src", "dst", "w",
-      seeds, "p_partkey", rounds = 3)
+      seeds, "p_partkey", rounds = 3, canonicalInput = true)
   }
 
   /** Deterministic hash-seeded random walks over the co-order part graph
@@ -4354,8 +4392,9 @@ object SparkEntry {
     * before the multiply — no overflow at any id magnitude.
     */
   private def gHashWalks(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.hashWalks(coOrderEdges(s, dir), "src", "dst",
-      t(s, dir, "part").where(col("p_partkey") <= 16), "p_partkey", steps = 3)
+    graft.operators.Graph.hashWalks(coOrderEdgesCanon(s, dir), "src", "dst",
+      t(s, dir, "part").where(col("p_partkey") <= 16), "p_partkey", steps = 3,
+      canonicalInput = true)
 
   /** FIFO lot allocation ([[graft.operators.Allocate.fifo]]): returned
     * units (`l_returnflag = 'R'`) drain available lots (`'A'`) per part
@@ -4388,9 +4427,10 @@ object SparkEntry {
   private def qCommunities(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.labelPropagation(
       t(s, dir, "part"), "p_partkey",
-      coOrderEdges(s, dir), "src", "dst", rounds = 3,
-      // coOrderEdges emits both directions by construction
-      symmetric = true,
+      // canonical a<b half (pre-deduped + pinned): LPA's internal
+      // canonicalize/dedup/pin is skipped outright (guide §2.3/§2.4)
+      coOrderEdgesCanon(s, dir), "src", "dst", rounds = 3,
+      symmetric = true, canonicalInput = true,
       // the symmetric vote union reads `lab` twice per round; exchange
       // reuse dedups the identical subtrees, but cutting lineage per
       // round still trims ~10% and keeps the plan depth constant
@@ -4406,14 +4446,14 @@ object SparkEntry {
   private def gKcore(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCorePeel(
       t(s, dir, "part"), "p_partkey",
-      coOrderEdges(s, dir), "src", "dst", k = 90, rounds = 4,
+      // canonical a<b half (deduped + pinned at HALF the shuffle bytes);
+      // the peel mirrors it narrowly for both-direction degrees
+      coOrderEdgesCanon(s, dir), "src", "dst", k = 90, rounds = 4,
       // peel rounds stack two joins each on the previous round's `alive`;
       // without a per-round lineage cut, round r re-executes rounds
       // 1..r-1's joins inside its own plan (quadratic recompute)
       checkpointEvery = 1,
-      // coOrderEdges emits both directions by construction — skip the
-      // mirror union that would double the edge-distinct's input
-      symmetric = true)
+      symmetric = true, canonicalInput = true)
 
   /** Modularity audit of the LPA communities
     * ([[graft.operators.Graph.modularity]]): per community, the exact
@@ -4424,12 +4464,16 @@ object SparkEntry {
     * per community.
     */
   private def gModularity(s: SparkSession, dir: String): DataFrame = {
+    // ONE canonical pinned edge frame feeds BOTH operators — previously
+    // each re-ran the basket self-join + canonicalize + dedup + pin
+    // (2 self-joins, 2 dedup shuffles, 2 pins → 1 of each; guide §2.4)
+    val canonE = coOrderEdgesCanon(s, dir)
     val labels = graft.operators.Graph.labelPropagation(
       t(s, dir, "part"), "p_partkey",
-      coOrderEdges(s, dir), "src", "dst", rounds = 3,
-      symmetric = true, checkpointEvery = 1)
+      canonE, "src", "dst", rounds = 3,
+      symmetric = true, canonicalInput = true, checkpointEvery = 1)
     graft.operators.Graph.modularity(labels, "id", "label",
-      coOrderEdges(s, dir), "src", "dst", symmetric = true)
+      canonE, "src", "dst", symmetric = true, canonicalInput = true)
   }
 
   /** Graph × relational composition: line revenue rolled up per LPA
@@ -4464,8 +4508,8 @@ object SparkEntry {
     // candidate volume is nodes x cap^2; 64 keeps the posting self-join at
     // ~1/600 of the uncapped volume while full degrees still price the
     // Jaccard denominator
-    graft.operators.Graph.nodeSimilarity(coOrderEdges(s, dir), "src", "dst",
-      k = 20, maxDegree = 64)
+    graft.operators.Graph.nodeSimilarity(coOrderEdgesCanon(s, dir), "src", "dst",
+      k = 20, maxDegree = 64, canonicalInput = true)
 
   /** Deequ-style data-quality audit ([[graft.operators.Expectations]]):
     * completeness, key uniqueness, bounds, value-set membership, and
@@ -4698,7 +4742,9 @@ object SparkEntry {
     * per modularity's 4m² note.
     */
   private def gAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = coOrderEdges(s, dir).distinct().pinned(true) // deg + nbr join
+    // both directions via the narrow mirror of the pinned canonical half
+    // — the dedup shuffle carried half the bytes (guide §2.3)
+    val e = coOrderEdgesBoth(s, dir) // deg + nbr join (reads of the pin)
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .pinned(true) // nbr join + the node-grain sums
     // size-gated broadcast (the Transforms.antiJoinUploaded discipline):
@@ -4799,7 +4845,7 @@ object SparkEntry {
     * broadcast.
     */
   private def gDegreeDist(s: SparkSession, dir: String): DataFrame = {
-    val deg = coOrderEdges(s, dir).distinct()
+    val deg = coOrderEdgesBoth(s, dir)
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
       .pinned(true) // histogram + tail scalar
     val dmin = 64
@@ -5866,7 +5912,10 @@ object SparkEntry {
     * one aggregation, no new joins.
     */
   private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = nationTradeEdges(s, dir).where(col("w") >= 1500000.0)
+    // pinned: `e` feeds the wedge count AND triangleCounts — without the
+    // pin the 4-way lineitem⋈orders⋈customer⋈supplier derivation ran
+    // TWICE (≤|nations|² rows, a trivial pin; guide §2.4)
+    val e = nationTradeEdges(s, dir).where(col("w") >= 1500000.0).pinned(true)
     val und = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()

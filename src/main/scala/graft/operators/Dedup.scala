@@ -219,6 +219,13 @@ object Dedup {
       n: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n).as("shingles"))
+      // pinned: the signature frame has FIVE consumers (df counts, hot-doc
+      // scan, both posting self-join sides, and the callers' exact-verify
+      // joins) — unpinned, each re-runs the shingle kernel over the full
+      // corpus text (opt guide §2.4: share one materialization; §1.2: the
+      // kernel is the per-task cost here). Downstream consumers explode
+      // the pinned arrays, a narrow map.
+      .pinned(true)
     val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("shingle"))
     val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -284,6 +291,9 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.wordShingleHashes(col(textCol), n)
         .as("shingles"))
+      // pinned for the same reason as [[shingleCandidates]]: df counts,
+      // prefix window, and both exact-verify sides all consume it
+      .pinned(true)
     val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("shingle"))
     val dfs = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -430,6 +440,10 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+      // pinned: BOTH exact-verify join sides consume this frame —
+      // unpinned, each re-runs the char-shingle kernel over the corpus
+      // text (opt guide §2.4; same discipline as shingleCandidates)
+      .pinned(true)
     val banded = bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
     val capped = capBuckets(banded, "bk", maxBucket)
     val a = capped.select(col("bk").as("bk"), col("id").as("id_a"))
@@ -456,6 +470,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
+      // pinned: three consumers (the size filter + BOTH verify-join
+      // sides) would otherwise each re-run the shingle kernel over the
+      // evaluation slice (opt guide §2.4 — share one materialization);
+      // the slice is bounded by the caller's contract, so the pin is small
+      .pinned(true)
     // AllPairs-style size filter, LOSSLESS at the threshold: jac(A,B) <=
     // min(|A|,|B|) / max(|A|,|B|), so any pair clearing `threshold` must
     // have size ratio >= threshold — candidate volume drops before a

@@ -214,9 +214,13 @@ object Graph {
   def labelPropagation(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, checkpointEvery: Int = 5,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      canonicalInput: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    require(!canonicalInput || symmetric,
+      "canonicalInput implies symmetric: canonical a<b edges are the " +
+        "undirected encoding, votes must count both endpoints")
     val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
@@ -229,11 +233,19 @@ object Graph {
     // SYMMETRIZED (both directions materialized, then deduped): the
     // algorithm is undirected either way, the flag only picks the cheaper
     // physical encoding when the caller's edges are already two-way.
-    val sym = (if (symmetric) und.where(col("a") < col("b"))
-       else und.union(und.select(col("b").as("a"), col("a").as("b"))))
-      .distinct()
-      .select(col("a").as("src"), col("b").as("dst"))
-      .pinned(true)
+    // `canonicalInput = true` (opt guide §2.4 — remove shuffles outright):
+    // the caller passes the canonical src<dst DISTINCT edge list, already
+    // MATERIALIZED (pinned) — the derivation above (a full dedup shuffle
+    // plus a second pin of the same rows) is skipped entirely. Used when
+    // one canonical frame feeds several operators in the same query.
+    val sym =
+      if (canonicalInput)
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else (if (symmetric) und.where(col("a") < col("b"))
+         else und.union(und.select(col("b").as("a"), col("a").as("b"))))
+        .distinct()
+        .select(col("a").as("src"), col("b").as("dst"))
+        .pinned(true)
     var lab = n.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < rounds) {
@@ -285,10 +297,19 @@ object Graph {
     * @return (walk, step, node) — step 0 is the seed itself
     */
   def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, idCol: String, steps: Int): DataFrame = {
+      seeds: DataFrame, idCol: String, steps: Int,
+      canonicalInput: Boolean = false): DataFrame = {
     require(steps >= 0, "steps must be non-negative")
-    val adj = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+    // canonicalInput: the caller's pinned canonical a<b distinct list is
+    // mirrored (narrow) for the UNDIRECTED adjacency — the dedup shuffle
+    // is skipped; the row_number indexing pass is unchanged (guide §2.4).
+    val base =
+      if (canonicalInput) {
+        val c = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+      } else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    val adj = base
       .withColumn("idx", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1L)
       .pinned(true)
@@ -401,12 +422,19 @@ object Graph {
     */
   def modularity(labels: DataFrame, idCol: String, labelCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      canonicalInput: Boolean = false): DataFrame = {
     val lab = labels.select(col(idCol).as("id"), col(labelCol).as("community"))
       .pinned(true) // three consumers: degrees join, both intra endpoints
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
-    val canon = (if (symmetric) und.where(col("a") < col("b"))
+    // `canonicalInput = true`: caller passes the canonical a<b DISTINCT
+    // edge list, already pinned — skip the dedup shuffle + second pin
+    // (opt guide §2.4; the same contract as labelPropagation's flag).
+    val canon =
+      if (canonicalInput)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else (if (symmetric) und.where(col("a") < col("b"))
         else und.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b")))
       .distinct()
@@ -450,12 +478,23 @@ object Graph {
     * @return (id, hops) for every node reachable within `maxHops`
     */
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
-      sources: DataFrame, sourceIdCol: String, maxHops: Int): DataFrame = {
+      sources: DataFrame, sourceIdCol: String, maxHops: Int,
+      canonicalInput: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     // the edge list is the loop invariant — materialize once (see
-    // pageRank) instead of re-deriving it for every frontier expansion
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .pinned(true)
+    // pageRank) instead of re-deriving it for every frontier expansion.
+    // `canonicalInput = true`: caller passes the canonical a<b DISTINCT
+    // pinned edge list of an UNDIRECTED graph — both directions come from
+    // the narrow mirror union (no dedup shuffle; guide §2.3), and the
+    // union is PINNED too: the loop reads `e` every round, and an
+    // unpinned union doubles each round's scan-task count (measured 2×
+    // per-round overhead at sf0.1 when this pin was left out).
+    val e =
+      (if (canonicalInput) {
+        val c = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+      } else edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+        .pinned(true)
     var settled = sources.select(col(sourceIdCol).as("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = settled
@@ -500,11 +539,19 @@ object Graph {
     *         reaches at least one node
     */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedIdCol: String, maxHops: Int): DataFrame = {
+      seeds: DataFrame, seedIdCol: String, maxHops: Int,
+      canonicalInput: Boolean = false): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .pinned(true)
+    // canonicalInput: see [[shortestHops]] — mirror the caller's pinned
+    // canonical a<b distinct list instead of re-deduping both directions;
+    // the union is pinned (loop invariant, read every round).
+    val e =
+      (if (canonicalInput) {
+        val c = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+      } else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct())
+        .pinned(true)
     var settled = seeds.select(col(seedIdCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("id"), lit(0).as("hops"))
       .pinned(true)
@@ -590,12 +637,29 @@ object Graph {
     * collapse to their min weight once, up front.
     */
   def ssspWeighted(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, sources: DataFrame, idCol: String, rounds: Int): DataFrame = {
+      wCol: String, sources: DataFrame, idCol: String, rounds: Int,
+      canonicalInput: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(wCol).cast("long").as("w"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .pinned(true)
+    // canonicalInput: the edges describe an UNDIRECTED graph given as
+    // canonical a<b rows (duplicates allowed — min-collapsed here, on
+    // HALF the rows of the both-directions form), and each edge's weight
+    // is symmetric by construction; both directions come from the narrow
+    // mirror union AFTER the min-collapse (opt guide §2.3).
+    val e =
+      if (canonicalInput) {
+        // pin the min-collapse BEFORE mirroring: both union branches read
+        // the pin instead of re-running the aggregation (and its whole
+        // upstream self-join) once per branch
+        val m = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wCol).cast("long").as("w"))
+          .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+          .pinned(true)
+        m.union(m.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .pinned(true)
+      } else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(wCol).cast("long").as("w"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .pinned(true)
     var dist = sources.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
     var r = 0
@@ -633,12 +697,24 @@ object Graph {
     *         by (jaccard_e6 DESC, id_a, id_b); jaccard exact in 1e-6 ints
     */
   def nodeSimilarity(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int = 20, maxDegree: Int = 1000): DataFrame = {
+      k: Int = 20, maxDegree: Int = 1000,
+      canonicalInput: Boolean = false): DataFrame = {
     val a = col(srcCol); val b = col(dstCol)
-    // symmetric distinct adjacency (id, nb), self-loops dropped
-    val adj = edges.select(a.as("id"), b.as("nb"))
-      .union(edges.select(b.as("id"), a.as("nb")))
-      .where(col("id") =!= col("nb")).distinct()
+    // symmetric distinct adjacency (id, nb), self-loops dropped.
+    // `canonicalInput = true`: caller passes the canonical a<b DISTINCT
+    // edge list, already pinned — the mirror union replaces the dedup
+    // SHUFFLE, but the result is still PINNED: adj feeds the degree
+    // aggregation, the hub cap, and BOTH sides of the posting self-join —
+    // unpinned, each consumer would re-run the union and the hub-cap
+    // anti-join would recompute the degree aggregation per side
+    // (measured: 74 s vs 18 s at sf0.1 when this pin was dropped).
+    val adj =
+      (if (canonicalInput)
+        edges.select(a.as("id"), b.as("nb"))
+          .union(edges.select(b.as("id"), a.as("nb")))
+      else edges.select(a.as("id"), b.as("nb"))
+        .union(edges.select(b.as("id"), a.as("nb")))
+        .where(col("id") =!= col("nb")).distinct())
       .pinned(true) // feeds degrees, candidates, and the cap
     val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // skew guard: hub NEIGHBORS above the cap leave candidate generation
@@ -675,7 +751,8 @@ object Graph {
   def kCorePeel(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int, checkpointEvery: Int = 5,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      canonicalInput: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     val n = nodes.select(col(idCol).as("id")).distinct().pinned(true)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -684,11 +761,21 @@ object Graph {
     // both directions (e.g. a co-occurrence self-join) — mirroring it
     // again would double the input of the one edge-scale distinct, the
     // derivation's dominant cost.
-    val sym = (if (symmetric) und
-      else und.union(und.select(col("b").as("a"), col("a").as("b"))))
-      .distinct()
-      .select(col("a").as("src"), col("b").as("dst"))
-      .pinned(true)
+    // `canonicalInput = true`: caller passes the canonical a<b DISTINCT
+    // edge list, already pinned. The peel needs BOTH directions (degrees
+    // group by one endpoint), so the pin is mirrored with a narrow
+    // map-side union — the dedup shuffle that built it carried half the
+    // bytes of the both-directions form (opt guide §2.3) — and the union
+    // is pinned as the loop invariant (two joins read it every round).
+    val sym =
+      (if (canonicalInput) {
+        val c = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+      } else (if (symmetric) und
+        else und.union(und.select(col("b").as("a"), col("a").as("b"))))
+        .distinct()
+        .select(col("a").as("src"), col("b").as("dst")))
+        .pinned(true)
     var alive = n
     var removed = n.limit(0).select(col("id"), lit(0L).as("removed_round"))
     var r = 1

@@ -189,13 +189,18 @@ object Retrieval {
         lit(0L).as("score_e9")).limit(0)
     val teleport = 150000000L / n
     var r = nodes.select(col("u").as("node"), lit(1000000000L / n).as("r"))
-    for (_ <- 1 to iters)
+    for (i <- 1 to iters) {
       r = p.join(r, p("u") === r("node"))
         .groupBy(col("v"))
         .agg(sum(expr("p_e6 * r")).as("s"))
         .select(col("v").as("node"),
           (lit(teleport) + expr("85L * (s div 1000000L) div 100")).as("r"))
-        .pinned(true) // vocab-bounded; cuts the 10-round lineage
+      // vocab-bounded lineage cut every OTHER round (plus the last): a
+      // depth-2 join/agg chain plans fine, and each pin is an eager job —
+      // 5 pins instead of 10 halves the loop's fixed action cost
+      // (opt guide §1.2: per-task/els-per-action overhead after shape)
+      if (i % 2 == 0 || i == iters) r = r.pinned(true)
+    }
     r.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("r").desc, col("node")))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -191,6 +193,11 @@ object Safety {
           when(col("split_ok"), col("cell") * 2L + col("side"))
             .otherwise(col("cell") * 2L))
         .drop("med", "side", "split_ok")
+        // per-round lineage cut (the pageRank discipline): round r's TWO
+        // broadcast-agg subqueries (med, ok) each hang off `cur` — without
+        // the pin every round re-executes the whole prior chain inside
+        // each subquery, a ~3^rounds subtree blowup (opt guide §2.4)
+        .pinned(true)
       r += 1
     }
     val aggs = count(lit(1)).as("n") +:
