@@ -56,6 +56,15 @@ object Bench {
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE sort-merge -> shuffled-hash rewrite knob (opt guide §3.1).
+      // Default OFF: the round-12 A/B (OPTIMIZATION_r12.md) measured real
+      // wins on the star-schema joins (q3 -45%, q18 -40%) but 1.6-4.9x
+      // REGRESSIONS on the posting-list self-join family (hash-building
+      // hot duplicate keys loses to the streaming merge), so a blanket
+      // rewrite is net-negative on this workload. The env knob stays for
+      // star-schema-heavy deployments (e.g. "128m").
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -156,6 +156,9 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE SMJ->SHJ rewrite, same setting as Bench (opt guide §3.1)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // spark-submit provides spark.master; default to local[*] otherwise
     val spark = (if (sys.props.contains("spark.master")) builder

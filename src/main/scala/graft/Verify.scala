@@ -29,6 +29,9 @@ object Verify {
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE SMJ->SHJ rewrite, same setting as Bench (opt guide §3.1)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.ts encoding varies across testdata regenerations: NANOS
       // parquet loads as an ns-long under this flag, µs TIMESTAMP loads

@@ -438,12 +438,6 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, numBands: Int = 8, shingleSize: Int = 5,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      graft.functions.KernelExpressions.charShingleHashes(col(textCol), shingleSize).as("shingles"))
-      // pinned: BOTH exact-verify join sides consume this frame —
-      // unpinned, each re-runs the char-shingle kernel over the corpus
-      // text (opt guide §2.4; same discipline as shingleCandidates)
-      .pinned(true)
     val banded = bandSignatures(df, idCol, textCol, numHashes, numBands, shingleSize)
     val capped = capBuckets(banded, "bk", maxBucket)
     val a = capped.select(col("bk").as("bk"), col("id").as("id_a"))
@@ -451,7 +445,25 @@ object Dedup {
     val candidates = a.join(b, a("bk") === b("bk2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, shingled, threshold)
+      // pinned: consumed by the candidate-id semi-join below AND the
+      // verify join — unpinned, the whole banding chain would run twice
+      .pinned(true)
+    // Exact-verify shingles for CANDIDATE ids only (opt guide §8: decide
+    // with small rows, fetch the heavy payload once): near-dup candidates
+    // are rare by definition, so a broadcast semi-join restricts the text
+    // scan BEFORE the shingle kernel runs — the kernel evaluates on the
+    // candidate slice instead of twice over the whole corpus (the old
+    // shape), and nothing corpus-scale is ever materialized (pinning the
+    // full array table regressed 1.2-1.4x at sf0.1 and would carry
+    // corpus-sized state at 100 TB).
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shingledCand = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        graft.functions.KernelExpressions.charShingleHashes(col("__text"), shingleSize).as("shingles"))
+      .pinned(true) // candidate-scale; both verify sides read it
+    verifyJaccard(candidates, shingledCand, threshold)
   }
 
   /** Recall of the banded-LSH pair set against the EXACT shingle-jaccard
