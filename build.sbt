@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CONTRACT FIX (round 13): with fork=true and sbt's default LoggedOutput,
+// every stdout line of the forked JVM is re-emitted prefixed with
+// "[info] " — so the bench's one-line JSON never started at column 0 and
+// the driver's parser recorded "parsed": null in ALL of rounds 1-12.
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,7 +199,6 @@ object Bench {
     val firstPass = results.filter { case (k, _) => retimed(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firstPass,"sf":"$sfDir"}"""
-    println(line)
     // Repo artifact: the driver's tail capture truncates long output, so
     // cross-round per-query comparison needs the FULL json somewhere
     // stable. One file per (sf, day), host metadata included so a noisy
@@ -232,13 +231,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")
     }
-    // The driver keeps only the TAIL of the output stream (observed: last
-    // ~2000 bytes), so the full per-query line above loses its head once
-    // the registry outgrew the window — BENCH_r10/r11 both recorded
-    // "parsed": null. Emit a COMPACT summary as the LAST stdout line:
-    // small enough to survive any tail capture, `"metric"`-greppable, and
-    // pointing at the full artifacts. `queries` carries the slowest rows
-    // (the cross-round regression watchlist) rather than nothing.
+    // ROOT CAUSE of "parsed": null in rounds 1-12: fork=true + sbt's
+    // default LoggedOutput prefixed every stdout line with "[info] ", so
+    // the JSON line never started at column 0 and the driver's per-line
+    // parse failed EVERY round (the r12 compact-tail-line theory was
+    // wrong — r01's short line was fully inside the tail window and still
+    // did not parse). build.sbt now sets OutputStrategy.StdoutOutput, and
+    // the full per-query line below is the ONLY stdout line — no compact
+    // shadow line that a last-match parser could pick up instead (its
+    // human-readable summary moved to stderr).
     val slowest = retried.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
@@ -247,7 +248,8 @@ object Bench {
       val ts = retried.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${retried.size},"median_sec":$median,"queries":$slowest,"queries_are_slowest_subset":true,"full_artifact":"bench/latest.json"}""")
+    System.err.println(s"""[bench] summary total=$total n_queries=${retried.size} median_sec=$median slowest=$slowest full_artifact=bench/latest.json""")
+    println(line)
     spark.stop()
     // A broken query must fail the bench, not silently report a fast time.
     if (failed.nonEmpty) {
