@@ -4317,6 +4317,10 @@ object SparkEntry {
     // identical (src, dst, w) set to aggregating both directions.
     val half = coOrderEdgesCanonRaw(s, dir)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      // pinned BEFORE the mirror union: both branches read the aggregated
+      // half — unpinned, the basket self-join + count can execute twice
+      // when AQE exchange reuse misses (the ssspWeighted discipline)
+      .pinned(true)
     val e = half.union(
       half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     graft.operators.Graph.personalizedPageRank(
@@ -11635,32 +11639,23 @@ object SparkEntry {
          FROM r$iters JOIN n ON r$iters.id = n.id"""
     },
     "g_hits" -> {
-      // unrolled mutual power iteration: one (authority, hub) CTE pair
-      // per round, identical arithmetic to Graph.hits — raw sums from
-      // the edge join, zero-filled over the node set, divided by the
-      // corpus-scalar L1 mass (coalesced to 0 so an empty round yields
-      // zeros, not NULLs, exactly as the Spark side's `when` guard)
-      // every CTE is MATERIALIZED: the raw-score tables are referenced
-      // multiple times each round, and DuckDB's default CTE inlining
+      // unrolled mutual power iteration with BATCHED normalization —
+      // identical reassociated arithmetic to Graph.hits (round 13): the
+      // loop chains UNNORMALIZED raw sums (ar_k from hr_{k-1} directly;
+      // a node absent from a raw CTE contributes nothing, exactly as its
+      // explicit 0.0 row did), and ONE final L1 division per vector
+      // replaces the per-round normalize CTEs. z coalesced to 0 so an
+      // empty graph yields zeros, not NULLs, matching the Spark `when`
+      // guard. Every CTE is MATERIALIZED: DuckDB's default CTE inlining
       // would re-expand the whole upstream chain per reference —
-      // exponential in iteration count (exhausts file handles before it
-      // exhausts patience)
+      // exponential in iteration count.
       val iters = 4
       val rk = (1 to iters).map { k =>
-        s"""ar$k AS MATERIALIZED (SELECT e.dst AS id, sum(e.w * h.h) AS s
-             FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1),
-           az$k AS MATERIALIZED (SELECT coalesce(sum(abs(s)), 0) AS z
-             FROM ar$k),
-           a$k AS MATERIALIZED (SELECT n.id,
-             CASE WHEN az.z = 0 THEN 0 ELSE coalesce(ar.s, 0) / az.z END AS a
-             FROM n CROSS JOIN az$k az LEFT JOIN ar$k ar ON n.id = ar.id),
-           hr$k AS MATERIALIZED (SELECT e.src AS id, sum(e.w * a.a) AS s
-             FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1),
-           hz$k AS MATERIALIZED (SELECT coalesce(sum(abs(s)), 0) AS z
-             FROM hr$k),
-           h$k AS MATERIALIZED (SELECT n.id,
-             CASE WHEN hz.z = 0 THEN 0 ELSE coalesce(hr.s, 0) / hz.z END AS h
-             FROM n CROSS JOIN hz$k hz LEFT JOIN hr$k hr ON n.id = hr.id)"""
+        val prev = if (k == 1) s"h0 h ON e.src = h.id" else s"hr${k - 1} h ON e.src = h.id"
+        s"""ar$k AS MATERIALIZED (SELECT e.dst AS id, sum(e.w * h.h) AS a
+             FROM e JOIN $prev GROUP BY 1),
+           hr$k AS MATERIALIZED (SELECT e.src AS id, sum(e.w * a.a) AS h
+             FROM e JOIN ar$k a ON e.dst = a.id GROUP BY 1)"""
       }.mkString(",\n")
       s"""WITH e AS MATERIALIZED (SELECT c_nationkey AS src, s_nationkey AS dst,
              sum(l_extendedprice * (1 - l_discount)) AS w
@@ -11670,11 +11665,17 @@ object SparkEntry {
            GROUP BY 1, 2),
          n AS MATERIALIZED (SELECT n_nationkey AS id, n_name FROM nation),
          h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS h FROM n),
-         $rk
-         SELECT n.n_name, round(h$iters.h, 7) AS hub,
-           round(a$iters.a, 7) AS authority
-         FROM n JOIN h$iters ON n.id = h$iters.id
-         JOIN a$iters ON n.id = a$iters.id"""
+         $rk,
+         za AS MATERIALIZED (SELECT coalesce(sum(abs(a)), 0) AS z FROM ar$iters),
+         zh AS MATERIALIZED (SELECT coalesce(sum(abs(h)), 0) AS z FROM hr$iters)
+         SELECT n.n_name,
+           round(CASE WHEN zh.z = 0 THEN 0
+             ELSE coalesce(hr.h, 0) / zh.z END, 7) AS hub,
+           round(CASE WHEN za.z = 0 THEN 0
+             ELSE coalesce(ar.a, 0) / za.z END, 7) AS authority
+         FROM n CROSS JOIN zh CROSS JOIN za
+         LEFT JOIN hr$iters hr ON n.id = hr.id
+         LEFT JOIN ar$iters ar ON n.id = ar.id"""
     },
     "q_acf" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,

@@ -466,6 +466,42 @@ object Dedup {
     verifyJaccard(candidates, shingledCand, threshold)
   }
 
+  /** [[minhashLshPairs]] over a PRE-SHINGLED frame — for callers that
+    * already hold a pinned (id, shingles) table (e.g. [[lshRecall]], whose
+    * exact-baseline side needs the full shingle pin anyway). Signatures
+    * derive from the shingle arrays via [[minhashSignature]] (no second
+    * text scan, no shingle kernel) and the exact verify joins the same
+    * pin directly (no candidate semi-join, no extra pin). Output is
+    * IDENTICAL to [[minhashLshPairs]]: the fused text kernel equals
+    * minhash-over-charShingleHashes element-for-element (pinned by
+    * DedupSpec's kernel-equivalence test), and the verify arithmetic is
+    * shared. Only reach for this when the shingle pin already exists —
+    * materializing a corpus-scale array table just to call it is the
+    * 1.2-1.4x regression [[minhashLshPairs]]'s note documents.
+    */
+  private def minhashLshPairsFromShingles(shingled: DataFrame,
+      numHashes: Int, numBands: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
+    val banded = shingled
+      .select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= MinhashP)
+      .select(col("id"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
+          .as("bk"))
+    val capped = capBuckets(banded, "bk", maxBucket)
+    val a = capped.select(col("bk").as("bk"), col("id").as("id_a"))
+    val b = capped.select(col("bk").as("bk2"), col("id").as("id_b"))
+    val candidates = a.join(b, a("bk") === b("bk2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
   /** Recall of the banded-LSH pair set against the EXACT shingle-jaccard
     * ground truth at the same threshold — the parameter-tuning harness
     * for (numHashes, numBands), the text-side dual of
@@ -500,8 +536,13 @@ object Dedup {
         col("sz_b") >= lit(threshold) * col("sz_a"))
       .select("id_a", "id_b")
     val exact = verifyJaccard(allPairs, shingled, threshold).select("id_a", "id_b")
-    val lsh = minhashLshPairs(df, idCol, textCol, numHashes, numBands,
-        shingleSize, threshold)
+    // LSH side reuses the SAME shingle pin the exact baseline just paid
+    // for (round 13, guide §2.4 — share one materialization): the
+    // self-contained minhashLshPairs would re-scan text twice more (fused
+    // signature kernel + candidate semi-join slice) and pin a second
+    // shingle table. Identical pair set — see minhashLshPairsFromShingles.
+    val lsh = minhashLshPairsFromShingles(shingled, numHashes, numBands,
+        threshold, maxBucket = 10000)
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
     exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
       .agg(count(lit(1)).as("n_exact"),

@@ -238,6 +238,13 @@ object Graph {
     // MATERIALIZED (pinned) — the derivation above (a full dedup shuffle
     // plus a second pin of the same rows) is skipped entirely. Used when
     // one canonical frame feeds several operators in the same query.
+    // (Round 13 A/B note: two single-join vote variants over a mirrored
+    // union — pinned and lazy — were measured against this 2-join form
+    // and NOT adopted: shuffle bytes are identical either way (2E + V),
+    // the per-round job count is identical, and the pinned variant adds a
+    // full 2E-row materialization; neither beat the 2-join form outside
+    // the host noise band. The caller's pin consumed directly below
+    // remains the measured-best shape.)
     val sym =
       if (canonicalInput)
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -352,11 +359,15 @@ object Graph {
     * Scale shape: the edge list is the loop invariant (materialized
     * once); each half-step is one shuffle-join keyed by the edge
     * endpoint plus one aggregation — the [[pageRank]] cost model. The
-    * L1 normalizers are 1-row global aggregates crossed back in under
-    * `IdentityBroadcastMode` (the corpus-scalar shape the plan audit
-    * admits structurally), NOT driver-side actions, so the whole
-    * iteration chain stays one lazy plan. Lineage is cut every
-    * `checkpointEvery` rounds as in [[pageRank]].
+    * L1 normalization is BATCHED: division by the L1 mass commutes with
+    * the linear half-steps, so the loop chains unnormalized raw sums and
+    * normalizes ONCE at the end — two 1-row broadcasts total instead of
+    * two per iteration, and no per-round full-node-set zero-fill joins
+    * (see the in-body note for the exact-arithmetic argument and the
+    * double-overflow bound). Normalizers stay corpus-scalar broadcasts,
+    * NOT driver-side actions, so the whole iteration chain is one lazy
+    * plan. Lineage is cut every `checkpointEvery` rounds as in
+    * [[pageRank]].
     *
     * @return (id, hub, authority) — one row per node in `nodes`
     */
@@ -369,36 +380,53 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
       .pinned(true)
-    // one L1-normalized half-step: raw scores from the side that emits
-    // them, zero-filled over the full node set, divided by the global
-    // L1 mass (an empty/zero round degrades to all-zero scores rather
-    // than NULL/NaN — mirrored exactly in the SQL oracle)
-    def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
-        groupTo: String, outCol: String): DataFrame = {
-      val raw = e.join(scores, e(joinOn) === scores("id"))
-        .groupBy(e(groupTo).as("id"))
-        .agg(sum(col("w") * col(scoreCol)).as("s"))
-      val z = raw.agg(coalesce(sum(abs(col("s"))), lit(0.0)).as("z"))
-      n.join(raw, Seq("id"), "left_outer")
-        .crossJoin(broadcast(z))
-        .select(col("id"),
-          when(col("z") === 0.0, lit(0.0))
-            .otherwise(coalesce(col("s"), lit(0.0)) / col("z")).as(outCol))
-    }
-    var h = n.select(col("id"), lit(1.0).as("h"))
-    var a = n.select(col("id"), lit(0.0).as("a"))
+    // BATCHED normalization (opt round 13; guide §1.2 "fewer actions"):
+    // in exact arithmetic a_k = â_k/‖â_k‖₁ where â_k is the UNNORMALIZED
+    // recursion â_k = Σ w·ĥ_{k-1}, ĥ_k = Σ w·â_k — dividing by the L1
+    // mass commutes with the linear half-steps (induction: each division
+    // rescales every term of the next sum by the same scalar, and the
+    // next mass absorbs it). So the loop chains raw sums only, and ONE
+    // final division per vector replaces 2·iterations sequential 1-row
+    // normalizer broadcasts (each was its own BroadcastExchange job) and
+    // iterations·2−2 full-node-set zero-fill joins: a node absent from a
+    // raw frame contributes exactly nothing to the next sum, which is
+    // what its explicit 0.0 row contributed before. Magnitude bound: raw
+    // scores grow like (‖w‖₁)^(2·iterations); doubles overflow past
+    // ~1e308, so ‖w‖₁ must stay under ~10^(308/(2·iterations)) — 1e38
+    // for the default 4 iterations, comfortably clearing any monetary
+    // edge aggregate. The SQL oracle replays the identical reassociated
+    // recursion (raw CTE chain, single final division).
+    var hRaw = n.select(col("id"), lit(1.0).as("h"))
+    var aRaw: DataFrame = null
     var i = 0
     while (i < iterations) {
-      a = halfStep(h, "h", "src", "dst", "a")
-      h = halfStep(a, "a", "dst", "src", "h")
+      aRaw = e.join(hRaw, e("src") === hRaw("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum(col("w") * col("h")).as("a"))
+      hRaw = e.join(aRaw, e("dst") === aRaw("id"))
+        .groupBy(e("src").as("id"))
+        .agg(sum(col("w") * col("a")).as("h"))
       i += 1
       if (i % checkpointEvery == 0 && i < iterations) {
-        a = a.pinned(true)
-        h = h.pinned(true)
+        aRaw = aRaw.pinned(true)
+        hRaw = hRaw.pinned(true)
       }
     }
-    h.join(a, Seq("id"))
-      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+    // z = 0 (empty edge set / zero-weight round) degrades to all-zero
+    // scores rather than NULL/NaN, exactly as the per-round guard did:
+    // once any round's raw frame is empty or all-zero, every later raw
+    // frame is too, so guarding the single final division is equivalent.
+    val za = aRaw.agg(coalesce(sum(abs(col("a"))), lit(0.0)).as("za"))
+    val zh = hRaw.agg(coalesce(sum(abs(col("h"))), lit(0.0)).as("zh"))
+    n.join(hRaw, Seq("id"), "left_outer")
+      .join(aRaw, Seq("id"), "left_outer")
+      .crossJoin(broadcast(zh))
+      .crossJoin(broadcast(za))
+      .select(col("id"),
+        when(col("zh") === 0.0, lit(0.0))
+          .otherwise(coalesce(col("h"), lit(0.0)) / col("zh")).as("hub"),
+        when(col("za") === 0.0, lit(0.0))
+          .otherwise(coalesce(col("a"), lit(0.0)) / col("za")).as("authority"))
   }
 
   /** Exact Newman modularity terms of a node→community assignment over an

@@ -159,10 +159,12 @@ object Safety {
     * share), ties go left (v ≤ median), and the dimension order is fixed
     * — an unrolled SQL replica takes the identical splits.
     *
-    * Scale shape: each round is ONE aggregation over (cell) for the
-    * medians + ONE over (cell, side) for the child sizes, both
-    * 2^round-bounded outputs, broadcast-joined back; rows shuffle only on
-    * their cell id. Nothing row-scale ever reaches the driver.
+    * Scale shape: each round derives the medians from a (cell, value)
+    * COUNT frame + a per-cell cumulative walk (value-grain state — no
+    * task ever buffers a cell's raw rows, unlike the percentile()
+    * aggregate) + ONE aggregation over (cell, side) for the child sizes;
+    * both are 2^round-bounded outputs broadcast-joined back; rows shuffle
+    * only on their cell id. Nothing row-scale ever reaches the driver.
     *
     * @param dims  numeric quasi-identifier columns (cast to double)
     * @param k     minimum rows per published cell
@@ -179,9 +181,38 @@ object Safety {
     var r = 0
     while (r < rounds) {
       val dim = dims(r % dims.length)
-      val med = cur.groupBy(col("cell"))
-        .agg(expr(s"percentile($dim, 0.5)").as("med"))
-      val sided = cur.join(broadcast(med), "cell")
+      // Exact median via the VALUE-GRAIN device (opt guide §5: the
+      // percentile() aggregate buffers EVERY group row in task memory —
+      // |rows|/2^round per task; the (cell, value)-count frame plus a
+      // per-cell cumulative walk keeps state at distinct-value grain and
+      // spills gracefully). The interpolation replicates Spark's
+      // Percentile bit-for-bit: pos = 0.5·(n−1) over the 0-based sorted
+      // positions, v_lo/v_hi = the values covering floor(pos)/ceil(pos),
+      // result = (ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi (identical
+      // operand order), NULLs ignored exactly as percentile() ignores
+      // them — so every split value, and every downstream hash, is
+      // unchanged.
+      val vc = cur.where(col(dim).isNotNull)
+        .groupBy(col("cell"), col(dim).as("v")).agg(count(lit(1)).as("c"))
+      val cum = vc
+        .withColumn("cumc", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cell")).orderBy(col("v"))))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      val pos = lit(0.5) * (col("n") - 1L).cast("double")
+      val med = cum.groupBy(col("cell")).agg(
+          min(when(col("cumc") > floor(pos).cast("long"), col("v"))).as("vlo"),
+          min(when(col("cumc") > ceil(pos).cast("long"), col("v"))).as("vhi"),
+          max(pos).as("pos"))
+        .select(col("cell"),
+          when(floor(col("pos")) === ceil(col("pos")), col("vlo"))
+            .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
+              (col("pos") - floor(col("pos"))) * col("vhi")).as("med"))
+      // left_outer: a cell whose rows are ALL null on `dim` has no median
+      // row — its rows must survive with med = NULL (side 1, split never
+      // ok) exactly as the percentile() form kept them.
+      val sided = cur.join(broadcast(med), Seq("cell"), "left_outer")
         .withColumn("side", when(col(dim) <= col("med"), 0L).otherwise(1L))
       val ok = sided.groupBy(col("cell"))
         .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nl"),
