@@ -225,6 +225,16 @@ object Dedup {
       // corpus text (opt guide §2.4: share one materialization; §1.2: the
       // kernel is the per-task cost here). Downstream consumers explode
       // the pinned arrays, a narrow map.
+      //
+      // Why a corpus-scale array pin is RIGHT here but WRONG in
+      // minhashLshPairs (the posture the two notes encode): the inverted-
+      // index path re-reads the arrays five times — amortization beats
+      // the pin's storage cost at any scale, and with
+      // graft.checkpoint.storage=MEMORY_AND_DISK_SER the pin degrades to
+      // serialized/spilled blocks instead of OOM. The LSH path reads its
+      // arrays for the RARE candidate pairs only — there the pin is
+      // storage without amortization (measured 1.2-1.4x worse at sf0.1),
+      // so it fetches the candidate slice instead.
       .pinned(true)
     val exploded = shingled.select(col("id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("shingle"))

@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * was 10 MB at launch and 40 GB two years later). The guard runs in the
   * operator-optimization batch — after `EliminateResolvedHint` has moved
   * hints onto the `Join` nodes — and clears a side's BROADCAST hint when
-  * that side's plan-time size estimate exceeds
+  * the sum of that side's KNOWN leaf sizes (true file bytes; see the
+  * in-body note for why the plan-level estimate is unusable) exceeds
   * `graft.broadcastGuard.maxBytes` (default 1 GiB), letting the planner
   * fall back to a shuffle join; AQE can still re-broadcast at runtime if
   * the TRUE size turns out small. Call sites keep their own size gates
@@ -35,12 +36,31 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     if (!conf("graft.broadcastGuard.enabled", "true").toBoolean) return plan
     val maxBytes = BigInt(conf("graft.broadcastGuard.maxBytes",
       (1L << 30).toString))
+    // Trip-wire size = sum of the KNOWN leaf sizes (true on-disk bytes of
+    // file-backed scans), not `p.stats.sizeInBytes`. The plan-level
+    // estimate is garbage exactly where hints matter: above a Join it is
+    // the PRODUCT of child sizes (a 3-small-table dimension "estimates"
+    // past any cap), and localCheckpoint/LogicalRDD leaves report
+    // spark.sql.defaultSizeInBytes = Long.Max. Measured on the round-13
+    // baseline: 124 stripped hints per bench pass, every one kilobyte-
+    // scale at runtime, each re-rescued by AQE only AFTER the fact side
+    // had paid its planned shuffle WRITE. The guard's actual target — the
+    // dimension table that slow-crept past broadcastable size — shows up
+    // in leaf bytes, which only under-count a broadcast side when a join
+    // EXPLODES it (not the authored-broadcast shape; Spark's 8 GB /
+    // 512M-row broadcast cap still backstops that). Unknown-size leaves
+    // (pinned frames — metadata-scale by this engine's contract) do not
+    // veto the caller's explicit order.
+    val unknown = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    def guardSize(p: LogicalPlan): BigInt =
+      p.collectLeaves().map(_.stats.sizeInBytes).filter(_ < unknown).sum
     def guard(side: String, h: Option[HintInfo], p: LogicalPlan): Option[HintInfo] =
       h match {
         case Some(info) if info.strategy.contains(BROADCAST) &&
-            p.stats.sizeInBytes > maxBytes =>
+            guardSize(p) > maxBytes =>
           logWarning(s"graft.broadcastGuard: clearing BROADCAST hint on the " +
-            s"$side side — estimated ${p.stats.sizeInBytes} bytes > $maxBytes")
+            s"$side side — known leaf bytes ${guardSize(p)} > $maxBytes " +
+            s"(plan estimate ${p.stats.sizeInBytes})")
           val stripped = info.copy(strategy = None)
           if (stripped == HintInfo()) None else Some(stripped)
         case other => other
