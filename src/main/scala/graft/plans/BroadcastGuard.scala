@@ -15,9 +15,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * was 10 MB at launch and 40 GB two years later). The guard runs in the
   * operator-optimization batch — after `EliminateResolvedHint` has moved
   * hints onto the `Join` nodes — and clears a side's BROADCAST hint when
-  * the sum of that side's KNOWN leaf sizes (true file bytes; see the
-  * in-body note for why the plan-level estimate is unusable) exceeds
-  * `graft.broadcastGuard.maxBytes` (default 1 GiB), letting the planner
+  * BOTH of two size signals — the plan-level estimate AND the sum of the
+  * side's known leaf sizes (true file bytes) — exceed
+  * `graft.broadcastGuard.maxBytes` (default 1 GiB; see the in-body note
+  * for why either signal alone over-strips), letting the planner
   * fall back to a shuffle join; AQE can still re-broadcast at runtime if
   * the TRUE size turns out small. Call sites keep their own size gates
   * (e.g. the transactional anti-join) — this rule is the backstop for the
@@ -51,16 +52,24 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     // 512M-row broadcast cap still backstops that). Unknown-size leaves
     // (pinned frames — metadata-scale by this engine's contract) do not
     // veto the caller's explicit order.
+    // Each signal alone also over-strips the OTHER corner: leaf bytes
+    // over-count a side that AGGREGATES a big table down to scalars
+    // (estimate 8 B, leaves 6 TB — five such sides in the registry), the
+    // estimate over-counts multi-join/pinned sides. min(estimate, leaf
+    // bytes) only trips when BOTH say big — which is exactly the creep
+    // case (a single grown dimension: estimate ≈ leaf bytes ≈ big).
     val unknown = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    def guardSize(p: LogicalPlan): BigInt =
-      p.collectLeaves().map(_.stats.sizeInBytes).filter(_ < unknown).sum
+    def guardSize(p: LogicalPlan): BigInt = {
+      val leaves = p.collectLeaves().map(_.stats.sizeInBytes).filter(_ < unknown).sum
+      leaves.min(p.stats.sizeInBytes)
+    }
     def guard(side: String, h: Option[HintInfo], p: LogicalPlan): Option[HintInfo] =
       h match {
         case Some(info) if info.strategy.contains(BROADCAST) &&
             guardSize(p) > maxBytes =>
           logWarning(s"graft.broadcastGuard: clearing BROADCAST hint on the " +
-            s"$side side — known leaf bytes ${guardSize(p)} > $maxBytes " +
-            s"(plan estimate ${p.stats.sizeInBytes})")
+            s"$side side — min(known leaf bytes, estimate) ${guardSize(p)} " +
+            s"> $maxBytes (plan estimate ${p.stats.sizeInBytes})")
           val stripped = info.copy(strategy = None)
           if (stripped == HintInfo()) None else Some(stripped)
         case other => other
